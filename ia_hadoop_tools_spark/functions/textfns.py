@@ -1,0 +1,137 @@
+"""Text-analysis scalar layer for the training-data pipeline operators.
+
+All pure column expressions (regexp/array ops in codegen) — these run over
+every document at 100 TB, so no Python in the loop. Each function has an exact
+DuckDB SQL mirror used by the correctness oracle (see __spark_entry__.py).
+
+Components: whitespace + BPE-ish tokenization, stopword-based language ID,
+quality scoring (length/punct/stopword ratios), character shingles, and a
+min-hash document fingerprint (rolling-hash winnowing, simplified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.functions.hashfns import hash32, hash32_sql
+
+#: BPE-ish token pattern: word pieces or single non-space symbols.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+#: Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+#: Deliberately small + frozen: they are part of the operator's contract (the
+#: oracle mirrors them literally).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(_c(col)), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count (letter runs / digit runs / single symbols)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_TOKEN_RE), 0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Non-alphanumeric-non-space chars / total chars (0 for empty)."""
+    c = _c(col)
+    n = F.length(c)
+    p = F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    n = token_count(col)
+    return F.when(
+        n > 0, stopword_hits(col, lang).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]:
+    0.4 * saturating length term (tokens/100, capped at 1)
+    + 0.3 * (1 - punct_ratio) + 0.3 * min(1, 5 * stopword_ratio_en).
+    """
+    ntok = token_count(col).cast("double")
+    len_term = F.least(ntok / F.lit(100.0), F.lit(1.0))
+    sw_term = F.least(F.lit(5.0) * stopword_ratio(col, "en"), F.lit(1.0))
+    return (
+        F.lit(0.4) * len_term + F.lit(0.3) * (F.lit(1.0) - punct_ratio(col)) + F.lit(0.3) * sw_term
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language ID: lang with most stopword hits; ties break
+    alphabetically; no hits at all -> 'und'."""
+    best_hits = None
+    result = F.lit("und")
+    # iterate in reverse-alphabetical so the final `when` chain prefers
+    # alphabetically-first languages on ties
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        h = stopword_hits(col, lang)
+        if best_hits is None:
+            best_hits = h
+            result = F.when(h > 0, F.lit(lang)).otherwise(F.lit("und"))
+        else:
+            result = F.when((h > 0) & (h >= best_hits), F.lit(lang)).otherwise(result)
+            best_hits = F.greatest(h, best_hits)
+    return result
+
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """All k-char shingles of the lowercased text (empty array if too short)."""
+    c = F.lower(_c(col))
+    n = F.length(c)
+    gen = F.transform(F.sequence(F.lit(1), n - F.lit(k - 1)), lambda i: c.substr(i, F.lit(k)))
+    return F.when(n >= k, gen).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """All n-word shingles (space-joined) of the token stream."""
+    t = tokens(col)
+    cnt = F.size(t)
+    gen = F.transform(
+        F.sequence(F.lit(1), cnt - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    return F.when(cnt >= n, gen).otherwise(F.array().cast("array<string>"))
+
+
+def doc_fingerprint(col: Column | str, k: int = 8) -> Column:
+    """Rolling-hash document fingerprint: min 32-bit hash over all k-char
+    shingles (winnowing with a single global window). Equal fingerprints are
+    strong near-dup candidates. Null/short docs -> null."""
+    hashes = F.transform(char_shingles(col, k), lambda s: hash32(s))
+    return F.array_min(hashes)
+
+
+def doc_fingerprint_sql(expr: str, k: int = 8) -> str:
+    """DuckDB mirror of :func:`doc_fingerprint`."""
+    shingle = f"substr(lower({expr}), CAST(i AS INT), {k})"
+    return (
+        f"list_min(list_transform(range(1, length({expr}) - {k} + 2), "
+        f"i -> {hash32_sql(shingle)}))"
+    )

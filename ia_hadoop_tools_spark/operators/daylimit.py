@@ -1,0 +1,50 @@
+"""Per-url-per-day capture capping ("day limit").
+
+Reference: mapreduce/GlobalWaybackMergeMapper.java:20-83,136 and
+GlobalWaybackCDXReducer.java:19-79 — keep at most N captures per
+(urlkey, day) where day = substr(timestamp, 1, 8); default N=111
+(``cdx.daily.limit``).
+
+The reference counts sequentially over the sorted stream, so ties break by
+arrival order — nondeterministic under re-partitioning. We declare the
+canonical order to be (timestamp, *tiebreakers): deterministic, oracle-friendly
+(SURVEY.md §7.4 hard part #3).
+
+Spark: a ranking window — ``row_number() OVER (PARTITION BY key, day ORDER BY
+ts, ...) <= n``. One shuffle on (key, day); skewed hot urls are split by AQE
+skew handling in the sort-based window path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_DAY_LIMIT = 111  # cdx.daily.limit, GlobalWaybackMergeMapper.java:24
+
+
+def day_limit(
+    df: DataFrame,
+    n: int = DEFAULT_DAY_LIMIT,
+    key_col: str = "urlkey",
+    ts_col: str = "timestamp",
+    day_expr=None,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Keep at most ``n`` captures per (key, day).
+
+    ``day_expr`` defaults to ``substring(ts_col, 1, 8)`` (the 14-digit CDX
+    timestamp's yyyyMMdd prefix); pass e.g. ``F.to_date('ts')`` for timestamp
+    columns.
+    """
+    if day_expr is None:
+        day_expr = F.substring(F.col(ts_col), 1, 8)
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreakers]
+    w = Window.partitionBy(F.col(key_col), day_expr).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

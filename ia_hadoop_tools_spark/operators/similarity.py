@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``ann_bruteforce_topk``: exact top-k cosine neighbors for a (small) query
+  set. The query side is broadcast; the corpus is scanned once; per-query
+  ranking is a window over (query_id). Scale path: corpus never shuffles on
+  the cross join (broadcast nested loop), only the rank shuffles — and that
+  is bounded by corpus_rows * n_queries, so keep the query set per-job small
+  or go through the LSH variant.
+- ``ann_lsh_topk``: random-hyperplane (SimHash-for-vectors) bucketing: sign
+  bits of <v, plane_j> form a code; candidates = corpus rows whose code matches
+  the query's code on at least one band. ~1/2^band_bits of the corpus is
+  scored per query instead of all of it. Hyperplanes come from a fixed seed —
+  deterministic, oracle-reproducible.
+- ``embedding_neardup_pairs``: near-duplicate vector pairs (cosine >= t) via
+  the same LSH codes: self-join per bucket, verify true cosine.
+
+All vector math is codegen'd column expressions (functions/vectorfns.py) —
+no Python in the loop.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.functions.vectorfns import cosine_similarity
+
+
+def hyperplanes(num: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (shared with SQL oracles)."""
+    rng = random.Random(seed)
+    return [[round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(num)]
+
+
+def _lsh_code_bits(vec_col, planes: list[list[float]]):
+    """One sign bit per hyperplane: 1 iff <v, plane> >= 0."""
+    bits = []
+    for pl in planes:
+        arr = F.array(*[F.lit(x) for x in pl])
+        dot = F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0.0, F.lit(1)).otherwise(F.lit(0)))
+    return bits
+
+
+def ann_bruteforce_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self-matches).
+
+    Returns (query_id, neighbor_id, cosine, rank), rank 1..k by descending
+    cosine, ties broken by ascending neighbor id (deterministic).
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows sharing >=1 LSH band with the
+    query. Same output shape as :func:`ann_bruteforce_topk`; recall < 1 by
+    design (more planes/bands => higher recall, more candidates)."""
+    planes = hyperplanes(num_planes, dim, seed)
+    width = num_planes // bands
+
+    def with_bands(df: DataFrame, ident: str) -> DataFrame:
+        bits = _lsh_code_bits(F.col(vec_col), planes)
+        band_keys = F.array(
+            *[
+                F.concat_ws(
+                    "_",
+                    F.lit(b),
+                    *[bits[b * width + i].cast("string") for i in range(width)],
+                )
+                for b in range(bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(ident),
+            F.col(vec_col).alias(f"__vec_{ident}"),
+            F.explode(band_keys).alias("bucket"),
+        )
+
+    qb = with_bands(queries, query_id_col)
+    cb = with_bands(corpus, "neighbor_id")
+    cand = (
+        cb.join(F.broadcast(qb), on="bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .dropDuplicates([query_id_col, "neighbor_id"])
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("__vec_neighbor_id"), F.col(f"__vec_{query_id_col}")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold, id_a < id_b.
+
+    LSH-bucketed self-join: near-identical vectors agree on almost all sign
+    bits, so they collide in >=1 band with high probability; each bucket's
+    pairs are verified with the true cosine."""
+    planes = hyperplanes(num_planes, dim, seed)
+    width = num_planes // bands
+    bits = _lsh_code_bits(F.col(vec_col), planes)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_", F.lit(b), *[bits[b * width + i].cast("string") for i in range(width)]
+            )
+            for b in range(bands)
+        ]
+    )
+    e = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.explode(band_keys).alias("bucket")
+    )
+    l, r = e.alias("l"), e.alias("r")
+    pairs = (
+        l.join(r, on="bucket")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.vec").alias("__va"),
+            F.col("r.vec").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

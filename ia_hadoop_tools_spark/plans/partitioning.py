@@ -1,0 +1,94 @@
+"""Explicit-boundary range partitioning (the AlphaPartitioner path).
+
+Reference: mapreduce/AlphaPartitioner.java:20-110 (binary-search a sorted
+boundary array, insertion-point-minus-one semantics, boundaries from a split
+file) and cdx/SplitFile.java:39-51 (``name start end`` per output shard).
+
+``repartitionByRange`` covers the common case (sampled boundaries — the
+ZipNumPartitioner sampling mode). When the caller must control EXACT shard
+boundaries and names (Wayback-compatible cluster layout), we compute a
+partition-id column from the boundary array and write with
+``partitionBy(shard_name)`` — each named shard directory holds exactly its
+key range, sorted. No Catalyst rule needed (SURVEY.md §4).
+
+At scale the boundary array is a broadcast-sized literal (thousands of
+entries for hundreds of TB) and the id computation is a codegen'd binary-ish
+scan per row — the same work AlphaPartitioner did per record.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.schemas import SPLITFILE_SCHEMA
+
+
+def parse_splitfile(spark: SparkSession, path_or_lines) -> list[tuple[str, str, str]]:
+    """Read a ``name start end`` split file into [(name, start, end)] sorted by
+    start (end exclusive, SplitFile.java:39-51)."""
+    if isinstance(path_or_lines, str):
+        rows = spark.read.schema(SPLITFILE_SCHEMA).option("sep", " ").csv(path_or_lines)
+        recs = [(r["name"], r["start"], r["end"]) for r in rows.collect()]
+    else:
+        recs = [tuple(line.split()) for line in path_or_lines]
+    return sorted(recs, key=lambda r: r[1])
+
+
+def assign_range_ids(
+    df: DataFrame,
+    boundaries: Sequence[str],
+    key_col: str = "urlkey",
+    out_col: str = "range_id",
+) -> DataFrame:
+    """Add ``out_col`` = number of boundaries <= key (AlphaPartitioner's
+    insertion-point-minus-one). ``boundaries`` are the k range-start keys
+    (sorted); keys below boundaries[0] get id 0 along with the first range.
+
+    Implemented as an aggregate over a literal array — O(k) comparisons per
+    row inside codegen, zero shuffle; the subsequent ``partitionBy`` write or
+    ``repartitionByRange(out_col)`` realizes the physical layout.
+    """
+    bnds = sorted(boundaries)
+    arr = F.array(*[F.lit(b) for b in bnds])
+    key = F.col(key_col)
+    pid = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(key >= b, 1).otherwise(0),
+    )
+    pid = F.greatest(pid - 1, F.lit(0))
+    return df.withColumn(out_col, pid)
+
+
+def write_named_shards(
+    df: DataFrame,
+    path: str,
+    splits: Sequence[tuple[str, str, str]],
+    key_col: str = "urlkey",
+    sort_cols: Sequence[str] = ("urlkey", "timestamp"),
+) -> None:
+    """Write one named, sorted shard directory per split-file range.
+
+    ``splits`` = [(name, start, end)]; rows outside every range are dropped
+    (matching the reference, where the partitioner only routes covered keys).
+    """
+    names = [s[0] for s in splits]
+    starts = [s[1] for s in splits]
+    with_ids = assign_range_ids(df, starts, key_col, "__rid")
+    name_map = F.array(*[F.lit(n) for n in names])
+    out = (
+        with_ids.withColumn("shard", F.element_at(name_map, F.col("__rid") + 1))
+        .filter(F.col(key_col) >= starts[0])
+        .filter(F.col(key_col) < splits[-1][2])
+        .drop("__rid")
+    )
+    (
+        out.repartition(len(names), "shard")
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -1,0 +1,99 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]``; the same config block is what we would ship
+to a 1000-executor cluster — AQE on (runtime re-plan + skew-join splitting),
+Arrow on (every pandas UDF crosses the JVM/Python boundary in columnar batches),
+and shuffle partitions sized explicitly rather than left at the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ia-hadoop-tools-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    Defaults mirror what a production deployment would set cluster-wide:
+
+    - ``spark.sql.adaptive.enabled`` + skew-join handling: the reference
+      hand-partitions by boundary files (AlphaPartitioner); AQE re-plans at
+      runtime instead and splits skewed shuffle partitions (hot urlkeys are the
+      norm in web-archive data).
+    - ``spark.sql.execution.arrow.pyspark.enabled``: all Python UDF traffic is
+      Arrow-batched.
+    - ``spark.sql.files.maxPartitionBytes`` 128m: keeps scan tasks uniform when
+      reading many shards.
+    - ``spark.sql.shuffle.partitions``: defaults to ``SPARK_GRAFT_CPUS`` (or 32)
+      locally; on a real cluster this would be ~2-3x total cores or left to AQE
+      coalescing, which is enabled.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    # Make this package importable in executor Python workers regardless of the
+    # driver's cwd (UDF/mapPartitions closures reference these modules). Local
+    # mode: workers inherit PYTHONPATH from the JVM, which inherits it from us.
+    # On a real cluster, ship a wheel/zip via spark.submit.pyFiles instead.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{pypath}" if pypath else pkg_parent
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Read the driver's parquet tables from ``sf_dir`` into a dict of DataFrames.
+
+    ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default; we flip ``nanosAsLong`` (runtime-settable) and
+    normalize ``ts`` back to a microsecond TimestampType column so downstream
+    code sees a real timestamp on ANY session, including the test driver's.
+    """
+    from pyspark.sql import functions as F
+
+    if names is None:
+        names = (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for n in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # nanos -> floor to micros (DuckDB's epoch_us does the same floor)
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        out[n] = df
+    return out

@@ -1,0 +1,205 @@
+"""ZipNum blocked-gzip codec — Wayback interchange-format compatibility.
+
+Format (cdx/notes.txt:1-36, mapreduce/ZipNumOutputFormat.java:32-156,
+ZipNumRecordWriter.java:119-201): a SHARD is sorted CDX text compressed as
+CONCATENATED GZIP MEMBERS of a fixed line count (default 3000); a sidecar idx
+has one line per member: ``firstKey \t shard \t offset \t length``; a CLUSTER
+directory adds ``ALL.summary`` (sorted concat of the idx files) and
+``manifest.txt``.
+
+This is the one operator family Spark genuinely lacks, implemented with
+``mapPartitions`` + Python gzip (SURVEY.md §7.4 hard part #2):
+
+- ``write_zipnum``: range-sorted partitions -> one shard per partition,
+  written executor-side with the reference's TMP+atomic-rename protocol
+  (jobs/CDXGenerator.java:123-136); idx entries come back as the job result
+  (not a side channel), ALL.summary is their sorted projection.
+- ``read_zipnum``: idx-driven ranged reads — each task opens only its blocks'
+  byte ranges (the GZIPRangeLineDereferencingRecordReader pattern).
+- ``zipnum_range``: bounded [start, end) scan that prunes to covering blocks
+  via the summary BEFORE any data I/O — the reference's binary search over
+  ALL.summary expressed as a DataFrame filter over the idx table.
+
+The native engine stores clusters as sorted Parquet (operators/cluster.py);
+this codec exists for interchange with Wayback-era tooling, and its envelope
+structure (3000-line members) is preserved byte-semantically.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.schemas import ZIPNUM_IDX_SCHEMA
+
+DEFAULT_LINES_PER_BLOCK = 3000  # conf.zipnum.count, ZipNumOutputFormat.java:33-34
+
+
+def _summary_key(line: str) -> str:
+    """First two CDX fields, tabs %09-escaped (ZipNumRecordWriter.java:94-112)."""
+    parts = line.split(" ", 2)
+    key = " ".join(parts[:2])
+    return key.replace("\t", "%09")
+
+
+def _write_shard(
+    part_id: int, lines: Iterator[str], out_dir: str, lines_per_block: int
+) -> Iterator[Row]:
+    """Executor-side shard writer: TMP + atomic rename, one gzip member per
+    ``lines_per_block`` lines; yields idx rows."""
+    shard = f"part-{part_id:05d}.gz"
+    final = os.path.join(out_dir, shard)
+    tmp = final + ".TMP"
+    idx_rows: list[Row] = []
+    offset = 0
+    buf: list[str] = []
+    wrote_any = False
+
+    def flush(fh) -> None:
+        nonlocal offset, buf
+        if not buf:
+            return
+        payload = gzip.compress("".join(buf).encode("utf-8"))
+        fh.write(payload)
+        idx_rows.append(
+            Row(
+                summary_key=_summary_key(buf[0].rstrip("\n")),
+                shard=shard,
+                offset=offset,
+                length=len(payload),
+            )
+        )
+        offset += len(payload)
+        buf = []
+
+    with open(tmp, "wb") as fh:
+        for line in lines:
+            wrote_any = True
+            if not line.endswith("\n"):
+                line += "\n"
+            buf.append(line)
+            if len(buf) >= lines_per_block:
+                flush(fh)
+        flush(fh)
+    if wrote_any:
+        os.replace(tmp, final)  # atomic commit (reference's rename protocol)
+    else:
+        os.remove(tmp)
+        return iter(())
+    return iter(idx_rows)
+
+
+def write_zipnum(
+    df: DataFrame,
+    out_dir: str,
+    lines_per_block: int = DEFAULT_LINES_PER_BLOCK,
+    num_shards: int | None = None,
+    value_col: str = "value",
+    sort: bool = True,
+) -> DataFrame:
+    """Write a text DataFrame as a ZipNum cluster directory; returns the idx
+    DataFrame (summary_key, shard, offset, length), also persisted as
+    ALL.summary + manifest.txt."""
+    os.makedirs(out_dir, exist_ok=True)
+    spark = df.sparkSession
+    vals = df.select(F.col(value_col).cast("string").alias("v"))
+    if sort:
+        if num_shards:
+            vals = vals.repartitionByRange(num_shards, "v")
+        else:
+            vals = vals.repartitionByRange("v")
+        vals = vals.sortWithinPartitions("v")
+
+    lpb = lines_per_block
+
+    def writer(pid: int, it: Iterator[Row]) -> Iterator[Row]:
+        return _write_shard(pid, (r["v"] for r in it), out_dir, lpb)
+
+    idx = spark.createDataFrame(
+        vals.rdd.mapPartitionsWithIndex(writer), ZIPNUM_IDX_SCHEMA
+    ).cache()
+
+    # ALL.summary: per-shard idx lines concatenated in sorted shard order
+    # (cdx/SummaryGenerator.java:46-122). Driver-side single-file write — the
+    # summary is ~1/3000 of the data.
+    rows = idx.orderBy("shard", "offset").collect()
+    with open(os.path.join(out_dir, "ALL.summary"), "w", encoding="utf-8") as fh:
+        for r in rows:
+            fh.write(f"{r.summary_key}\t{r.shard}\t{r.offset}\t{r.length}\n")
+    with open(os.path.join(out_dir, "manifest.txt"), "w", encoding="utf-8") as fh:
+        for shard in sorted({r.shard for r in rows}):
+            fh.write(shard + "\n")
+    return idx
+
+
+def _read_blocks(
+    out_dir: str, rows: Iterator[Row], start: str | None, end: str | None
+) -> Iterator[Row]:
+    """Ranged-read + gunzip idx blocks; bound emitted lines to [start, end)."""
+    for r in rows:
+        path = os.path.join(out_dir, r["shard"])
+        with open(path, "rb") as fh:
+            fh.seek(r["offset"])
+            payload = fh.read(r["length"])
+        for line in gzip.decompress(payload).decode("utf-8").splitlines():
+            if start is not None or end is not None:
+                key = line.split(" ", 2)
+                k = " ".join(key[:2])
+                if start is not None and k < start:
+                    continue
+                if end is not None and k >= end:
+                    continue
+            yield Row(value=line)
+
+
+def read_zipnum(spark: SparkSession, cluster_dir: str) -> DataFrame:
+    """Read a whole ZipNum cluster back into a text DataFrame ('value')."""
+    return zipnum_range(spark, cluster_dir, None, None)
+
+
+def load_summary(spark: SparkSession, cluster_dir: str) -> DataFrame:
+    path = os.path.join(cluster_dir, "ALL.summary")
+    return spark.read.schema(ZIPNUM_IDX_SCHEMA).option("sep", "\t").csv(path)
+
+
+def zipnum_range(
+    spark: SparkSession,
+    cluster_dir: str,
+    start: str | None,
+    end: str | None,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Bounded [start, end) scan over a ZipNum cluster.
+
+    Block pruning happens on the summary DataFrame before any data I/O: a
+    block is fetched iff its key range [summary_key, next_summary_key) can
+    intersect [start, end) — exactly CDXCluster.getRangeBlockIterator's
+    binary-search semantics (cdx/CDXCluster.java:31-43).
+    """
+    from pyspark.sql import Window
+
+    summary = load_summary(spark, cluster_dir)
+    if start is not None or end is not None:
+        w = Window.orderBy("summary_key", "shard", "offset")
+        summary = summary.withColumn("__next_key", F.lead("summary_key").over(w))
+        if end is not None:
+            summary = summary.filter(F.col("summary_key") < end)
+        if start is not None:
+            summary = summary.filter(
+                F.col("__next_key").isNull() | (F.col("__next_key") >= start)
+            )
+        summary = summary.drop("__next_key")
+    if num_tasks:
+        summary = summary.repartition(num_tasks)
+
+    s, e, d = start, end, cluster_dir
+
+    def loader(rows: Iterator[Row]) -> Iterator[Row]:
+        return _read_blocks(d, rows, s, e)
+
+    rdd = summary.rdd.mapPartitions(loader)
+    return spark.createDataFrame(rdd, "value: string")

@@ -1,0 +1,88 @@
+"""Incremental cluster updates.
+
+The reference's incrementality is file-set bookkeeping (cdx/notes.txt:19-36):
+STAGED minus INCLUDED selects the next batch of source files; after a merge
+the basenames move to INCLUDED. ``incremental_merge_cycle`` is that loop as a
+function. ``stream_ingest_available_now`` is the optional Structured Streaming
+skin over the same semantics (SURVEY.md §2.11): ``readStream`` with
+``availableNow`` discovers new files exactly-once via the checkpoint log —
+Spark's file-source tracking replaces STAGED/INCLUDED — and ``foreachBatch``
+applies the identical batch merge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.operators.merge import merge_clusters
+from ia_hadoop_tools_spark.operators.setops import work_queue
+
+
+def incremental_merge_cycle(
+    spark: SparkSession,
+    staged: DataFrame,
+    included: DataFrame,
+    read_source: Callable[[SparkSession, str], DataFrame],
+    existing_cluster: DataFrame | None,
+    daily_limit: int | None = None,
+    sort_cols: Sequence[str] = ("urlkey", "timestamp"),
+) -> tuple[DataFrame, DataFrame]:
+    """One STAGED/INCLUDED update cycle.
+
+    - work = STAGED − INCLUDED (anti-join on basename);
+    - new data = union of ``read_source(spark, path)`` over the work queue;
+    - merged = merge_clusters([existing, new], daily_limit=...);
+    - returns (merged cluster, new INCLUDED bookkeeping table).
+    """
+    todo = work_queue(staged, included).select("basename", "path").collect()
+    if not todo:
+        return existing_cluster, included
+    new_parts = [read_source(spark, r["path"]) for r in todo]
+    sources = new_parts if existing_cluster is None else [existing_cluster, *new_parts]
+    merged = merge_clusters(sources, daily_limit=daily_limit, sort_cols=sort_cols)
+    new_included = included.select("basename").unionByName(
+        spark.createDataFrame([(r["basename"],) for r in todo], "basename: string")
+    ).dropDuplicates(["basename"])
+    return merged, new_included
+
+
+def stream_ingest_available_now(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    schema,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    fmt: str = "parquet",
+    sort_cols: Sequence[str] = ("urlkey", "timestamp"),
+):
+    """Incremental file ingestion as an ``availableNow`` stream.
+
+    Each micro-batch is range-sorted and appended to the Parquet cluster via
+    ``foreachBatch`` (sorting isn't a streaming op, so it runs on the batch
+    DataFrame — same plan as the batch path). Restarts resume from the
+    checkpoint's file log: exactly-once per input file, which is precisely the
+    STAGED/INCLUDED contract.
+    """
+    stream = spark.readStream.format(fmt).schema(schema).load(input_path)
+    if transform is not None:
+        stream = transform(stream)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cols = [F.col(c) for c in sort_cols]
+        (
+            batch_df.repartitionByRange(*cols)
+            .sortWithinPartitions(*cols)
+            .write.mode("append")
+            .parquet(output_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,86 @@
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.operators.cluster import build_cluster, cluster_range, write_cluster
+from ia_hadoop_tools_spark.operators.merge import merge_clusters
+from ia_hadoop_tools_spark.operators.setops import merge_manifests, work_queue
+from ia_hadoop_tools_spark.plans.partitioning import assign_range_ids, write_named_shards
+
+
+def _mk(spark, keys):
+    return spark.createDataFrame(
+        [(k, f"202001010000{i%60:02d}") for i, k in enumerate(keys)],
+        "urlkey: string, timestamp: string",
+    )
+
+
+def test_build_cluster_sorted_partitions(spark):
+    df = _mk(spark, [f"k{i:03d}" for i in range(100)])
+    out = build_cluster(df, num_ranges=4)
+    # partitions are range-contiguous and internally sorted
+    parts = out.withColumn("pid", F.spark_partition_id())
+    agg = parts.groupBy("pid").agg(
+        F.min("urlkey").alias("lo"), F.max("urlkey").alias("hi")
+    ).orderBy("lo").collect()
+    for a, b in zip(agg, agg[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+def test_cluster_range_bounds(spark, tmp_path):
+    df = _mk(spark, [f"k{i:03d}" for i in range(100)])
+    path = str(tmp_path / "cluster")
+    write_cluster(df, path, num_ranges=4)
+    got = [r.urlkey for r in cluster_range(path, "k010", "k020", spark=spark).collect()]
+    assert got == [f"k{i:03d}" for i in range(10, 20)]
+    # open bounds
+    assert cluster_range(path, None, "k005", spark=spark).count() == 5
+    assert cluster_range(path, "k095", None, spark=spark).count() == 5
+
+
+def test_merge_clusters_dedup_and_daylimit(spark):
+    c1 = _mk(spark, ["a", "a", "b"])
+    c2 = _mk(spark, ["b", "c"])
+    merged = merge_clusters([c1, c2], dedup=True, num_ranges=2)
+    # no exact-duplicate (urlkey, timestamp) rows across c1/c2 -> all 5 survive
+    assert merged.count() == 5
+    keys = [r.urlkey for r in merged.sort("urlkey", "timestamp").collect()]
+    assert keys == sorted(keys)
+
+    capped = merge_clusters([c1, c2], daily_limit=1, num_ranges=2)
+    assert capped.groupBy("urlkey").count().agg(F.max("count")).collect()[0][0] == 1
+
+
+def test_work_queue_and_manifest(spark):
+    staged = spark.createDataFrame(
+        [("f1", "/p/f1"), ("f2", "/p/f2"), ("f3", "/p/f3")], "basename: string, path: string"
+    )
+    included = spark.createDataFrame([("f1",), ("fX",)], "basename: string")
+    todo = sorted(r.basename for r in work_queue(staged, included).collect())
+    assert todo == ["f2", "f3"]
+
+    m1 = spark.createDataFrame([("a",), ("b",)], "basename: string")
+    m2 = spark.createDataFrame([("b",), ("c",)], "basename: string")
+    assert [r.basename for r in merge_manifests([m1, m2]).collect()] == ["a", "b", "c"]
+
+
+def test_assign_range_ids_and_named_shards(spark, tmp_path):
+    df = _mk(spark, ["a1", "b1", "c1", "d1"])
+    out = assign_range_ids(df, ["a", "c"], key_col="urlkey")
+    got = {r.urlkey: r.range_id for r in out.collect()}
+    assert got == {"a1": 0, "b1": 0, "c1": 1, "d1": 1}
+
+    path = str(tmp_path / "shards")
+    write_named_shards(
+        df, path, [("part-a", "a", "c"), ("part-c", "c", "e")], key_col="urlkey"
+    )
+    shards = {d.split("=")[1] for d in os.listdir(path) if d.startswith("shard=")}
+    assert shards == {"part-a", "part-c"}
+    back = spark.read.parquet(path)
+    by_shard = {
+        r["shard"]: r["keys"]
+        for r in back.groupBy("shard").agg(F.sort_array(F.collect_list("urlkey")).alias("keys")).collect()
+    }
+    assert by_shard == {"part-a": ["a1", "b1"], "part-c": ["c1", "d1"]}

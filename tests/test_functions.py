@@ -1,0 +1,132 @@
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.functions.datetime14 import (
+    timestamp_to_ts14,
+    ts14_to_epoch_millis,
+    ts14_to_timestamp,
+)
+from ia_hadoop_tools_spark.functions.hashfns import hash32, minhash_permutations
+from ia_hadoop_tools_spark.functions.jsonfns import json_to_map, map_to_json, parse_petabox_metadata
+from ia_hadoop_tools_spark.functions.surt import _surt_one, surt_expr, surt_udf
+from ia_hadoop_tools_spark.functions.urlfns import url_resolve_udf
+from ia_hadoop_tools_spark.functions.vectorfns import cosine_similarity, dot_product
+
+
+def test_surt_python_semantics():
+    assert _surt_one("http://www.Example.com/Path?b=2&a=1") == "com,example)/path?a=1&b=2"
+    assert _surt_one("https://archive.org:443/details/x") == "org,archive)/details/x"
+    assert _surt_one("http://example.com:8080/") == "com,example:8080)/"
+    assert _surt_one("http://109.123.78.101/robots.txt") == "101,78,123,109)/robots.txt"
+    assert _surt_one("http://www2.foo.org") == "org,foo)/"
+    assert _surt_one("http://a.b/p?JSESSIONID=1&x=2") == "b,a)/p?x=2"
+    assert _surt_one(None) is None
+
+
+def test_surt_expr_matches_udf_on_common_urls(spark):
+    urls = [
+        "http://www.Example.com/Path?b=2&a=1",
+        "https://archive.org/details/x",
+        "http://sub.domain.co.uk/a/b.html",
+        "http://example.com:80/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url: string")
+    rows = df.select(
+        surt_expr("url").alias("e"), surt_udf(F.col("url")).alias("u")
+    ).collect()
+    for r in rows:
+        assert r.e == r.u, rows
+
+
+def test_ts14(spark):
+    df = spark.createDataFrame(
+        [("20120103084508",), ("20120103084508123",), ("bogus",)], "ts: string"
+    )
+    rows = df.select(
+        ts14_to_epoch_millis("ts").alias("ms"),
+        timestamp_to_ts14(ts14_to_timestamp("ts")).alias("rt"),
+    ).collect()
+    assert rows[0].ms == 1325580308000
+    assert rows[1].ms == 1325580308123
+    assert rows[2].ms is None
+    assert rows[0].rt == "20120103084508"
+    assert rows[1].rt == "20120103084508"
+
+
+def test_json_map_roundtrip(spark):
+    df = spark.createDataFrame([({"a": "1", "b": "2"},)], "m: map<string,string>")
+    out = df.select(json_to_map(map_to_json("m")).alias("m2")).collect()[0]
+    assert out.m2 == {"a": "1", "b": "2"}
+
+
+def test_petabox_metadata_parse(spark):
+    meta = {
+        "created": 1400000000,
+        "server": "ia600000.us.archive.org",
+        "d1": "ia600000.us.archive.org",
+        "d2": "ia600001.us.archive.org",
+        "dir": "/27/items/foo",
+        "files": [
+            {"name": "foo.warc.gz", "source": "original", "format": "WARC",
+             "mtime": "1400000000", "size": "1234", "md5": "x", "crc32": "y",
+             "sha1": "z"}
+        ],
+    }
+    df = spark.createDataFrame([(json.dumps(meta),)], "j: string")
+    r = df.select(parse_petabox_metadata("j").alias("m")).collect()[0].m
+    assert r.server == "ia600000.us.archive.org"
+    assert r.files[0].name == "foo.warc.gz"
+    assert r.files[0].size == "1234"
+
+
+def test_url_resolve(spark):
+    df = spark.createDataFrame(
+        [
+            ("/about", "http://example.com/index.html", None),
+            ("b.html", None, "http://example.com/a/"),
+            ("http://abs.example/", "http://base/", None),
+        ],
+        "rel: string, base: string, via: string",
+    )
+    got = [
+        r.out
+        for r in df.select(
+            url_resolve_udf("rel", "base", "via").alias("out")
+        ).collect()
+    ]
+    assert got == [
+        "http://example.com/about",
+        "http://example.com/a/b.html",
+        "http://abs.example/",
+    ]
+
+
+def test_hash32_matches_duckdb(spark):
+    import duckdb
+
+    vals = ["abc", "hello world", "", "ünïcode"]
+    df = spark.createDataFrame([(v,) for v in vals], "s: string")
+    got = {r.s: r.h for r in df.select("s", hash32("s").alias("h")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        expected = con.execute(
+            "SELECT CAST('0x' || substr(md5(?),1,8) AS BIGINT)", [v]
+        ).fetchone()[0]
+        assert got[v] == expected, v
+
+
+def test_minhash_permutations_deterministic():
+    assert minhash_permutations(4) == minhash_permutations(4)
+    assert len(set(minhash_permutations(16))) == 16
+
+
+def test_vector_functions(spark):
+    df = spark.createDataFrame([([1.0, 2.0], [3.0, 4.0])], "a: array<double>, b: array<double>")
+    r = df.select(
+        dot_product("a", "b").alias("d"), cosine_similarity("a", "b").alias("c")
+    ).collect()[0]
+    assert r.d == 11.0
+    assert abs(r.c - 0.9838699100999074) < 1e-12

@@ -1,0 +1,89 @@
+"""Parser tests — fixtures are the reference's own CDXLoaderTest lines."""
+
+from __future__ import annotations
+
+from conftest import CDX_LINE_CR_REDIRECT, CDX_LINE_PLAIN
+
+from ia_hadoop_tools_spark.operators.parse import (
+    cdx_to_text,
+    parse_cdx,
+    parse_crawllog,
+)
+
+
+def test_parse_cdx_plain_and_header_skip(cdx_lines_df):
+    rows = parse_cdx(cdx_lines_df).orderBy("urlkey").collect()
+    assert len(rows) == 2  # header dropped
+    r = [x for x in rows if x.urlkey == "101,78,123,109)/robots.txt"][0]
+    assert r.timestamp == "20120103084508"
+    assert r.original_url == "http://109.123.78.101/robots.txt"
+    assert r.mimetype == "text/html"
+    assert r.statuscode == 404
+    assert r.digest == "22RZA2NQT3RZUCQYJYZDPVZRNYIR72SN"
+    assert r.redirect is None  # '-' -> null
+    assert r.meta_flags is None
+    assert r.compressed_length == 561
+    assert r.compressed_offset == 55426267
+    assert r.filename.endswith("00000.warc.gz")
+
+
+def test_parse_cdx_space_in_redirect_repair(cdx_lines_df):
+    """12 raw tokens -> redirect re-joined (CDXLoaderTest.java:82-95)."""
+    rows = parse_cdx(cdx_lines_df).filter("urlkey = '131,125,136,219)/'").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.redirect == "http://219.136.125.131/selfLogon.do?hoge=1 2"
+    assert r.compressed_length == 449
+    assert r.compressed_offset == 34133512
+
+
+def test_parse_cdx_cr_in_redirect_preserved(spark):
+    """CR byte survives parsing (CDXLoaderTest.java:99-112)."""
+    df = spark.createDataFrame([(CDX_LINE_CR_REDIRECT,)], "value: string")
+    r = parse_cdx(df).collect()[0]
+    assert r.redirect == "http://219.136.125.131/self\rLogon.do"
+
+
+def test_parse_cdx_9_and_10_col_variants(spark):
+    nine = "com,example)/ 20200101000000 http://example.com/ text/html 200 DIG - 123 f.warc.gz"
+    ten = "com,example)/ 20200101000000 http://example.com/ text/html 200 DIG - A 123 f.warc.gz"
+    df = spark.createDataFrame([(nine,), (ten,)], "value: string")
+    rows = parse_cdx(df).collect()
+    assert all(r.compressed_length is None for r in rows)
+    assert all(r.compressed_offset == 123 for r in rows)
+    assert all(r.filename == "f.warc.gz" for r in rows)
+    metas = sorted([r.meta_flags or "-" for r in rows])
+    assert metas == ["-", "A"]
+
+
+def test_cdx_roundtrip_text(cdx_lines_df):
+    parsed = parse_cdx(cdx_lines_df)
+    lines = {r.value for r in cdx_to_text(parsed).collect()}
+    assert CDX_LINE_PLAIN in lines
+
+
+def test_parse_crawllog(spark):
+    line = (
+        "2012-01-03T08:45:08.123Z 200 5612 http://example.com/x LLE "
+        "http://example.com/ text/html #042 20120103084507123+456 "
+        "sha1:ABCDEF GO duplicate:digest"
+    )
+    df = spark.createDataFrame([(line,)], "value: string")
+    r = parse_crawllog(df).collect()[0]
+    assert r.status == 200
+    assert r.size == 5612
+    assert r.url == "http://example.com/x"
+    assert r.start_time == "20120103084507123"
+    assert r.duration == 456
+    assert r.content_hash == "sha1:ABCDEF"
+    assert r.annotations == "duplicate:digest"
+
+
+def test_parse_crawllog_dash_fields(spark):
+    line = "2012-01-03T08:45:08Z -404 - http://e.com/ - - - #1 - sha1:X - -"
+    df = spark.createDataFrame([(line,)], "value: string")
+    r = parse_crawllog(df).collect()[0]
+    assert r.status == -404
+    assert r.size == -1  # '-' -> -1 (CrawlLogLoader semantics)
+    assert r.start_time is None and r.duration is None
+    assert r.via_url is None and r.annotations is None

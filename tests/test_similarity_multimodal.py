@@ -1,0 +1,90 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.operators.multimodal import (
+    decode_features,
+    frame_sample,
+    resize_images,
+)
+from ia_hadoop_tools_spark.operators.similarity import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+    embedding_neardup_pairs,
+)
+
+
+def _vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+
+def test_ann_bruteforce(spark):
+    vecs = _vectors(spark)
+    out = ann_bruteforce_topk(vecs, vecs.filter("vec_id = 0"), k=2)
+    rows = out.orderBy("rank").collect()
+    assert [r.neighbor_id for r in rows] == [1, 4]
+    assert rows[0].cosine > 0.99
+    assert rows[0].rank == 1
+
+
+def test_ann_lsh_subset_of_bruteforce(spark):
+    vecs = _vectors(spark)
+    q = vecs.filter("vec_id = 0")
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_bruteforce_topk(vecs, q, k=4).collect()
+    }
+    approx = ann_lsh_topk(vecs, q, k=4, dim=4, num_planes=8, bands=4).collect()
+    for r in approx:  # every LSH hit must carry the exact cosine
+        assert math.isclose(exact[(r.query_id, r.neighbor_id)], r.cosine, abs_tol=1e-9)
+    assert any(r.neighbor_id == 1 for r in approx)  # near-dup must be found
+
+
+def test_embedding_neardup(spark):
+    pairs = embedding_neardup_pairs(_vectors(spark), threshold=0.95, dim=4).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got
+    assert all(r.cosine >= 0.95 for r in pairs)
+
+
+def _media(spark):
+    rows = [
+        (0, "image", bytearray(b"imagebytes-0" * 100), 640, 480, None, "png"),
+        (1, "video", bytearray(b"videobytes-1" * 2000), 1920, 1080, 60000, "h264"),
+        (2, "audio", bytearray(b"audiobytes-2" * 50), None, None, 5000, "mp3"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "asset_id: long, media_type: string, payload: binary, width: int, "
+        "height: int, duration_ms: long, codec: string",
+    )
+
+
+def test_decode_features_deterministic(spark):
+    out1 = {r.asset_id: r.feature for r in decode_features(_media(spark)).collect()}
+    out2 = {r.asset_id: r.feature for r in decode_features(_media(spark)).collect()}
+    assert out1 == out2
+    assert all(len(v) == 8 for v in out1.values())
+
+
+def test_decode_real_raises(spark):
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        decode_features(_media(spark), decoder="real").collect()
+
+
+def test_frame_sample_and_resize(spark):
+    frames = frame_sample(_media(spark), every_n=5).collect()
+    assert all(r.asset_id == 1 for r in frames)
+    assert [r.frame_index for r in frames] == sorted(r.frame_index for r in frames)
+    resized = resize_images(_media(spark), 64, 64).collect()
+    assert len(resized) == 1 and resized[0].width == 64

@@ -1,0 +1,94 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.operators.textops import (
+    dedup_exact_text,
+    fingerprint,
+    language_id,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_neardup_pairs,
+    text_stats,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank tomorrow"),
+        (2, "completely different content about spark engines and distributed joins"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+        (4, "el la de que y en un por con los"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_text_stats(spark):
+    out = text_stats(_docs(spark)).filter("doc_id = 0").collect()[0]
+    assert out.n_tokens == 14
+    assert out.n_chars_computed == len(
+        "the quick brown fox jumps over the lazy dog near the river bank today"
+    )
+    assert out.punct_ratio == 0.0
+    assert out.stopword_ratio_en > 0.2  # 'the' x3, 'over' no, 'near' no...
+    assert 0.0 <= out.quality <= 1.0
+
+
+def test_language_id(spark):
+    got = {r.doc_id: r.lang_pred for r in language_id(_docs(spark)).collect()}
+    assert got[0] == "en"
+    assert got[4] == "es"
+
+
+def test_fingerprint_dup_detection(spark):
+    fp = {r.doc_id: r.fingerprint for r in fingerprint(_docs(spark)).collect()}
+    assert fp[0] == fp[3]  # exact dups share the fingerprint
+    assert fp[0] != fp[2]
+
+
+def test_dedup_exact_text(spark):
+    out = dedup_exact_text(_docs(spark))
+    assert out.count() == 4
+    assert 3 not in {r.doc_id for r in out.collect()}  # min-id representative kept
+
+
+def test_minhash_signatures_shape(spark):
+    sigs = minhash_signatures(_docs(spark), num_perm=16)
+    r = sigs.filter("doc_id = 0").collect()[0]
+    assert len(r.sig) == 16
+    assert all(isinstance(x, int) for x in r.sig)
+    # identical docs -> identical signatures
+    r3 = sigs.filter("doc_id = 3").collect()[0]
+    assert r.sig == r3.sig
+
+
+def test_minhash_lsh_finds_neardups(spark):
+    pairs = minhash_lsh_pairs(
+        _docs(spark), num_perm=16, bands=8, threshold=0.5
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 3) in got  # exact dup, jaccard 1.0
+    assert (0, 1) in got  # near dup (one word differs)
+    assert all(p[0] != 2 and p[1] != 2 for p in got)  # unrelated doc not paired
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert jac[(0, 3)] == 1.0
+
+
+def test_simhash_and_neardup(spark):
+    sh = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
+    assert sh[0] == sh[3]
+    pairs = simhash_neardup_pairs(_docs(spark), max_hamming=6).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 3) in got and (0, 1) in got
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert ham[(0, 3)] == 0
+
+
+def test_ngram_jaccard_exact(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert jac[(0, 3)] == 1.0
+    assert (0, 1) in jac and 0.3 <= jac[(0, 1)] < 1.0

@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+import gzip
+import os
+
+from ia_hadoop_tools_spark.sources.zipnum import (
+    read_zipnum,
+    write_zipnum,
+    zipnum_range,
+)
+
+
+def _lines(n):
+    return [f"k{i:04d} 2020010100{i%100:02d}00 payload-{i}" for i in range(n)]
+
+
+def test_zipnum_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "cluster")
+    df = spark.createDataFrame([(l,) for l in _lines(250)], "value: string")
+    idx = write_zipnum(df, out, lines_per_block=40, num_shards=3)
+    # idx side data exists and is consistent
+    assert os.path.exists(os.path.join(out, "ALL.summary"))
+    assert os.path.exists(os.path.join(out, "manifest.txt"))
+    rows = idx.collect()
+    assert all(r.length > 0 for r in rows)
+    # every gzip member has <= 40 lines and offsets/lengths tile the shard file
+    by_shard: dict[str, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.offset)
+        size = os.path.getsize(os.path.join(out, shard))
+        assert rs[0].offset == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a.offset + a.length == b.offset
+        assert rs[-1].offset + rs[-1].length == size
+        with open(os.path.join(out, shard), "rb") as fh:
+            for r in rs:
+                fh.seek(r.offset)
+                block = gzip.decompress(fh.read(r.length))
+                assert 1 <= len(block.decode().splitlines()) <= 40
+
+    back = sorted(r.value for r in read_zipnum(spark, out).collect())
+    assert back == sorted(_lines(250))
+
+
+def test_zipnum_range_prunes_blocks(spark, tmp_path):
+    out = str(tmp_path / "cluster")
+    df = spark.createDataFrame([(l,) for l in _lines(300)], "value: string")
+    write_zipnum(df, out, lines_per_block=30, num_shards=2)
+    got = sorted(r.value for r in zipnum_range(spark, out, "k0100", "k0110").collect())
+    expect = sorted(l for l in _lines(300) if "k0100" <= l.split(" ", 1)[0] < "k0110")
+    assert [g.split()[0] for g in got] == [e.split()[0] for e in expect]
