@@ -1,0 +1,920 @@
+"""The driver-contract query registry: every operator from SURVEY.md §2 as a
+named (Spark callable, DuckDB oracle SQL) pair.
+
+Each callable takes (spark, sf_dir) and returns a DataFrame; each oracle is
+ANSI-ish SQL DuckDB runs on the same parquet tables (views pre-registered by
+the driver). Column names/aliases MATCH between both sides; float-producing
+aggregations go through exact DECIMAL accumulation or end-of-pipeline
+round(, 6) so value hashes compare bit-stably.
+
+Query -> reference-operator map (file:line cited per function).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.functions.datetime14 import ts14_to_epoch_millis
+from ia_hadoop_tools_spark.functions.hashfns import (
+    MERSENNE_P,
+    hash32_sql,
+    minhash_permutations,
+)
+from ia_hadoop_tools_spark.functions.surt import surt_expr
+from ia_hadoop_tools_spark.functions.textfns import (
+    BPE_TOKEN_RE,
+    LANG_STOPWORDS,
+    bpe_token_count,
+    doc_fingerprint,
+    doc_fingerprint_sql,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from ia_hadoop_tools_spark.operators.cluster import cluster_range
+from ia_hadoop_tools_spark.operators.daylimit import day_limit
+from ia_hadoop_tools_spark.operators.dedup import dedup_exact, dedup_first_per_key
+from ia_hadoop_tools_spark.operators.filters import (
+    access_control_filter,
+    prefix_semi_filter,
+)
+from ia_hadoop_tools_spark.operators.merge import merge_clusters
+from ia_hadoop_tools_spark.operators.parse import parse_cdx, parse_crawllog
+from ia_hadoop_tools_spark.operators.setops import work_queue
+from ia_hadoop_tools_spark.operators.similarity import ann_bruteforce_topk
+from ia_hadoop_tools_spark.operators.textops import (
+    dedup_exact_text,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ia_hadoop_tools_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# shared constants (Spark and oracle must agree)
+
+DAY_LIMIT_N = 5
+MERGE_DAY_LIMIT_N = 3
+RANGE_START, RANGE_END = "Customer#000000100", "Customer#000000200"
+PART_PREFIXES = ("small", "cold")
+BLOCKED_SEGMENTS = ("AUTOMOBILE", "HOUSEHOLD")
+TOPK_ORDERS = 3
+Q1_CUTOFF = "2000-09-02 00:00:00"
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
+SHINGLE_WORDS = 3
+JACCARD_THRESHOLD = 0.5
+ANN_K = 10
+ANN_NUM_QUERIES = 5
+NEARDUP_COS_THRESHOLD = 0.35
+FP_K = 8
+
+#: CDX parser fixture lines (reference CDXLoaderTest.java:59-60,86-87 + 9/10-col
+#: variants per CDXMapper.java:76-91).
+CDX_FIXTURE_LINES = [
+    " CDX N b a m s k r M S V g",
+    "101,78,123,109)/robots.txt 20120103084508 http://109.123.78.101/robots.txt "
+    "text/html 404 22RZA2NQT3RZUCQYJYZDPVZRNYIR72SN - - 561 55426267 "
+    "WIDE-20120103083324-crawl410/WIDE-20120103083324-00000.warc.gz",
+    "131,125,136,219)/ 20120103084049 http://219.136.125.131/ text/html 302 "
+    "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ http://219.136.125.131/selfLogon.do?hoge=1 2 "
+    "- 449 34133512 WIDE-20120103083324-crawl410/WIDE-20120103083324-00000.warc.gz",
+    "com,example)/ 20200101000000 http://example.com/ text/html 200 DIGESTX - 123 f.warc.gz",
+    "com,example)/a 20200101000001 http://example.com/a text/html 200 DIGESTY - A 124 g.warc.gz",
+]
+
+TS14_FIXTURES = [
+    "20120103084508",
+    "20120103084508123",
+    "19991231235959",
+    "bogus",
+    "20200229120000",
+]
+
+SURT_FIXTURES = [
+    "http://www.Example.com/Path?b=2&a=1",
+    "https://archive.org:443/details/Item",
+    "http://sub.domain.co.uk/a/B.html",
+    "ftp://User@files.example.net:21/pub",
+    "http://www2.foo.org/q?z=1&y=2&x=3",
+]
+
+CRAWLLOG_FIXTURE_LINES = [
+    "2012-01-03T08:45:08.123Z 200 5612 http://example.com/x LLE "
+    "http://example.com/ text/html #042 20120103084507123+456 sha1:ABCDEF GO note",
+    "2012-01-03T08:45:09Z -404 - http://e.com/ - - - #1 - sha1:X - -",
+]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("events",))["events"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_tables(spark, sf_dir, (name,))[name]
+
+
+# ---------------------------------------------------------------------------
+# 1. day_limit — GlobalWaybackMergeMapper.java:20-83 (cap per key per day)
+
+def q_day_limit(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    capped = day_limit(
+        ev, n=DAY_LIMIT_N, key_col="user_id", ts_col="ts",
+        day_expr=F.to_date("ts"), tiebreakers=["event_id"],
+    )
+    return capped.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "event_type", "value"
+    )
+
+
+SQL_DAY_LIMIT = f"""
+SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= {DAY_LIMIT_N}
+"""
+
+
+# 2. dedup_exact — CdxDedupReducer.java:28-56
+
+def q_dedup_exact(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    return dedup_exact(ev)
+
+
+SQL_DEDUP_EXACT = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+# 3. first_per_key — reducer keeps first value per key (CdxDedupReducer guard)
+
+def q_first_per_key(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "event_type"
+    )
+    return dedup_first_per_key(ev, keys=["user_id"], order=["ts_us", "event_id"])
+
+
+SQL_FIRST_PER_KEY = """
+SELECT user_id, ts_us, event_id, event_type
+FROM (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# 4. range_scan — CDXCluster/ClusterRange bounded [start, end) scan
+
+def q_range_scan(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return cluster_range(cust, RANGE_START, RANGE_END, key_col="c_name")
+
+
+SQL_RANGE_SCAN = f"""
+SELECT * FROM customer WHERE c_name >= '{RANGE_START}' AND c_name < '{RANGE_END}'
+"""
+
+
+# 5. prefix_filter — SortMergeInputFormat prefix semi-join (:278-311)
+
+def q_prefix_filter(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return prefix_semi_filter(part, PART_PREFIXES, key_col="p_name")
+
+
+SQL_PREFIX_FILTER = "SELECT * FROM part WHERE " + " OR ".join(
+    f"p_name LIKE '{p}%'" for p in sorted(set(PART_PREFIXES))
+)
+
+
+# 6. policy_anti_join — AccessControlAllowCapture.java:14-67
+
+def q_policy_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    rules = spark.createDataFrame(
+        [(s, "block") for s in BLOCKED_SEGMENTS] + [("BUILDING", "allow")],
+        "key_prefix: string, policy: string",
+    )
+    return access_control_filter(cust, rules, key_col="c_mktsegment")
+
+
+SQL_POLICY_ANTI_JOIN = "SELECT * FROM customer WHERE NOT (" + " OR ".join(
+    f"c_mktsegment LIKE '{s}%'" for s in BLOCKED_SEGMENTS
+) + ")"
+
+
+# 7. merge_daylimit — MergeClusters.java:68-155 with global-CDX day cap
+
+def q_merge_daylimit(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        F.lpad(F.col("user_id").cast("string"), 6, "0").alias("urlkey"),
+        F.date_format("ts", "yyyyMMddHHmmss").alias("timestamp"),
+        "event_id",
+    )
+    c1 = ev.filter(F.col("event_id") % 2 == 0)
+    c2 = ev.filter(F.col("event_id") % 2 == 1)
+    merged = merge_clusters(
+        [c1, c2], daily_limit=MERGE_DAY_LIMIT_N, num_ranges=8,
+        tiebreakers=["event_id"],
+    )
+    return merged.select("urlkey", "timestamp", "event_id")
+
+
+SQL_MERGE_DAYLIMIT = f"""
+WITH src AS (
+  SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS urlkey,
+         strftime(ts, '%Y%m%d%H%M%S') AS timestamp, event_id
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS urlkey,
+         strftime(ts, '%Y%m%d%H%M%S') AS timestamp, event_id
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT urlkey, timestamp, event_id
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY urlkey, substr(timestamp, 1, 8)
+    ORDER BY timestamp, event_id) AS rn
+  FROM src
+) WHERE rn <= {MERGE_DAY_LIMIT_N}
+"""
+
+
+# 8. work_queue — STAGED − INCLUDED (cdx/notes.txt:19-36)
+
+def q_work_queue(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    staged = ev.filter(
+        (F.col("event_type") == "signup") & (F.col("value") > 150)
+    ).select("user_id").distinct()
+    included = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 150)
+    ).select("user_id").distinct()
+    return work_queue(staged, included, key_col="user_id")
+
+
+SQL_WORK_QUEUE = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' AND value > 150
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 150
+"""
+
+
+# 9. tpch_q1 — pricing summary (hash agg; native Spark per SURVEY §2.6)
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(38,4)")  # noqa: E731
+    out = (
+        li.filter(F.col("l_shipdate") <= Q1_CUTOFF)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")), 4).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 4).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(38,4)") - dec("l_discount"))), 4
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+            F.round(
+                F.sum(dec("l_quantity")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+        )
+    )
+    return out
+
+
+SQL_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,4))), 4) AS DOUBLE) AS sum_qty,
+  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,4))), 4) AS DOUBLE) AS sum_base_price,
+  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,4)) * (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))), 4) AS DOUBLE) AS sum_disc_price,
+  count(*) AS count_order,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / count(*), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# 10. topk_per_group — day-limit generalization: ranking window (SURVEY §2.7)
+
+def q_topk_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_ORDERS)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+SQL_TOPK_ORDERS = f"""
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= {TOPK_ORDERS}
+"""
+
+
+# 11. nation_revenue — broadcast dim joins + decimal-safe agg
+
+def q_nation_revenue(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("customer", "nation", "region", "orders"))
+    joined = (
+        t["orders"]
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name", "r_name").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,4)")), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name, r_name,
+  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+
+# 12. rollup_counts — grouping sets (free upgrade noted in SURVEY §2.6)
+
+def q_rollup_counts(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("customer", "nation"))
+    j = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return j.rollup("n_name", "c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(38,2)")), 2)
+        .cast("double")
+        .alias("total_acctbal"),
+    )
+
+
+SQL_ROLLUP_COUNTS = """
+SELECT n_name, c_mktsegment, count(*) AS n_customers,
+  CAST(round(SUM(CAST(c_acctbal AS DECIMAL(38,2))), 2) AS DOUBLE) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, c_mktsegment)
+"""
+
+
+# 13. rolling_window — frame-spec analytics (SURVEY §2.7 "full family")
+
+def q_rolling_window(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).over(w), 2)
+        .cast("double")
+        .alias("rolling_value_3"),
+    )
+
+
+SQL_ROLLING_WINDOW = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+  CAST(round(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rolling_value_3
+FROM events
+"""
+
+
+# 14. json_extract — ToJsonFunc/FromJsonFunc (pig/udf) over events.props
+
+def q_json_extract(spark, sf_dir):
+    from ia_hadoop_tools_spark.functions.jsonfns import json_to_map
+
+    ev = _events(spark, sf_dir)
+    k = F.element_at(json_to_map("props"), "k").cast("long")
+    return (
+        ev.select("event_id", k.alias("k_val"))
+        .groupBy((F.col("k_val") % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.sum("k_val").alias("k_sum"))
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+FROM events
+GROUP BY 1
+"""
+
+
+# 15. cdx_parse — CDXLoader.java:55-138 golden-fixture differential
+
+def q_cdx_parse(spark, sf_dir):
+    df = spark.createDataFrame([(l,) for l in CDX_FIXTURE_LINES], "value: string")
+    return parse_cdx(df)
+
+
+SQL_CDX_PARSE = """
+SELECT * FROM (VALUES
+  ('101,78,123,109)/robots.txt', '20120103084508', 'http://109.123.78.101/robots.txt',
+   'text/html', CAST(404 AS INTEGER), '22RZA2NQT3RZUCQYJYZDPVZRNYIR72SN', CAST(NULL AS VARCHAR),
+   CAST(NULL AS VARCHAR), CAST(561 AS BIGINT), CAST(55426267 AS BIGINT),
+   'WIDE-20120103083324-crawl410/WIDE-20120103083324-00000.warc.gz'),
+  ('131,125,136,219)/', '20120103084049', 'http://219.136.125.131/',
+   'text/html', CAST(302 AS INTEGER), '3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ',
+   'http://219.136.125.131/selfLogon.do?hoge=1 2',
+   CAST(NULL AS VARCHAR), CAST(449 AS BIGINT), CAST(34133512 AS BIGINT),
+   'WIDE-20120103083324-crawl410/WIDE-20120103083324-00000.warc.gz'),
+  ('com,example)/', '20200101000000', 'http://example.com/', 'text/html',
+   CAST(200 AS INTEGER), 'DIGESTX', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   CAST(NULL AS BIGINT), CAST(123 AS BIGINT), 'f.warc.gz'),
+  ('com,example)/a', '20200101000001', 'http://example.com/a', 'text/html',
+   CAST(200 AS INTEGER), 'DIGESTY', CAST(NULL AS VARCHAR), 'A',
+   CAST(NULL AS BIGINT), CAST(124 AS BIGINT), 'g.warc.gz')
+) AS t(urlkey, timestamp, original_url, mimetype, statuscode, digest, redirect,
+       meta_flags, compressed_length, compressed_offset, filename)
+"""
+
+
+# 16. crawllog_parse — CrawlLogLoader.java:31-121 golden-fixture differential
+
+def q_crawllog_parse(spark, sf_dir):
+    df = spark.createDataFrame([(l,) for l in CRAWLLOG_FIXTURE_LINES], "value: string")
+    return parse_crawllog(df)
+
+
+SQL_CRAWLLOG_PARSE = """
+SELECT * FROM (VALUES
+  ('2012-01-03T08:45:08.123Z', CAST(200 AS INTEGER), CAST(5612 AS BIGINT),
+   'http://example.com/x', 'LLE', 'http://example.com/', 'text/html', '#042',
+   '20120103084507123', CAST(456 AS BIGINT), 'sha1:ABCDEF', 'GO', 'note'),
+  ('2012-01-03T08:45:09Z', CAST(-404 AS INTEGER), CAST(-1 AS BIGINT),
+   'http://e.com/', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   '#1', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 'sha1:X',
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+) AS t(log_ts, status, size, url, discovery_path, via_url, content_type, thread,
+       start_time, duration, content_hash, source_tag, annotations)
+"""
+
+
+# 17. ts14 — DateTime14ToTimestamp.java:21-43
+
+def q_ts14(spark, sf_dir):
+    df = spark.createDataFrame([(s,) for s in TS14_FIXTURES], "ts14: string")
+    return df.select("ts14", ts14_to_epoch_millis("ts14").alias("epoch_ms"))
+
+
+SQL_TS14 = """
+SELECT ts14,
+  CASE
+    WHEN length(ts14) = 14 THEN epoch_ms(try_strptime(ts14, '%Y%m%d%H%M%S'))
+    WHEN length(ts14) = 17 THEN epoch_ms(try_strptime(substr(ts14, 1, 14), '%Y%m%d%H%M%S'))
+                                 + CAST(substr(ts14, 15, 3) AS BIGINT)
+    ELSE NULL
+  END AS epoch_ms
+FROM (VALUES {vals}) AS t(ts14)
+""".format(vals=", ".join(f"('{s}')" for s in TS14_FIXTURES))
+
+
+# 18. surt — toSURT/Recanonicalize (the flagship scalar), column-expr version
+
+def q_surt(spark, sf_dir):
+    df = spark.createDataFrame([(u,) for u in SURT_FIXTURES], "url: string")
+    return df.select("url", surt_expr("url").alias("surt"))
+
+
+_SURT_SQL_EXPR = r"""
+array_to_string(list_reverse(string_split(
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(regexp_replace(regexp_replace(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''), '^([^/?#]*)', 1)),
+      ':(80|443)$', ''), '^www\d*\.', ''), '.')), ',')
+|| ')' ||
+CASE WHEN lower(regexp_extract(substr(regexp_replace(regexp_replace(url,
+    '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''),
+    length(regexp_extract(regexp_replace(regexp_replace(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''), '^([^/?#]*)', 1)) + 1),
+    '^([^?#]*)', 1)) = ''
+  THEN '/'
+  ELSE lower(regexp_extract(substr(regexp_replace(regexp_replace(url,
+    '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''),
+    length(regexp_extract(regexp_replace(regexp_replace(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''), '^([^/?#]*)', 1)) + 1),
+    '^([^?#]*)', 1))
+END ||
+CASE WHEN regexp_extract(substr(regexp_replace(regexp_replace(url,
+    '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''),
+    length(regexp_extract(regexp_replace(regexp_replace(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''), '^([^/?#]*)', 1)) + 1),
+    '\?([^#]*)', 1) = ''
+  THEN ''
+  ELSE '?' || lower(array_to_string(list_sort(string_split(
+    regexp_extract(substr(regexp_replace(regexp_replace(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''),
+      length(regexp_extract(regexp_replace(regexp_replace(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''), '^([^/?#]*)', 1)) + 1),
+      '\?([^#]*)', 1), '&')), '&'))
+END
+"""
+
+SQL_SURT = "SELECT url, ({expr}) AS surt FROM (VALUES {vals}) AS t(url)".format(
+    expr=_SURT_SQL_EXPR, vals=", ".join(f"('{u}')" for u in SURT_FIXTURES)
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators (north-star extensions) over documents/embeddings
+
+_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')"
+
+
+def q_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c, "en"), 6).alias("stopword_ratio_en"),
+        F.round(quality_score(c), 6).alias("quality"),
+    )
+
+
+_SW_EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+SQL_TEXT_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks,
+    length(text) AS n,
+    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS np
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
+    CASE WHEN n > 0 THEN CAST(np AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END AS praw,
+    CASE WHEN len(toks) > 0
+      THEN CAST(len(list_filter(toks, t -> list_contains([{_SW_EN}], t))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE)
+      ELSE 0.0 END AS swraw
+  FROM base
+)
+SELECT doc_id,
+  CAST(n_tokens AS INTEGER) AS n_tokens,
+  CAST(n_bpe_tokens AS INTEGER) AS n_bpe_tokens,
+  round(praw, 6) AS punct_ratio,
+  round(swraw, 6) AS stopword_ratio_en,
+  round(CAST(0.4 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      + CAST(0.3 AS DOUBLE) * (1.0 - praw)
+      + CAST(0.3 AS DOUBLE) * least(5.0 * swraw, 1.0), 6) AS quality
+FROM m
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _langid_sql() -> str:
+    hit_cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        hit_cols.append(
+            f"len(list_filter({_TOKS_SQL}, t -> list_contains([{words}], t))) AS h_{lang}"
+        )
+    langs = sorted(LANG_STOPWORDS)  # de, en, es, fr
+    cases = []
+    for i, lang in enumerate(langs):
+        rest = langs[i + 1:]
+        if rest:
+            ge = " AND ".join(f"h_{lang} >= h_{r}" for r in rest)
+            cases.append(f"WHEN h_{lang} > 0 AND {ge} THEN '{lang}'")
+        else:
+            cases.append(f"WHEN h_{lang} > 0 THEN '{lang}'")
+    return f"""
+WITH hits AS (SELECT doc_id, lang, {', '.join(hit_cols)} FROM documents)
+SELECT doc_id, lang, CASE {' '.join(cases)} ELSE 'und' END AS lang_pred FROM hits
+"""
+
+
+SQL_LANG_ID = _langid_sql()
+
+
+def q_fingerprint(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
+
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", doc_fingerprint(F.col("text"), FP_K).alias("fingerprint"))
+
+
+SQL_FINGERPRINT = (
+    f"SELECT doc_id, {doc_fingerprint_sql('text', FP_K)} AS fingerprint FROM documents"
+)
+
+
+def q_dedup_text(spark, sf_dir):
+    return dedup_exact_text(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_TEXT = (
+    "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text"
+)
+
+
+# shared SQL for word shingles + hashes (minhash/jaccard oracles)
+_SHINGLES_SQL = f"""
+tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, len(toks) - {SHINGLE_WORDS} + 2),
+    i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + {SHINGLE_WORDS - 1} AS INT)), ' ')
+  )) AS shingles
+  FROM tok WHERE len(toks) >= {SHINGLE_WORDS}
+)
+"""
+
+
+def q_minhash_sigs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_perm=MINHASH_PERMS, shingle_words=SHINGLE_WORDS)
+    return sigs.select("doc_id", F.posexplode("sig").alias("j", "sigv"))
+
+
+def _minhash_sigs_sql() -> str:
+    perms = minhash_permutations(MINHASH_PERMS)
+    vals = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(perms))
+    h = hash32_sql("sv")
+    return f"""
+WITH {_SHINGLES_SQL},
+hv AS (SELECT doc_id, {h} AS h FROM (SELECT doc_id, unnest(shingles) AS sv FROM sh))
+SELECT doc_id, CAST(p.j AS INTEGER) AS j,
+       min((p.a * (h % {MERSENNE_P}) + p.b) % {MERSENNE_P}) AS sigv
+FROM hv CROSS JOIN (VALUES {vals}) AS p(j, a, b)
+GROUP BY doc_id, p.j
+"""
+
+
+SQL_MINHASH_SIGS = _minhash_sigs_sql()
+
+
+def q_minhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, num_perm=MINHASH_PERMS, bands=MINHASH_BANDS,
+        shingle_words=SHINGLE_WORDS, threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _minhash_pairs_sql() -> str:
+    sigs = _minhash_sigs_sql().strip()
+    return f"""
+WITH sigs AS ({sigs}),
+buckets AS (
+  SELECT doc_id,
+         CAST(j // {MINHASH_ROWS} AS VARCHAR) || '_' ||
+         string_agg(CAST(sigv AS VARCHAR), '_' ORDER BY j) AS bucket
+  FROM sigs GROUP BY doc_id, j // {MINHASH_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+{_SHINGLES_SQL.lstrip().rstrip()}
+SELECT id_a, id_b,
+  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / CAST(len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / CAST(len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+SQL_MINHASH_PAIRS = _minhash_pairs_sql()
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, bits=32).select("doc_id", "simhash")
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    h = hash32_sql("tk")
+    bit_sums = ", ".join(
+        f"COALESCE(SUM(2 * ((h >> {i}) & 1) - 1), 0) AS b{i}" for i in range(bits)
+    )
+    terms = " + ".join(
+        f"CASE WHEN s.b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+tk AS (SELECT doc_id, unnest(toks) AS tk FROM tok),
+hv AS (SELECT doc_id, {h} AS h FROM tk),
+sums AS (SELECT doc_id, {bit_sums} FROM hv GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(({terms}), 0) AS simhash
+FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id
+"""
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, shingle_words=SHINGLE_WORDS, threshold=JACCARD_THRESHOLD
+    )
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH {_SHINGLES_SQL},
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+  round(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6) AS jaccard
+FROM shared
+JOIN sz na ON na.doc_id = id_a
+JOIN sz nb ON nb.doc_id = id_b
+WHERE round(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+# similarity search
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)"
+    " * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))"
+)
+_NORM_SQL = (
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST({v}.embedding[CAST(i AS INT)] AS DOUBLE)"
+    " * CAST({v}.embedding[CAST(i AS INT)] AS DOUBLE))))"
+)
+
+
+def q_ann_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < ANN_NUM_QUERIES)
+    return ann_bruteforce_topk(e, q, k=ANN_K)
+
+
+SQL_ANN_TOPK = f"""
+WITH scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+    round({_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')}), 6) AS cosine
+  FROM embeddings a
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}) b
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """EXACT near-dup pairs (brute force; the LSH-bucketed scale path is
+    operators/similarity.embedding_neardup_pairs, checked rows-only)."""
+    from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
+
+    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
+
+    e = ensure_min_partitions(_t(spark, sf_dir, "embeddings"))
+    # norms once per vector, not per pair (value identical; 3x fewer traversals)
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("__ea"),
+        l2_norm(F.col("embedding")).alias("__na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("__eb"),
+        l2_norm(F.col("embedding")).alias("__nb"),
+    )
+    cos = F.round(
+        dot_product(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb")), 6
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+    )
+    return pairs.filter(F.col("cosine") >= NEARDUP_COS_THRESHOLD)
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round({_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')}), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')}), 6)
+      >= {NEARDUP_COS_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES = {
+    "day_limit": q_day_limit,
+    "dedup_exact": q_dedup_exact,
+    "first_per_key": q_first_per_key,
+    "range_scan": q_range_scan,
+    "prefix_filter": q_prefix_filter,
+    "policy_anti_join": q_policy_anti_join,
+    "merge_daylimit": q_merge_daylimit,
+    "work_queue": q_work_queue,
+    "tpch_q1": q_tpch_q1,
+    "topk_orders": q_topk_orders,
+    "nation_revenue": q_nation_revenue,
+    "rollup_counts": q_rollup_counts,
+    "rolling_window": q_rolling_window,
+    "json_extract": q_json_extract,
+    "cdx_parse": q_cdx_parse,
+    "crawllog_parse": q_crawllog_parse,
+    "ts14": q_ts14,
+    "surt": q_surt,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "dedup_text": q_dedup_text,
+    "minhash_sigs": q_minhash_sigs,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "jaccard_pairs": q_jaccard_pairs,
+    "ann_topk": q_ann_topk,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+ORACLES = {
+    "day_limit": SQL_DAY_LIMIT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "first_per_key": SQL_FIRST_PER_KEY,
+    "range_scan": SQL_RANGE_SCAN,
+    "prefix_filter": SQL_PREFIX_FILTER,
+    "policy_anti_join": SQL_POLICY_ANTI_JOIN,
+    "merge_daylimit": SQL_MERGE_DAYLIMIT,
+    "work_queue": SQL_WORK_QUEUE,
+    "tpch_q1": SQL_TPCH_Q1,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "nation_revenue": SQL_NATION_REVENUE,
+    "rollup_counts": SQL_ROLLUP_COUNTS,
+    "rolling_window": SQL_ROLLING_WINDOW,
+    "json_extract": SQL_JSON_EXTRACT,
+    "cdx_parse": SQL_CDX_PARSE,
+    "crawllog_parse": SQL_CRAWLLOG_PARSE,
+    "ts14": SQL_TS14,
+    "surt": SQL_SURT,
+    "text_stats": SQL_TEXT_STATS,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "dedup_text": SQL_DEDUP_TEXT,
+    "minhash_sigs": SQL_MINHASH_SIGS,
+    "minhash_pairs": SQL_MINHASH_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "ann_topk": SQL_ANN_TOPK,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+}

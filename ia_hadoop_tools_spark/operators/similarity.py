@@ -61,18 +61,27 @@ def ann_bruteforce_topk(
     Returns (query_id, neighbor_id, cosine, rank), rank 1..k by descending
     cosine, ties broken by ascending neighbor id (deterministic).
     """
+    from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
+
+    # Precompute each side's norm ONCE per row (not per pair): the pair loop
+    # then does a single dot product — 3x fewer vector traversals. The cosine
+    # value is bit-identical (same per-vector sequential accumulation).
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    denom = F.col("__cn") * F.col("__qn")
+    cos = F.when(denom != 0.0, dot_product(F.col("__cvec"), F.col("__qvec")) / denom)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .select(
-            query_id_col,
-            "neighbor_id",
-            F.round(cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6).alias("cosine"),
-        )
+        .select(query_id_col, "neighbor_id", F.round(cos, 6).alias("cosine"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -38,6 +38,22 @@ from ia_hadoop_tools_spark.functions.textfns import (
 )
 
 
+def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Repartition iff the input has fewer partitions than ``n`` (default:
+    defaultParallelism).
+
+    CPU-bound per-row operators (shingling, hashing, vector math) inherit the
+    scan's partitioning; a small table in one parquet row group runs on ONE
+    core. At 100 TB inputs already have thousands of partitions and this is a
+    no-op — the check costs one plan analysis, no job.
+    """
+    if n is None:
+        n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add token/char/punct/stopword/quality columns (pure projection)."""
     c = F.col(text_col)
@@ -79,6 +95,19 @@ def dedup_exact_text(
     )
 
 
+def shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(id, shingles): distinct word-shingle set; too-short docs dropped."""
+    shingles = F.array_distinct(word_shingles(F.col(text_col), shingle_words))
+    return df.select(F.col(id_col), shingles.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -86,30 +115,37 @@ def minhash_signatures(
     num_perm: int = 16,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """(id, shingles, sig): distinct word-shingle set + MinHash signature.
+    """(id, sig): MinHash signature per document.
 
     sig[j] = min over shingles of ((a_j * (hash32(s) mod p) + b_j) mod p) —
     coefficients from the fixed seed so oracles can reproduce exactly.
     Docs with no shingles (shorter than the shingle width) are dropped.
+
+    Shape: explode shingles -> hash each ONCE -> one hash-aggregate with
+    ``num_perm`` min() columns. The md5 runs once per (doc, shingle); partial
+    mins combine map-side, so the shuffle carries one row per doc. (A per-row
+    array formulation re-inlines the hash array into every permutation under
+    projection collapse — 16x the work.)
     """
+    from ia_hadoop_tools_spark.functions.hashfns import MERSENNE_P
+
     perms = minhash_permutations(num_perm)
-    shingles = F.array_distinct(word_shingles(F.col(text_col), shingle_words))
-    base = df.select(
-        F.col(id_col), shingles.alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    hashes = F.transform(F.col("shingles"), lambda s: hash32(s))
-    base = base.withColumn("__hashes", hashes)
-
-    def perm_fn(a: int, b: int):
-        return lambda h: permute_hash(h, a, b)
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("__hashes"), perm_fn(a, b)))
-            for (a, b) in perms
-        ]
+    hashed = (
+        shingle_sets(
+            ensure_min_partitions(df.select(id_col, text_col)),
+            id_col, text_col, shingle_words,
+        )
+        .select(F.col(id_col), F.explode("shingles").alias("__s"))
+        .select(F.col(id_col), (hash32(F.col("__s")) % MERSENNE_P).alias("__h"))
     )
-    return base.withColumn("sig", sig).drop("__hashes")
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MERSENNE_P).alias(f"__sig{j}")
+        for j, (a, b) in enumerate(perms)
+    ]
+    sigs = hashed.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        F.col(id_col), F.array(*[f"__sig{j}" for j in range(num_perm)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -138,9 +174,9 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    exploded = sigs.select(
-        F.col(id_col), F.col("shingles"), F.explode(band_keys).alias("bucket")
-    )
+    # Band rows carry only (id, bucket) — the shingle arrays stay OUT of the
+    # self-join and are re-attached only to surviving candidate pairs.
+    exploded = sigs.select(F.col(id_col), F.explode(band_keys).alias("bucket"))
     left = exploded.alias("l")
     right = exploded.alias("r")
     cand = (
@@ -149,16 +185,20 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh = shingle_sets(
+        ensure_min_partitions(df.select(id_col, text_col)), id_col, text_col, shingle_words
+    )
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter.cast("double") / union.cast("double")
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        verified.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -171,24 +211,37 @@ def simhash(
     bits: int = 32,
 ) -> DataFrame:
     """Add a ``simhash`` column: bit i is set iff sum over tokens of
-    (2*bit_i(hash32(token)) - 1) > 0. Token multiplicity weights naturally.
+    (2*bit_i(hash32(token)) - 1) > 0. Token multiplicity weights naturally;
+    tokenless docs get simhash 0.
+
+    Shape: explode tokens -> hash each ONCE -> one hash-aggregate with
+    ``bits`` sum() columns (map-side combinable), then a single join back —
+    instead of ``bits`` per-row array traversals that each re-inline the
+    hash computation under projection collapse.
     """
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    hashed = (
+        ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(toks).alias("__t"))
+        .select(F.col(id_col), hash32(F.col("__t")).alias("__h"))
     )
-    hashes = F.transform(toks, lambda t: hash32(t))
-
-    def bit_term(i: int):
-        return lambda a, h: a + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
-
+    aggs = [
+        F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    sums = hashed.groupBy(id_col).agg(*aggs)
     acc = None
-    terms = []
     for i in range(bits):
-        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), bit_term(i))
-        terms.append(F.when(bit_sum > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
-    for t in terms:
-        acc = t if acc is None else acc + t
-    return df.withColumn("simhash", acc)
+        term = F.when(F.col(f"__b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = term if acc is None else acc + term
+    sums = sums.select(F.col(id_col), acc.alias("__simhash"))
+    return (
+        df.join(sums, on=id_col, how="left")
+        .withColumn("simhash", F.coalesce(F.col("__simhash"), F.lit(0).cast("long")))
+        .drop("__simhash")
+    )
 
 
 def simhash_neardup_pairs(
@@ -249,7 +302,7 @@ def ngram_jaccard_pairs(
     shingles upstream at scale (MinHash LSH is the scale path; this is the
     verifier / small-corpus path).
     """
-    shingles = df.select(
+    shingles = ensure_min_partitions(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_words)).alias("sh"),
     ).filter(F.size("sh") > 0)

@@ -93,7 +93,9 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     for n in names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
         if n == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # nanos -> floor to micros (DuckDB's epoch_us does the same floor)
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # nanos -> floor to micros with integer division (a double division
+            # would lose precision above 2^53; DuckDB's reader does the same
+            # truncation). `ts DIV 1000` stays in exact 64-bit integer math.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         out[n] = df
     return out
