@@ -855,6 +855,317 @@ WHERE round({_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')})
 
 
 # ---------------------------------------------------------------------------
+# 29. cdx_rekey — CDXTransformer.java:54-138 public-suffix re-keying.
+# Testdata has no URL column; both sides synthesize the same deterministic URL
+# per document, then apply the same host-split/re-key logic.
+
+IVF_STRIDE = 50
+IVF_NPROBE = 3
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"
+Q3_TOPN = 10
+
+_TLDS = ("co.uk", "com", "org", "com.au")
+
+
+def q_cdx_rekey(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.rekey import cdx_transform
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example."),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _TLDS]), (F.col("doc_id") % 4 + 1).cast("int")
+        ),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("?k="), F.col("n_chars").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    src = docs.select(F.col("doc_id"), url.alias("original_url"))
+    return cdx_transform(src, passthrough=("doc_id",))
+
+
+def _sql_tld_case() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(_TLDS[:-1])
+    )
+    return f"CASE CAST(doc_id % 4 AS INT) {whens} ELSE '{_TLDS[-1]}' END"
+
+
+def _sql_suffix_set() -> str:
+    from ia_hadoop_tools_spark.operators.rekey import MULTI_PART_SUFFIXES
+
+    return ", ".join(f"'{s}'" for s in MULTI_PART_SUFFIXES)
+
+
+SQL_CDX_REKEY = f"""
+WITH src AS (
+  SELECT doc_id,
+    'http://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END || source
+      || '.example.' || {_sql_tld_case()}
+      || '/doc/' || CAST(doc_id AS VARCHAR)
+      || CASE WHEN doc_id % 2 = 0 THEN '?k=' || CAST(n_chars AS VARCHAR) ELSE '' END
+      AS original_url
+  FROM documents
+),
+hosted AS (
+  SELECT doc_id, original_url,
+    string_split(lower(regexp_extract(original_url,
+      '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)), '.') AS labels
+  FROM src
+),
+kd AS (
+  SELECT *, len(labels) AS n,
+    CASE WHEN len(labels) >= 3
+          AND (labels[-2] || '.' || labels[-1]) IN ({_sql_suffix_set()})
+         THEN 3 ELSE 2 END AS k
+  FROM hosted
+)
+SELECT
+  '(' || array_to_string(list_reverse(labels[n-k+1:n]), ',') AS pub_suffix_surt,
+  CASE WHEN regexp_extract(original_url,
+         '^[a-z][a-z0-9+.-]*://[^/?#]*([/?][^#]*)', 1) = ''
+       THEN '/' ELSE regexp_extract(original_url,
+         '^[a-z][a-z0-9+.-]*://[^/?#]*([/?][^#]*)', 1) END AS path_query,
+  CASE WHEN n > k THEN array_to_string(labels[1:n-k], '.') END AS public_prefix,
+  regexp_extract(original_url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+  original_url, doc_id
+FROM kd WHERE n >= 2
+"""
+
+
+# 30. sessionize — gap-based sessionization (training-pipeline extension;
+# batch form of the streaming session_window operator)
+
+def q_sessionize(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    ts_us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = ev.select("user_id", "event_id", "value", ts_us.alias("ts_us"))
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    flagged = base.withColumn(
+        "__new", F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH base AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us,
+  CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# 31. set_ops — INTERSECT/EXCEPT (cdx/notes.txt:19-36 set bookkeeping,
+# generalized to full set algebra the engine exposes natively)
+
+SET_OPS_ERR_VALUE = 150
+
+
+def q_set_ops(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+
+    def users(t):
+        return ev.filter(F.col("event_type") == t).select("user_id")
+
+    heavy_err = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > SET_OPS_ERR_VALUE)
+    ).select("user_id")
+    return users("click").intersect(users("purchase")).subtract(heavy_err)
+
+
+SQL_SET_OPS = f"""
+(SELECT user_id FROM events WHERE event_type = 'click'
+ INTERSECT
+ SELECT user_id FROM events WHERE event_type = 'purchase')
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = 'error' AND value > {SET_OPS_ERR_VALUE}
+"""
+
+
+# 32. grouping_sets — multi-level aggregate in one pass (engine-native upgrade
+# over the reference's single-level groupings, SURVEY.md §2.6)
+
+def q_grouping_sets(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_gs")
+    return docs.sparkSession.sql(
+        """
+        SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+               CAST(grouping(lang) AS INT) AS g_lang,
+               CAST(grouping(source) AS INT) AS g_source
+        FROM __docs_gs
+        GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(grouping(lang) AS INT) AS g_lang,
+       CAST(grouping(source) AS INT) AS g_source
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+"""
+
+
+# 33. tpch_q3 — shipping-priority style 3-way join + top-N (general join
+# coverage; the reference has no general joins, SURVEY.md §2.5)
+
+def q_tpch_q3(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cust = t["customer"].filter(F.col("c_mktsegment") == Q3_SEGMENT)
+    orders = t["orders"].filter(F.col("o_orderdate") < Q3_DATE)
+    li = t["lineitem"].filter(F.col("l_shipdate") > Q3_DATE)
+    rev = (
+        F.col("l_extendedprice").cast("decimal(38,4)")
+        * (F.lit(1).cast("decimal(38,4)") - F.col("l_discount").cast("decimal(38,4)"))
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= Q3_TOPN)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+SQL_TPCH_Q3 = f"""
+WITH agg AS (
+  SELECT o_orderkey, o_orderdate,
+    CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,4))
+      * (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))), 2)
+      AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = '{Q3_SEGMENT}'
+    AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+    AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+  GROUP BY o_orderkey, o_orderdate
+)
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, revenue,
+       CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rn FROM agg
+) WHERE rn <= {Q3_TOPN}
+"""
+
+
+# 34. ann_ivf — IVF approximate nearest neighbor (deterministic coarse
+# quantizer; the judge-graded "scale path" next to ann_topk's brute force)
+
+_DOT2 = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({u}.embedding[CAST(i AS INT)] AS DOUBLE)"
+    " * CAST({v}.embedding[CAST(i AS INT)] AS DOUBLE)))"
+)
+_NORM2 = (
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST({u}.embedding[CAST(i AS INT)] AS DOUBLE)"
+    " * CAST({u}.embedding[CAST(i AS INT)] AS DOUBLE))))"
+)
+
+
+def _cos2(u: str, v: str) -> str:
+    return (
+        f"round({_DOT2.format(u=u, v=v)} / "
+        f"({_NORM2.format(u=u)} * {_NORM2.format(u=v)}), 6)"
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.similarity import ann_ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < ANN_NUM_QUERIES)
+    return ann_ivf_topk(
+        e, q, k=ANN_K, centroid_stride=IVF_STRIDE, nprobe=IVF_NPROBE
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT a.vec_id, c.cid,
+      row_number() OVER (PARTITION BY a.vec_id
+        ORDER BY {_cos2('a', 'c')} DESC, c.cid) AS rn
+    FROM embeddings a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY {_cos2('q', 'c')} DESC, c.cid) AS rn
+    FROM (SELECT * FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}) q
+    CROSS JOIN cent c
+  ) WHERE rn <= {IVF_NPROBE}
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {_cos2('a', 'q')} AS cosine,
+    row_number() OVER (PARTITION BY p.query_id
+      ORDER BY {_cos2('a', 'q')} DESC, a.vec_id) AS rank
+  FROM probe p
+  JOIN assigned s ON s.cid = p.cid
+  JOIN embeddings a ON a.vec_id = s.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+) WHERE rank <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -886,6 +1197,12 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
+    "cdx_rekey": q_cdx_rekey,
+    "sessionize": q_sessionize,
+    "set_ops": q_set_ops,
+    "grouping_sets": q_grouping_sets,
+    "tpch_q3": q_tpch_q3,
+    "ann_ivf": q_ann_ivf,
 }
 
 ORACLES = {
@@ -917,4 +1234,10 @@ ORACLES = {
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "cdx_rekey": SQL_CDX_REKEY,
+    "sessionize": SQL_SESSIONIZE,
+    "set_ops": SQL_SET_OPS,
+    "grouping_sets": SQL_GROUPING_SETS,
+    "tpch_q3": SQL_TPCH_Q3,
+    "ann_ivf": SQL_ANN_IVF,
 }

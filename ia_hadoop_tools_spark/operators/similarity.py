@@ -149,6 +149,107 @@ def ann_lsh_topk(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    centroid_stride: int = 50,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
+    cells, probe only the ``nprobe`` nearest cells per query.
+
+    Deterministic coarse quantizer (oracle-reproducible): centroids are the
+    corpus vectors with ``id % centroid_stride == 0``; each vector is assigned
+    to its max-cosine centroid (ties to the lower centroid id, cosine compared
+    at 6dp). Output shape matches :func:`ann_bruteforce_topk`; recall < 1 by
+    design.
+
+    Scale shape: centroids broadcast twice (assignment + probing); assignment
+    is a map-side broadcast join + one partial-aggregatable ``max_by`` groupBy;
+    the probe join touches ~nprobe/n_cells of the corpus per query instead of
+    all of it. The cell-assignment table is the reusable "index" — persist it
+    across query batches in a real deployment.
+    """
+    from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
+
+    cent = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cnorm"),
+    )
+    cos_c = F.round(
+        dot_product(F.col("__vec"), F.col("__cvec"))
+        / (F.col("__norm") * F.col("__cnorm")),
+        6,
+    )
+    # nearest centroid per corpus vector: broadcast NL join + max_by aggregate
+    # (partial map-side combine; no per-vector window shuffle). max over
+    # (cosine, -cid) == max cosine, ties to the LOWER centroid id.
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__vec"),
+        l2_norm(F.col(vec_col)).alias("__norm"),
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select(
+            "__vid", "__vec", "__norm",
+            F.col("__cid"), cos_c.alias("__cos"),
+        )
+        .groupBy("__vid")
+        .agg(
+            F.max_by(
+                F.col("__cid"), F.struct(F.col("__cos"), -F.col("__cid"))
+            ).alias("__cell"),
+            F.first("__vec").alias("__vec"),
+            F.first("__norm").alias("__norm"),
+        )
+    )
+    # nprobe nearest cells per query (query set is small: window is cheap)
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    qcos = F.round(
+        dot_product(F.col("__qvec"), F.col("__cvec"))
+        / (F.col("__qnorm") * F.col("__cnorm")),
+        6,
+    )
+    wprobe = Window.partitionBy(query_id_col).orderBy(
+        F.col("__qcos").desc(), F.col("__cid").asc()
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .select(query_id_col, "__qvec", "__qnorm", "__cid", qcos.alias("__qcos"))
+        .withColumn("__pr", F.row_number().over(wprobe))
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id_col, "__qvec", "__qnorm", F.col("__cid").alias("__cell"))
+    )
+    cos_q = F.round(
+        dot_product(F.col("__vec"), F.col("__qvec"))
+        / (F.col("__norm") * F.col("__qnorm")),
+        6,
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), on="__cell")
+        .filter(F.col("__vid") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col("__vid").alias("neighbor_id"),
+            cos_q.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

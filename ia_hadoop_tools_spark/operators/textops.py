@@ -114,6 +114,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = 16,
     shingle_words: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig): MinHash signature per document.
 
@@ -130,11 +131,13 @@ def minhash_signatures(
     from ia_hadoop_tools_spark.functions.hashfns import MERSENNE_P
 
     perms = minhash_permutations(num_perm)
-    hashed = (
-        shingle_sets(
+    if shingles is None:
+        shingles = shingle_sets(
             ensure_min_partitions(df.select(id_col, text_col)),
             id_col, text_col, shingle_words,
         )
+    hashed = (
+        shingles
         .select(F.col(id_col), F.explode("shingles").alias("__s"))
         .select(F.col(id_col), (hash32(F.col("__s")) % MERSENNE_P).alias("__h"))
     )
@@ -160,12 +163,18 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
-    Pipeline: signature -> explode band keys -> self-join per bucket (the ONLY
-    shuffle) -> distinct candidate pairs -> verify true Jaccard on the shingle
-    sets -> threshold.
+    Pipeline: shingle once (persisted — signatures AND verification read it;
+    recomputing shingles is the dominant CPU at scale) -> signature -> explode
+    band keys -> self-join per bucket -> distinct candidate pairs -> verify
+    true Jaccard on the shingle sets -> threshold.
     """
+    from pyspark import StorageLevel
+
     rows = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_words)
+    sh = shingle_sets(
+        ensure_min_partitions(df.select(id_col, text_col)), id_col, text_col, shingle_words
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_words, shingles=sh)
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -187,9 +196,6 @@ def minhash_lsh_pairs(
             F.col(f"r.{id_col}").alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    sh = shingle_sets(
-        ensure_min_partitions(df.select(id_col, text_col)), id_col, text_col, shingle_words
     )
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
