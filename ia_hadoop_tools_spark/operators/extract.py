@@ -199,6 +199,325 @@ def cdx_generate(paths_df: DataFrame, surt_fn=None) -> DataFrame:
     return paths_df.mapInPandas(extract, schema=CDX_OUT_SCHEMA)
 
 
+WAT_OUT_SCHEMA = (
+    "target_uri string, timestamp string, rec_type string, wat string, "
+    "filename string, offset long, error string"
+)
+
+METADATA_OUT_SCHEMA = (
+    "target_uri string, timestamp string, concurrent_to string, "
+    "content string, filename string, error string"
+)
+
+
+def _http_meta(payload: bytes) -> tuple[dict, bytes]:
+    """Split an HTTP response payload into (metadata dict, body)."""
+    meta: dict = {}
+    body = payload
+    if payload.startswith(b"HTTP/"):
+        head, _, body = payload.partition(b"\r\n\r\n")
+        lines = head.decode(errors="replace").split("\r\n")
+        try:
+            meta["Response-Status"] = int(lines[0].split()[1])
+        except (IndexError, ValueError):
+            pass
+        headers = {}
+        for hl in lines[1:]:
+            hk, _, hv = hl.partition(":")
+            if hv:
+                headers[hk.strip()] = hv.strip()
+        meta["Headers"] = headers
+        meta["Headers-Length"] = len(head) + 4
+    meta["Entity-Length"] = len(body)
+    return meta, body
+
+
+_LINK_RE = None
+
+
+def _html_meta(body: bytes) -> dict:
+    """Deterministic regex-level HTML metadata: title + outgoing links.
+
+    The reference's WAT extractor walks a real HTML parse (webarchive-commons
+    ExtractingParseObserver); this captures the same envelope fields for the
+    common cases without an HTML dependency.
+    """
+    global _LINK_RE
+    import re
+
+    if _LINK_RE is None:
+        _LINK_RE = {
+            "title": re.compile(rb"<title[^>]*>(.*?)</title>", re.I | re.S),
+            "a": re.compile(rb"""<a\s[^>]*?href\s*=\s*["']?([^"'\s>]+)""", re.I),
+            "img": re.compile(rb"""<img\s[^>]*?src\s*=\s*["']?([^"'\s>]+)""", re.I),
+        }
+    out: dict = {}
+    m = _LINK_RE["title"].search(body)
+    if m:
+        out["Head"] = {"Title": m.group(1).decode(errors="replace").strip()}
+    links = [
+        {"path": "A@/href", "url": u.decode(errors="replace")}
+        for u in _LINK_RE["a"].findall(body)
+    ] + [
+        {"path": "IMG@/src", "url": u.decode(errors="replace")}
+        for u in _LINK_RE["img"].findall(body)
+    ]
+    if links:
+        out["Links"] = links
+    return out
+
+
+def wat_generate(paths_df: DataFrame) -> DataFrame:
+    """(W)ARC file paths -> WAT metadata rows (WATGenerator.java:74-294).
+
+    One row per WARC record; the ``wat`` column is the WAT envelope JSON
+    (WARC header metadata + HTTP response metadata + HTML links/title +
+    container offset), deterministic for a given input. The reference writes
+    `<name>.wat.gz` files; here the rows ARE the dataset — persist with
+    ``df.write`` (or cdx_to_text + write_zipnum for interchange).
+    """
+    import json
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path in pdf["path"]:
+                fname = os.path.basename(path)
+                try:
+                    raw = open(path, "rb")
+                    stream = gzip.open(raw) if path.endswith(".gz") else raw
+                    for headers, payload, off in _iter_warc_records_minimal(stream):
+                        rec_type = headers.get("warc-type", "-")
+                        envelope: dict = {
+                            "Format": "WARC",
+                            "WARC-Header-Metadata": {
+                                k: v for k, v in sorted(headers.items())
+                            },
+                            "Container": {"Filename": fname, "Offset": off},
+                        }
+                        if rec_type in ("response", "revisit"):
+                            http, body = _http_meta(payload)
+                            pm: dict = {"HTTP-Response-Metadata": http}
+                            ctype = (http.get("Headers") or {}).get("Content-Type", "")
+                            if "html" in ctype.lower():
+                                html = _html_meta(body)
+                                if html:
+                                    pm["HTTP-Response-Metadata"][
+                                        "HTML-Metadata"
+                                    ] = html
+                            envelope["Payload-Metadata"] = pm
+                        out.append(
+                            dict(
+                                target_uri=headers.get("warc-target-uri"),
+                                timestamp=(headers.get("warc-date") or "")
+                                .replace("-", "")
+                                .replace(":", "")
+                                .replace("T", "")
+                                .rstrip("Z")[:14],
+                                rec_type=rec_type,
+                                wat=json.dumps(
+                                    {"Envelope": envelope}, sort_keys=True
+                                ),
+                                filename=fname,
+                                offset=off,
+                                error=None,
+                            )
+                        )
+                    stream.close()
+                except Exception as e:  # -soft
+                    out.append(
+                        dict.fromkeys(
+                            ["target_uri", "timestamp", "rec_type", "wat", "offset"]
+                        )
+                        | {"filename": fname, "error": f"{type(e).__name__}: {e}"}
+                    )
+            yield pd.DataFrame(
+                out
+                or {
+                    c.split()[0]: pd.Series(dtype="object")
+                    for c in WAT_OUT_SCHEMA.split(", ")
+                }
+            )
+
+    return paths_df.mapInPandas(extract, schema=WAT_OUT_SCHEMA)
+
+
+def warc_metadata_generate(paths_df: DataFrame) -> DataFrame:
+    """(W)ARC paths -> rows of the embedded *metadata*-type records
+    (WARCMetadataRecordGenerator.java:75-180): crawl outlinks, via chains,
+    fetch metadata — whatever the crawler wrote alongside each capture."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path in pdf["path"]:
+                fname = os.path.basename(path)
+                try:
+                    raw = open(path, "rb")
+                    stream = gzip.open(raw) if path.endswith(".gz") else raw
+                    for headers, payload, _ in _iter_warc_records_minimal(stream):
+                        if headers.get("warc-type") != "metadata":
+                            continue
+                        out.append(
+                            dict(
+                                target_uri=headers.get("warc-target-uri"),
+                                timestamp=(headers.get("warc-date") or "")
+                                .replace("-", "")
+                                .replace(":", "")
+                                .replace("T", "")
+                                .rstrip("Z")[:14],
+                                concurrent_to=headers.get("warc-concurrent-to"),
+                                content=payload.decode(errors="replace"),
+                                filename=fname,
+                                error=None,
+                            )
+                        )
+                    stream.close()
+                except Exception as e:  # -soft
+                    out.append(
+                        dict.fromkeys(
+                            ["target_uri", "timestamp", "concurrent_to", "content"]
+                        )
+                        | {"filename": fname, "error": f"{type(e).__name__}: {e}"}
+                    )
+            yield pd.DataFrame(
+                out
+                or {
+                    c.split()[0]: pd.Series(dtype="object")
+                    for c in METADATA_OUT_SCHEMA.split(", ")
+                }
+            )
+
+    return paths_df.mapInPandas(extract, schema=METADATA_OUT_SCHEMA)
+
+
+EXTRACTOR_OUT_SCHEMA = (
+    "prefix string, out_path string, n_members long, bytes long, error string"
+)
+
+
+def _gz_member_length(fh, offset: int) -> int:
+    """Compressed length of the gzip member starting at ``offset``
+    (ArchiveFileExtractor.getGZLength:173-181): decompress forward counting
+    input bytes until the member ends."""
+    import zlib
+
+    fh.seek(offset)
+    d = zlib.decompressobj(31)
+    consumed = 0
+    while True:
+        chunk = fh.read(1 << 16)
+        if not chunk:
+            break
+        d.decompress(chunk)
+        consumed += len(chunk) - len(d.unused_data)
+        if d.eof:
+            break
+    if not d.eof:
+        raise IOError(f"truncated gzip member at offset {offset}")
+    return consumed
+
+
+def archive_file_extractor(
+    spec_df: DataFrame,
+    out_dir: str,
+    fmt: str = "warc",
+    timestamp14: str = "20200101000000",
+) -> DataFrame:
+    """Repackage gzip members of existing (W)ARC files into new archive files
+    (jobs/ArchiveFileExtractor.java:109-524).
+
+    ``spec_df`` columns: (prefix, path, offset[, seq]) — one row per member to
+    pull; all rows of one ``prefix`` become one output file ``<prefix>.<fmt>.gz``
+    with a synthesized leading ``filedesc``/``warcinfo`` member
+    (ArchiveFileExtractor.java:129-141). Members keep their original compressed
+    bytes (no re-compression). The record-id is derived from the prefix hash —
+    deterministic where the reference used random UUIDs. Order within a file
+    follows ``seq`` when present, else (path, offset). HTTP-Range fetching
+    from the reference is out of scope (local/posix paths only here); the
+    grouping, length-scan, header synthesis, and TMP+rename protocol are the
+    ported semantics.
+
+    Returns one row per written file: (prefix, out_path, n_members, bytes).
+    """
+    import hashlib as _hl
+
+    os.makedirs(out_dir, exist_ok=True)
+    order = ["seq"] if "seq" in spec_df.columns else ["path", "offset"]
+    ts_z = (
+        f"{timestamp14[0:4]}-{timestamp14[4:6]}-{timestamp14[6:8]}"
+        f"T{timestamp14[8:10]}:{timestamp14[10:12]}:{timestamp14[12:14]}Z"
+    )
+
+    def _warcinfo(name: str) -> bytes:
+        body = (
+            f"software: ia-hadoop-tools-spark\r\nformat: WARC File Format 1.0\r\n"
+        ).encode()
+        rec_id = "urn:uuid:" + _hl.sha1(name.encode()).hexdigest()[:32]
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: warcinfo\r\n"
+            f"WARC-Date: {ts_z}\r\n"
+            f"WARC-Filename: {name}\r\n"
+            f"WARC-Record-ID: <{rec_id}>\r\n"
+            "Content-Type: application/warc-fields\r\n"
+            f"Content-Length: {len(body) + 4}\r\n\r\n"
+        ).encode()
+        return gzip.compress(head + body + b"\r\n\r\n")
+
+    def _filedesc(name: str) -> bytes:
+        body = (
+            f"filedesc://{name} 0.0.0.0 {timestamp14} text/plain 76\n"
+            "1 0 InternetArchive\n"
+            "URL IP-address Archive-date Content-type Archive-length\n\n"
+        ).encode()
+        return gzip.compress(body)
+
+    def repack(pdf: pd.DataFrame) -> pd.DataFrame:
+        prefix = pdf["prefix"].iloc[0]
+        name = f"{prefix}.{fmt}.gz"
+        final = os.path.join(out_dir, name)
+        tmp = final + ".TMP"
+        n = 0
+        try:
+            with open(tmp, "wb") as out:
+                out.write(_warcinfo(name) if fmt == "warc" else _filedesc(name))
+                for _, row in pdf.sort_values(order).iterrows():
+                    with open(row["path"], "rb") as fh:
+                        length = _gz_member_length(fh, int(row["offset"]))
+                        fh.seek(int(row["offset"]))
+                        out.write(fh.read(length))
+                    n += 1
+            os.replace(tmp, final)
+            return pd.DataFrame(
+                [
+                    dict(
+                        prefix=prefix,
+                        out_path=final,
+                        n_members=n,
+                        bytes=os.path.getsize(final),
+                        error=None,
+                    )
+                ]
+            )
+        except Exception as e:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            return pd.DataFrame(
+                [
+                    dict(
+                        prefix=prefix,
+                        out_path=None,
+                        n_members=0,
+                        bytes=0,
+                        error=f"{type(e).__name__}: {e}",
+                    )
+                ]
+            )
+
+    return spec_df.groupBy("prefix").applyInPandas(repack, schema=EXTRACTOR_OUT_SCHEMA)
+
+
 def http_import(urls_df: DataFrame, target_dir: str, soft: bool = True) -> None:
     """Parallel idempotent URL->file import (HTTPImportMapper semantics).
 

@@ -1,0 +1,144 @@
+"""Extraction-job tests: CDX/WAT/metadata generation + repackaging over a
+synthetic member-gzipped WARC (the reference's CDXGenerator/WATGenerator/
+WARCMetadataRecordGenerator/ArchiveFileExtractor family)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+
+from ia_hadoop_tools_spark.operators.extract import (
+    archive_file_extractor,
+    cdx_generate,
+    warc_metadata_generate,
+    wat_generate,
+)
+
+HTML = (
+    b"<html><head><title>Test Page</title></head>"
+    b'<body><a href="http://example.com/next">n</a>'
+    b'<img src="/logo.png"></body></html>'
+)
+
+
+def _warc_record(rec_type: str, uri: str, date: str, payload: bytes, extra: str = "") -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rec_type}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"{extra}"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def _http_payload(status: int, ctype: str, body: bytes) -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+@pytest.fixture(scope="module")
+def warc_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    p = d / "test-00000.warc.gz"
+    recs = [
+        _warc_record(
+            "response",
+            "http://example.com/",
+            "2020-01-02T03:04:05Z",
+            _http_payload(200, "text/html", HTML),
+        ),
+        _warc_record(
+            "metadata",
+            "http://example.com/",
+            "2020-01-02T03:04:05Z",
+            b"via: http://seed.example.com/\nhopsFromSeed: L\n",
+            extra="WARC-Concurrent-To: <urn:uuid:123>\r\n",
+        ),
+        _warc_record(
+            "response",
+            "http://example.com/404",
+            "2020-01-02T03:04:06Z",
+            _http_payload(404, "text/plain", b"gone"),
+        ),
+    ]
+    with open(p, "wb") as fh:
+        for r in recs:  # one gzip member per record (standard WARC layout)
+            fh.write(gzip.compress(r))
+    return str(p)
+
+
+def _paths_df(spark, path):
+    return spark.createDataFrame([(path,)], "path: string")
+
+
+def test_cdx_generate(spark, warc_path):
+    rows = cdx_generate(_paths_df(spark, warc_path)).collect()
+    assert [r.error for r in rows] == [None, None]
+    by_url = {r.original_url: r for r in rows}
+    assert by_url["http://example.com/"].statuscode == 200
+    assert by_url["http://example.com/"].timestamp == "20200102030405"
+    assert by_url["http://example.com/404"].statuscode == 404
+    assert by_url["http://example.com/404"].mimetype == "text/plain"
+
+
+def test_wat_generate_links_and_title(spark, warc_path):
+    rows = wat_generate(_paths_df(spark, warc_path)).collect()
+    assert [r.error for r in rows] == [None] * 3
+    resp = [r for r in rows if r.rec_type == "response"]
+    wat = json.loads(resp[0].wat)
+    html_meta = wat["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"][
+        "HTML-Metadata"
+    ]
+    assert html_meta["Head"]["Title"] == "Test Page"
+    assert {l["url"] for l in html_meta["Links"]} == {
+        "http://example.com/next",
+        "/logo.png",
+    }
+    assert wat["Envelope"]["Container"]["Filename"] == "test-00000.warc.gz"
+
+
+def test_warc_metadata_generate(spark, warc_path):
+    rows = warc_metadata_generate(_paths_df(spark, warc_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].concurrent_to == "<urn:uuid:123>"
+    assert "hopsFromSeed: L" in rows[0].content
+
+
+def test_archive_file_extractor_roundtrip(spark, warc_path, tmp_path):
+    # member offsets in the source file: scan boundary positions
+    offsets = []
+    with open(warc_path, "rb") as fh:
+        data = fh.read()
+    pos = 0
+    while pos < len(data):
+        from ia_hadoop_tools_spark.operators.extract import _gz_member_length
+
+        with open(warc_path, "rb") as fh:
+            ln = _gz_member_length(fh, pos)
+        offsets.append((pos, ln))
+        pos += ln
+    assert len(offsets) == 3
+
+    # repackage members 0 and 2 (the two responses) into a new warc
+    spec = spark.createDataFrame(
+        [("out-a", warc_path, offsets[0][0], 0), ("out-a", warc_path, offsets[2][0], 1)],
+        "prefix: string, path: string, offset: long, seq: long",
+    )
+    out_dir = str(tmp_path / "repack")
+    res = archive_file_extractor(spec, out_dir).collect()
+    assert len(res) == 1 and res[0].error is None and res[0].n_members == 2
+
+    # re-extract from the new file: warcinfo + the two response records
+    rows = cdx_generate(_paths_df(spark, res[0].out_path)).collect()
+    urls = sorted(r.original_url for r in rows if r.original_url)
+    assert urls == ["http://example.com/", "http://example.com/404"]
+    with gzip.open(res[0].out_path, "rb") as fh:
+        first = fh.read(200)
+    assert first.startswith(b"WARC/1.0\r\nWARC-Type: warcinfo")
