@@ -1,0 +1,383 @@
+"""``python -m ia_hadoop_tools_spark <tool> ...`` — the JobDriver CLI surface.
+
+The reference registers ~22 tools in jobs/JobDriver.java:20-131; every
+in-scope tool maps here to a thin shim over the package's DataFrame
+operators (the "plan" is Catalyst's job now, not hand-wired JobConfs).
+Out-of-scope services (gzrange-server/client HTTP daemons, Petabox FS,
+HBase/Cassandra connectors) are intentionally absent — see SURVEY.md §2.
+
+Local/posix paths stand in for HDFS URIs: on a real cluster these commands
+run unchanged against any Hadoop-compatible filesystem Spark is configured
+for (s3a://, hdfs://, ...), except the byte-seek utilities which use
+Python file IO.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+
+def _spark(args):
+    from ia_hadoop_tools_spark.session import get_spark
+
+    return get_spark(app_name=f"iht-{args.tool}")
+
+
+def _read_cdx(spark, inputs):
+    from ia_hadoop_tools_spark.operators.parse import parse_cdx, read_cdx_text
+
+    return parse_cdx(read_cdx_text(spark, list(inputs)))
+
+
+def cmd_cdx_convert(args):
+    """cdx-convert (CDXConverterTool.java:15-51): CDX text -> SURT-keyed CDX."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.functions.surt import surt_expr
+    from ia_hadoop_tools_spark.operators.parse import cdx_to_text
+
+    spark = _spark(args)
+    df = _read_cdx(spark, args.input)
+    df = df.withColumn("urlkey", surt_expr(F.col("original_url")))
+    for line in cdx_to_text(df).toLocalIterator():
+        sys.stdout.write(line.value + "\n")
+
+
+def cmd_cluster_build(args):
+    """cluster-build (jobs/BuildCluster.java:71-209): text -> sorted cluster."""
+    from ia_hadoop_tools_spark.operators.cluster import write_cluster
+    from ia_hadoop_tools_spark.plans.partitioning import (
+        parse_splitfile,
+        write_named_shards,
+    )
+
+    spark = _spark(args)
+    df = _read_cdx(spark, args.input)
+    if args.split_file:
+        splits = parse_splitfile(spark, args.split_file)
+        write_named_shards(df, args.output, splits)
+    else:
+        write_cluster(df, args.output, num_ranges=args.num_ranges)
+    print(f"cluster written: {args.output}")
+
+
+def cmd_zipnum_writer(args):
+    """zipnum-writer (io/ZipNumWriterTool.java:26-45): text -> ZipNum shard(s)."""
+    from ia_hadoop_tools_spark.sources.zipnum import write_zipnum
+
+    spark = _spark(args)
+    df = spark.read.option("lineSep", "\n").text(args.input)
+    write_zipnum(
+        df, args.output, lines_per_block=args.count, num_shards=args.num_shards
+    )
+    print(f"zipnum cluster written: {args.output}")
+
+
+def cmd_merge_clusters(args):
+    """merge-clusters (jobs/MergeClusters.java:68-155): N clusters -> one."""
+    from ia_hadoop_tools_spark.operators.merge import merge_clusters
+
+    spark = _spark(args)
+    dfs = [spark.read.parquet(p) for p in args.input]
+    merged = merge_clusters(
+        dfs, daily_limit=args.daily_limit, num_ranges=args.num_ranges
+    )
+    merged.write.mode("overwrite").parquet(args.output)
+    print(f"merged {len(dfs)} clusters -> {args.output}")
+
+
+def cmd_cluster_merge(args):
+    """cluster-merge (jobs/MergeCluster.java:44-80): re-shard one cluster."""
+    from ia_hadoop_tools_spark.operators.cluster import build_cluster
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    build_cluster(df, num_ranges=args.num_ranges).write.mode("overwrite").parquet(
+        args.output
+    )
+    print(f"re-sharded {args.input} -> {args.output} ({args.num_ranges} ranges)")
+
+
+def cmd_cluster_range(args):
+    """cluster-range (cdx/CDXClusterRangeDumper.java:39-74): bounded dump."""
+    from ia_hadoop_tools_spark.operators.cluster import cluster_range
+    from ia_hadoop_tools_spark.operators.parse import cdx_to_text
+    from ia_hadoop_tools_spark.sources.zipnum import zipnum_range
+
+    spark = _spark(args)
+    outs = []
+    for c in args.cluster:
+        if os.path.exists(os.path.join(c, "ALL.summary")):
+            outs.append(zipnum_range(spark, c, args.start, args.end))
+        else:
+            outs.append(
+                cdx_to_text(cluster_range(c, args.start, args.end, spark=spark))
+            )
+    merged = outs[0]
+    for o in outs[1:]:
+        merged = merged.union(o)
+    for line in merged.sort("value").toLocalIterator():
+        sys.stdout.write(line.value + "\n")
+
+
+def cmd_summary_generator(args):
+    from ia_hadoop_tools_spark.sources.zipnum import summary_generator
+
+    n = summary_generator(args.cluster)
+    print(f"ALL.summary rebuilt: {n} idx lines")
+
+
+def cmd_manifest_aggregator(args):
+    from ia_hadoop_tools_spark.sources.zipnum import manifest_aggregator
+
+    names = [l.strip() for l in open(args.basenames) if l.strip()]
+    print(manifest_aggregator(args.cluster, names))
+
+
+def _paths_df(spark, paths):
+    return spark.createDataFrame([(p,) for p in paths], "path: string")
+
+
+def cmd_cdx_generator(args):
+    """CDXGenerator (jobs/CDXGenerator.java:75-295): WARCs -> CDX dataset."""
+    from ia_hadoop_tools_spark.operators.extract import cdx_generate
+
+    spark = _spark(args)
+    cdx_generate(_paths_df(spark, args.input)).write.mode("overwrite").parquet(
+        args.output
+    )
+    print(f"cdx written: {args.output}")
+
+
+def cmd_wat_generator(args):
+    from ia_hadoop_tools_spark.operators.extract import wat_generate
+
+    spark = _spark(args)
+    wat_generate(_paths_df(spark, args.input)).write.mode("overwrite").parquet(
+        args.output
+    )
+    print(f"wat written: {args.output}")
+
+
+def cmd_warc_metadata(args):
+    from ia_hadoop_tools_spark.operators.extract import warc_metadata_generate
+
+    spark = _spark(args)
+    warc_metadata_generate(_paths_df(spark, args.input)).write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    print(f"metadata records written: {args.output}")
+
+
+def cmd_archive_file_extractor(args):
+    """ArchiveFileExtractor: spec CSV (prefix,path,offset[,seq]) -> archives."""
+    from ia_hadoop_tools_spark.operators.extract import archive_file_extractor
+
+    spark = _spark(args)
+    spec = spark.read.option("header", "true").option("inferSchema", "true").csv(
+        args.spec
+    )
+    for r in archive_file_extractor(spec, args.output, fmt=args.format).collect():
+        print(r)
+
+
+def cmd_httpimport(args):
+    """httpimport (jobs/HTTPImportJob.java): parallel idempotent URL import."""
+    from ia_hadoop_tools_spark.operators.extract import http_import
+
+    spark = _spark(args)
+    rows = [
+        (u.strip(), os.path.basename(u.strip().rstrip("/")))
+        for u in open(args.urls)
+        if u.strip()
+    ]
+    http_import(
+        spark.createDataFrame(rows, "url: string, name: string"),
+        args.target,
+        soft=not args.hard,
+    )
+    print(f"imported into {args.target}")
+
+
+def cmd_hdfs_lsr(args):
+    """hdfs-lsr (cdx/HDFSLSR.java) + LSRPigLoader filters."""
+    from ia_hadoop_tools_spark.sources.listing import list_files_df
+
+    spark = _spark(args)
+    exts = tuple(args.ext) if args.ext else ()
+    df = list_files_df(spark, args.path, extensions=exts)
+    for r in df.toLocalIterator():
+        print(f"{r.size}\t{r.mtime}\t{r.path}")
+
+
+def cmd_range_dumper(args):
+    """range-dumper (cdx/HDFSRangeDumper.java:20-107): PATH[\tOFF\tLEN] lines
+    on stdin -> decompressed lines of each byte range on stdout."""
+    import gzip as _gzip
+
+    for line in sys.stdin:
+        parts = line.rstrip("\n").split("\t")
+        path = parts[0]
+        with open(path, "rb") as fh:
+            if len(parts) >= 3:
+                fh.seek(int(parts[1]))
+                payload = fh.read(int(parts[2]))
+            else:
+                payload = fh.read()
+        try:
+            payload = _gzip.decompress(payload)
+        except OSError:
+            pass
+        sys.stdout.write(payload.decode(errors="replace"))
+
+
+def cmd_hdfs_fseeko(args):
+    """hdfs-fseeko (util/HDFSeeko.java:19-37): dump a byte range."""
+    with open(args.path, "rb") as fh:
+        fh.seek(args.offset)
+        sys.stdout.buffer.write(fh.read(args.length))
+
+
+def cmd_hdfs_mv(args):
+    os.replace(args.src, args.dst)
+
+
+def cmd_hdfs_touch(args):
+    open(args.path, "a").close()
+
+
+def cmd_hdfs_sync(args):
+    """hdfs-sync (util/HDFSSync.java:19-60): stdin 'SRC TGT' pairs,
+    copy-if-absent."""
+    for line in sys.stdin:
+        parts = line.split()
+        if len(parts) != 2:
+            continue
+        src, tgt = parts
+        if not os.path.exists(tgt):
+            tmp = tgt + ".TMP"
+            shutil.copyfile(src, tmp)
+            os.replace(tmp, tgt)
+            print(f"copied {src} -> {tgt}")
+        else:
+            print(f"exists {tgt}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="ia_hadoop_tools_spark", description=__doc__
+    )
+    sub = p.add_subparsers(dest="tool", required=True)
+
+    s = sub.add_parser("cdx-convert", help="CDX text -> SURT-canonicalized CDX")
+    s.add_argument("input", nargs="+")
+    s.set_defaults(fn=cmd_cdx_convert)
+
+    s = sub.add_parser("cluster-build", help="CDX text -> sorted parquet cluster")
+    s.add_argument("input", nargs="+")
+    s.add_argument("output")
+    s.add_argument("--num-ranges", type=int, default=10)
+    s.add_argument("--split-file")
+    s.set_defaults(fn=cmd_cluster_build)
+
+    s = sub.add_parser("zipnum-writer", help="text -> ZipNum cluster")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--count", type=int, default=3000)
+    s.add_argument("--num-shards", type=int, default=None)
+    s.set_defaults(fn=cmd_zipnum_writer)
+
+    s = sub.add_parser("merge-clusters", help="merge N parquet clusters")
+    s.add_argument("input", nargs="+")
+    s.add_argument("output")
+    s.add_argument("--daily-limit", type=int, default=None)
+    s.add_argument("--num-ranges", type=int, default=None)
+    s.set_defaults(fn=cmd_merge_clusters)
+
+    s = sub.add_parser("cluster-merge", help="re-shard one cluster")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--num-ranges", type=int, default=10)
+    s.set_defaults(fn=cmd_cluster_merge)
+
+    s = sub.add_parser("cluster-range", help="bounded [start,end) dump")
+    s.add_argument("start")
+    s.add_argument("end")
+    s.add_argument("cluster", nargs="+")
+    s.set_defaults(fn=cmd_cluster_range)
+
+    s = sub.add_parser("summary-generator", help="rebuild ALL.summary")
+    s.add_argument("cluster")
+    s.set_defaults(fn=cmd_summary_generator)
+
+    s = sub.add_parser("manifest-aggregator", help="write sorted manifest.txt")
+    s.add_argument("cluster")
+    s.add_argument("basenames", help="file of source basenames, one per line")
+    s.set_defaults(fn=cmd_manifest_aggregator)
+
+    s = sub.add_parser("CDXGenerator", help="WARC files -> CDX parquet")
+    s.add_argument("input", nargs="+")
+    s.add_argument("output")
+    s.set_defaults(fn=cmd_cdx_generator)
+
+    s = sub.add_parser("WATGenerator", help="WARC files -> WAT parquet")
+    s.add_argument("input", nargs="+")
+    s.add_argument("output")
+    s.set_defaults(fn=cmd_wat_generator)
+
+    s = sub.add_parser(
+        "WARCMetadataRecordGenerator", help="WARC metadata records -> parquet"
+    )
+    s.add_argument("input", nargs="+")
+    s.add_argument("output")
+    s.set_defaults(fn=cmd_warc_metadata)
+
+    s = sub.add_parser(
+        "ArchiveFileExtractor", help="repackage members into new archives"
+    )
+    s.add_argument("spec", help="CSV with header: prefix,path,offset[,seq]")
+    s.add_argument("output")
+    s.add_argument("--format", choices=("warc", "arc"), default="warc")
+    s.set_defaults(fn=cmd_archive_file_extractor)
+
+    s = sub.add_parser("httpimport", help="parallel idempotent URL import")
+    s.add_argument("urls", help="file of URLs, one per line")
+    s.add_argument("target")
+    s.add_argument("--hard", action="store_true", help="fail on first error")
+    s.set_defaults(fn=cmd_httpimport)
+
+    s = sub.add_parser("hdfs-lsr", help="recursive file listing")
+    s.add_argument("path")
+    s.add_argument("--ext", action="append", help="extension filter (repeatable)")
+    s.set_defaults(fn=cmd_hdfs_lsr)
+
+    s = sub.add_parser("range-dumper", help="stdin PATH[\\tOFF\\tLEN] -> lines")
+    s.set_defaults(fn=cmd_range_dumper)
+
+    s = sub.add_parser("hdfs-fseeko", help="dump a byte range of a file")
+    s.add_argument("path")
+    s.add_argument("offset", type=int)
+    s.add_argument("length", type=int)
+    s.set_defaults(fn=cmd_hdfs_fseeko)
+
+    s = sub.add_parser("hdfs-mv", help="atomic rename")
+    s.add_argument("src")
+    s.add_argument("dst")
+    s.set_defaults(fn=cmd_hdfs_mv)
+
+    s = sub.add_parser("hdfs-touch", help="create empty file")
+    s.add_argument("path")
+    s.set_defaults(fn=cmd_hdfs_touch)
+
+    s = sub.add_parser("hdfs-sync", help="stdin 'SRC TGT' pairs, copy-if-absent")
+    s.set_defaults(fn=cmd_hdfs_sync)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

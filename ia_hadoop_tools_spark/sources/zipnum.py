@@ -90,6 +90,13 @@ def _write_shard(
     else:
         os.remove(tmp)
         return iter(())
+    # per-shard idx sidecar (ZipNumRecordWriter.java:190-201 writes these
+    # alongside each shard; SummaryGenerator later concatenates them)
+    summary = final[: -len(".gz")] + ".summary"
+    with open(summary + ".TMP", "w", encoding="utf-8") as sfh:
+        for r in idx_rows:
+            sfh.write(f"{r.summary_key}\t{r.shard}\t{r.offset}\t{r.length}\n")
+    os.replace(summary + ".TMP", summary)
     return iter(idx_rows)
 
 
@@ -134,6 +141,51 @@ def write_zipnum(
         for shard in sorted({r.shard for r in rows}):
             fh.write(shard + "\n")
     return idx
+
+
+def summary_generator(cluster_dir: str) -> int:
+    """Rebuild ``ALL.summary`` from the per-shard ``*.summary`` sidecars
+    (cdx/SummaryGenerator.java:46-122).
+
+    Pairs each ``<shard>.summary`` with its ``<shard>.gz`` (sanity check
+    :75-79 — a summary without its data file aborts), concatenates them in
+    sorted shard order, and rewrites ``ALL.summary`` atomically. Returns the
+    number of idx lines written. Driver-side by design: the summary is
+    ~1/3000 of the data, and this runs as the post-job finalization step
+    (§3.1 step 4), not inside the dataflow.
+    """
+    shards = sorted(
+        f[: -len(".summary")]
+        for f in os.listdir(cluster_dir)
+        if f.endswith(".summary") and f != "ALL.summary"
+    )
+    for s in shards:
+        if not os.path.exists(os.path.join(cluster_dir, s + ".gz")):
+            raise IOError(f"summary {s}.summary has no matching {s}.gz")
+    n = 0
+    out = os.path.join(cluster_dir, "ALL.summary")
+    with open(out + ".TMP", "w", encoding="utf-8") as fh:
+        for s in shards:
+            with open(
+                os.path.join(cluster_dir, s + ".summary"), encoding="utf-8"
+            ) as sfh:
+                for line in sfh:
+                    fh.write(line)
+                    n += 1
+    os.replace(out + ".TMP", out)
+    return n
+
+
+def manifest_aggregator(cluster_dir: str, source_basenames: list[str]) -> str:
+    """Write a sorted, deduplicated ``manifest.txt`` of source basenames
+    (cdx/ManifestAggregator.java:34-81 — the reference heap-merges per-shard
+    sorted manifests; with a driver-side set the result is identical)."""
+    out = os.path.join(cluster_dir, "manifest.txt")
+    with open(out + ".TMP", "w", encoding="utf-8") as fh:
+        for b in sorted(set(source_basenames)):
+            fh.write(b + "\n")
+    os.replace(out + ".TMP", out)
+    return out
 
 
 def _read_blocks(

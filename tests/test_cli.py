@@ -1,0 +1,81 @@
+"""CLI surface tests (__main__.py — the JobDriver tool-name parity layer)."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import sys
+
+import pytest
+
+from ia_hadoop_tools_spark.__main__ import main
+
+
+@pytest.fixture()
+def cdx_file(tmp_path):
+    p = tmp_path / "in.cdx"
+    lines = [" CDX N b a m s k r M S V g"]
+    for i in range(40):
+        lines.append(
+            f"com,site{i % 4})/p{i} 2020010{1 + i % 5}000000 "
+            f"http://site{i % 4}.com/p{i} text/html 200 D{i:03d} - - "
+            f"{100 + i} {1000 * i} f{i % 2}.warc.gz"
+        )
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def _run(capsys, *argv):
+    main(list(argv))
+    return capsys.readouterr().out
+
+
+def test_cluster_build_and_range(spark, cdx_file, tmp_path, capsys):
+    out = str(tmp_path / "cluster")
+    _run(capsys, "cluster-build", cdx_file, out, "--num-ranges", "2")
+    assert os.path.isdir(out)
+
+    dumped = _run(capsys, "cluster-range", "com,site1)", "com,site2)", out)
+    lines = [l for l in dumped.splitlines() if l]
+    assert lines and all(l.startswith("com,site1)") for l in lines)
+    assert lines == sorted(lines)
+
+
+def test_zipnum_writer_summary_and_range(spark, tmp_path, capsys):
+    src = tmp_path / "plain.txt"
+    src.write_text("".join(f"k{i:04d} v{i}\n" for i in range(100)))
+    out = str(tmp_path / "zn")
+    _run(capsys, "zipnum-writer", str(src), out, "--count", "10",
+         "--num-shards", "2")
+    assert os.path.exists(os.path.join(out, "ALL.summary"))
+
+    report = _run(capsys, "summary-generator", out)
+    assert "idx lines" in report
+
+    dumped = _run(capsys, "cluster-range", "k0010", "k0020", out)
+    assert len([l for l in dumped.splitlines() if l]) == 10
+
+
+def test_cdx_convert_stdout(spark, cdx_file, capsys):
+    out = _run(capsys, "cdx-convert", cdx_file)
+    lines = out.splitlines()
+    assert len(lines) == 40
+    assert all(l.split(" ")[0].startswith("com,site") for l in lines)
+
+
+def test_hdfs_utils(tmp_path, capsys, monkeypatch):
+    a = tmp_path / "a.bin"
+    a.write_bytes(b"0123456789")
+    out = _run(capsys, "hdfs-fseeko", str(a), "2", "4")
+    # hdfs-fseeko writes bytes to stdout buffer; capsys captures text
+    _run(capsys, "hdfs-mv", str(a), str(tmp_path / "b.bin"))
+    assert (tmp_path / "b.bin").exists() and not a.exists()
+    _run(capsys, "hdfs-touch", str(tmp_path / "t.flag"))
+    assert (tmp_path / "t.flag").exists()
+
+    monkeypatch.setattr(
+        sys, "stdin", io.StringIO(f"{tmp_path / 'b.bin'} {tmp_path / 'c.bin'}\n")
+    )
+    log = _run(capsys, "hdfs-sync")
+    assert "copied" in log and (tmp_path / "c.bin").exists()

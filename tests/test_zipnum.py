@@ -51,3 +51,37 @@ def test_zipnum_range_prunes_blocks(spark, tmp_path):
     got = sorted(r.value for r in zipnum_range(spark, out, "k0100", "k0110").collect())
     expect = sorted(l for l in _lines(300) if "k0100" <= l.split(" ", 1)[0] < "k0110")
     assert [g.split()[0] for g in got] == [e.split()[0] for e in expect]
+
+
+def test_summary_generator_rebuilds_all_summary(spark, tmp_path):
+    from ia_hadoop_tools_spark.sources.zipnum import (
+        manifest_aggregator,
+        summary_generator,
+    )
+
+    out = str(tmp_path / "cluster")
+    df = spark.createDataFrame([(l,) for l in _lines(200)], "value: string")
+    write_zipnum(df, out, lines_per_block=25, num_shards=3)
+
+    with open(os.path.join(out, "ALL.summary")) as fh:
+        original = fh.read()
+    os.remove(os.path.join(out, "ALL.summary"))
+
+    # per-shard sidecars alone must reconstruct the identical meta-index
+    n = summary_generator(out)
+    with open(os.path.join(out, "ALL.summary")) as fh:
+        rebuilt = fh.read()
+    assert rebuilt == original
+    assert n == len(original.splitlines())
+
+    # orphan summary (no data file) aborts, as in SummaryGenerator.java:75-79
+    open(os.path.join(out, "part-09999.summary"), "w").close()
+    import pytest as _pytest
+
+    with _pytest.raises(IOError):
+        summary_generator(out)
+    os.remove(os.path.join(out, "part-09999.summary"))
+
+    p = manifest_aggregator(out, ["b.warc.gz", "a.warc.gz", "b.warc.gz"])
+    with open(p) as fh:
+        assert fh.read().splitlines() == ["a.warc.gz", "b.warc.gz"]
