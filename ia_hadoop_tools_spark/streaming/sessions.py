@@ -1,0 +1,150 @@
+"""Sessionization — the engine's stateful-streaming extension.
+
+The reference has no streaming operators (SURVEY.md §2.11); incrementality is
+batch file bookkeeping. A training-data pipeline needs event sessionization
+both as a batch transform (driver_queries.q_sessionize — the oracle-checked
+lag/cumsum form) and on live streams. Two Spark-native forms:
+
+- ``sessionize_events``: the built-in ``session_window`` gap-window aggregate.
+  Works identically on batch DataFrames and on streams (with a watermark);
+  Catalyst plans the session merge natively — this is the default.
+- ``sessionize_stateful``: ``applyInPandasWithState`` custom operator, the
+  template for stateful logic ``session_window`` can't express (per-session
+  caps, value-dependent gaps, custom eviction). Emits CLOSED sessions when the
+  gap is exceeded inside the arriving batch and an OPEN running snapshot per
+  group per batch; state carries (start, last, n, total) across micro-batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DEFAULT_GAP = "30 minutes"
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("status", StringType()),  # 'closed' | 'open'
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def sessionize_events(
+    df: DataFrame,
+    gap: str = DEFAULT_GAP,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessions via the built-in ``session_window``.
+
+    Batch: exact equivalent of the lag/cumsum formulation (tested against it).
+    Streaming: pass ``watermark`` (e.g. ``"1 hour"``) — late data beyond it is
+    dropped and sessions finalize once the watermark passes their close.
+    """
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            F.round(F.sum(F.col(value_col).cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            user_col,
+            F.unix_micros("start_ts").alias("start_us"),
+            F.unix_micros("end_ts").alias("end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stateful(
+    grouped_or_df,
+    gap_us: int = 30 * 60 * 1_000_000,
+    user_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    value_col: str = "value",
+    timeout: str = "NoTimeout",
+):
+    """Custom stateful sessionization over ``applyInPandasWithState``.
+
+    Input: a streaming (or batch-grouped) DataFrame with integer microsecond
+    timestamps. Per group and micro-batch: merge arriving events (sorted by
+    ``ts_us``) into the carried session; each in-batch gap > ``gap_us`` closes
+    the previous session (emitted with status='closed'); the still-open tail is
+    emitted as status='open' and kept in state for the next batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            start, end, n, total = state.get
+        else:
+            start = None
+            end = n = 0
+            total = 0.0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_us_col)
+            for ts, val in zip(pdf[ts_us_col], pdf[value_col]):
+                ts = int(ts)
+                if start is None:
+                    start, end, n, total = ts, ts, 1, float(val)
+                elif ts - end > gap_us:
+                    out.append((user_id, start, end, n, round(total, 2), "closed"))
+                    start, end, n, total = ts, ts, 1, float(val)
+                else:
+                    end, n, total = ts, n + 1, total + float(val)
+        if start is not None:
+            state.update((start, end, n, float(total)))
+            out.append((user_id, start, end, n, round(total, 2), "open"))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "start_us", "end_us", "n_events", "total_value",
+                "status",
+            ],
+        )
+
+    src = grouped_or_df
+    if isinstance(src, DataFrame):
+        src = src.groupBy(user_col)
+    timeout_conf = getattr(GroupStateTimeout, timeout, GroupStateTimeout.NoTimeout)
+    return src.applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )

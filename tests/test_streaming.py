@@ -1,0 +1,124 @@
+"""Streaming/sessionization tests: built-in session_window equivalence with
+the oracle-checked batch form, and the applyInPandasWithState operator."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.session import load_tables
+from ia_hadoop_tools_spark.streaming.sessions import (
+    sessionize_events,
+    sessionize_stateful,
+)
+
+GAP_US = 30 * 60 * 1_000_000
+
+
+def _batch_sessionize(ev):
+    """The lag/cumsum reference formulation (same as driver q_sessionize)."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = ev.select("user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us"))
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    flagged = base.withColumn(
+        "__new", F.when(gap.isNull() | (gap > GAP_US), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+
+
+def test_session_window_matches_lag_cumsum(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sw = sessionize_events(ev).select("user_id", "start_us", "end_us", "n_events")
+    ref = _batch_sessionize(ev).select("user_id", "start_us", "end_us", "n_events")
+    assert sorted(map(tuple, sw.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    # user 1: two events 10 min apart (one session), then one 2 h later
+    # (closes the first); user 2: single event
+    rows = [
+        (1, 0, 10.0),
+        (1, 10 * 60 * 1_000_000, 5.0),
+        (1, 130 * 60 * 1_000_000, 1.0),
+        (2, 0, 7.5),
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts_us: long, value: double")
+    df.coalesce(1).write.parquet(str(src / "batch1"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long, value double")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = sessionize_stateful(stream.groupBy("user_id"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.status): r
+        for r in spark.sql("SELECT * FROM sess_test").collect()
+    }
+    closed = got[(1, "closed")]
+    assert closed.n_events == 2 and closed.total_value == 15.0
+    assert closed.start_us == 0 and closed.end_us == 10 * 60 * 1_000_000
+    open1 = got[(1, "open")]
+    assert open1.n_events == 1 and open1.start_us == 130 * 60 * 1_000_000
+    assert got[(2, "open")].total_value == 7.5
+
+
+def test_stateful_state_carries_across_batches(spark, tmp_path):
+    src = tmp_path / "s2"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt2")
+    schema = "user_id long, ts_us long, value double"
+
+    collected = []
+
+    def run_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        collected.clear()
+        q = (
+            sessionize_stateful(stream.groupBy("user_id"))
+            .writeStream.foreachBatch(
+                lambda bdf, bid: collected.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return list(collected)
+
+    run_batch([(7, 0, 1.0)], "b1")
+    # second batch: event 5 min after the first -> SAME session continues
+    rows = run_batch([(7, 5 * 60 * 1_000_000, 2.0)], "b2")
+    open7 = [r for r in rows if r.user_id == 7 and r.status == "open"]
+    assert len(open7) == 1
+    assert open7[0].n_events == 2 and open7[0].start_us == 0
+    assert open7[0].total_value == 3.0
