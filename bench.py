@@ -33,6 +33,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
+        spark.catalog.clearCache()  # isolate queries (some persist internally)
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

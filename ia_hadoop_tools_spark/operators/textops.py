@@ -101,10 +101,20 @@ def shingle_sets(
     text_col: str = "text",
     shingle_words: int = 3,
 ) -> DataFrame:
-    """(id, shingles): distinct word-shingle set; too-short docs dropped."""
+    """(id, shingles): distinct word-shingle set; too-short docs dropped.
+
+    The too-short filter tests the CHEAP precondition (token count >= n, which
+    is exactly "shingle set non-empty") on the raw text, NOT ``size(shingles)``
+    on the computed column: a size-on-result filter gets predicate-pushed below
+    any upstream repartition and drags the whole interpreted shingle expression
+    into a pre-shuffle single-partition Filter — measured 85x slower at sf0.1.
+    """
+    from ia_hadoop_tools_spark.functions.textfns import tokens
+
     shingles = F.array_distinct(word_shingles(F.col(text_col), shingle_words))
-    return df.select(F.col(id_col), shingles.alias("shingles")).filter(
-        F.size("shingles") > 0
+    return (
+        df.filter(F.size(tokens(F.col(text_col))) >= shingle_words)
+        .select(F.col(id_col), shingles.alias("shingles"))
     )
 
 
@@ -308,10 +318,19 @@ def ngram_jaccard_pairs(
     shingles upstream at scale (MinHash LSH is the scale path; this is the
     verifier / small-corpus path).
     """
-    shingles = ensure_min_partitions(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_words)).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    from pyspark import StorageLevel
+
+    # shingle once, persist: the plan reads this THREE times (sizes + both
+    # sides of the inverted-index join) — without the cache the whole
+    # tokenize+shingle pipeline re-runs per reference.
+    shingles = (
+        shingle_sets(
+            ensure_min_partitions(df.select(id_col, text_col)),
+            id_col, text_col, shingle_words,
+        )
+        .select(F.col(id_col).alias("id"), F.col("shingles").alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = shingles.select("id", F.size("sh").alias("n"))
     inv = shingles.select("id", F.explode("sh").alias("shingle"))
     a, b = inv.alias("a"), inv.alias("b")
