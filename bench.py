@@ -31,6 +31,24 @@ def main() -> None:
     spark = get_spark("ia-hadoop-tools-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Untimed warmup: one small window+join+agg plan JITs the shared
+    # execution paths (parquet reader, shuffle, Tungsten sort, codegen infra)
+    # so the first timed query isn't charged for JVM warmup.
+    try:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from ia_hadoop_tools_spark.session import load_tables
+
+        ev = load_tables(spark, sf_dir, ("events",))["events"].limit(10000)
+        w = Window.partitionBy("user_id").orderBy("event_id")
+        warm = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+        warm.join(warm.select("user_id").distinct(), "user_id").groupBy(
+            "event_type"
+        ).count().write.format("noop").mode("overwrite").save()
+    except Exception as e:
+        print(f"# warmup skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         spark.catalog.clearCache()  # isolate queries (some persist internally)

@@ -65,6 +65,18 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate turns explode(expr) into an inferred
+        # `size(expr)>0 AND isnotnull(expr)` filter that predicate-pushdown
+        # then substitutes below upstream exchanges — for expensive generator
+        # expressions (shingling, tokenization: interpreted higher-order
+        # functions) the inferred filter re-evaluates the whole expression on
+        # the pre-shuffle partitioning. Measured 8x slowdown on the MinHash
+        # pipeline at sf0.1; the rule's benefit (skipping empty arrays before
+        # a Generate) is negligible for this engine's workloads.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
