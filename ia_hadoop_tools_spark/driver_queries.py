@@ -1165,6 +1165,147 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+# 35. tpch_q5 — 6-way join (local-supplier revenue per nation): exercises
+# Catalyst join reordering + broadcast selection across the full dim chain
+
+Q5_REGION = "ASIA"
+Q5_FROM, Q5_TO = "1996-01-01", "1998-01-01"
+
+
+def q_tpch_q5(spark, sf_dir):
+    t = load_tables(
+        spark, sf_dir,
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(38,4)")
+        * (F.lit(1).cast("decimal(38,4)") - F.col("l_discount").cast("decimal(38,4)"))
+    )
+    joined = (
+        t["lineitem"]
+        .join(t["orders"].filter(
+            (F.col("o_orderdate") >= Q5_FROM) & (F.col("o_orderdate") < Q5_TO)
+        ), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == Q5_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_TPCH_Q5 = f"""
+SELECT n_name,
+  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,4))
+    * (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))), 2)
+    AS DOUBLE) AS revenue,
+  count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_FROM} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q5_TO} 00:00:00'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries — non-SQL-expressible operators (pandas-UDF decode
+# stages, LSH approximation internals, file-reading extraction). No ORACLES
+# entry: the driver records the weaker rows-only check for these by design.
+
+def q_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN (deterministic seed, approximate recall)."""
+    from ia_hadoop_tools_spark.operators.similarity import ann_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < ANN_NUM_QUERIES)
+    return ann_lsh_topk(e, q, k=ANN_K)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Opaque-binary decode/feature-extract plumbing (deterministic fake
+    codec): documents' text bytes stand in for media payloads."""
+    from ia_hadoop_tools_spark.operators.multimodal import decode_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = decode_features(media)
+    # stable projection: feature arrays -> rounded first component + norm proxy
+    return out.select(
+        "asset_id",
+        "media_type",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.size("feature").alias("dim"),
+        "decode_error",
+    )
+
+
+def q_wat_extract(spark, sf_dir):
+    """WARC -> WAT envelope extraction over a deterministic synthetic WARC
+    (no WARC files exist in the driver tables; fixture is content-addressed
+    and idempotent)."""
+    import gzip as _gz
+    import os as _os
+
+    fixture_dir = "/tmp/iht_wat_fixture"
+    path = _os.path.join(fixture_dir, "fixture-00000.warc.gz")
+    if not _os.path.exists(path):
+        _os.makedirs(fixture_dir, exist_ok=True)
+        recs = []
+        for i in range(20):
+            body = (
+                f"<html><head><title>Doc {i}</title></head>"
+                f'<body><a href="http://example.org/{i + 1}">n</a></body></html>'
+            ).encode()
+            payload = (
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+            head = (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: http://example.org/{i}\r\n"
+                f"WARC-Date: 2020-01-02T03:04:{i:02d}Z\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode()
+            recs.append(_gz.compress(head + payload + b"\r\n\r\n"))
+        tmp = path + ".TMP"
+        with open(tmp, "wb") as fh:
+            fh.write(b"".join(recs))
+        _os.replace(tmp, path)
+
+    from ia_hadoop_tools_spark.operators.extract import wat_generate
+
+    paths = spark.createDataFrame([(path,)], "path: string")
+    return wat_generate(paths).select(
+        "target_uri", "timestamp", "rec_type", "wat", "error"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1203,6 +1344,11 @@ QUERIES = {
     "grouping_sets": q_grouping_sets,
     "tpch_q3": q_tpch_q3,
     "ann_ivf": q_ann_ivf,
+    "tpch_q5": q_tpch_q5,
+    # rows-only (no oracle_sql entry by design — see section comment)
+    "ann_lsh": q_ann_lsh,
+    "multimodal_decode": q_multimodal_decode,
+    "wat_extract": q_wat_extract,
 }
 
 ORACLES = {
@@ -1240,4 +1386,5 @@ ORACLES = {
     "grouping_sets": SQL_GROUPING_SETS,
     "tpch_q3": SQL_TPCH_Q3,
     "ann_ivf": SQL_ANN_IVF,
+    "tpch_q5": SQL_TPCH_Q5,
 }

@@ -84,3 +84,43 @@ def test_assign_range_ids_and_named_shards(spark, tmp_path):
         for r in back.groupBy("shard").agg(F.sort_array(F.collect_list("urlkey")).alias("keys")).collect()
     }
     assert by_shard == {"part-a": ["a1", "b1"], "part-c": ["c1", "d1"]}
+
+
+def test_incremental_merge_cycle(spark, tmp_path):
+    """STAGED - INCLUDED drives the merge; bookkeeping advances
+    (streaming/incremental.py, cdx/notes.txt:19-36 semantics)."""
+    from ia_hadoop_tools_spark.streaming.incremental import incremental_merge_cycle
+
+    batches = {
+        "a.cdx": [("k1", "20200101000000"), ("k3", "20200101000001")],
+        "b.cdx": [("k2", "20200102000000")],
+    }
+    for name, rows in batches.items():
+        spark.createDataFrame(rows, "urlkey: string, timestamp: string").write.parquet(
+            str(tmp_path / name)
+        )
+
+    staged = spark.createDataFrame(
+        [(n, str(tmp_path / n)) for n in batches], "basename: string, path: string"
+    )
+    included = spark.createDataFrame([("a.cdx",)], "basename: string")
+    existing = spark.createDataFrame(
+        batches["a.cdx"], "urlkey: string, timestamp: string"
+    )
+
+    merged, new_included = incremental_merge_cycle(
+        spark, staged, included,
+        read_source=lambda s, p: s.read.parquet(p),
+        existing_cluster=existing,
+    )
+    # only b.cdx was outstanding -> merged = existing + b rows
+    assert sorted(r.urlkey for r in merged.collect()) == ["k1", "k2", "k3"]
+    assert sorted(r.basename for r in new_included.collect()) == ["a.cdx", "b.cdx"]
+
+    # second cycle: everything included -> no-op, same objects back
+    merged2, included2 = incremental_merge_cycle(
+        spark, staged, new_included,
+        read_source=lambda s, p: s.read.parquet(p),
+        existing_cluster=merged,
+    )
+    assert merged2 is merged and included2 is new_included
