@@ -1,0 +1,75 @@
+"""Skew mitigation helpers — hot urlkeys are the norm in web-archive data.
+
+The engine's first line of defense is AQE (`spark.sql.adaptive.skewJoin`,
+enabled in session.py), which splits oversized shuffle partitions at runtime.
+These helpers cover the cases AQE can't re-plan:
+
+- ``salted_join``: shuffled equi-join where ONE side's key distribution is
+  heavily skewed and the other side is too big to broadcast but small enough
+  to replicate ``n_salt``-fold. The skewed side gets a deterministic salt,
+  the other side is exploded across all salt values, and the join key becomes
+  (key, salt) — hot keys spread over ``n_salt`` tasks.
+- ``salted_distinct_count``: two-phase distinct aggregation for a single hot
+  group (partial distinct per (key, salt), merge per key).
+
+Both are pure DataFrame compositions (no shuffle service tricks), so they
+work identically on local[N] and a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | Sequence[str],
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the skewed side salted and the other side replicated.
+
+    ``on`` columns must exist on both sides (the usual `join(on=...)`
+    contract); output columns match ``skewed.join(other, on, how)``. The salt
+    is ``pmod(hash(<all skewed columns>), n_salt)`` — deterministic, so
+    retries/resumes produce identical partitioning. Use when: the hot side's
+    key histogram has outliers, ``other`` is 10-1000x too big to broadcast,
+    and AQE's split threshold hasn't caught the skew (e.g. one monster key
+    inside an otherwise-average partition).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salt))
+    left = skewed.withColumn("__salt", salt)
+    right = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    out = left.join(right, on=keys + ["__salt"], how=how)
+    return out.drop("__salt")
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    distinct_col: str,
+    n_salt: int = 16,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """COUNT(DISTINCT x) per group, skew-safe.
+
+    Plain ``groupBy(k).agg(countDistinct(x))`` funnels every row of a hot key
+    through one task. Two-phase form: distinct over (k, salt(x), x) spreads
+    the dedup work, then a cheap sum-of-partial-counts per key. Exact result.
+    """
+    gcols = list(group_cols)
+    salt = F.pmod(F.hash(F.col(distinct_col)), F.lit(n_salt))
+    partial = (
+        df.select(*gcols, F.col(distinct_col), salt.alias("__salt"))
+        .dropDuplicates(gcols + ["__salt", distinct_col])
+        .groupBy(*gcols, "__salt")
+        .agg(F.count(distinct_col).alias("__partial"))
+    )
+    return partial.groupBy(*gcols).agg(F.sum("__partial").alias(out_col))

@@ -1,0 +1,48 @@
+"""Skew-mitigation helpers: salted join / salted distinct equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.plans.skew import salted_distinct_count, salted_join
+
+
+def test_salted_join_equals_plain_join(spark):
+    # one monster key (90% of rows) + a tail
+    rows = [(0, i) for i in range(900)] + [(k, k * 10) for k in range(1, 101)]
+    skewed = spark.createDataFrame(rows, "k: long, v: long")
+    other = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 101)], "k: long, name: string"
+    )
+    plain = skewed.join(other, "k").select("k", "v", "name")
+    salted = salted_join(skewed, other, "k", n_salt=8).select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    assert plain.count() == 1000
+
+
+def test_salted_join_left_outer(spark):
+    skewed = spark.createDataFrame([(1, "a"), (2, "b")], "k: long, v: string")
+    other = spark.createDataFrame([(1, "x")], "k: long, w: string")
+    out = {
+        tuple(r)
+        for r in salted_join(skewed, other, "k", n_salt=4, how="left").collect()
+    }
+    assert out == {(1, "a", "x"), (2, "b", None)}
+
+
+def test_salted_distinct_count(spark):
+    rows = (
+        [(0, f"u{i % 37}") for i in range(500)]  # hot key, 37 distinct
+        + [(1, "a"), (1, "a"), (1, "b"), (2, "z")]
+    )
+    df = spark.createDataFrame(rows, "k: long, u: string")
+    got = {
+        r.k: r.n_distinct
+        for r in salted_distinct_count(df, ["k"], "u", n_salt=8).collect()
+    }
+    assert got == {0: 37, 1: 2, 2: 1}
+    exact = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.countDistinct("u").alias("n")).collect()
+    }
+    assert got == exact
