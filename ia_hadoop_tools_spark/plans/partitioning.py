@@ -63,6 +63,37 @@ def assign_range_ids(
     return df.withColumn(out_col, pid)
 
 
+def sample_boundaries(
+    df: DataFrame,
+    key_col: str,
+    n_ranges: int,
+    sample_size: int = 100_000,
+    seed: int = 42,
+) -> list:
+    """Sample ``n_ranges - 1`` range-boundary keys from an existing table —
+    ZipNumPartitioner's sampling mode (mapreduce/ZipNumPartitioner.java:92-135
+    samples an existing cluster's summary; here a seeded sample of the table
+    itself, so it works for STRING sort keys where ``approxQuantile`` doesn't).
+    Feed the result to ``assign_range_ids``/``write_named_shards`` to re-shard
+    new data congruently with an existing cluster. Deterministic for a fixed
+    (data, seed); driver memory is bounded by ``sample_size`` keys.
+    """
+    if n_ranges < 2:
+        return []
+    n = df.count()
+    if n == 0:
+        return []
+    frac = min(1.0, sample_size / n)
+    sampled = df.select(key_col) if frac >= 1.0 else df.select(key_col).sample(
+        fraction=frac, seed=seed
+    )
+    keys = sorted(r[0] for r in sampled.collect() if r[0] is not None)
+    if not keys:
+        return []
+    step = len(keys) / n_ranges
+    return sorted({keys[min(int(i * step), len(keys) - 1)] for i in range(1, n_ranges)})
+
+
 def write_named_shards(
     df: DataFrame,
     path: str,

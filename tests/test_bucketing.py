@@ -1,0 +1,59 @@
+"""Bucketed co-located join (shuffle-free SMJ) + boundary sampling tests."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.plans.bucketing import (
+    bucketed_tables_join,
+    plan_has_exchange,
+    write_bucketed,
+)
+from ia_hadoop_tools_spark.plans.partitioning import assign_range_ids, sample_boundaries
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    old = spark.conf.get("spark.sql.warehouse.dir", None)
+    yield str(tmp_path / "wh")
+    for t in ("b_left", "b_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_no_exchange(spark, warehouse, tmp_path):
+    a = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    b = spark.range(2500).select(F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
+    write_bucketed(a, "b_left", "k", n_buckets=8, path=str(tmp_path / "l"))
+    write_bucketed(b, "b_right", "k", n_buckets=8, path=str(tmp_path / "r"))
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_tables_join(spark, "b_left", "b_right", "k")
+        assert not plan_has_exchange(j), "bucketed join must not shuffle"
+        assert j.count() == 2500
+
+        # contrast: the same join over raw (unbucketed) frames shuffles
+        raw = a.join(b, "k")
+        assert plan_has_exchange(raw)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_sample_boundaries_string_keys(spark):
+    df = spark.createDataFrame(
+        [(f"k{i:05d}",) for i in range(10000)], "urlkey: string"
+    )
+    bounds = sample_boundaries(df, "urlkey", 4, sample_size=2000)
+    assert 1 <= len(bounds) <= 3
+    assert bounds == sorted(bounds)
+    # boundaries split the key space into non-degenerate ranges
+    ided = assign_range_ids(df, bounds, "urlkey")
+    sizes = {r.range_id: r.n for r in ided.groupBy("range_id").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) == len(bounds) + 1 or len(sizes) == len(bounds)
+    assert min(sizes.values()) > 500  # roughly balanced
+
+    # determinism
+    assert bounds == sample_boundaries(df, "urlkey", 4, sample_size=2000)
