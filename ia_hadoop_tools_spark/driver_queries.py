@@ -1232,7 +1232,9 @@ GROUP BY n_name
 # entry: the driver records the weaker rows-only check for these by design.
 
 def q_ann_lsh(spark, sf_dir):
-    """Random-hyperplane LSH ANN (deterministic seed, approximate recall)."""
+    """Random-hyperplane LSH ANN. Deterministic (seeded hyperplanes), so the
+    approximation itself is oracle-checked: the SQL mirror reproduces the sign
+    bits, band keys, candidate join, and ranking bit-for-bit."""
     from ia_hadoop_tools_spark.operators.similarity import ann_lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1240,9 +1242,59 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(e, q, k=ANN_K)
 
 
+def _ann_lsh_sql(num_planes: int = 16, bands: int = 4, dim: int = 64) -> str:
+    from ia_hadoop_tools_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(num_planes, dim)
+    width = num_planes // bands
+    rows = ",\n    ".join(
+        f"({pid}, [{', '.join(repr(x) for x in w)}]::DOUBLE[])"
+        for pid, w in enumerate(planes)
+    )
+    dot_pw = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * p.w[CAST(i AS INT)]))"
+    )
+    return f"""
+WITH planes(pid, w) AS (
+  VALUES
+    {rows}
+),
+bits AS (
+  SELECT e.vec_id, p.pid,
+    CASE WHEN {dot_pw} >= 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p
+),
+codes AS (
+  SELECT vec_id, CAST(pid // {width} AS INT) AS band,
+    CAST(CAST(pid // {width} AS INT) AS VARCHAR) || '_' ||
+      array_to_string(list(bit ORDER BY pid), '_') AS bkey
+  FROM bits GROUP BY vec_id, CAST(pid // {width} AS INT)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM codes q JOIN codes c ON q.bkey = c.bkey
+  WHERE q.vec_id < {ANN_NUM_QUERIES} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT cand.query_id, cand.neighbor_id, {_cos2('a', 'q')} AS cosine,
+    row_number() OVER (PARTITION BY cand.query_id
+      ORDER BY {_cos2('a', 'q')} DESC, cand.neighbor_id) AS rank
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.neighbor_id
+  JOIN embeddings q ON q.vec_id = cand.query_id
+) WHERE rank <= {ANN_K}
+"""
+
+
+SQL_ANN_LSH = _ann_lsh_sql()
+
+
 def q_multimodal_decode(spark, sf_dir):
-    """Opaque-binary decode/feature-extract plumbing (deterministic fake
-    codec): documents' text bytes stand in for media payloads."""
+    """Opaque-binary decode/feature-extract plumbing (mapInPandas + Arrow):
+    documents' text bytes stand in for media payloads. The deterministic fake
+    codec derives features from md5(payload), which IS SQL-expressible — so
+    even this pandas-UDF stage gets a full value-hash oracle."""
     from ia_hadoop_tools_spark.operators.multimodal import decode_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -1255,14 +1307,28 @@ def q_multimodal_decode(spark, sf_dir):
         F.encode("text", "utf-8").alias("payload"),
     )
     out = decode_features(media)
-    # stable projection: feature arrays -> rounded first component + norm proxy
+    # stable projection: feature arrays -> rounded first component + dim
     return out.select(
         "asset_id",
         "media_type",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        # float32 -> double BEFORE round: byte/256 is exact in both widths,
+        # but round() on float32 yields a different double representation
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
         F.size("feature").alias("dim"),
         "decode_error",
     )
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id AS asset_id,
+  CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+  round(CAST(CAST('0x' || substr(md5(text), 1, 2) AS INT) AS DOUBLE) / 256.0, 6)
+    AS f0,
+  CAST(8 AS INTEGER) AS dim,
+  CAST(NULL AS VARCHAR) AS decode_error
+FROM documents
+"""
 
 
 def q_wat_extract(spark, sf_dir):
@@ -1387,4 +1453,6 @@ ORACLES = {
     "tpch_q3": SQL_TPCH_Q3,
     "ann_ivf": SQL_ANN_IVF,
     "tpch_q5": SQL_TPCH_Q5,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "ann_lsh": SQL_ANN_LSH,
 }

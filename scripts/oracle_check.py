@@ -44,6 +44,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         )
         return issues
     a, b = normalize(spark_pdf), normalize(duck_pdf)
+    # dtype drift is warn-only here (values compare loosely below), but the
+    # driver's value-hash may be representation-sensitive — surface it.
+    for c in a.columns:
+        if str(a[c].dtype) != str(b[c].dtype):
+            print(f"  dtype-warn {name}.{c}: spark={a[c].dtype} duck={b[c].dtype}")
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c].tolist(), b[c].tolist()
