@@ -249,6 +249,44 @@ def cmd_hdfs_touch(args):
     open(args.path, "a").close()
 
 
+def cmd_file_search(args):
+    """file-search (FileSearchTool, jobs/JobDriver.java:72-74): byte-offset
+    binary search in a SORTED text file; prints every line starting with the
+    given prefix. The same binary search the range query does over
+    ALL.summary (SortedTextFile semantics), as a standalone utility."""
+    prefix = args.key
+
+    def line_at(fh, pos):
+        """(line_start_offset, line) for the first full line at/after pos."""
+        if pos > 0:
+            fh.seek(pos - 1)
+            fh.readline()  # consume the partial line
+        else:
+            fh.seek(0)
+        start = fh.tell()
+        return start, fh.readline()
+
+    with open(args.file, "rb") as fh:
+        fh.seek(0, 2)
+        size = fh.tell()
+        lo, hi = 0, size
+        # find the smallest line-start whose line >= prefix
+        while lo < hi:
+            mid = (lo + hi) // 2
+            start, line = line_at(fh, mid)
+            if not line or line.decode(errors="replace").rstrip("\n") >= prefix:
+                hi = mid
+            else:
+                lo = mid + 1
+        start, _ = line_at(fh, lo)
+        fh.seek(start)
+        for raw in fh:
+            line = raw.decode(errors="replace").rstrip("\n")
+            if not line.startswith(prefix):
+                break
+            sys.stdout.write(line + "\n")
+
+
 def cmd_hdfs_sync(args):
     """hdfs-sync (util/HDFSSync.java:19-60): stdin 'SRC TGT' pairs,
     copy-if-absent."""
@@ -374,6 +412,11 @@ def main(argv=None):
 
     s = sub.add_parser("hdfs-sync", help="stdin 'SRC TGT' pairs, copy-if-absent")
     s.set_defaults(fn=cmd_hdfs_sync)
+
+    s = sub.add_parser("file-search", help="binary search a sorted text file")
+    s.add_argument("file")
+    s.add_argument("key", help="print all lines starting with this prefix")
+    s.set_defaults(fn=cmd_file_search)
 
     args = p.parse_args(argv)
     args.fn(args)

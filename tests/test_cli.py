@@ -79,3 +79,18 @@ def test_hdfs_utils(tmp_path, capsys, monkeypatch):
     )
     log = _run(capsys, "hdfs-sync")
     assert "copied" in log and (tmp_path / "c.bin").exists()
+
+
+def test_file_search_binary_search(tmp_path, capsys):
+    p = tmp_path / "sorted.txt"
+    p.write_text("".join(f"k{i:05d} value{i}\n" for i in range(0, 20000, 3)))
+    out = _run(capsys, "file-search", str(p), "k00102")
+    assert out == "k00102 value102\n"
+    # prefix matching multiple lines
+    out = _run(capsys, "file-search", str(p), "k0010")
+    assert out.splitlines() == [f"k{i:05d} value{i}" for i in range(102, 110, 3)]
+    # before-first and after-last
+    assert _run(capsys, "file-search", str(p), "a") == ""
+    assert _run(capsys, "file-search", str(p), "z") == ""
+    # first line of the file
+    assert _run(capsys, "file-search", str(p), "k00000") == "k00000 value0\n"
