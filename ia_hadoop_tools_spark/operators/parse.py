@@ -184,3 +184,28 @@ def parse_crawllog(df: DataFrame, value_col: str = "value") -> DataFrame:
     out = df.select(*cols)
     assert [f.name for f in CRAWLLOG_SCHEMA.fields] == out.columns
     return out
+
+
+def recanonicalize(
+    df: DataFrame,
+    url_col: str = "original_url",
+    key_col: str = "urlkey",
+    skip_on_fail: bool = True,
+    use_udf: bool = True,
+) -> DataFrame:
+    """Re-key CDX rows from their original URL (pig/udf/Recanonicalize.java:
+    10-53, toSURT.java:4-9 — re-run canonicalization over an existing table,
+    e.g. after canonicalizer rule changes).
+
+    ``use_udf=True`` routes through the full pandas canonicalizer (IP-literal
+    and session-param edge cases); ``False`` uses the pure-codegen
+    ``surt_expr`` hot path. ``skip_on_fail`` drops rows whose URL cannot be
+    canonicalized (CDXMapper.java:111-119 skipOnCanonFail).
+    """
+    from ia_hadoop_tools_spark.functions.surt import surt_expr, surt_udf
+
+    key = surt_udf(F.col(url_col)) if use_udf else surt_expr(F.col(url_col))
+    out = df.withColumn(key_col, key)
+    if skip_on_fail:
+        out = out.filter(F.col(key_col).isNotNull())
+    return out

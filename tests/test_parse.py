@@ -87,3 +87,77 @@ def test_parse_crawllog_dash_fields(spark):
     assert r.size == -1  # '-' -> -1 (CrawlLogLoader semantics)
     assert r.start_time is None and r.duration is None
     assert r.via_url is None and r.annotations is None
+
+
+def test_recanonicalize(spark):
+    from ia_hadoop_tools_spark.operators.parse import recanonicalize
+
+    df = spark.createDataFrame(
+        [
+            ("stale-key", "http://www.Example.com/A?b=2&a=1"),
+            ("bad", "::::not a url::::"),
+        ],
+        "urlkey: string, original_url: string",
+    )
+    rows = recanonicalize(df).collect()
+    assert len(rows) == 1  # skip_on_fail drops the bad URL
+    assert rows[0].urlkey == "com,example)/a?a=1&b=2"
+    kept = recanonicalize(df, skip_on_fail=False).collect()
+    assert len(kept) == 2
+
+
+def test_date_filter_grammar(tmp_path):
+    import os
+    import time
+
+    from ia_hadoop_tools_spark.sources.listing import parse_date_filter
+
+    def ep(s):
+        from datetime import datetime, timezone
+
+        return datetime.strptime(s, "%Y-%m-%d").replace(tzinfo=timezone.utc).timestamp()
+
+    p = parse_date_filter("mtime > 2020-01-01")
+    assert p(ep("2020-06-01")) and not p(ep("2019-06-01"))
+
+    p = parse_date_filter("2020-01-01 < mtime <= 2020-12-31")  # flipped + range
+    assert p(ep("2020-06-01"))
+    assert not p(ep("2019-12-31")) and not p(ep("2021-01-01"))
+    assert p(ep("2020-12-31"))  # inclusive upper
+
+    p = parse_date_filter("< 20200101000000")  # implicit mtime, 14-digit date
+    assert p(ep("2019-01-01")) and not p(ep("2020-06-01"))
+
+    # date-from-file-mtime: a path literal stands in for its own mtime
+    ref = tmp_path / "marker"
+    ref.write_text("x")
+    os.utime(ref, (time.time() - 1000, time.time() - 1000))
+    p = parse_date_filter(f"mtime >= {ref}")
+    assert p(time.time()) and not p(time.time() - 5000)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_date_filter("mtime ~ 2020-01-01")
+    with _pytest.raises(ValueError):
+        parse_date_filter("2020-01-01 < notmtime")
+
+
+def test_list_files_date_filter(spark, tmp_path):
+    import os
+    import time
+
+    from ia_hadoop_tools_spark.sources.listing import list_files_df
+
+    old = tmp_path / "old.txt"
+    new = tmp_path / "new.txt"
+    old.write_text("o")
+    new.write_text("n")
+    os.utime(old, (time.time() - 86400 * 30,) * 2)
+    got = [
+        os.path.basename(r.path)
+        for r in list_files_df(
+            spark, str(tmp_path), date_filter=f"mtime > {old}"
+        ).collect()
+    ]
+    assert got == ["new.txt"]
