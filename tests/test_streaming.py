@@ -122,3 +122,51 @@ def test_stateful_state_carries_across_batches(spark, tmp_path):
     assert len(open7) == 1
     assert open7[0].n_events == 2 and open7[0].start_us == 0
     assert open7[0].total_value == 3.0
+
+
+def test_session_window_stream_with_watermark(spark, tmp_path):
+    """sessionize_events on a real stream: watermarked session_window in
+    append mode emits only FINALIZED sessions (close < watermark)."""
+    src = tmp_path / "sw_in"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, value double"
+    rows = [
+        (1, "2020-01-01 00:00:00", 1.0),
+        (1, "2020-01-01 00:10:00", 2.0),   # same session (10 min gap)
+        (1, "2020-01-01 05:00:00", 4.0),   # far future event advances the
+        (2, "2020-01-01 05:00:00", 8.0),   # watermark past session 1's close
+    ]
+    df = spark.createDataFrame(
+        [(u, __import__("datetime").datetime.fromisoformat(t), v) for u, t, v in rows],
+        schema,
+    )
+    df.coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    from ia_hadoop_tools_spark.streaming.sessions import sessionize_events
+
+    sessions = sessionize_events(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sw_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.start_us): r
+        for r in spark.sql("SELECT * FROM sw_sessions").collect()
+    }
+    # only user 1's first session is finalized (closed 00:40 < watermark 04:00);
+    # the 05:00 sessions are still open pending the watermark.
+    base = __import__("datetime").datetime.fromisoformat("2020-01-01 00:00:00")
+    start_us = int(base.timestamp() * 1_000_000)
+    assert list(got) == [(1, start_us)]
+    s = got[(1, start_us)]
+    assert s.n_events == 2 and s.total_value == 3.0
