@@ -24,3 +24,12 @@ from ia_hadoop_tools_spark.operators.cluster import (  # noqa: F401
 )
 from ia_hadoop_tools_spark.operators.merge import merge_clusters  # noqa: F401
 from ia_hadoop_tools_spark.operators.setops import work_queue  # noqa: F401
+from ia_hadoop_tools_spark.operators.rekey import cdx_transform  # noqa: F401
+from ia_hadoop_tools_spark.operators.parse import recanonicalize  # noqa: F401
+from ia_hadoop_tools_spark.operators.extract import (  # noqa: F401
+    archive_file_extractor,
+    cdx_generate,
+    http_import,
+    warc_metadata_generate,
+    wat_generate,
+)

@@ -5,4 +5,13 @@ from ia_hadoop_tools_spark.sources.zipnum import (  # noqa: F401
     write_zipnum,
     zipnum_range,
 )
-from ia_hadoop_tools_spark.sources.listing import list_files_df  # noqa: F401
+from ia_hadoop_tools_spark.sources.listing import (  # noqa: F401
+    list_files_df,
+    parse_date_filter,
+    read_text_listing,
+)
+from ia_hadoop_tools_spark.sources.zipnum import (  # noqa: F401
+    manifest_aggregator,
+    summary_generator,
+)
+from ia_hadoop_tools_spark.sources.http import read_http_paged  # noqa: F401
