@@ -81,6 +81,48 @@ def _iter_warc_records_minimal(stream: io.BufferedReader):
         yield headers, payload, start
 
 
+def _iter_warc_records_any(path: str):
+    """Yield (headers, payload, offset, length) for every WARC record.
+
+    For ``.gz`` inputs, iterates GZIP MEMBERS: offset/length are the
+    member's COMPRESSED byte range — the values the CDX contract stores
+    (compressed_offset/compressed_length, §1.1) and that range-fetch
+    repackaging consumes (`archive_file_extractor`). Uncompressed inputs
+    report the record's byte offset with length None.
+    """
+    import zlib
+
+    if not path.endswith(".gz"):
+        with open(path, "rb") as fh:
+            yield from (
+                (h, p, off, None) for h, p, off in _iter_warc_records_minimal(fh)
+            )
+        return
+    with open(path, "rb") as fh:
+        pos = 0
+        fh.seek(0, 2)
+        size = fh.tell()
+        while pos < size:
+            fh.seek(pos)
+            d = zlib.decompressobj(31)
+            chunks = []
+            consumed = 0
+            while True:
+                chunk = fh.read(1 << 16)
+                if not chunk:
+                    break
+                chunks.append(d.decompress(chunk))
+                consumed += len(chunk) - len(d.unused_data)
+                if d.eof:
+                    break
+            if not d.eof:
+                raise IOError(f"truncated gzip member at offset {pos}")
+            payload = b"".join(chunks)
+            for h, p, _ in _iter_warc_records_minimal(io.BytesIO(payload)):
+                yield h, p, pos, consumed
+            pos += consumed
+
+
 def cdx_generate(paths_df: DataFrame, surt_fn=None) -> DataFrame:
     """(W)ARC file paths -> CDX rows (one output row per response record).
 
@@ -133,7 +175,7 @@ def cdx_generate(paths_df: DataFrame, surt_fn=None) -> DataFrame:
                                 )
                             )
                     else:
-                        for headers, payload, off in _iter_warc_records_minimal(stream):
+                        for headers, payload, off, mlen in _iter_warc_records_any(path):
                             if headers.get("warc-type") not in ("response", "revisit"):
                                 continue
                             url = headers.get("warc-target-uri")
@@ -170,7 +212,7 @@ def cdx_generate(paths_df: DataFrame, surt_fn=None) -> DataFrame:
                                     digest=_b32_sha1(body),
                                     redirect=location,
                                     meta_flags=None,
-                                    compressed_length=None,
+                                    compressed_length=mlen,
                                     compressed_offset=off,
                                     filename=fname,
                                     error=None,

@@ -142,3 +142,27 @@ def test_archive_file_extractor_roundtrip(spark, warc_path, tmp_path):
     with gzip.open(res[0].out_path, "rb") as fh:
         first = fh.read(200)
     assert first.startswith(b"WARC/1.0\r\nWARC-Type: warcinfo")
+
+
+def test_cdx_offsets_drive_repackaging(spark, warc_path, tmp_path):
+    """The reference's actual workflow loop: CDX offsets from extraction are
+    the byte ranges repackaging consumes. cdx_generate on a member-gzipped
+    WARC must report COMPRESSED member offsets/lengths usable directly as an
+    ArchiveFileExtractor spec."""
+    cdx = cdx_generate(_paths_df(spark, warc_path)).collect()
+    assert all(r.compressed_offset is not None for r in cdx)
+    assert all(r.compressed_length and r.compressed_length > 0 for r in cdx)
+    # offsets are member starts: contiguous in compressed space for our fixture
+    offs = sorted((r.compressed_offset, r.compressed_length) for r in cdx)
+    assert offs[0][0] == 0
+
+    spec = spark.createDataFrame(
+        [("loop", warc_path, int(r.compressed_offset), i)
+         for i, r in enumerate(sorted(cdx, key=lambda r: r.compressed_offset))],
+        "prefix: string, path: string, offset: long, seq: long",
+    )
+    res = archive_file_extractor(spec, str(tmp_path / "loop_out")).collect()
+    assert res[0].error is None and res[0].n_members == 2
+
+    back = cdx_generate(_paths_df(spark, res[0].out_path)).collect()
+    assert sorted(r.digest for r in back) == sorted(r.digest for r in cdx)
