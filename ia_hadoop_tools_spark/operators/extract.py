@@ -326,17 +326,19 @@ def wat_generate(paths_df: DataFrame) -> DataFrame:
             for path in pdf["path"]:
                 fname = os.path.basename(path)
                 try:
-                    raw = open(path, "rb")
-                    stream = gzip.open(raw) if path.endswith(".gz") else raw
-                    for headers, payload, off in _iter_warc_records_minimal(stream):
+                    for headers, payload, off, mlen in _iter_warc_records_any(path):
                         rec_type = headers.get("warc-type", "-")
                         envelope: dict = {
                             "Format": "WARC",
                             "WARC-Header-Metadata": {
                                 k: v for k, v in sorted(headers.items())
                             },
+                            # compressed member range for .gz containers —
+                            # the byte range a Wayback-style range fetch uses
                             "Container": {"Filename": fname, "Offset": off},
                         }
+                        if mlen is not None:
+                            envelope["Container"]["Compressed-Length"] = mlen
                         if rec_type in ("response", "revisit"):
                             http, body = _http_meta(payload)
                             pm: dict = {"HTTP-Response-Metadata": http}
@@ -365,7 +367,6 @@ def wat_generate(paths_df: DataFrame) -> DataFrame:
                                 error=None,
                             )
                         )
-                    stream.close()
                 except Exception as e:  # -soft
                     out.append(
                         dict.fromkeys(
