@@ -1372,6 +1372,98 @@ def q_wat_extract(spark, sf_dir):
     )
 
 
+# 39. simhash_pairs — SimHash near-dup candidate pairs (band-blocked
+# self-join + Hamming verification), fully oracle-checked
+
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.textops import simhash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(
+        d, bits=32, max_hamming=SIMHASH_MAX_HAMMING, band_bits=8
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _simhash_pairs_sql() -> str:
+    sims = _simhash_sql(32).strip()
+    return f"""
+WITH sims AS ({sims}),
+bands AS (
+  SELECT doc_id, simhash,
+    CAST(b AS VARCHAR) || '_' ||
+      CAST((simhash >> CAST(b * 8 AS INT)) % 256 AS VARCHAR) AS bkey
+  FROM sims CROSS JOIN range(4) t(b)
+)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+    bit_count(xor(l.simhash, r.simhash)) AS hamming
+  FROM bands l JOIN bands r ON l.bkey = r.bkey AND l.doc_id < r.doc_id
+) WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+SQL_SIMHASH_PAIRS = _simhash_pairs_sql()
+
+
+# 40. embedding_neardup_lsh — the LSH-bucketed scale path of embedding
+# near-dup (exact version is query 28); deterministic planes -> full oracle
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.similarity import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=NEARDUP_COS_THRESHOLD)
+
+
+def _embedding_neardup_lsh_sql(num_planes: int = 16, bands: int = 4) -> str:
+    from ia_hadoop_tools_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(num_planes, 64)
+    width = num_planes // bands
+    rows = ",\n    ".join(
+        f"({pid}, [{', '.join(repr(x) for x in w)}]::DOUBLE[])"
+        for pid, w in enumerate(planes)
+    )
+    dot_pw = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * p.w[CAST(i AS INT)]))"
+    )
+    return f"""
+WITH planes(pid, w) AS (
+  VALUES
+    {rows}
+),
+bits AS (
+  SELECT e.vec_id, p.pid,
+    CASE WHEN {dot_pw} >= 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p
+),
+codes AS (
+  SELECT vec_id,
+    CAST(CAST(pid // {width} AS INT) AS VARCHAR) || '_' ||
+      array_to_string(list(bit ORDER BY pid), '_') AS bkey
+  FROM bits GROUP BY vec_id, CAST(pid // {width} AS INT)
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM codes l JOIN codes r ON l.bkey = r.bkey
+  WHERE l.vec_id < r.vec_id
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT cand.id_a, cand.id_b, {_cos2('a', 'b')} AS cosine
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.id_a
+  JOIN embeddings b ON b.vec_id = cand.id_b
+) WHERE cosine >= {NEARDUP_COS_THRESHOLD}
+"""
+
+
+SQL_EMBEDDING_NEARDUP_LSH = _embedding_neardup_lsh_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1411,7 +1503,8 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "ann_ivf": q_ann_ivf,
     "tpch_q5": q_tpch_q5,
-    # rows-only (no oracle_sql entry by design — see section comment)
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ann_lsh": q_ann_lsh,
     "multimodal_decode": q_multimodal_decode,
     "wat_extract": q_wat_extract,
@@ -1455,4 +1548,6 @@ ORACLES = {
     "tpch_q5": SQL_TPCH_Q5,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "ann_lsh": SQL_ANN_LSH,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
 }
