@@ -276,24 +276,28 @@ def embedding_neardup_pairs(
             for b in range(bands)
         ]
     )
+    from pyspark import StorageLevel
+
+    # persist the banded projection: both sides of the self-join read it, and
+    # the 16 interpreted hyperplane dots per row are the dominant CPU
     e = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.explode(band_keys).alias("bucket")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     l, r = e.alias("l"), e.alias("r")
+    # cosine BEFORE dedup: the distinct shuffle then carries (id, id, scalar)
+    # instead of two 64-float arrays per candidate; the value is identical for
+    # every duplicate of a pair, so dedup keys on the ids alone.
     pairs = (
         l.join(r, on="bucket")
         .filter(F.col("l.id") < F.col("r.id"))
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.col("l.vec").alias("__va"),
-            F.col("r.vec").alias("__vb"),
+            F.round(cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6).alias(
+                "cosine"
+            ),
         )
+        .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
-        )
     )
-    return pairs.filter(F.col("cosine") >= threshold)
+    return pairs
