@@ -20,11 +20,14 @@ def _c(col: Column | str) -> Column:
 
 
 def ts14_to_timestamp(col: Column | str) -> Column:
-    """14/17-digit string -> TimestampType (UTC); null if length is neither."""
+    """14/17-digit string -> TimestampType (UTC); null if length is neither
+    or the digits don't parse (try-variants: malformed data nulls out instead
+    of failing the job under ANSI mode — the reference's loaders drop, never
+    crash)."""
     c = _c(col)
-    base = F.to_timestamp(F.substring(c, 1, 14), "yyyyMMddHHmmss")
+    base = F.try_to_timestamp(F.substring(c, 1, 14), F.lit("yyyyMMddHHmmss"))
     with_millis = F.timestamp_millis(
-        F.unix_millis(base) + F.substring(c, 15, 3).cast("long")
+        F.unix_millis(base) + F.substring(c, 15, 3).try_cast("long")
     )
     return (
         F.when(F.length(c) == 14, base)

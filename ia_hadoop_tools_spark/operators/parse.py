@@ -126,10 +126,13 @@ def parse_cdx(df: DataFrame, value_col: str = "value", variant: str = "auto") ->
         c = cols[name]
         if name in _DASH_NULLABLE:
             c = _nullif_dash(c)
+        # try_cast: malformed numerics null out (the reference keeps these as
+        # strings in flight and validates later; under ANSI a plain cast
+        # would fail the whole job on one dirty line)
         if name == "statuscode":
-            c = c.cast("int")
+            c = c.try_cast("int")
         elif name in ("compressed_length", "compressed_offset"):
-            c = c.cast("long")
+            c = c.try_cast("long")
         out.append(c.alias(name))
     return df.select(*out)
 
@@ -160,9 +163,9 @@ def parse_crawllog(df: DataFrame, value_col: str = "value") -> DataFrame:
     size_raw = tok(3)
     cols = [
         tok(1).alias("log_ts"),
-        tok(2).cast("int").alias("status"),
+        tok(2).try_cast("int").alias("status"),
         F.coalesce(
-            F.when(size_raw == "-", F.lit(-1)).otherwise(size_raw.cast("long")), F.lit(-1)
+            F.when(size_raw == "-", F.lit(-1)).otherwise(size_raw.try_cast("long")), F.lit(-1)
         ).alias("size"),
         tok(4).alias("url"),
         _nullif_dash(tok(5)).alias("discovery_path"),
@@ -173,7 +176,7 @@ def parse_crawllog(df: DataFrame, value_col: str = "value") -> DataFrame:
         .otherwise(F.split(f8, r"\+").getItem(0))
         .alias("start_time"),
         F.when(f8 == "-", F.lit(None).cast("long"))
-        .otherwise(F.split(f8, r"\+").getItem(1).cast("long"))
+        .otherwise(F.split(f8, r"\+").getItem(1).try_cast("long"))
         .alias("duration"),
         _nullif_dash(tok(10)).alias("content_hash"),
         _nullif_dash(tok(11)).alias("source_tag"),

@@ -161,3 +161,40 @@ def test_list_files_date_filter(spark, tmp_path):
         ).collect()
     ]
     assert got == ["new.txt"]
+
+
+def test_dirty_numerics_never_crash_under_ansi(spark):
+    """The reference drops/nulls malformed numerics; under Spark ANSI mode a
+    plain cast would fail the whole job on one dirty line — try_cast keeps
+    the drop/null contract."""
+    from ia_hadoop_tools_spark.functions.datetime14 import ts14_to_epoch_millis
+    from ia_hadoop_tools_spark.operators.parse import parse_cdx, parse_crawllog
+
+    dirty_cdx = spark.createDataFrame(
+        [("com,x)/ 20200101000000 http://x.com/ text/html 30x D - - 1Z 9Q f.gz",)],
+        "value: string",
+    )
+    row = parse_cdx(dirty_cdx).collect()[0]
+    assert row.statuscode is None
+    assert row.compressed_length is None and row.compressed_offset is None
+
+    bad_ts = spark.createDataFrame(
+        [("2020010100000X",), ("20200101000000123",), ("2020010100000012X",)],
+        "ts: string",
+    )
+    got = [r.ms for r in bad_ts.select(ts14_to_epoch_millis("ts").alias("ms")).collect()]
+    assert got[0] is None          # 14-char non-numeric
+    assert got[1] is not None      # valid 17-digit
+    assert got[2] is None          # 17-char with bad millis
+
+    dirty_log = spark.createDataFrame(
+        [(
+            "2012-01-03T08:45:08Z 2XX 5k61 http://e.com/ - - - #1 "
+            "20120103084507123+4x6 sha1:X - -",
+        )],
+        "value: string",
+    )
+    r = parse_crawllog(dirty_log).collect()[0]
+    assert r.status is None
+    assert r.size == -1            # bad size -> -1 (CrawlLogLoader.java:67-93)
+    assert r.duration is None
