@@ -278,26 +278,31 @@ def embedding_neardup_pairs(
     )
     from pyspark import StorageLevel
 
-    # persist the banded projection: both sides of the self-join read it, and
-    # the 16 interpreted hyperplane dots per row are the dominant CPU
-    e = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.explode(band_keys).alias("bucket")
+    # The band self-join emits one row per COLLISION (a pair colliding in k
+    # bands appears k times, and bucket sizes are corpus/2^band_bits — big).
+    # So: (1) the banded rows carry ONLY (id, bucket) — no vectors — and the
+    # collision join + distinct are skinny-row shuffles; (2) cosine runs ONCE
+    # per DISTINCT candidate pair after joining vectors back (the same
+    # candidates-then-verify shape as minhash_lsh_pairs).
+    banded = df.select(
+        F.col(id_col).alias("id"), F.explode(band_keys).alias("bucket")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    l, r = e.alias("l"), e.alias("r")
-    # cosine BEFORE dedup: the distinct shuffle then carries (id, id, scalar)
-    # instead of two 64-float arrays per candidate; the value is identical for
-    # every duplicate of a pair, so dedup keys on the ids alone.
-    pairs = (
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
         l.join(r, on="bucket")
         .filter(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.round(cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6).alias(
-                "cosine"
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
