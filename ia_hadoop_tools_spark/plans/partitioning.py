@@ -42,25 +42,44 @@ def assign_range_ids(
     boundaries: Sequence[str],
     key_col: str = "urlkey",
     out_col: str = "range_id",
+    linear_scan_max: int = 32,
 ) -> DataFrame:
-    """Add ``out_col`` = number of boundaries <= key (AlphaPartitioner's
-    insertion-point-minus-one). ``boundaries`` are the k range-start keys
-    (sorted); keys below boundaries[0] get id 0 along with the first range.
+    """Add ``out_col`` = number of boundaries <= key, minus one, floored at 0
+    (AlphaPartitioner's insertion-point-minus-one, :31-41). ``boundaries`` are
+    the k range-start keys (sorted); keys below boundaries[0] get id 0 along
+    with the first range. Zero shuffle either way; the subsequent
+    ``partitionBy`` write or ``repartitionByRange(out_col)`` realizes the
+    physical layout.
 
-    Implemented as an aggregate over a literal array — O(k) comparisons per
-    row inside codegen, zero shuffle; the subsequent ``partitionBy`` write or
-    ``repartitionByRange(out_col)`` realizes the physical layout.
+    Two strategies: small boundary lists inline as a codegen'd O(k) scan;
+    larger ones use a vectorized Arrow-batched binary search
+    (``np.searchsorted`` — the literal AlphaPartitioner algorithm), because a
+    per-row O(k) expression over thousands of boundaries at billions of rows
+    is the wrong complexity class.
     """
     bnds = sorted(boundaries)
-    arr = F.array(*[F.lit(b) for b in bnds])
     key = F.col(key_col)
-    pid = F.aggregate(
-        arr,
-        F.lit(0),
-        lambda acc, b: acc + F.when(key >= b, 1).otherwise(0),
-    )
-    pid = F.greatest(pid - 1, F.lit(0))
-    return df.withColumn(out_col, pid)
+    if len(bnds) <= linear_scan_max:
+        arr = F.array(*[F.lit(b) for b in bnds])
+        pid = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(key >= b, 1).otherwise(0),
+        )
+        return df.withColumn(out_col, F.greatest(pid - 1, F.lit(0)))
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bnd_arr = np.array(bnds, dtype=object)
+
+    def _bucket(keys):
+        ids = np.searchsorted(bnd_arr, keys.to_numpy(dtype=object), side="right")
+        return pd.Series(np.maximum(ids - 1, 0).astype("int32"))
+
+    _bucket.__annotations__ = {"keys": pd.Series, "return": pd.Series}
+    return df.withColumn(out_col, pandas_udf(_bucket, "int")(key))
 
 
 def sample_boundaries(
