@@ -1464,6 +1464,65 @@ SELECT id_a, id_b, cosine FROM (
 SQL_EMBEDDING_NEARDUP_LSH = _embedding_neardup_lsh_sql()
 
 
+# 41. asof_join — custom time-travel join (Spark lacks one natively;
+# cogrouped pd.merge_asof); DuckDB's native ASOF JOIN is the oracle
+
+def q_asof_join(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    activity = ev.filter(F.col("event_type") != "signup").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.unix_micros("ts").alias("signup_ts_us"),
+        F.col("value").alias("signup_value"),
+    )
+    return asof_join(
+        activity, signups, key_cols="user_id",
+        left_ts="ts_us", right_ts="signup_ts_us", how="inner",
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT e.user_id, e.ts_us, e.event_id, e.value, s.signup_ts_us, s.signup_value
+FROM (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+  FROM events WHERE event_type <> 'signup'
+) e
+ASOF JOIN (
+  SELECT user_id, epoch_us(ts) AS signup_ts_us, value AS signup_value
+  FROM events WHERE event_type = 'signup'
+) s ON e.user_id = s.user_id AND e.ts_us >= s.signup_ts_us
+"""
+
+
+# 42. pivot — wide per-key aggregate matrix (engine-native; FILTER-aggregate
+# form in the oracle keeps it portable)
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(PIVOT_TYPES))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+        )
+    )
+
+
+SQL_PIVOT = "SELECT user_id, " + ", ".join(
+    f"CAST(round(SUM(CAST(value AS DECIMAL(18,2))) "
+    f"FILTER (WHERE event_type = '{t}'), 2) AS DOUBLE) AS {t}"
+    for t in PIVOT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1503,6 +1562,8 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "ann_ivf": q_ann_ivf,
     "tpch_q5": q_tpch_q5,
+    "asof_join": q_asof_join,
+    "pivot": q_pivot,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ann_lsh": q_ann_lsh,
@@ -1548,6 +1609,8 @@ ORACLES = {
     "tpch_q5": SQL_TPCH_Q5,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "ann_lsh": SQL_ANN_LSH,
+    "asof_join": SQL_ASOF_JOIN,
+    "pivot": SQL_PIVOT,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
 }

@@ -1,0 +1,89 @@
+"""As-of (time-travel) join — a custom operator Spark lacks natively.
+
+Not in the reference (its only join forms are §2.5's merges/semi/anti), but a
+standard need for event pipelines built on this engine: attach to each event
+the most recent observation from another time series (price as of trade,
+config as of request, signup as of activity).
+
+Spark-first shape: ``groupBy(key).cogroup(right.groupBy(key))`` +
+``applyInPandas`` running ``pd.merge_asof`` per key group — Arrow-batched,
+one shuffle per side on the key (exactly a sort-merge join's movement), no
+driver involvement. DuckDB's native ASOF JOIN is the differential oracle.
+
+Scale notes: state per task is one key group's rows (bounded by the hottest
+key — salt upstream if one key dominates); both inputs arrive sorted per
+group via the in-function sort, costing O(n log n) per group, same as the
+join's shuffle sort would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str] | str,
+    left_ts: str,
+    right_ts: str | None = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the single right row with the greatest
+    ``right_ts <= left_ts`` per key (direction='backward'; 'forward' takes
+    the smallest ``>=``).
+
+    Right's non-key, non-ts columns are appended; ``right_ts`` is kept
+    (renamed if it collides with a left column). ``how='left'`` keeps
+    unmatched left rows with nulls; 'inner' drops them.
+    """
+    import pandas as pd
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    rts = right_ts or left_ts
+    rename_rts = rts if rts != left_ts and rts not in left.columns else f"__rts_{rts}"
+
+    right_cols = [c for c in right.columns if c not in keys]
+    out_fields = list(left.schema.fields)
+    rfields = {f.name: f for f in right.schema.fields}
+    appended = []
+    for c in right_cols:
+        name = rename_rts if c == rts else c
+        if name in left.columns:
+            name = f"{name}_r"
+        appended.append((name, c))
+        out_fields.append(rfields[c].__class__(name, rfields[c].dataType, True))
+
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(out_fields)
+    left_names = [f.name for f in left.schema.fields]
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        l = l.sort_values(left_ts, kind="mergesort")
+        rr = r[[c for _, c in appended]].rename(
+            columns={c: n for n, c in appended}
+        )
+        rr["__on"] = r[rts]
+        rr["__matched"] = True
+        rr = rr.sort_values("__on", kind="mergesort")
+        l2 = l.copy()
+        l2["__on"] = l[left_ts]
+        merged = pd.merge_asof(
+            l2, rr, on="__on",
+            direction=direction, allow_exact_matches=allow_exact_matches,
+        ).drop(columns="__on")
+        if how == "inner":
+            merged = merged[merged["__matched"].notna()]
+        return merged[[f.name for f in out_fields]]
+
+    grouped = left.groupBy(*keys).cogroup(right.groupBy(*keys))
+
+    def trampoline(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        return merge(l, r)
+
+    return grouped.applyInPandas(trampoline, schema=out_schema)

@@ -1,0 +1,55 @@
+"""asof_join operator tests (cogrouped merge_asof custom operator)."""
+
+from __future__ import annotations
+
+from ia_hadoop_tools_spark.operators.asof import asof_join
+
+
+def _frames(spark):
+    trades = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (1, 50, 5.0), (2, 100, 1.0)],
+        "k: long, ts: long, px: double",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 90, 0.9), (1, 100, 1.0), (1, 150, 1.5), (3, 10, 9.9)],
+        "k: long, qts: long, q: double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_inner(spark):
+    trades, quotes = _frames(spark)
+    out = {
+        (r.k, r.ts): (r.qts, r.q)
+        for r in asof_join(trades, quotes, "k", "ts", "qts").collect()
+    }
+    # ts=100 matches qts=100 exactly (inclusive); ts=200 -> latest qts=150;
+    # ts=50 has no earlier quote -> dropped (inner); k=2 has no quotes at all
+    assert out == {(1, 100): (100, 1.0), (1, 200): (150, 1.5)}
+
+
+def test_asof_left_keeps_unmatched(spark):
+    trades, quotes = _frames(spark)
+    rows = asof_join(trades, quotes, "k", "ts", "qts", how="left").collect()
+    got = {(r.k, r.ts): r.q for r in rows}
+    assert len(rows) == 4
+    assert got[(1, 50)] is None and got[(2, 100)] is None
+    assert got[(1, 200)] == 1.5
+
+
+def test_asof_forward_and_exclusive(spark):
+    trades, quotes = _frames(spark)
+    fwd = {
+        (r.k, r.ts): r.qts
+        for r in asof_join(
+            trades, quotes, "k", "ts", "qts", direction="forward"
+        ).collect()
+    }
+    assert fwd[(1, 50)] == 90 and fwd[(1, 100)] == 100
+    excl = {
+        (r.k, r.ts): r.qts
+        for r in asof_join(
+            trades, quotes, "k", "ts", "qts", allow_exact_matches=False
+        ).collect()
+    }
+    assert excl[(1, 100)] == 90  # exact ts=100 excluded -> falls back to 90
