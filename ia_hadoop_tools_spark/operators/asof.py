@@ -30,6 +30,7 @@ def asof_join(
     direction: str = "backward",
     allow_exact_matches: bool = True,
     how: str = "inner",
+    method: str = "native",
 ) -> DataFrame:
     """For each left row, attach the single right row with the greatest
     ``right_ts <= left_ts`` per key (direction='backward'; 'forward' takes
@@ -38,7 +39,19 @@ def asof_join(
     Right's non-key, non-ts columns are appended; ``right_ts`` is kept
     (renamed if it collides with a left column). ``how='left'`` keeps
     unmatched left rows with nulls; 'inner' drops them.
+
+    ``method='native'`` (default): union the two sides, one window pass with
+    ``last(col, ignorenulls=True)`` carries the latest right values forward
+    within each key — whole plan stays in codegen, one shuffle+sort total,
+    no Python workers. ``method='pandas'``: cogrouped ``pd.merge_asof`` (the
+    template for per-group logic the native form can't express, e.g.
+    tolerance windows).
     """
+    if method == "native":
+        return _asof_native(
+            left, right, key_cols, left_ts, right_ts,
+            direction, allow_exact_matches, how,
+        )
     import pandas as pd
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
@@ -87,3 +100,80 @@ def asof_join(
         return merge(l, r)
 
     return grouped.applyInPandas(trampoline, schema=out_schema)
+
+
+def _asof_native(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str] | str,
+    left_ts: str,
+    right_ts: str | None,
+    direction: str,
+    allow_exact_matches: bool,
+    how: str,
+) -> DataFrame:
+    """Window formulation: sort the union of both sides on (key, ts, side)
+    and carry the latest right values onto each left row with
+    ``last(ignorenulls=True)``. Side ordering encodes inclusivity: for
+    backward-inclusive, right rows sort BEFORE left rows at equal ts, so an
+    exact-ts right row is visible to the left row; exclusive flips it.
+    'forward' runs the same scan over descending ts.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    rts = right_ts or left_ts
+
+    right_val_cols = [c for c in right.columns if c not in keys]
+    appended = []
+    for c in right_val_cols:
+        name = c
+        if name in left.columns:
+            name = f"{name}_r"
+        appended.append((name, c))
+
+    l_side = left.select(
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(n) for n, c in appended],
+        F.lit(1).alias("__is_left"),
+        F.col(left_ts).alias("__ts"),
+    )
+    r_side = right.select(
+        *[
+            F.col(c) if c in keys else F.lit(None).cast(t).alias(c)
+            for c, t in left.dtypes
+        ],
+        *[F.col(c).alias(n) for n, c in appended],
+        F.lit(0).alias("__is_left"),
+        F.col(rts).alias("__ts"),
+    )
+    unioned = l_side.unionByName(r_side)
+
+    # side order at equal ts: inclusive -> right first (0,1); exclusive ->
+    # right last (so the exact-ts right row is NOT visible to the left row)
+    side = F.col("__is_left") if allow_exact_matches else -F.col("__is_left")
+    ts_ord = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_ord, side)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("__is_left") == 0, F.col(n)), ignorenulls=True)
+            .over(w)
+            .alias(f"__f_{n}")
+            for n, _ in appended
+        ],
+        F.last(F.when(F.col("__is_left") == 0, F.lit(1)), ignorenulls=True)
+        .over(w)
+        .alias("__matched"),
+    ).filter(F.col("__is_left") == 1)
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"__f_{n}").alias(n) for n, _ in appended
+    ]
+    if how == "inner":
+        filled = filled.filter(F.col("__matched").isNotNull())
+    return filled.select(*out_cols)

@@ -53,3 +53,22 @@ def test_asof_forward_and_exclusive(spark):
         ).collect()
     }
     assert excl[(1, 100)] == 90  # exact ts=100 excluded -> falls back to 90
+
+
+def test_native_and_pandas_strategies_agree(spark):
+    trades, quotes = _frames(spark)
+    for kw in (
+        dict(),
+        dict(how="left"),
+        dict(direction="forward"),
+        dict(allow_exact_matches=False),
+    ):
+        nat = sorted(
+            map(tuple, asof_join(trades, quotes, "k", "ts", "qts",
+                                 method="native", **kw).collect())
+        )
+        pdm = sorted(
+            map(tuple, asof_join(trades, quotes, "k", "ts", "qts",
+                                 method="pandas", **kw).collect())
+        )
+        assert nat == pdm, kw
