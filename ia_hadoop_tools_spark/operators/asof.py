@@ -31,6 +31,7 @@ def asof_join(
     allow_exact_matches: bool = True,
     how: str = "inner",
     method: str = "native",
+    tolerance=None,
 ) -> DataFrame:
     """For each left row, attach the single right row with the greatest
     ``right_ts <= left_ts`` per key (direction='backward'; 'forward' takes
@@ -43,11 +44,13 @@ def asof_join(
     ``method='native'`` (default): union the two sides, one window pass with
     ``last(col, ignorenulls=True)`` carries the latest right values forward
     within each key — whole plan stays in codegen, one shuffle+sort total,
-    no Python workers. ``method='pandas'``: cogrouped ``pd.merge_asof`` (the
-    template for per-group logic the native form can't express, e.g.
-    tolerance windows).
+    no Python workers. ``method='pandas'``: cogrouped ``pd.merge_asof`` —
+    required for ``tolerance`` (max |left_ts - right_ts| for a match, in the
+    ts column's own units), which the single-pass native form doesn't carry.
     """
     if method == "native":
+        if tolerance is not None:
+            raise ValueError("tolerance requires method='pandas'")
         return _asof_native(
             left, right, key_cols, left_ts, right_ts,
             direction, allow_exact_matches, how,
@@ -89,6 +92,7 @@ def asof_join(
         merged = pd.merge_asof(
             l2, rr, on="__on",
             direction=direction, allow_exact_matches=allow_exact_matches,
+            tolerance=tolerance,
         ).drop(columns="__on")
         if how == "inner":
             merged = merged[merged["__matched"].notna()]

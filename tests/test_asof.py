@@ -72,3 +72,20 @@ def test_native_and_pandas_strategies_agree(spark):
                                  method="pandas", **kw).collect())
         )
         assert nat == pdm, kw
+
+
+def test_asof_tolerance_pandas_path(spark):
+    import pytest as _pytest
+
+    trades, quotes = _frames(spark)
+    got = {
+        (r.k, r.ts): r.qts
+        for r in asof_join(
+            trades, quotes, "k", "ts", "qts", method="pandas",
+            how="left", tolerance=40,
+        ).collect()
+    }
+    assert got[(1, 100)] == 100       # exact match within tolerance
+    assert got[(1, 200)] is None      # latest quote is 50 behind -> too far
+    with _pytest.raises(ValueError):
+        asof_join(trades, quotes, "k", "ts", "qts", tolerance=40)
