@@ -59,16 +59,14 @@ def asof_join(
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     rts = right_ts or left_ts
-    rename_rts = rts if rts != left_ts and rts not in left.columns else f"__rts_{rts}"
 
     right_cols = [c for c in right.columns if c not in keys]
     out_fields = list(left.schema.fields)
     rfields = {f.name: f for f in right.schema.fields}
     appended = []
     for c in right_cols:
-        name = rename_rts if c == rts else c
-        if name in left.columns:
-            name = f"{name}_r"
+        # same collision rule as the native path: '_r' suffix
+        name = c if c not in left.columns else f"{c}_r"
         appended.append((name, c))
         out_fields.append(rfields[c].__class__(name, rfields[c].dataType, True))
 

@@ -89,3 +89,16 @@ def test_asof_tolerance_pandas_path(spark):
     assert got[(1, 200)] is None      # latest quote is 50 behind -> too far
     with _pytest.raises(ValueError):
         asof_join(trades, quotes, "k", "ts", "qts", tolerance=40)
+
+
+def test_colliding_column_names_consistent_across_strategies(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 200, 2.0)], "k: long, ts: long, v: double"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 9.0)], "k: long, ts: long, v: double"  # both names collide
+    )
+    nat = asof_join(left, right, "k", "ts", "ts", method="native")
+    pdm = asof_join(left, right, "k", "ts", "ts", method="pandas")
+    assert nat.columns == pdm.columns == ["k", "ts", "v", "ts_r", "v_r"]
+    assert sorted(map(tuple, nat.collect())) == sorted(map(tuple, pdm.collect()))
