@@ -236,7 +236,13 @@ def zipnum_range(
 
     summary = load_summary(spark, cluster_dir)
     if start is not None or end is not None:
-        w = Window.orderBy("summary_key", "shard", "offset")
+        # lead() partitioned BY SHARD, not globally: the global-order window
+        # would funnel the whole summary (1/3000 of the data — GBs at 100 TB)
+        # through one task. Shards are alphabetically contiguous, so within a
+        # shard the next block's key bounds this block exactly; each shard's
+        # LAST block gets a null next-key and is kept conservatively (at most
+        # one extra block fetched per shard).
+        w = Window.partitionBy("shard").orderBy("summary_key", "offset")
         summary = summary.withColumn("__next_key", F.lead("summary_key").over(w))
         if end is not None:
             summary = summary.filter(F.col("summary_key") < end)
