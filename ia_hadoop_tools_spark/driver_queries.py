@@ -102,6 +102,14 @@ SURT_FIXTURES = [
     "http://sub.domain.co.uk/a/B.html",
     "ftp://User@files.example.net:21/pub",
     "http://www2.foo.org/q?z=1&y=2&x=3",
+    # reference's own CDX fixture URLs (pig/CDXLoaderTest.java:60,87,104)
+    "http://109.123.78.101/robots.txt",
+    "http://219.136.125.131/",
+    "http://www.nuernberger.de/rente/",
+    # non-default port + session params + mixed-case query keys
+    "http://example.com:8080/A?PHPSESSID=abc123&B=2&b=1",
+    "https://Host.NET:8443/x?jsessionid=deadbeef",
+    "http://a.b/p?Foo=1&bar=2",
 ]
 
 CRAWLLOG_FIXTURE_LINES = [
@@ -509,42 +517,51 @@ def q_surt(spark, sf_dir):
     return df.select("url", surt_expr("url").alias("surt"))
 
 
-_SURT_SQL_EXPR = r"""
-array_to_string(list_reverse(string_split(
-    regexp_replace(regexp_replace(
-      lower(regexp_extract(regexp_replace(regexp_replace(url,
-        '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''), '^([^/?#]*)', 1)),
-      ':(80|443)$', ''), '^www\d*\.', ''), '.')), ',')
-|| ')' ||
-CASE WHEN lower(regexp_extract(substr(regexp_replace(regexp_replace(url,
-    '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''),
-    length(regexp_extract(regexp_replace(regexp_replace(url,
-      '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''), '^([^/?#]*)', 1)) + 1),
-    '^([^?#]*)', 1)) = ''
-  THEN '/'
-  ELSE lower(regexp_extract(substr(regexp_replace(regexp_replace(url,
-    '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''),
-    length(regexp_extract(regexp_replace(regexp_replace(url,
-      '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''), '^([^/?#]*)', 1)) + 1),
-    '^([^?#]*)', 1))
-END ||
-CASE WHEN regexp_extract(substr(regexp_replace(regexp_replace(url,
-    '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''),
-    length(regexp_extract(regexp_replace(regexp_replace(url,
-      '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''), '^([^/?#]*)', 1)) + 1),
-    '\?([^#]*)', 1) = ''
-  THEN ''
-  ELSE '?' || lower(array_to_string(list_sort(string_split(
-    regexp_extract(substr(regexp_replace(regexp_replace(url,
-      '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''),
-      length(regexp_extract(regexp_replace(regexp_replace(url,
-        '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', ''), '^([^/?#]*)', 1)) + 1),
-      '\?([^#]*)', 1), '&')), '&'))
-END
+# Staged to mirror the documented SURT rules (functions/surt.py module doc):
+# scheme/userinfo strip -> hostport/pathq split -> port relocation (80/443
+# dropped, others appended after the reversed host) -> www-strip -> label
+# reversal -> path lowercase/default -> query lowercase, session-param +
+# empty-arg filter, sort.
+_SURT_SQL_TEMPLATE = r"""
+SELECT url,
+       rev_host || ')' || path ||
+       CASE WHEN q = '' THEN '' ELSE '?' || q END AS surt
+FROM (
+  SELECT url,
+         array_to_string(list_reverse(string_split(host, '.')), ',') ||
+           CASE WHEN port IN ('', '80', '443') THEN '' ELSE ':' || port END
+           AS rev_host,
+         CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         coalesce(array_to_string(list_sort(list_filter(
+           string_split(query, '&'),
+           a -> a != '' AND NOT regexp_matches(a,
+             '^(jsessionid|phpsessid|sid|aspsessionid[a-z]*|cfid|cftoken)='))),
+           '&'), '') AS q
+  FROM (
+    SELECT url,
+           regexp_extract(hostport, ':(\d+)$', 1) AS port,
+           regexp_replace(regexp_replace(regexp_replace(hostport,
+             ':\d+$', ''), '^www\d*\.', ''), '^\[|\]$', '') AS host,
+           lower(regexp_extract(pathq, '^([^?#]*)', 1)) AS path0,
+           lower(regexp_extract(pathq, '\?([^#]*)', 1)) AS query
+    FROM (
+      SELECT url,
+             lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+             substr(rest,
+               length(regexp_extract(rest, '^([^/?#]*)', 1)) + 1) AS pathq
+      FROM (
+        SELECT url,
+               regexp_replace(regexp_replace(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?#]*@', '') AS rest
+        FROM (VALUES {vals}) AS t(url)
+      )
+    )
+  )
+)
 """
 
-SQL_SURT = "SELECT url, ({expr}) AS surt FROM (VALUES {vals}) AS t(url)".format(
-    expr=_SURT_SQL_EXPR, vals=", ".join(f"('{u}')" for u in SURT_FIXTURES)
+SQL_SURT = _SURT_SQL_TEMPLATE.format(
+    vals=", ".join(f"('{u}')" for u in SURT_FIXTURES)
 )
 
 

@@ -5,19 +5,31 @@ The reference's single most important scalar function: URL -> sort key
 CDXMapper.java:62-70 via webarchive-commons' WaybackURLKeyMaker). Example:
 ``http://www.Example.com:80/Path?b=2&a=1`` -> ``com,example)/path?a=1&b=2``.
 
-Two implementations with identical semantics on the common path:
+Two implementations with identical semantics on the common path (URLs with a
+parseable host; ports; session params; query args — pinned to each other by
+tests/test_surt_properties.py and to the reference's own CDX fixture lines by
+tests/test_functions.py):
 
 - ``surt_expr``: pure column expressions — JVM-side, whole-stage codegen, the
-  100 TB hot path. Handles scheme/userinfo strip, host lowercasing, www-strip,
-  default-port strip, comma-reversed host, lowercased path, sorted query args.
-- ``surt_udf``: Arrow-batched pandas UDF with fuller edge-case handling
-  (IP literals kept unreversed-verbatim, session-id query params stripped,
-  trailing-slash normalization) for parity-critical ingestion.
+  100 TB hot path.
+- ``surt_udf``: Arrow-batched pandas UDF. Same key on the common path; differs
+  only on garbage inputs, where it returns null (CDXMapper's skipOnCanonFail)
+  while the expr produces a best-effort key.
 
-Canonicalization rules follow the public SURT definition used by Wayback
-(lowercase; drop scheme + userinfo; drop 'www.' / 'www\\d+.' label; drop
-default ports; reverse host labels joined by commas; '(' closes the host with
-')' before the path; query args sorted).
+Canonicalization rules (both paths):
+
+- lowercase everything; drop scheme and userinfo; drop the fragment
+- drop a leading ``www.`` / ``www\\d+.`` host label
+- drop ports 80/443; keep any other port, appended AFTER the reversed host
+  (``net,example,files:21)/pub``)
+- reverse host labels joined by commas — including IP octets: the reference's
+  own CDX data comma-reverses IPs (``http://109.123.78.101/robots.txt`` ->
+  ``101,78,123,109)/robots.txt``, pig/CDXLoaderTest.java:60), so we match
+  that rather than newer webarchive-commons keep-IP-verbatim behavior
+- empty path -> ``/``
+- query args: lowercase, drop empties and session-id params (jsessionid,
+  phpsessid, sid, aspsessionid*, cfid, cftoken), sort, join with ``&``; if
+  nothing survives, no ``?`` suffix
 """
 
 from __future__ import annotations
@@ -31,9 +43,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
-_SESSION_PARAMS = re.compile(
-    r"^(jsessionid|phpsessid|sid|aspsessionid[a-z]*|cfid|cftoken)=", re.I
-)
+_SESSION_PARAM_PAT = r"^(jsessionid|phpsessid|sid|aspsessionid[a-z]*|cfid|cftoken)="
+_SESSION_PARAMS = re.compile(_SESSION_PARAM_PAT)
 _WWW = re.compile(r"^www\d*\.")
 
 
@@ -42,7 +53,7 @@ def surt_expr(url: Column | str) -> Column:
 
     Null/invalid-ish inputs produce a best-effort key rather than failing —
     the caller can pair with ``skip_on_canon_fail`` semantics by filtering
-    nulls (CDXMapper.java:111-119).
+    nulls (CDXMapper.java:111-119), or use ``surt_udf`` which nulls them.
     """
     c = F.col(url) if isinstance(url, str) else url
     # strip scheme (http://, https://, ftp:// ...) and userinfo
@@ -50,19 +61,29 @@ def surt_expr(url: Column | str) -> Column:
     rest = F.regexp_replace(rest, r"^[^/@?#]*@", "")
     hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
     pathq = F.substring(rest, F.length(hostport) + 1, F.lit(2**30)).cast("string")
-    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    # non-default port relocates to AFTER the reversed host; 80/443 dropped
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    host = F.regexp_replace(hostport, r":\d+$", "")
     host = F.regexp_replace(host, r"^www\d*\.", "")
+    host = F.regexp_replace(host, r"^\[|\]$", "")  # IPv6 bracket strip
     rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-    # lowercase path, sort query args
+    rev_host = F.when(port.isin("", "80", "443"), rev_host).otherwise(
+        F.concat(rev_host, F.lit(":"), port)
+    )
     path = F.lower(F.regexp_extract(pathq, r"^([^?#]*)", 1))
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(pathq, r"\?([^#]*)", 1)
-    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    # lowercase BEFORE filter+sort so ordering matches surt_udf exactly
+    query = F.lower(F.regexp_extract(pathq, r"\?([^#]*)", 1))
+    qargs = F.filter(
+        F.split(query, "&"),
+        lambda a: (a != "") & ~a.rlike(_SESSION_PARAM_PAT),
+    )
+    sorted_q = F.array_join(F.array_sort(qargs), "&")
     return F.concat(
         rev_host,
         F.lit(")"),
         path,
-        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), F.lower(sorted_q))),
+        F.when(sorted_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
     )
 
 
@@ -78,11 +99,8 @@ def _surt_one(url: str | None) -> str | None:
         if not host:
             return None
         port = parts.port
-        is_ip = re.fullmatch(r"[\d.]+", host) is not None
-        if not is_ip:
-            host = _WWW.sub("", host)
-        labels = host.split(".")
-        rev = ",".join(reversed(labels))
+        host = _WWW.sub("", host)
+        rev = ",".join(reversed(host.split(".")))
         if port and port not in (80, 443):
             rev = f"{rev}:{port}"
         path = (parts.path or "/").lower() or "/"
@@ -99,7 +117,7 @@ def _surt_one(url: str | None) -> str | None:
 
 @pandas_udf(StringType())
 def surt_udf(urls: pd.Series) -> pd.Series:
-    """Full SURT canonicalization (Arrow-batched; ~edge-case superset of
-    ``surt_expr``). Returns null on canonicalization failure so callers get
-    CDXMapper's skipOnCanonFail by filtering ``isNotNull``."""
+    """Full SURT canonicalization (Arrow-batched). Returns null on
+    canonicalization failure so callers get CDXMapper's skipOnCanonFail by
+    filtering ``isNotNull``; otherwise agrees with ``surt_expr``."""
     return urls.map(_surt_one)

@@ -26,12 +26,47 @@ def test_surt_python_semantics():
     assert _surt_one(None) is None
 
 
+# Golden: URL -> SURT key pairs taken verbatim from the reference's own CDX
+# fixture lines (pig/CDXLoaderTest.java:60,87,104 — field 1 is the SURT of
+# field 3), so a green test certifies the spec, not self-consistency.
+REFERENCE_CDX_GOLDEN = [
+    ("http://109.123.78.101/robots.txt", "101,78,123,109)/robots.txt"),
+    ("http://219.136.125.131/", "131,125,136,219)/"),
+    ("http://www.nuernberger.de/rente/", "de,nuernberger)/rente/"),
+]
+
+
+def test_surt_matches_reference_cdx_fixtures(spark):
+    df = spark.createDataFrame(
+        [(u,) for u, _ in REFERENCE_CDX_GOLDEN], "url: string"
+    )
+    rows = df.select(
+        "url", surt_expr("url").alias("e"), surt_udf(F.col("url")).alias("u")
+    ).collect()
+    expected = dict(REFERENCE_CDX_GOLDEN)
+    for r in rows:
+        assert r.e == expected[r.url], r
+        assert r.u == expected[r.url], r
+    for u, want in REFERENCE_CDX_GOLDEN:
+        assert _surt_one(u) == want
+
+
 def test_surt_expr_matches_udf_on_common_urls(spark):
     urls = [
         "http://www.Example.com/Path?b=2&a=1",
         "https://archive.org/details/x",
         "http://sub.domain.co.uk/a/b.html",
         "http://example.com:80/",
+        # non-default ports relocate after the reversed host
+        "ftp://User@files.example.net:21/pub",
+        "http://example.com:8080/A?b=2&a=1",
+        "https://Host.NET:8443/x",
+        # session params stripped by BOTH paths; mixed-case keys sort the same
+        "http://a.b/p?JSESSIONID=1&x=2",
+        "http://a.b/p?Foo=1&bar=2",
+        "http://e.com/?PHPSESSID=z&B=2&b=1",
+        # IP octets comma-reversed (reference CDX behavior)
+        "http://109.123.78.101/robots.txt",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url: string")
     rows = df.select(

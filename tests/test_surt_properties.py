@@ -33,17 +33,26 @@ qparam = st.tuples(
     st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=5),
     st.text(alphabet=string.ascii_letters + string.digits, min_size=0, max_size=5),
 ).map(lambda kv: f"{kv[0]}={kv[1]}")
+session_param = st.tuples(
+    st.sampled_from(["jsessionid", "PHPSESSID", "sid", "CFID", "cftoken"]),
+    st.text(alphabet=string.ascii_letters + string.digits, min_size=1, max_size=8),
+).map(lambda kv: f"{kv[0]}={kv[1]}")
 queries = st.lists(qparam, min_size=0, max_size=4).map("&".join)
 schemes = st.sampled_from(["http", "https", "ftp"])
+ports = st.one_of(
+    st.none(), st.sampled_from([80, 443]), st.integers(min_value=1, max_value=65535)
+)
 
 
 @st.composite
-def urls(draw):
+def urls(draw, with_port=False):
     s = draw(schemes)
     h = draw(hosts)
     p = draw(paths)
     q = draw(queries)
-    return f"{s}://{h}{p}" + (f"?{q}" if q else "")
+    pt = draw(ports) if with_port else None
+    hp = f"{h}:{pt}" if pt else h
+    return f"{s}://{hp}{p}" + (f"?{q}" if q else "")
 
 
 @settings(max_examples=300, deadline=None)
@@ -97,6 +106,31 @@ def test_surt_www_and_default_port_stripped(h, p, q):
 
 
 @settings(max_examples=200, deadline=None)
+@given(hosts, st.integers(min_value=1, max_value=65535), paths, queries)
+def test_surt_port_relocates_after_reversed_host(h, pt, p, q):
+    """Any non-default port appears as ':port' immediately before ')' —
+    never glued inside a reversed label (the round-1 spec divergence)."""
+    tail = p + (f"?{q}" if q else "")
+    k = _surt_one(f"http://{h}:{pt}{tail}")
+    base = _surt_one(f"http://{h}{tail}")
+    if pt in (80, 443):
+        assert k == base
+    else:
+        bh, brest = base.split(")", 1)
+        assert k == f"{bh}:{pt}){brest}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(hosts, paths, st.lists(qparam, min_size=0, max_size=3), session_param)
+def test_surt_session_params_stripped(h, p, qs, sp):
+    """Injecting a session-id param anywhere never changes the key."""
+    base_q = "&".join(qs)
+    base = _surt_one(f"http://{h}{p}" + (f"?{base_q}" if base_q else ""))
+    with_sp = "&".join([sp] + qs) if qs else sp
+    assert _surt_one(f"http://{h}{p}?{with_sp}") == base
+
+
+@settings(max_examples=200, deadline=None)
 @given(st.text(max_size=40))
 def test_surt_never_raises_on_garbage(s):
     _surt_one(s)  # None is fine; raising is not
@@ -136,6 +170,10 @@ def test_expr_and_udf_agree_on_common_path(spark):
         "http://sub.domain.co.uk/a/B.html",
         "http://www2.foo.org/q?z=1&y=2&x=3",
         "http://host.net/",
+        "ftp://User@files.example.net:21/pub",
+        "http://example.com:8080/A?PHPSESSID=abc&B=2&b=1",
+        "http://109.123.78.101:8443/robots.txt",
+        "http://a.b/p?Foo=1&bar=2&jsessionid=x",
     ]
     df = spark.createDataFrame([(u,) for u in urls_list], "url: string")
     got = {
