@@ -1389,6 +1389,67 @@ def q_wat_extract(spark, sf_dir):
     )
 
 
+# 38b. wat_fields — value-level check of the WAT envelope (WATGenerator
+# parity): extract the envelope fields from the WAT JSON and compare against
+# a DuckDB oracle that recomputes them from the fixture's construction rule
+# (the fixture is deterministic, so every field is SQL-derivable). This is
+# the hash-verified entry for the WAT family; wat_extract stays rows-only
+# because gzip member offsets aren't reproducible in SQL.
+
+def q_wat_fields(spark, sf_dir):
+    df = q_wat_extract(spark, sf_dir)
+    pm = "$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']"
+    wh = "$.Envelope['WARC-Header-Metadata']"
+    return df.select(
+        "target_uri",
+        "timestamp",
+        "rec_type",
+        F.get_json_object("wat", f"{wh}['warc-type']").alias("warc_type"),
+        F.get_json_object("wat", f"{pm}['Response-Status']")
+        .cast("int")
+        .alias("response_status"),
+        F.get_json_object("wat", f"{pm}['Headers']['Content-Type']").alias(
+            "content_type"
+        ),
+        F.get_json_object("wat", f"{pm}['Entity-Length']")
+        .cast("int")
+        .alias("entity_length"),
+        F.get_json_object("wat", f"{pm}['Headers-Length']")
+        .cast("int")
+        .alias("headers_length"),
+        F.get_json_object("wat", f"{pm}['HTML-Metadata']['Head']['Title']").alias(
+            "title"
+        ),
+        F.get_json_object(
+            "wat", f"{pm}['HTML-Metadata']['Links'][0]['url']"
+        ).alias("first_link"),
+    )
+
+
+SQL_WAT_FIELDS = r"""
+SELECT 'http://example.org/' || i AS target_uri,
+       '202001020304' || lpad(CAST(i AS VARCHAR), 2, '0') AS timestamp,
+       'response' AS rec_type,
+       'response' AS warc_type,
+       CAST(200 AS INTEGER) AS response_status,
+       'text/html' AS content_type,
+       CAST(length(body) AS INTEGER) AS entity_length,
+       -- len('HTTP/1.1 200 OK\r\n' 'Content-Type: text/html\r\n'
+       --     'Content-Length: ') = 58, + digits + '\r\n\r\n'
+       CAST(58 + length(CAST(length(body) AS VARCHAR)) + 4 AS INTEGER)
+         AS headers_length,
+       'Doc ' || i AS title,
+       'http://example.org/' || (i + 1) AS first_link
+FROM (
+  SELECT i,
+         '<html><head><title>Doc ' || i || '</title></head><body><a href="'
+           || 'http://example.org/' || (i + 1) || '">n</a></body></html>'
+           AS body
+  FROM range(0, 20) t(i)
+)
+"""
+
+
 # 39. simhash_pairs — SimHash near-dup candidate pairs (band-blocked
 # self-join + Hamming verification), fully oracle-checked
 
@@ -1586,6 +1647,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "multimodal_decode": q_multimodal_decode,
     "wat_extract": q_wat_extract,
+    "wat_fields": q_wat_fields,
 }
 
 ORACLES = {
@@ -1630,4 +1692,5 @@ ORACLES = {
     "pivot": SQL_PIVOT,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
+    "wat_fields": SQL_WAT_FIELDS,
 }
