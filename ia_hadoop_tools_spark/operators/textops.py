@@ -18,8 +18,12 @@ Scale notes (100 TB of documents):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 from ia_hadoop_tools_spark.functions.hashfns import (
     hash32,
@@ -161,6 +165,45 @@ def minhash_signatures(
     )
 
 
+def _drop_hot_buckets(
+    exploded: DataFrame, max_bucket: int | None, what: str
+) -> DataFrame:
+    """Drop LSH buckets with more than ``max_bucket`` members (logged).
+
+    One boilerplate bucket of size B yields B^2/2 candidate rows in the
+    banded self-join — AQE splits the shuffle but not the quadratic blowup,
+    so pathological buckets must be removed BEFORE the join. The band table
+    is skinny (id, bucket); persisting it makes the hot-bucket census a
+    cheap cached scan with map-side-combined counts, and the hot set itself
+    is tiny by construction, so it broadcasts into a left-anti join — the
+    big side is never reshuffled. Docs in a dropped bucket still pair via
+    their other bands (recall degrades only for pairs agreeing ONLY on the
+    pathological band — exactly the boilerplate collisions being excluded).
+    """
+    if max_bucket is None:
+        return exploded
+    from pyspark import StorageLevel
+
+    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+    hot = (
+        exploded.groupBy("bucket")
+        .agg(F.count("*").alias("__bn"))
+        .filter(F.col("__bn") > max_bucket)
+    )
+    n_hot, n_rows = hot.agg(
+        F.count("*"), F.coalesce(F.sum("__bn"), F.lit(0))
+    ).first()
+    if n_hot:
+        logger.warning(
+            "%s: dropping %d bucket(s) over max_bucket=%d (%d band rows)",
+            what, n_hot, max_bucket, n_rows,
+        )
+        exploded = exploded.join(
+            F.broadcast(hot.select("bucket")), "bucket", "left_anti"
+        )
+    return exploded
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -169,14 +212,16 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_words: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = 5000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     Pipeline: shingle once (persisted — signatures AND verification read it;
     recomputing shingles is the dominant CPU at scale) -> signature -> explode
-    band keys -> self-join per bucket -> distinct candidate pairs -> verify
-    true Jaccard on the shingle sets -> threshold.
+    band keys -> drop buckets over ``max_bucket`` (see ``_drop_hot_buckets``)
+    -> self-join per bucket -> distinct candidate pairs -> verify true
+    Jaccard on the shingle sets -> threshold.
     """
     from pyspark import StorageLevel
 
@@ -196,6 +241,7 @@ def minhash_lsh_pairs(
     # Band rows carry only (id, bucket) — the shingle arrays stay OUT of the
     # self-join and are re-attached only to surviving candidate pairs.
     exploded = sigs.select(F.col(id_col), F.explode(band_keys).alias("bucket"))
+    exploded = _drop_hot_buckets(exploded, max_bucket, "minhash_lsh_pairs")
     left = exploded.alias("l")
     right = exploded.alias("r")
     cand = (
@@ -267,12 +313,15 @@ def simhash_neardup_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     band_bits: int = 8,
+    max_bucket: int | None = 5000,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with hamming(simhash) <= max_hamming.
 
     Candidate generation blocks on ``bits/band_bits`` bands of the fingerprint
     (pigeonhole: any pair within distance d shares at least one of d+1 bands
-    intact) — the self-join happens per band bucket, never globally.
+    intact) — the self-join happens per band bucket, never globally. Buckets
+    over ``max_bucket`` are dropped with a logged count (boilerplate
+    protection; see ``_drop_hot_buckets``).
     """
     sh = simhash(df, id_col, text_col, bits).select(id_col, "simhash")
     nbands = max(max_hamming + 1, bits // band_bits)
@@ -288,6 +337,7 @@ def simhash_neardup_pairs(
         ]
     )
     e = sh.select(id_col, "simhash", F.explode(bandkeys).alias("bucket"))
+    e = _drop_hot_buckets(e, max_bucket, "simhash_neardup_pairs")
     l, r = e.alias("l"), e.alias("r")
     ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
     return (

@@ -87,6 +87,48 @@ def test_simhash_and_neardup(spark):
     assert ham[(0, 3)] == 0
 
 
+def _boilerplate_corpus(spark, n_dup=80):
+    """n_dup identical boilerplate docs + two near-dup real docs + one odd."""
+    boiler = "all rights reserved copyright notice terms of service privacy policy page"
+    rows = [(i, boiler) for i in range(n_dup)]
+    rows += [
+        (1000, "the quick brown fox jumps over the lazy dog near the river today"),
+        (1001, "the quick brown fox jumps over the lazy dog near the river tomorrow"),
+        (1002, "completely different content about spark engines and joins"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_minhash_max_bucket_caps_boilerplate(spark, caplog):
+    import logging
+
+    docs = _boilerplate_corpus(spark)
+    # uncapped: the 80 identical docs flood the pairs (80*79/2 of them)
+    uncapped = minhash_lsh_pairs(docs, num_perm=16, bands=8, max_bucket=None)
+    assert uncapped.filter("id_a < 1000").count() == 80 * 79 // 2
+    with caplog.at_level(logging.WARNING, "ia_hadoop_tools_spark.operators.textops"):
+        capped = minhash_lsh_pairs(docs, num_perm=16, bands=8, max_bucket=50)
+        got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # boilerplate blowup gone, genuine near-dup pair survives
+    assert not any(a < 1000 for a, _ in got)
+    assert (1000, 1001) in got
+    assert any("max_bucket=50" in r.message for r in caplog.records)
+
+
+def test_simhash_max_bucket_caps_boilerplate(spark, caplog):
+    import logging
+
+    docs = _boilerplate_corpus(spark)
+    uncapped = simhash_neardup_pairs(docs, max_hamming=6, max_bucket=None)
+    assert uncapped.filter("id_a < 1000").count() == 80 * 79 // 2
+    with caplog.at_level(logging.WARNING, "ia_hadoop_tools_spark.operators.textops"):
+        capped = simhash_neardup_pairs(docs, max_hamming=6, max_bucket=50)
+        got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert not any(a < 1000 for a, _ in got)
+    assert (1000, 1001) in got
+    assert any("max_bucket=50" in r.message for r in caplog.records)
+
+
 def test_ngram_jaccard_exact(spark):
     pairs = ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()
     jac = {(r.id_a, r.id_b): r.jaccard for r in pairs}
