@@ -111,7 +111,10 @@ def cmd_cluster_range(args):
     outs = []
     for c in args.cluster:
         if os.path.exists(os.path.join(c, "ALL.summary")):
-            outs.append(zipnum_range(spark, c, args.start, args.end))
+            outs.append(
+                zipnum_range(spark, c, args.start, args.end,
+                             skip_bad=getattr(args, 'skip_bad', False))
+            )
         else:
             outs.append(
                 cdx_to_text(cluster_range(c, args.start, args.end, spark=spark))
@@ -342,6 +345,8 @@ def main(argv=None):
     s.set_defaults(fn=cmd_cluster_merge)
 
     s = sub.add_parser("cluster-range", help="bounded [start,end) dump")
+    s.add_argument("--skip-bad", action="store_true",
+                   help="salvage + count corrupt gzip members instead of failing")
     s.add_argument("start")
     s.add_argument("end")
     s.add_argument("cluster", nargs="+")

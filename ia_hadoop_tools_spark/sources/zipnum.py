@@ -188,16 +188,90 @@ def manifest_aggregator(cluster_dir: str, source_basenames: list[str]) -> str:
     return out
 
 
+def _gunzip_salvage(payload: bytes) -> tuple[str, bool]:
+    """Decompress concatenated gzip members, salvaging what precedes any
+    corruption.
+
+    Returns ``(text, clean)``. On a corrupt/truncated member the reference
+    degrades to EOF after two attempts rather than failing the task
+    (mapreduce/GZIPRangeLineDereferencingRecordReader.java:94-109,
+    streaming/GzipSingleFileRecordReader.java:89-113); here the complete
+    members before the bad one are kept, plus the bad member's output up to
+    its last complete line.
+    """
+    import zlib
+
+    try:
+        return gzip.decompress(payload).decode("utf-8"), True
+    except (OSError, EOFError, zlib.error, UnicodeDecodeError):
+        pass
+    parts: list[bytes] = []
+    data = payload
+    while data:
+        d = zlib.decompressobj(zlib.MAX_WBITS | 16)
+        try:
+            out = d.decompress(data)
+        except zlib.error:
+            break
+        parts.append(out)
+        if not d.eof:  # truncated mid-member
+            break
+        data = d.unused_data
+    text = b"".join(parts).decode("utf-8", errors="replace")
+    # drop a trailing partial line — it was cut mid-record
+    if text and not text.endswith("\n"):
+        nl = text.rfind("\n")
+        text = text[: nl + 1] if nl >= 0 else ""
+    return text, False
+
+
 def _read_blocks(
-    out_dir: str, rows: Iterator[Row], start: str | None, end: str | None
+    out_dir: str,
+    rows: Iterator[Row],
+    start: str | None,
+    end: str | None,
+    skip_bad: bool = False,
+    bad_acc=None,
 ) -> Iterator[Row]:
-    """Ranged-read + gunzip idx blocks; bound emitted lines to [start, end)."""
+    """Ranged-read + gunzip idx blocks; bound emitted lines to [start, end).
+
+    ``skip_bad`` is the reference's ``--skip-bad`` tolerance: corrupt or
+    truncated members are salvaged to their last complete line, counted in
+    ``bad_acc`` (a Spark accumulator) and logged, instead of failing the
+    task. Without it, corruption raises — a 100 TB job should not silently
+    lose data unless the operator asked for it.
+    """
+    import logging
+
+    log = logging.getLogger(__name__)
     for r in rows:
         path = os.path.join(out_dir, r["shard"])
-        with open(path, "rb") as fh:
-            fh.seek(r["offset"])
-            payload = fh.read(r["length"])
-        for line in gzip.decompress(payload).decode("utf-8").splitlines():
+        try:
+            with open(path, "rb") as fh:
+                fh.seek(r["offset"])
+                payload = fh.read(r["length"])
+        except OSError:
+            if not skip_bad:
+                raise
+            log.warning("skip-bad: unreadable block %s@%s", r["shard"], r["offset"])
+            if bad_acc is not None:
+                bad_acc += 1
+            continue
+        text, clean = _gunzip_salvage(payload)
+        if not clean:
+            if not skip_bad:
+                raise IOError(
+                    f"corrupt gzip member in {r['shard']} at offset "
+                    f"{r['offset']} (len {r['length']}); pass skip_bad=True "
+                    f"to salvage"
+                )
+            log.warning(
+                "skip-bad: corrupt member %s@%s, salvaged %d lines",
+                r["shard"], r["offset"], text.count("\n"),
+            )
+            if bad_acc is not None:
+                bad_acc += 1
+        for line in text.splitlines():
             if start is not None or end is not None:
                 key = line.split(" ", 2)
                 k = " ".join(key[:2])
@@ -208,9 +282,11 @@ def _read_blocks(
             yield Row(value=line)
 
 
-def read_zipnum(spark: SparkSession, cluster_dir: str) -> DataFrame:
+def read_zipnum(
+    spark: SparkSession, cluster_dir: str, skip_bad: bool = False
+) -> DataFrame:
     """Read a whole ZipNum cluster back into a text DataFrame ('value')."""
-    return zipnum_range(spark, cluster_dir, None, None)
+    return zipnum_range(spark, cluster_dir, None, None, skip_bad=skip_bad)
 
 
 def load_summary(spark: SparkSession, cluster_dir: str) -> DataFrame:
@@ -224,6 +300,7 @@ def zipnum_range(
     start: str | None,
     end: str | None,
     num_tasks: int | None = None,
+    skip_bad: bool = False,
 ) -> DataFrame:
     """Bounded [start, end) scan over a ZipNum cluster.
 
@@ -231,6 +308,10 @@ def zipnum_range(
     block is fetched iff its key range [summary_key, next_summary_key) can
     intersect [start, end) — exactly CDXCluster.getRangeBlockIterator's
     binary-search semantics (cdx/CDXCluster.java:31-43).
+
+    With ``skip_bad`` (the reference's ``--skip-bad``), corrupt members are
+    salvaged + counted instead of failing the job; the skip count is exposed
+    as ``df.skip_bad_count`` (a Spark accumulator, valid after an action).
     """
     from pyspark.sql import Window
 
@@ -254,10 +335,14 @@ def zipnum_range(
     if num_tasks:
         summary = summary.repartition(num_tasks)
 
-    s, e, d = start, end, cluster_dir
+    s, e, d, sb = start, end, cluster_dir, skip_bad
+    acc = spark.sparkContext.accumulator(0) if skip_bad else None
 
     def loader(rows: Iterator[Row]) -> Iterator[Row]:
-        return _read_blocks(d, rows, s, e)
+        return _read_blocks(d, rows, s, e, skip_bad=sb, bad_acc=acc)
 
     rdd = summary.rdd.mapPartitions(loader)
-    return spark.createDataFrame(rdd, "value: string")
+    df = spark.createDataFrame(rdd, "value: string")
+    if acc is not None:
+        df.skip_bad_count = acc
+    return df

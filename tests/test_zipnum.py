@@ -85,3 +85,54 @@ def test_summary_generator_rebuilds_all_summary(spark, tmp_path):
     p = manifest_aggregator(out, ["b.warc.gz", "a.warc.gz", "b.warc.gz"])
     with open(p) as fh:
         assert fh.read().splitlines() == ["a.warc.gz", "b.warc.gz"]
+
+
+def test_skip_bad_salvages_corrupt_member(spark, tmp_path):
+    """Corrupt one member mid-cluster: strict read raises; skip_bad reads the
+    remainder, salvages the bad member's prefix lines, and counts the skip
+    (GZIPRangeLineDereferencingRecordReader.java:94-109 tolerance)."""
+    import pytest
+
+    out = str(tmp_path / "cluster")
+    df = spark.createDataFrame([(l,) for l in _lines(200)], "value: string")
+    idx = sorted(
+        write_zipnum(df, out, lines_per_block=25, num_shards=2).collect(),
+        key=lambda r: (r.shard, r.offset),
+    )
+    victim = idx[2]  # a mid-shard member
+    path = os.path.join(out, victim.shard)
+    with open(path, "r+b") as fh:
+        # flip bytes in the middle of the member's DEFLATE stream
+        fh.seek(victim.offset + victim.length // 2)
+        fh.write(b"\xff\x00\xff\x00")
+
+    with pytest.raises(Exception):
+        read_zipnum(spark, out).count()
+
+    good_members = [r for r in idx if not (r.shard == victim.shard and r.offset == victim.offset)]
+    tolerant = read_zipnum(spark, out, skip_bad=True)
+    got = sorted(r.value for r in tolerant.collect())
+    assert tolerant.skip_bad_count.value == 1
+    # all lines from intact members survive; salvaged prefix may add a few
+    n_good = sum(1 for _ in good_members) * 25
+    assert n_good <= len(got) < 200
+    intact_first = min(r.summary_key for r in good_members).split(" ")[0]
+    assert any(g.startswith(intact_first) for g in got)
+
+
+def test_skip_bad_handles_truncated_tail(spark, tmp_path):
+    """Truncating the last member ends the shard early instead of failing."""
+    out = str(tmp_path / "cluster")
+    df = spark.createDataFrame([(l,) for l in _lines(100)], "value: string")
+    idx = sorted(
+        write_zipnum(df, out, lines_per_block=30, num_shards=1).collect(),
+        key=lambda r: r.offset,
+    )
+    last = idx[-1]
+    path = os.path.join(out, last.shard)
+    os.truncate(path, last.offset + last.length // 2)
+
+    tolerant = read_zipnum(spark, out, skip_bad=True)
+    got = [r.value for r in tolerant.collect()]
+    assert tolerant.skip_bad_count.value == 1
+    assert sum(1 for r in idx[:-1]) * 30 <= len(got) < 100
