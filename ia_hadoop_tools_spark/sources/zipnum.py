@@ -63,7 +63,10 @@ def _write_shard(
         nonlocal offset, buf
         if not buf:
             return
-        payload = gzip.compress("".join(buf).encode("utf-8"))
+        # mtime=0 pins the 4-byte MTIME header field: identical input lines
+        # produce byte-identical shards on every run (golden-testable, and
+        # re-runs of an idempotent job produce rsync-stable outputs)
+        payload = gzip.compress("".join(buf).encode("utf-8"), mtime=0)
         fh.write(payload)
         idx_rows.append(
             Row(
@@ -129,17 +132,17 @@ def write_zipnum(
     idx = spark.createDataFrame(
         vals.rdd.mapPartitionsWithIndex(writer), ZIPNUM_IDX_SCHEMA
     ).cache()
+    idx.count()  # materialize shards + sidecars (no rows to the driver)
 
-    # ALL.summary: per-shard idx lines concatenated in sorted shard order
-    # (cdx/SummaryGenerator.java:46-122). Driver-side single-file write — the
-    # summary is ~1/3000 of the data.
-    rows = idx.orderBy("shard", "offset").collect()
-    with open(os.path.join(out_dir, "ALL.summary"), "w", encoding="utf-8") as fh:
-        for r in rows:
-            fh.write(f"{r.summary_key}\t{r.shard}\t{r.offset}\t{r.length}\n")
-    with open(os.path.join(out_dir, "manifest.txt"), "w", encoding="utf-8") as fh:
-        for shard in sorted({r.shard for r in rows}):
-            fh.write(shard + "\n")
+    # ALL.summary: the per-shard idx sidecars (written executor-side, already
+    # offset-ordered; shard order == range-partition order) are streamed into
+    # one file (cdx/SummaryGenerator.java:46-122). No driver-side row
+    # materialization — at 100 TB the summary is ~300M lines, and this is a
+    # file-to-file concat, not a collect().
+    summary_generator(out_dir)
+    manifest_aggregator(
+        out_dir, [f for f in os.listdir(out_dir) if f.endswith(".gz")]
+    )
     return idx
 
 

@@ -136,3 +136,69 @@ def test_skip_bad_handles_truncated_tail(spark, tmp_path):
     got = [r.value for r in tolerant.collect()]
     assert tolerant.skip_bad_count.value == 1
     assert sum(1 for r in idx[:-1]) * 30 <= len(got) < 100
+
+
+# The reference's own CDX lines (pig/CDXLoaderTest.java:60,87 — urlkey,
+# timestamp, and the full 11-field body).
+REFERENCE_CDX_LINES = [
+    "101,78,123,109)/robots.txt 20120103084508 http://109.123.78.101/robots.txt"
+    " text/html 404 22RZA2NQT3RZUCQYJYZDPVZRNYIR72SN - - 561 55426267"
+    " WIDE-20120103083324-crawl410/WIDE-20120103083324-00000.warc.gz",
+    "131,125,136,219)/ 20120103084049 http://219.136.125.131/ text/html 302"
+    " 3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ http://219.136.125.131/selfLogon.do?hoge=1 2"
+    " - 449 34133512 WIDE-20120103083324-crawl410/WIDE-20120103083324-00000.warc.gz",
+    "de,nuernberger)/rente 20110129033909 http://www.nuernberger.de/rente/"
+    " text/html 200 COWKAOTVKBT6YVW26BLW7T235FAWRSUR x - 581 468301945"
+    " COM-20110129023303-crawl306/COM-20110129025311-00174.warc.gz",
+    "org,example)/a 20200101000000 http://example.org/a text/html 200 D - - 1 2 f.warc.gz",
+    "org,example)/b 20200101000001 http://example.org/b text/html 200 D - - 1 2 f.warc.gz",
+]
+
+
+def test_zipnum_golden_byte_format(spark, tmp_path):
+    """Byte-format parity against hand-computed values: the shard file must be
+    the exact concatenation of per-block gzip members (ZipNumRecordWriter.java:
+    119-201), idx offsets/lengths the cumulative sums, and summary keys the
+    first two CDX fields."""
+    out = str(tmp_path / "golden")
+    df = spark.createDataFrame(
+        [(l,) for l in REFERENCE_CDX_LINES], "value: string"
+    )
+    idx = sorted(
+        write_zipnum(df, out, lines_per_block=2, num_shards=1).collect(),
+        key=lambda r: r.offset,
+    )
+
+    # hand-compute the expected members: sorted lines, 2 per gzip member
+    lines = sorted(REFERENCE_CDX_LINES)
+    blocks = [lines[i : i + 2] for i in range(0, len(lines), 2)]
+    members = [
+        gzip.compress(("".join(l + "\n" for l in b)).encode(), mtime=0)
+        for b in blocks
+    ]
+
+    shard_path = os.path.join(out, idx[0].shard)
+    with open(shard_path, "rb") as fh:
+        assert fh.read() == b"".join(members)
+
+    assert len(idx) == len(blocks) == 3
+    off = 0
+    for r, b, m in zip(idx, blocks, members):
+        assert r.offset == off
+        assert r.length == len(m)
+        assert r.summary_key == " ".join(b[0].split(" ", 2)[:2])
+        off += len(m)
+
+    # ALL.summary lines mirror the idx rows exactly (tab-separated)
+    with open(os.path.join(out, "ALL.summary")) as fh:
+        got = [l.rstrip("\n").split("\t") for l in fh]
+    assert got == [
+        [r.summary_key, r.shard, str(r.offset), str(r.length)] for r in idx
+    ]
+
+
+def test_summary_key_tab_escaping():
+    from ia_hadoop_tools_spark.sources.zipnum import _summary_key
+
+    # tabs inside the key are %09-escaped (ZipNumRecordWriter.java:94-112)
+    assert _summary_key("k\ta 20200101000000 rest") == "k%09a 20200101000000"
