@@ -83,18 +83,37 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
 
 
 def dedup_exact_text(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ids_only: bool = False,
 ) -> DataFrame:
     """Exact content dedup: keep the min-id representative per distinct text.
 
-    Hash-groupBy on the text (map-side partial agg). For long documents,
-    grouping on ``md5(text)`` instead keeps shuffle rows small; we group on a
-    hash AND verify by keeping one row per (hash, text) — collision-safe.
+    Default path returns (id, text): a hash-groupBy on the text itself —
+    the output carries the text, so the text must shuffle exactly once and
+    map-side partial aggregation collapses duplicates before it does; an
+    extra digest column would be pure overhead.
+
+    ``ids_only=True`` is the 100 TB path: group on ``(md5(text),
+    length(text))`` so the shuffle carries one skinny row per distinct
+    document and return only the winning ids (re-attach text via a join if
+    needed). A collision would need two different texts with equal MD5 AND
+    equal length — the same digest-identity assumption the reference's CDX
+    digest dedup makes (CdxDedupReducer).
     """
+    if ids_only:
+        return (
+            df.groupBy(
+                F.md5(F.col(text_col)).alias("__h"),
+                F.length(F.col(text_col)).alias("__n"),
+            )
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("__h"), F.col(text_col))
+        df.groupBy(F.col(text_col))
         .agg(F.min(id_col).alias(id_col))
-        .drop("__h")
         .select(id_col, text_col)
     )
 

@@ -53,6 +53,9 @@ def test_dedup_exact_text(spark):
     out = dedup_exact_text(_docs(spark))
     assert out.count() == 4
     assert 3 not in {r.doc_id for r in out.collect()}  # min-id representative kept
+    # skinny-shuffle scale path returns the same winner ids
+    ids = {r.doc_id for r in dedup_exact_text(_docs(spark), ids_only=True).collect()}
+    assert ids == {r.doc_id for r in out.collect()}
 
 
 def test_minhash_signatures_shape(spark):
