@@ -41,6 +41,10 @@ def asof_join(
     (renamed if it collides with a left column). ``how='left'`` keeps
     unmatched left rows with nulls; 'inner' drops them.
 
+    Null timestamps: a null ``right_ts`` row never matches anything, and a
+    null ``left_ts`` row is unmatched (kept under 'left', dropped under
+    'inner') — identical under both methods.
+
     ``method='native'`` (default): union the two sides, one window pass with
     ``last(col, ignorenulls=True)`` carries the latest right values forward
     within each key — whole plan stays in codegen, one shuffle+sort total,
@@ -76,25 +80,43 @@ def asof_join(
     left_names = [f.name for f in left.schema.fields]
 
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        if l.empty:
-            return pd.DataFrame(columns=[f.name for f in out_fields])
-        l = l.sort_values(left_ts, kind="mergesort")
-        rr = r[[c for _, c in appended]].rename(
-            columns={c: n for n, c in appended}
-        )
-        rr["__on"] = r[rts]
-        rr["__matched"] = True
-        rr = rr.sort_values("__on", kind="mergesort")
-        l2 = l.copy()
-        l2["__on"] = l[left_ts]
-        merged = pd.merge_asof(
-            l2, rr, on="__on",
-            direction=direction, allow_exact_matches=allow_exact_matches,
-            tolerance=tolerance,
-        ).drop(columns="__on")
-        if how == "inner":
-            merged = merged[merged["__matched"].notna()]
-        return merged[[f.name for f in out_fields]]
+        out_names = [f.name for f in out_fields]
+        # null-ts handling mirrors the native path: null right ts never
+        # matches; null left ts is unmatched (kept for 'left' only)
+        lnull = l[l[left_ts].isna()] if how == "left" else None
+        l = l[l[left_ts].notna()]
+        parts = []
+        if not l.empty:
+            l = l.sort_values(left_ts, kind="mergesort")
+            rr = r[[c for _, c in appended]].rename(
+                columns={c: n for n, c in appended}
+            )
+            rr["__on"] = r[rts]
+            rr["__matched"] = True
+            rr = rr[rr["__on"].notna()].sort_values("__on", kind="mergesort")
+            l2 = l.copy()
+            l2["__on"] = l[left_ts]
+            if l2["__on"].dtype != rr["__on"].dtype:
+                # a group whose ts column held nulls arrives as float64 while
+                # the other side is int64 — promote both to the common dtype
+                import numpy as np
+
+                common = np.result_type(l2["__on"].dtype, rr["__on"].dtype)
+                l2["__on"] = l2["__on"].astype(common)
+                rr["__on"] = rr["__on"].astype(common)
+            merged = pd.merge_asof(
+                l2, rr, on="__on",
+                direction=direction, allow_exact_matches=allow_exact_matches,
+                tolerance=tolerance,
+            ).drop(columns="__on")
+            if how == "inner":
+                merged = merged[merged["__matched"].notna()]
+            parts.append(merged[out_names])
+        if lnull is not None and not lnull.empty:
+            parts.append(lnull.reindex(columns=out_names))
+        if not parts:
+            return pd.DataFrame(columns=out_names)
+        return pd.concat(parts, ignore_index=True)
 
     grouped = left.groupBy(*keys).cogroup(right.groupBy(*keys))
 
@@ -135,13 +157,17 @@ def _asof_native(
             name = f"{name}_r"
         appended.append((name, c))
 
-    l_side = left.select(
+    # null timestamps: a null-ts right row must not be carried forward (it
+    # would otherwise sort nulls-first and "match" every left row preceding
+    # the first real observation); a null-ts left row is unmatched by
+    # definition — kept (with nulls) for how='left', dropped for 'inner'.
+    l_side = left.filter(F.col(left_ts).isNotNull()).select(
         *[F.col(c) for c in left.columns],
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(n) for n, c in appended],
         F.lit(1).alias("__is_left"),
         F.col(left_ts).alias("__ts"),
     )
-    r_side = right.select(
+    r_side = right.filter(F.col(rts).isNotNull()).select(
         *[
             F.col(c) if c in keys else F.lit(None).cast(t).alias(c)
             for c, t in left.dtypes
@@ -178,4 +204,14 @@ def _asof_native(
     ]
     if how == "inner":
         filled = filled.filter(F.col("__matched").isNotNull())
-    return filled.select(*out_cols)
+    out = filled.select(*out_cols)
+    if how == "left":
+        null_left = left.filter(F.col(left_ts).isNull()).select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.lit(None).cast(dict(right.dtypes)[c]).alias(n)
+                for n, c in appended
+            ],
+        )
+        out = out.unionByName(null_left)
+    return out

@@ -145,15 +145,30 @@ def cdx_generate(paths_df: DataFrame, surt_fn=None) -> DataFrame:
                         gzip.open(raw) if path.endswith(".gz") else raw
                     )
                     if HAVE_WARCIO:
-                        for rec in ArchiveIterator(raw if path.endswith(".gz") else stream):
+                        it = ArchiveIterator(raw if path.endswith(".gz") else stream)
+                        for rec in it:
                             if rec.rec_type not in ("response", "revisit"):
                                 continue
+                            # member byte range: offset is valid once the
+                            # record is yielded; length once it's consumed.
+                            # The reference CDXGenerator always writes the
+                            # S/V fields — Wayback range-fetch and
+                            # archive_file_extractor depend on them.
+                            off = it.get_record_offset()
                             url = rec.rec_headers.get_header("WARC-Target-URI")
                             ts = (rec.rec_headers.get_header("WARC-Date") or "").replace(
                                 "-", ""
                             ).replace(":", "").replace("T", "").rstrip("Z")
-                            payload = rec.content_stream().read()
+                            # raw_stream = body bytes after the HTTP header
+                            # block, WITHOUT transfer decoding — the same
+                            # bytes the minimal reader hashes, so digests
+                            # agree between the two paths.
+                            payload = rec.raw_stream.read()
                             http = rec.http_headers
+                            try:
+                                mlen = it.get_record_length()
+                            except Exception:
+                                mlen = None
                             out.append(
                                 dict(
                                     urlkey=surt(url),
@@ -168,8 +183,8 @@ def cdx_generate(paths_df: DataFrame, surt_fn=None) -> DataFrame:
                                     digest=_b32_sha1(payload),
                                     redirect=http.get_header("Location") if http else None,
                                     meta_flags=None,
-                                    compressed_length=None,
-                                    compressed_offset=None,
+                                    compressed_length=mlen,
+                                    compressed_offset=off,
                                     filename=fname,
                                     error=None,
                                 )

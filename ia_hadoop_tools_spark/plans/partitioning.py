@@ -123,16 +123,21 @@ def write_named_shards(
     """Write one named, sorted shard directory per split-file range.
 
     ``splits`` = [(name, start, end)]; rows outside every range are dropped
-    (matching the reference, where the partitioner only routes covered keys).
+    (matching the reference, where the partitioner only routes covered keys) —
+    including rows falling in a GAP between one split's end and the next
+    split's start: each row is checked against its assigned split's own
+    ``end``, so every shard holds exactly its [start, end).
     """
     names = [s[0] for s in splits]
     starts = [s[1] for s in splits]
+    ends = [s[2] for s in splits]
     with_ids = assign_range_ids(df, starts, key_col, "__rid")
     name_map = F.array(*[F.lit(n) for n in names])
+    end_map = F.array(*[F.lit(e) for e in ends])
     out = (
         with_ids.withColumn("shard", F.element_at(name_map, F.col("__rid") + 1))
         .filter(F.col(key_col) >= starts[0])
-        .filter(F.col(key_col) < splits[-1][2])
+        .filter(F.col(key_col) < F.element_at(end_map, F.col("__rid") + 1))
         .drop("__rid")
     )
     (

@@ -102,3 +102,38 @@ def test_colliding_column_names_consistent_across_strategies(spark):
     pdm = asof_join(left, right, "k", "ts", "ts", method="pandas")
     assert nat.columns == pdm.columns == ["k", "ts", "v", "ts_r", "v_r"]
     assert sorted(map(tuple, nat.collect())) == sorted(map(tuple, pdm.collect()))
+
+
+def test_asof_null_timestamps_agree_across_methods(spark):
+    """Null-ts right rows never match; null-ts left rows survive only under
+    how='left' — identically for method='native' and method='pandas'."""
+    trades = spark.createDataFrame(
+        [(1, None, 0.0), (1, 100, 10.0), (1, 40, 4.0), (2, 100, 1.0)],
+        "k: long, ts: long, px: double",
+    )
+    quotes = spark.createDataFrame(
+        [(1, None, 99.0), (1, 90, 0.9), (2, None, 77.0)],
+        "k: long, qts: long, q: double",
+    )
+    for how in ("inner", "left"):
+        results = {}
+        for method in ("native", "pandas"):
+            rows = asof_join(
+                trades, quotes, "k", "ts", "qts", how=how, method=method
+            ).collect()
+            results[method] = {
+                (r.k, r.ts, r.px, r.qts, r.q) for r in rows
+            }
+        assert results["native"] == results["pandas"], how
+        got = results["native"]
+        if how == "inner":
+            # only ts=100/k=1 matches (qts=90); ts=40 precedes every real
+            # quote and must NOT match the null-ts quote row
+            assert got == {(1, 100, 10.0, 90, 0.9)}
+        else:
+            assert len(got) == 4
+            by_key = {(k, ts): (qts, q) for k, ts, _, qts, q in got}
+            assert by_key[(1, 40)] == (None, None)
+            assert by_key[(1, None)] == (None, None)
+            assert by_key[(2, 100)] == (None, None)
+            assert by_key[(1, 100)] == (90, 0.9)

@@ -86,6 +86,26 @@ def test_assign_range_ids_and_named_shards(spark, tmp_path):
     assert by_shard == {"part-a": ["a1", "b1"], "part-c": ["c1", "d1"]}
 
 
+def test_named_shards_drop_gap_keys(spark, tmp_path):
+    """Keys in the gap between one split's end and the next split's start are
+    dropped, not routed into the preceding shard — each shard holds exactly
+    its [start, end)."""
+    df = _mk(spark, ["a1", "b9", "c1", "d1", "e5"])
+    path = str(tmp_path / "shards")
+    # gap between 'b' (end of part-a) and 'c' (start of part-c); e5 beyond end
+    write_named_shards(
+        df, path, [("part-a", "a", "b"), ("part-c", "c", "e")], key_col="urlkey"
+    )
+    back = spark.read.parquet(path)
+    by_shard = {
+        r["shard"]: r["keys"]
+        for r in back.groupBy("shard")
+        .agg(F.sort_array(F.collect_list("urlkey")).alias("keys"))
+        .collect()
+    }
+    assert by_shard == {"part-a": ["a1"], "part-c": ["c1", "d1"]}
+
+
 def test_incremental_merge_cycle(spark, tmp_path):
     """STAGED - INCLUDED drives the merge; bookkeeping advances
     (streaming/incremental.py, cdx/notes.txt:19-36 semantics)."""
