@@ -257,6 +257,65 @@ FROM (
 """
 
 
+# 7b. incremental_cycle — the reference's production loop composed end-to-end
+# (cdx/notes.txt:19-36): STAGED − INCLUDED selects the next source batches,
+# they merge into the existing cluster under the day limit, bookkeeping
+# advances, and a SECOND cycle must be a no-op (empty work queue). The result
+# is the cluster after both cycles; the oracle is the merge+day-limit over
+# all four batches — if bookkeeping failed to advance, cycle 2 would re-merge
+# batches 2-3 and the duplicated rows would break the value hash.
+
+def q_incremental_cycle(spark, sf_dir):
+    from ia_hadoop_tools_spark.streaming.incremental import incremental_merge_cycle
+
+    ev = _events(spark, sf_dir).select(
+        F.lpad(F.col("user_id").cast("string"), 6, "0").alias("urlkey"),
+        F.date_format("ts", "yyyyMMddHHmmss").alias("timestamp"),
+        "event_id",
+    )
+
+    def read_source(spark_, path):
+        b = int(path.rsplit("_", 1)[-1].split(".")[0])
+        return ev.filter(F.col("event_id") % 4 == b)
+
+    staged = spark.createDataFrame(
+        [(f"batch_{i}.cdx", f"/src/batch_{i}.cdx") for i in range(4)],
+        "basename: string, path: string",
+    )
+    included = spark.createDataFrame(
+        [(f"batch_{i}.cdx",) for i in range(2)], "basename: string"
+    )
+    existing = merge_clusters(
+        [read_source(spark, f"/src/batch_{i}.cdx") for i in range(2)],
+        tiebreakers=["event_id"],
+    )
+    merged, included = incremental_merge_cycle(
+        spark, staged, included, read_source, existing,
+        daily_limit=MERGE_DAY_LIMIT_N, tiebreakers=["event_id"],
+    )
+    # cycle 2: everything INCLUDED now — must return the cluster unchanged
+    merged, included = incremental_merge_cycle(
+        spark, staged, included, read_source, merged,
+        daily_limit=MERGE_DAY_LIMIT_N, tiebreakers=["event_id"],
+    )
+    return merged.select("urlkey", "timestamp", "event_id")
+
+
+SQL_INCREMENTAL_CYCLE = f"""
+SELECT urlkey, timestamp, event_id
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY urlkey, substr(timestamp, 1, 8)
+    ORDER BY timestamp, event_id) AS rn
+  FROM (
+    SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS urlkey,
+           strftime(ts, '%Y%m%d%H%M%S') AS timestamp, event_id
+    FROM events
+  )
+) WHERE rn <= {MERGE_DAY_LIMIT_N}
+"""
+
+
 # 8. work_queue — STAGED − INCLUDED (cdx/notes.txt:19-36)
 
 def q_work_queue(spark, sf_dir):
@@ -1648,6 +1707,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "wat_extract": q_wat_extract,
     "wat_fields": q_wat_fields,
+    "incremental_cycle": q_incremental_cycle,
 }
 
 ORACLES = {
@@ -1693,4 +1753,5 @@ ORACLES = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
     "wat_fields": SQL_WAT_FIELDS,
+    "incremental_cycle": SQL_INCREMENTAL_CYCLE,
 }

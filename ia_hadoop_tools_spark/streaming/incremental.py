@@ -29,6 +29,7 @@ def incremental_merge_cycle(
     existing_cluster: DataFrame | None,
     daily_limit: int | None = None,
     sort_cols: Sequence[str] = ("urlkey", "timestamp"),
+    tiebreakers: Sequence[str] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """One STAGED/INCLUDED update cycle.
 
@@ -42,7 +43,10 @@ def incremental_merge_cycle(
         return existing_cluster, included
     new_parts = [read_source(spark, r["path"]) for r in todo]
     sources = new_parts if existing_cluster is None else [existing_cluster, *new_parts]
-    merged = merge_clusters(sources, daily_limit=daily_limit, sort_cols=sort_cols)
+    merged = merge_clusters(
+        sources, daily_limit=daily_limit, sort_cols=sort_cols,
+        tiebreakers=tiebreakers,
+    )
     new_included = included.select("basename").unionByName(
         spark.createDataFrame([(r["basename"],) for r in todo], "basename: string")
     ).dropDuplicates(["basename"])
