@@ -801,6 +801,46 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
 SQL_MINHASH_PAIRS = _minhash_pairs_sql()
 
 
+# 24b. neardup_clusters — pairs -> transitive-closure dedup groups with a
+# canonical keep-one-per-cluster verdict (operators/components.py); oracle
+# is a DuckDB recursive CTE over the same MinHash pair SQL.
+
+def q_neardup_clusters(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.components import dedup_groups
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, num_perm=MINHASH_PERMS, bands=MINHASH_BANDS,
+        shingle_words=SHINGLE_WORDS, threshold=JACCARD_THRESHOLD,
+    )
+    return dedup_groups(d, pairs)
+
+
+def _neardup_clusters_sql() -> str:
+    pairs = _minhash_pairs_sql().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.comp, d.doc_id) AS "group",
+       d.doc_id = COALESCE(c.comp, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+SQL_NEARDUP_CLUSTERS = _neardup_clusters_sql()
+
+
 def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return simhash(d, bits=32).select("doc_id", "simhash")
@@ -1708,6 +1748,7 @@ QUERIES = {
     "wat_extract": q_wat_extract,
     "wat_fields": q_wat_fields,
     "incremental_cycle": q_incremental_cycle,
+    "neardup_clusters": q_neardup_clusters,
 }
 
 ORACLES = {
@@ -1754,4 +1795,5 @@ ORACLES = {
     "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
     "wat_fields": SQL_WAT_FIELDS,
     "incremental_cycle": SQL_INCREMENTAL_CYCLE,
+    "neardup_clusters": SQL_NEARDUP_CLUSTERS,
 }
