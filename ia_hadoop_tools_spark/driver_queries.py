@@ -674,6 +674,146 @@ FROM m
 """
 
 
+# 21b. quality_rules — Gopher-style repetition/shape quality filter with
+# auditable per-rule verdicts (operators/quality.py)
+
+def q_quality_rules(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.quality import quality_filter
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_filter(d)
+
+
+SQL_QUALITY_RULES = f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+ws AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS dstnct,
+         max(c) AS top,
+         sum(length(w) * c) / CAST(sum(c) AS DOUBLE) AS mean_len
+  FROM wc GROUP BY doc_id
+),
+bgl AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+           i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS g
+  FROM tok WHERE len(toks) >= 2
+),
+gc AS (SELECT doc_id, g, count(*) AS c FROM bgl GROUP BY doc_id, g),
+gs AS (
+  SELECT doc_id,
+         round(CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+           AS dupg
+  FROM gc GROUP BY doc_id
+),
+stats AS (
+  SELECT d.doc_id,
+         COALESCE(ws.n_words, 0) AS n_words,
+         COALESCE(round(ws.mean_len, 6), 0.0) AS mean_word_len,
+         COALESCE(round(ws.dstnct / CAST(ws.n_words AS DOUBLE), 6), 0.0)
+           AS distinct_word_ratio,
+         COALESCE(round(ws.top / CAST(ws.n_words AS DOUBLE), 6), 0.0)
+           AS top_word_fraction,
+         COALESCE(gs.dupg, 0.0) AS dup_2gram_fraction
+  FROM documents d
+  LEFT JOIN ws ON d.doc_id = ws.doc_id
+  LEFT JOIN gs ON d.doc_id = gs.doc_id
+)
+SELECT *,
+       (ok_n_words AND ok_word_len AND ok_top_word AND ok_dup_2gram
+        AND ok_distinct) AS passes
+FROM (
+  SELECT *,
+         n_words BETWEEN 5 AND 1000000 AS ok_n_words,
+         mean_word_len BETWEEN 2.0 AND 12.0 AS ok_word_len,
+         top_word_fraction <= 0.2 AS ok_top_word,
+         dup_2gram_fraction <= 0.3 AS ok_dup_2gram,
+         distinct_word_ratio >= 0.2 AS ok_distinct
+  FROM stats
+)
+"""
+
+
+# 21c. dedup_lines — C4-style corpus-wide exact line dedup. The synthetic
+# documents are single-line, so the query synthesizes a deterministic
+# 3-line structure (shared group header / unique-ish body / global footer)
+# to exercise cross-document line collisions.
+
+def q_dedup_lines(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.quality import dedup_lines
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("shared-"), (F.col("doc_id") % 50).cast("string")),
+            F.substring("text", 1, 80),
+            F.lit("footer boilerplate"),
+        ).alias("text"),
+    )
+    return dedup_lines(d)
+
+
+SQL_DEDUP_LINES = r"""
+WITH src AS (
+  SELECT doc_id,
+         'shared-' || CAST(doc_id % 50 AS VARCHAR) || chr(10) ||
+         substr(text, 1, 80) || chr(10) || 'footer boilerplate' AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         string_split(text, chr(10))[CAST(i AS INT)] AS line
+  FROM src, range(1, 4) r(i)
+),
+kept AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY line ORDER BY doc_id, pos) AS rn
+    FROM lines
+  ) WHERE rn = 1
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+FROM kept GROUP BY doc_id
+"""
+
+
+# 21d. pii_scrub — regex redaction as a pure projection; PII-looking spans
+# are injected deterministically since the synthetic corpus has none.
+
+def q_pii_scrub(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.quality import scrub_pii
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60),
+            F.lit(" contact user"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return scrub_pii(d, kinds=("email", "ipv4"))
+
+
+SQL_PII_SCRUB = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           substr(text, 1, 60) || ' contact user' ||
+             CAST(doc_id % 100 AS VARCHAR) || '@example.com or 10.0.0.' ||
+             CAST(doc_id % 256 AS VARCHAR),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '[REDACTED-EMAIL]', 'g'),
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[REDACTED-IPV4]', 'g') AS text
+FROM documents
+"""
+
+
 def q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
@@ -1749,6 +1889,9 @@ QUERIES = {
     "wat_fields": q_wat_fields,
     "incremental_cycle": q_incremental_cycle,
     "neardup_clusters": q_neardup_clusters,
+    "quality_rules": q_quality_rules,
+    "dedup_lines": q_dedup_lines,
+    "pii_scrub": q_pii_scrub,
 }
 
 ORACLES = {
@@ -1796,4 +1939,7 @@ ORACLES = {
     "wat_fields": SQL_WAT_FIELDS,
     "incremental_cycle": SQL_INCREMENTAL_CYCLE,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
+    "quality_rules": SQL_QUALITY_RULES,
+    "dedup_lines": SQL_DEDUP_LINES,
+    "pii_scrub": SQL_PII_SCRUB,
 }

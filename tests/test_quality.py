@@ -1,0 +1,71 @@
+"""Quality filtering / line dedup / PII scrub tests (operators/quality.py)."""
+
+from __future__ import annotations
+
+from ia_hadoop_tools_spark.operators.quality import (
+    dedup_lines,
+    quality_filter,
+    repetition_stats,
+    scrub_pii,
+)
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),
+            (2, "a fresh take on distributed query planning today"),
+            (3, ""),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].n_words == 5
+    assert got[1].top_word_fraction == 1.0
+    assert got[1].distinct_word_ratio == 0.2
+    assert got[1].dup_2gram_fraction == 0.75  # 4 bigrams, 3 dups
+    assert got[2].top_word_fraction == 0.125
+    assert got[2].dup_2gram_fraction == 0.0
+    assert got[3].n_words == 0
+
+
+def test_quality_filter_verdicts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam"),
+            (2, "a genuinely varied sentence with many distinct useful words here"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert got[2].passes
+    assert not got[1].passes
+    assert not got[1].ok_top_word  # the reason is auditable
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "shared header\nunique to one\nshared footer"),
+            (2, "shared header\nunique to two\nshared footer"),
+            (3, "shared header\nshared footer"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r.text for r in dedup_lines(df).collect()}
+    # doc 1 (lowest id) keeps the shared lines; later docs lose them
+    assert got[1] == "shared header\nunique to one\nshared footer"
+    assert got[2] == "unique to two"
+    assert 3 not in got  # all lines lost -> doc dropped
+
+
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b@example.com or call +1 (555) 123-4567 from 10.0.0.1")],
+        "doc_id: long, text: string",
+    )
+    out = scrub_pii(df).collect()[0].text
+    assert "example.com" not in out
+    assert "555" not in out
+    assert "10.0.0.1" not in out
+    assert "[REDACTED-EMAIL]" in out and "[REDACTED-PHONE]" in out
