@@ -674,6 +674,66 @@ FROM m
 """
 
 
+# 21a. sample_mix / pack_sequences — deterministic training-mix sampling
+# (content-addressed md5 thresholding, reproducible across engines) and
+# GPT-style concat-and-chunk sequence packing (operators/sampling.py)
+
+SAMPLE_MIX_FRACTIONS = {"src0": 0.9, "src1": 0.5, "src2": 0.1}
+SAMPLE_MIX_DEFAULT = 0.25
+PACK_BUDGET = 512
+
+
+def q_sample_mix(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.sampling import sample_stratified
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_stratified(
+        d, SAMPLE_MIX_FRACTIONS, "source", "doc_id", SAMPLE_MIX_DEFAULT
+    ).select("doc_id", "source")
+
+
+SQL_SAMPLE_MIX = f"""
+SELECT doc_id, source FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 1000000
+      < CASE source
+          WHEN 'src0' THEN {int(0.9 * 1_000_000)}
+          WHEN 'src1' THEN {int(0.5 * 1_000_000)}
+          WHEN 'src2' THEN {int(0.1 * 1_000_000)}
+          ELSE {int(0.25 * 1_000_000)} END
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    from ia_hadoop_tools_spark.functions.textfns import tokens
+    from ia_hadoop_tools_spark.operators.sampling import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        d, budget=PACK_BUDGET, strata_col="source"
+    ).select("doc_id", "source", "n_tokens", "seq_start", "bin", "bin_offset")
+
+
+SQL_PACK_SEQUENCES = f"""
+SELECT doc_id, source, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS seq_start,
+       CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin,
+       CAST((cum - n_tokens) % {PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (
+    SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+    FROM documents
+  )
+)
+"""
+
+
 # 21b. quality_rules — Gopher-style repetition/shape quality filter with
 # auditable per-rule verdicts (operators/quality.py)
 
@@ -1892,6 +1952,8 @@ QUERIES = {
     "quality_rules": q_quality_rules,
     "dedup_lines": q_dedup_lines,
     "pii_scrub": q_pii_scrub,
+    "sample_mix": q_sample_mix,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES = {
@@ -1942,4 +2004,6 @@ ORACLES = {
     "quality_rules": SQL_QUALITY_RULES,
     "dedup_lines": SQL_DEDUP_LINES,
     "pii_scrub": SQL_PII_SCRUB,
+    "sample_mix": SQL_SAMPLE_MIX,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }

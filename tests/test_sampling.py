@@ -1,0 +1,70 @@
+"""Deterministic sampling / packing tests (operators/sampling.py)."""
+
+from __future__ import annotations
+
+from ia_hadoop_tools_spark.operators.sampling import (
+    pack_sequences,
+    sample_hash,
+    sample_stratified,
+)
+
+
+def _docs(spark, n=400):
+    return spark.createDataFrame(
+        [(i, f"src{i % 4}", 10 + i % 90) for i in range(n)],
+        "doc_id: long, source: string, n_tokens: long",
+    )
+
+
+def test_sample_hash_deterministic_and_proportional(spark):
+    d = _docs(spark)
+    a = {r.doc_id for r in sample_hash(d, 0.5).collect()}
+    b = {r.doc_id for r in sample_hash(d.repartition(7), 0.5).collect()}
+    assert a == b  # content-addressed: partitioning can't change the sample
+    assert 0.35 <= len(a) / 400 <= 0.65
+    sub = {r.doc_id for r in sample_hash(d, 0.2).collect()}
+    assert sub <= a  # nested: smaller fraction is a subset of larger
+
+
+def test_sample_stratified_fractions(spark):
+    d = _docs(spark)
+    out = sample_stratified(d, {"src0": 1.0, "src1": 0.0}, "source")
+    got = {r.source for r in out.collect()}
+    n_src0 = out.filter("source = 'src0'").count()
+    assert got == {"src0"}  # src1 dropped, unlisted strata default 0.0
+    assert n_src0 == 100
+
+
+def test_pack_sequences_layout(spark):
+    d = spark.createDataFrame(
+        [(1, 30), (2, 50), (3, 40), (4, 10)],
+        "doc_id: long, n_tokens: long",
+    )
+    got = {
+        r.doc_id: (r.seq_start, r.bin, r.bin_offset)
+        for r in pack_sequences(d, budget=64).collect()
+    }
+    # stream: doc1 @0, doc2 @30, doc3 @80, doc4 @120
+    assert got == {
+        1: (0, 0, 0),
+        2: (30, 0, 30),
+        3: (80, 1, 16),
+        4: (120, 1, 56),
+    }
+
+
+def test_pack_sequences_per_stratum(spark):
+    d = spark.createDataFrame(
+        [(1, "a", 40), (2, "b", 40), (3, "a", 40), (4, "b", 40)],
+        "doc_id: long, source: string, n_tokens: long",
+    )
+    got = {
+        r.doc_id: (r.source, r.seq_start, r.bin)
+        for r in pack_sequences(d, budget=64, strata_col="source").collect()
+    }
+    assert got == {
+        1: ("a", 0, 0),
+        3: ("a", 40, 0),
+        2: ("b", 0, 0),
+        4: ("b", 40, 0),
+    }
