@@ -62,6 +62,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource pushdown (sources/zipnum_datasource.py uses
+        # pushFilters for summary-driven block pruning)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")

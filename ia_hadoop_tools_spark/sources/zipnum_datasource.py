@@ -1,0 +1,181 @@
+"""ZipNum as a first-class Spark data source (PySpark 4 Python DataSource).
+
+``spark.read.format("zipnum").load(cluster_dir)`` — the idiomatic skin over
+the ZipNum codec (sources/zipnum.py): the cluster's ``ALL.summary``
+meta-index drives partition planning (one task per group of gzip members,
+balanced by compressed bytes), and urlkey range predicates push down into
+BLOCK PRUNING before any data I/O — the reference's binary search over the
+summary (cdx/CDXCluster.java:31-43) expressed through ``pushFilters``.
+
+Pushdown is partial by design: pruning is block-granular, so every filter is
+returned to Spark for exact row-level re-evaluation — correctness never
+depends on the pruning. Columns: ``urlkey``, ``timestamp`` (first two CDX
+fields) and ``value`` (the full line).
+
+Register per session::
+
+    from ia_hadoop_tools_spark.sources.zipnum_datasource import register_zipnum
+    register_zipnum(spark)
+    df = spark.read.format("zipnum").option("skip_bad", "true").load(dir)
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+ZIPNUM_READ_SCHEMA = "urlkey string, timestamp string, value string"
+
+
+class ZipNumBlocks(InputPartition):
+    def __init__(self, blocks: Sequence[tuple[str, int, int]]):
+        self.blocks = list(blocks)
+
+
+def _load_summary(cluster_dir: str) -> list[tuple[str, str, int, int]]:
+    rows = []
+    with open(
+        os.path.join(cluster_dir, "ALL.summary"), encoding="utf-8"
+    ) as fh:
+        for line in fh:
+            key, shard, off, length = line.rstrip("\n").split("\t")
+            rows.append((key, shard, int(off), int(length)))
+    return rows
+
+
+def plan_blocks(
+    summary: list[tuple[str, str, int, int]],
+    start: str | None,
+    end: str | None,
+    num_partitions: int,
+) -> list[list[tuple[str, int, int]]]:
+    """Prune to covering blocks, then group into byte-balanced partitions.
+
+    A block covers [its key, next block's key in the same shard); the last
+    block of a shard is kept conservatively (unknown upper key). Mirrors
+    zipnum_range's DataFrame formulation, driver-side over the meta-index
+    (1/3000 of the data).
+    """
+    by_shard: dict[str, list[tuple[str, str, int, int]]] = {}
+    for row in sorted(summary, key=lambda r: (r[1], r[2])):
+        by_shard.setdefault(row[1], []).append(row)
+    kept: list[tuple[str, int, int, int]] = []  # (shard, off, len) + size
+    for shard, rows in by_shard.items():
+        for i, (key, _, off, length) in enumerate(rows):
+            nxt = rows[i + 1][0] if i + 1 < len(rows) else None
+            if end is not None and key >= end:
+                continue
+            if start is not None and nxt is not None and nxt < start:
+                continue
+            kept.append((shard, off, length, length))
+    if not kept:
+        return []
+    kept.sort(key=lambda b: (b[0], b[1]))
+    n = max(1, min(num_partitions, len(kept)))
+    target = sum(b[3] for b in kept) / n
+    groups: list[list[tuple[str, int, int]]] = [[]]
+    acc = 0
+    for shard, off, length, size in kept:
+        if acc >= target and len(groups) < n:
+            groups.append([])
+            acc = 0
+        groups[-1].append((shard, off, length))
+        acc += size
+    return groups
+
+
+class ZipNumReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.cluster_dir = options.get("path")
+        if not self.cluster_dir:
+            raise ValueError("zipnum source requires .load(<cluster dir>)")
+        self.skip_bad = str(options.get("skip_bad", "false")).lower() == "true"
+        self.num_partitions = int(options.get("num_partitions", "32"))
+        self.start: str | None = None
+        self.end: str | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Narrow the block range from urlkey comparisons; every filter is
+        also returned for exact row-level evaluation (partial pushdown)."""
+        for f in filters:
+            if getattr(f, "attribute", None) == ("urlkey",):
+                v = getattr(f, "value", None)
+                if isinstance(v, str):
+                    if isinstance(f, (GreaterThanOrEqual, GreaterThan)):
+                        if self.start is None or v > self.start:
+                            self.start = v
+                    elif isinstance(f, (LessThan, LessThanOrEqual)):
+                        # block pruning needs exclusive end; <= v still
+                        # cannot skip a block whose range contains v
+                        bound = v + "\x00" if isinstance(f, LessThanOrEqual) else v
+                        if self.end is None or bound < self.end:
+                            self.end = bound
+                    elif isinstance(f, EqualTo):
+                        if self.start is None or v > self.start:
+                            self.start = v
+                        if self.end is None or v + "\x00" < self.end:
+                            self.end = v + "\x00"
+            yield f  # Spark re-applies everything exactly
+
+    def partitions(self) -> Sequence[InputPartition]:
+        groups = plan_blocks(
+            _load_summary(self.cluster_dir),
+            self.start,
+            self.end,
+            self.num_partitions,
+        )
+        return [ZipNumBlocks(g) for g in groups] or [ZipNumBlocks([])]
+
+    def read(self, partition: ZipNumBlocks) -> Iterator[tuple]:
+        from ia_hadoop_tools_spark.sources.zipnum import _gunzip_salvage
+
+        for shard, off, length in partition.blocks:
+            path = os.path.join(self.cluster_dir, shard)
+            try:
+                with open(path, "rb") as fh:
+                    fh.seek(off)
+                    payload = fh.read(length)
+            except OSError:
+                if not self.skip_bad:
+                    raise
+                continue
+            text, clean = _gunzip_salvage(payload)
+            if not clean and not self.skip_bad:
+                raise IOError(
+                    f"corrupt gzip member in {shard} at offset {off}; "
+                    f"set option('skip_bad', 'true') to salvage"
+                )
+            for line in text.splitlines():
+                parts = line.split(" ", 2)
+                urlkey = parts[0] if parts else None
+                ts = parts[1] if len(parts) > 1 else None
+                yield (urlkey, ts, line)
+
+
+class ZipNumDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "zipnum"
+
+    def schema(self) -> str:
+        return ZIPNUM_READ_SCHEMA
+
+    def reader(self, schema) -> ZipNumReader:
+        return ZipNumReader(self.options)
+
+
+def register_zipnum(spark) -> None:
+    """Register the ``zipnum`` format on this session."""
+    spark.dataSource.register(ZipNumDataSource)

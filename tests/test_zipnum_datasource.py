@@ -1,0 +1,86 @@
+"""ZipNum Python DataSource tests (spark.read.format('zipnum'))."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.sources.zipnum import write_zipnum, zipnum_range
+from ia_hadoop_tools_spark.sources.zipnum_datasource import (
+    plan_blocks,
+    register_zipnum,
+)
+
+
+def _lines(n):
+    return [f"k{i:04d} 2020010100{i % 100:02d}00 payload-{i}" for i in range(n)]
+
+
+def _cluster(spark, tmp_path, n=300, lpb=30, shards=2):
+    out = str(tmp_path / "cluster")
+    df = spark.createDataFrame([(l,) for l in _lines(n)], "value: string")
+    write_zipnum(df, out, lines_per_block=lpb, num_shards=shards)
+    return out
+
+
+def test_datasource_full_read_matches_codec(spark, tmp_path):
+    out = _cluster(spark, tmp_path)
+    register_zipnum(spark)
+    df = spark.read.format("zipnum").load(out)
+    got = sorted(r.value for r in df.collect())
+    want = sorted(r.value for r in zipnum_range(spark, out, None, None).collect())
+    assert got == want and len(got) == 300
+    # urlkey/timestamp columns are the first two CDX fields
+    r0 = df.orderBy("urlkey").first()
+    assert r0.urlkey == "k0000" and r0.value.startswith("k0000 ")
+
+
+def test_datasource_range_filter_prunes_and_is_exact(spark, tmp_path):
+    out = _cluster(spark, tmp_path)
+    register_zipnum(spark)
+    df = (
+        spark.read.format("zipnum").load(out)
+        .filter((F.col("urlkey") >= "k0100") & (F.col("urlkey") < "k0110"))
+    )
+    got = sorted(r.value for r in df.collect())
+    want = sorted(
+        l for l in _lines(300) if "k0100" <= l.split(" ", 1)[0] < "k0110"
+    )
+    assert got == want
+
+
+def test_plan_blocks_prunes_by_summary():
+    summary = [
+        (f"k{i:04d}", "part-00000.gz", i * 100, 100) for i in range(0, 100, 10)
+    ]
+    all_groups = plan_blocks(summary, None, None, 4)
+    assert sum(len(g) for g in all_groups) == 10
+    pruned = plan_blocks(summary, "k0035", "k0055", 4)
+    kept = [b for g in pruned for b in g]
+    # covering blocks only: k0030 (covers 30-39), k0040, k0050
+    assert [b[1] // 1000 for b in kept] == [3, 4, 5]
+
+
+def test_datasource_skip_bad_option(spark, tmp_path):
+    out = _cluster(spark, tmp_path, n=100, lpb=25, shards=1)
+    register_zipnum(spark)
+    # corrupt the second member
+    import glob
+
+    shard = glob.glob(os.path.join(out, "*.gz"))[0]
+    with open(out + "/ALL.summary") as fh:
+        idx = [l.split("\t") for l in fh.read().splitlines()]
+    off, length = int(idx[1][2]), int(idx[1][3])
+    with open(shard, "r+b") as fh:
+        fh.seek(off + length // 2)
+        fh.write(b"\xff\x00\xff\x00")
+
+    import pytest
+
+    with pytest.raises(Exception):
+        spark.read.format("zipnum").load(out).count()
+    tolerant = (
+        spark.read.format("zipnum").option("skip_bad", "true").load(out)
+    )
+    assert 50 <= tolerant.count() < 100
