@@ -451,6 +451,79 @@ GROUP BY ROLLUP(n_name, c_mktsegment)
 
 # 13. rolling_window — frame-spec analytics (SURVEY §2.7 "full family")
 
+# 12a. tumbling_window — event-time tumbling aggregation via F.window (the
+# batch twin of the Structured Streaming windowed agg; same plan family as
+# streaming/sessions.py's session_window)
+
+def q_tumbling_window(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("__w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("__w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_TUMBLING_WINDOW = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# 12b. zipnum_scan — the zipnum Python DataSource end-to-end: deterministic
+# cluster fixture -> spark.read.format('zipnum') with a pushed-down urlkey
+# range (block pruning) -> parsed fields; oracle regenerates the fixture
+# lines in SQL.
+
+def q_zipnum_scan(spark, sf_dir):
+    import os as _os
+
+    from ia_hadoop_tools_spark.sources.zipnum import write_zipnum
+    from ia_hadoop_tools_spark.sources.zipnum_datasource import register_zipnum
+
+    fixture = "/tmp/iht_zipnum_fixture"
+    if not _os.path.exists(_os.path.join(fixture, "ALL.summary")):
+        lines = [
+            f"k{i:05d} 20200101{i % 24:02d}0000 payload-{i}" for i in range(5000)
+        ]
+        df = spark.createDataFrame([(l,) for l in lines], "value: string")
+        write_zipnum(df, fixture, lines_per_block=200, num_shards=4)
+    register_zipnum(spark)
+    return (
+        spark.read.format("zipnum")
+        .load(fixture)
+        .filter((F.col("urlkey") >= "k01000") & (F.col("urlkey") < "k01500"))
+        .select("urlkey", "timestamp", "value")
+    )
+
+
+SQL_ZIPNUM_SCAN = """
+SELECT 'k' || lpad(CAST(i AS VARCHAR), 5, '0') AS urlkey,
+       '20200101' || lpad(CAST(i % 24 AS VARCHAR), 2, '0') || '0000'
+         AS timestamp,
+       'k' || lpad(CAST(i AS VARCHAR), 5, '0') || ' ' ||
+       '20200101' || lpad(CAST(i % 24 AS VARCHAR), 2, '0') || '0000' ||
+       ' payload-' || CAST(i AS VARCHAR) AS value
+FROM range(1000, 1500) t(i)
+"""
+
+
 def q_rolling_window(spark, sf_dir):
     ev = _events(spark, sf_dir)
     w = (
@@ -1954,6 +2027,8 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "sample_mix": q_sample_mix,
     "pack_sequences": q_pack_sequences,
+    "tumbling_window": q_tumbling_window,
+    "zipnum_scan": q_zipnum_scan,
 }
 
 ORACLES = {
@@ -2006,4 +2081,6 @@ ORACLES = {
     "pii_scrub": SQL_PII_SCRUB,
     "sample_mix": SQL_SAMPLE_MIX,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "tumbling_window": SQL_TUMBLING_WINDOW,
+    "zipnum_scan": SQL_ZIPNUM_SCAN,
 }
