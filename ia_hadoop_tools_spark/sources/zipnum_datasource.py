@@ -138,7 +138,12 @@ class ZipNumReader(DataSourceReader):
         )
         return [ZipNumBlocks(g) for g in groups] or [ZipNumBlocks([])]
 
-    def read(self, partition: ZipNumBlocks) -> Iterator[tuple]:
+    def read(self, partition: ZipNumBlocks):
+        """Yield one Arrow RecordBatch per gzip member — the zero-copy fast
+        path of the Python DataSource API (row tuples would round-trip every
+        line through the pickler)."""
+        import pyarrow as pa
+
         from ia_hadoop_tools_spark.sources.zipnum import _gunzip_salvage
 
         for shard, off, length in partition.blocks:
@@ -157,11 +162,18 @@ class ZipNumReader(DataSourceReader):
                     f"corrupt gzip member in {shard} at offset {off}; "
                     f"set option('skip_bad', 'true') to salvage"
                 )
-            for line in text.splitlines():
+            lines = text.splitlines()
+            if not lines:
+                continue
+            keys, tss = [], []
+            for line in lines:
                 parts = line.split(" ", 2)
-                urlkey = parts[0] if parts else None
-                ts = parts[1] if len(parts) > 1 else None
-                yield (urlkey, ts, line)
+                keys.append(parts[0] if parts else None)
+                tss.append(parts[1] if len(parts) > 1 else None)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(keys), pa.array(tss), pa.array(lines)],
+                names=["urlkey", "timestamp", "value"],
+            )
 
 
 class ZipNumDataSource(DataSource):
