@@ -307,11 +307,110 @@ def cmd_hdfs_sync(args):
             print(f"exists {tgt}")
 
 
+def cmd_corpus_clean(args):
+    """corpus-clean: parquet docs -> quality-filtered, near-dup-deduped
+    parquet (the one-command training-corpus cleaning pipeline: quality
+    rules -> line dedup -> MinHash near-dup groups -> keep canonical)."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.components import dedup_groups
+    from ia_hadoop_tools_spark.operators.quality import (
+        dedup_lines,
+        quality_filter,
+    )
+    from ia_hadoop_tools_spark.operators.textops import minhash_lsh_pairs
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    n0 = docs.count()
+    passed = quality_filter(docs).filter("passes").select("doc_id")
+    docs = docs.join(passed, "doc_id")
+    if args.line_dedup:
+        other = [c for c in docs.columns if c not in ("doc_id", "text")]
+        deduped = dedup_lines(docs)
+        docs = deduped.join(docs.select("doc_id", *other), "doc_id")
+    pairs = minhash_lsh_pairs(docs, threshold=args.threshold)
+    keep = dedup_groups(docs, pairs).filter("keep").select("doc_id")
+    out = docs.join(keep, "doc_id")
+    out.write.mode("overwrite").parquet(args.output)
+    n1 = spark.read.parquet(args.output).count()
+    print(f"corpus-clean: {n0} -> {n1} docs ({args.output})")
+
+
+def cmd_corpus_sample(args):
+    """corpus-sample: deterministic (re-runnable) stratified sampling."""
+    from ia_hadoop_tools_spark.operators.sampling import (
+        sample_hash,
+        sample_stratified,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if args.fractions:
+        fracs = dict(
+            (kv.split("=")[0], float(kv.split("=")[1]))
+            for kv in args.fractions.split(",")
+        )
+        out = sample_stratified(
+            docs, fracs, args.strata_col, default_fraction=args.fraction
+        )
+    else:
+        out = sample_hash(docs, args.fraction)
+    out.write.mode("overwrite").parquet(args.output)
+    print(f"corpus-sample: {out.count()} docs -> {args.output}")
+
+
+def cmd_corpus_pack(args):
+    """corpus-pack: assign docs to fixed-token-budget training sequences."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.functions.textfns import tokens
+    from ia_hadoop_tools_spark.operators.sampling import pack_sequences
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input).withColumn(
+        "n_tokens", F.size(tokens(F.col("text"))).cast("long")
+    )
+    out = pack_sequences(docs, args.budget, strata_col=args.strata_col)
+    out.write.mode("overwrite").parquet(args.output)
+    stats = out.agg(
+        F.countDistinct("bin").alias("bins"), F.sum("n_tokens").alias("toks")
+    ).first()
+    print(
+        f"corpus-pack: {stats.toks} tokens into {stats.bins} bins of "
+        f"{args.budget} -> {args.output}"
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="ia_hadoop_tools_spark", description=__doc__
     )
     sub = p.add_subparsers(dest="tool", required=True)
+
+    s = sub.add_parser(
+        "corpus-clean", help="quality filter + dedup a document corpus"
+    )
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--threshold", type=float, default=0.8)
+    s.add_argument("--line-dedup", action="store_true")
+    s.set_defaults(fn=cmd_corpus_clean)
+
+    s = sub.add_parser("corpus-sample", help="deterministic corpus sampling")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--fraction", type=float, default=0.1)
+    s.add_argument("--fractions", help="per-stratum, e.g. src0=0.9,src1=0.1")
+    s.add_argument("--strata-col", default="source")
+    s.set_defaults(fn=cmd_corpus_sample)
+
+    s = sub.add_parser("corpus-pack", help="pack docs into token-budget bins")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--budget", type=int, default=2048)
+    s.add_argument("--strata-col", default=None)
+    s.set_defaults(fn=cmd_corpus_pack)
 
     s = sub.add_parser("cdx-convert", help="CDX text -> SURT-canonicalized CDX")
     s.add_argument("input", nargs="+")

@@ -94,3 +94,40 @@ def test_file_search_binary_search(tmp_path, capsys):
     assert _run(capsys, "file-search", str(p), "z") == ""
     # first line of the file
     assert _run(capsys, "file-search", str(p), "k00000") == "k00000 value0\n"
+
+
+def test_corpus_clean_sample_pack(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs")
+    rows = []
+    # 10 identical boilerplate-free docs in 2 near-dup pairs + spam + varied
+    for i in range(20):
+        rows.append(
+            (i, f"src{i % 2}",
+             f"varied document number {i} talks about topic {i * 7 % 13} "
+             f"with sufficiently distinct wording and plenty of unique words "
+             f"entry {i * 31 % 17} closing remark {i}")
+        )
+    rows.append((100, "src0", "spam spam spam spam spam spam spam spam"))
+    rows.append((101, "src0", rows[0][2]))  # exact dup of doc 0
+    spark.createDataFrame(
+        rows, "doc_id: long, source: string, text: string"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "clean")
+    got = _run(capsys, "corpus-clean", src, out, "--threshold", "0.9")
+    assert "corpus-clean: 22 ->" in got
+    cleaned = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 100 not in cleaned  # spam fails quality
+    assert 101 not in cleaned and 0 in cleaned  # dup collapsed to min id
+
+    out2 = str(tmp_path / "sampled")
+    _run(capsys, "corpus-sample", src, out2, "--fractions",
+         "src0=1.0,src1=0.0")
+    sampled = {r.source for r in spark.read.parquet(out2).collect()}
+    assert sampled == {"src0"}
+
+    out3 = str(tmp_path / "packed")
+    _run(capsys, "corpus-pack", src, out3, "--budget", "64")
+    packed = spark.read.parquet(out3)
+    assert {"bin", "bin_offset", "seq_start"} <= set(packed.columns)
+    assert packed.count() == 22
