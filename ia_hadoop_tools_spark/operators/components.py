@@ -41,18 +41,20 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
+    # no distinct: duplicate edges cannot change a min-label propagation,
+    # and deduping would cost a full shuffle of the edge list
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
-        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # seed with the one-hop minimum (node itself or any neighbor) — one
+    # aggregation that replaces the first propagation round
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.min("dst"), F.min("src")).alias("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
