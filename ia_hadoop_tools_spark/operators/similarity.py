@@ -294,15 +294,30 @@ def embedding_neardup_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
+
+    # Norms are computed once per VECTOR before the pair join, not once per
+    # pair: the per-pair work drops to a single dot product (3x fewer array
+    # traversals on ~1M candidates), and the cosine stays bit-identical —
+    # same sequential accumulation for both the norm and the dot.
+    normed = df.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__n")
+    )
+    va = normed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = normed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    cos = F.when(denom != 0.0, dot_product(F.col("__va"), F.col("__vb")) / denom)
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
-        )
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
