@@ -25,7 +25,6 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ia_hadoop_tools_spark.functions.vectorfns import cosine_similarity
 
 
 def hyperplanes(num: int, dim: int, seed: int = 42) -> list[list[float]]:
@@ -107,6 +106,8 @@ def ann_lsh_topk(
     """Approximate top-k: score only corpus rows sharing >=1 LSH band with the
     query. Same output shape as :func:`ann_bruteforce_topk`; recall < 1 by
     design (more planes/bands => higher recall, more candidates)."""
+    from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
+
     planes = hyperplanes(num_planes, dim, seed)
     width = num_planes // bands
 
@@ -122,26 +123,28 @@ def ann_lsh_topk(
                 for b in range(bands)
             ]
         )
+        # norm once per vector, BEFORE banding/joining — candidates then
+        # cost one dot product each (bit-identical cosine, same fold order)
         return df.select(
             F.col(id_col).alias(ident),
             F.col(vec_col).alias(f"__vec_{ident}"),
+            l2_norm(F.col(vec_col)).alias(f"__n_{ident}"),
             F.explode(band_keys).alias("bucket"),
         )
 
     qb = with_bands(queries, query_id_col)
     cb = with_bands(corpus, "neighbor_id")
+    denom = F.col("__n_neighbor_id") * F.col(f"__n_{query_id_col}")
+    cos = F.when(
+        denom != 0.0,
+        dot_product(F.col("__vec_neighbor_id"), F.col(f"__vec_{query_id_col}"))
+        / denom,
+    )
     cand = (
         cb.join(F.broadcast(qb), on="bucket")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .dropDuplicates([query_id_col, "neighbor_id"])
-        .select(
-            query_id_col,
-            "neighbor_id",
-            F.round(
-                cosine_similarity(F.col("__vec_neighbor_id"), F.col(f"__vec_{query_id_col}")),
-                6,
-            ).alias("cosine"),
-        )
+        .select(query_id_col, "neighbor_id", F.round(cos, 6).alias("cosine"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
