@@ -378,14 +378,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_words: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
 
     Inverted-index join: explode distinct shingles, equi-join on the shingle,
     count shared shingles per pair, then |A∪B| = |A|+|B|-|A∩B|. Exact but
-    quadratic in per-shingle document frequency — cap/boilerplate-filter hot
-    shingles upstream at scale (MinHash LSH is the scale path; this is the
-    verifier / small-corpus path).
+    quadratic in per-shingle document frequency (MinHash LSH is the scale
+    path; this is the verifier / small-corpus path).
+
+    ``max_df`` is the standard inverted-index pruning knob for larger runs:
+    shingles appearing in more than ``max_df`` documents are dropped
+    (logged), bounding the join at max_df^2 rows per shingle. Jaccard is
+    then computed over the SURVIVING shingle space (sizes shrink too — the
+    same semantics as stop-word removal): exact duplicates still score 1.0,
+    while pairs whose only overlap was dropped boilerplate disappear.
+    Default None = exact over all shingles.
     """
     from pyspark import StorageLevel
 
@@ -400,8 +408,29 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col).alias("id"), F.col("shingles").alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sizes = shingles.select("id", F.size("sh").alias("n"))
     inv = shingles.select("id", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+        )
+        n_hot = hot.count()
+        if n_hot:
+            logger.warning(
+                "ngram_jaccard_pairs: dropping %d shingle(s) over max_df=%d "
+                "from the inverted index (jaccard over surviving shingles)",
+                n_hot, max_df,
+            )
+            inv = inv.join(
+                F.broadcast(hot.select("shingle")), "shingle", "left_anti"
+            )
+        # sizes over the surviving shingle space, so jaccard stays a true
+        # Jaccard of the pruned sets (exact dup -> 1.0)
+        inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
+        sizes = inv.groupBy("id").agg(F.count("*").alias("n"))
+    else:
+        sizes = shingles.select("id", F.size("sh").alias("n"))
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(b, on="shingle")

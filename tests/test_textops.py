@@ -137,3 +137,23 @@ def test_ngram_jaccard_exact(spark):
     jac = {(r.id_a, r.id_b): r.jaccard for r in pairs}
     assert jac[(0, 3)] == 1.0
     assert (0, 1) in jac and 0.3 <= jac[(0, 1)] < 1.0
+
+
+def test_ngram_jaccard_max_df_prunes_hot_shingles(spark, caplog):
+    import logging
+
+    boiler = "terms of service apply"
+    rows = [
+        (i, f"unique document number {i} about topic {i} {boiler}")
+        for i in range(30)
+    ]
+    rows.append((100, rows[0][1]))  # exact dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    with caplog.at_level(logging.WARNING, "ia_hadoop_tools_spark.operators.textops"):
+        pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_df=5).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    # the boilerplate-only overlaps disappear; the true dup pair survives
+    # with jaccard computed over its surviving (non-hot) shingles
+    assert (0, 100) in got and got[(0, 100)] == 1.0
+    assert all(a == 0 and b == 100 for a, b in got)
+    assert any("max_df=5" in r.message for r in caplog.records)
