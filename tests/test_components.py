@@ -36,3 +36,67 @@ def test_dedup_groups_keep_flags(spark):
         3: (3, True),   # isolated docs are their own singleton group
         5: (5, True),
     }
+
+
+def test_connected_components_randomized_vs_union_find(spark):
+    """Random graphs plus a deliberate chain (namespaced into ONE Spark
+    run) must match a driver-side union-find exactly.
+
+    Each propagation round is a full shuffle job, so the test keeps the
+    chain short (4 edges still needs rounds beyond the one-hop seed) and
+    drops shuffle parallelism — correctness is partition-count-independent
+    and tiny-data task overhead dominates at 32 partitions."""
+    import random
+
+    def union_find(nodes, edges):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min-label per component
+        comp = {}
+        for n in nodes:
+            r = find(n)
+            comp.setdefault(r, []).append(n)
+        return {n: min(mem) for mem in comp.values() for n in mem}
+
+    all_edges, expected = [], {}
+    rng = random.Random(7)
+    for g in range(8):
+        base = g * 10_000
+        n_nodes = rng.randint(2, 12)
+        nodes = [base + i for i in range(n_nodes)]
+        n_edges = rng.randint(n_nodes, 3 * n_nodes)
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            edges = [(nodes[0], nodes[1])]
+        all_edges += edges
+        uf = union_find(nodes, edges)
+        # CC only sees nodes with at least one edge
+        touched = {a for a, _ in edges} | {b for _, b in edges}
+        expected.update({n: uf[n] for n in touched})
+
+    # deliberate chain: exercises propagation rounds beyond one-hop seeding
+    chain = [(900_000 + i, 900_000 + i + 1) for i in range(4)]
+    all_edges += chain
+    expected.update({900_000 + i: 900_000 for i in range(5)})
+
+    df = spark.createDataFrame(all_edges, "id_a: long, id_b: long")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        got = {r.node: r.comp for r in connected_components(df).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    assert got == expected
