@@ -1973,6 +1973,77 @@ SQL_PIVOT = "SELECT user_id, " + ", ".join(
 ) + " FROM events GROUP BY user_id"
 
 
+# 53. span_stats / span_dedup — corpus-level exact substring (token n-gram
+# span) dedup, Lee et al. 2021-style (operators/spans.py). n=6 so the
+# synthetic corpus's replicated phrases (not just random collisions)
+# dominate the duplicate set.
+
+SPAN_N = 6
+
+
+def q_span_stats(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.spans import span_dedup_stats
+
+    return span_dedup_stats(_t(spark, sf_dir, "documents"), n=SPAN_N)
+
+
+_SPAN_DUP_SQL = f"""
+tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         array_to_string(list_slice(
+           ts, CAST(i AS INT), CAST(i + {SPAN_N - 1} AS INT)), ' ') AS g
+  FROM tok, UNNEST(range(1, len(ts) - {SPAN_N} + 2)) AS u(i)
+  WHERE len(ts) >= {SPAN_N}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+dg AS (SELECT doc_id, pos FROM grams JOIN dup USING (g))
+"""
+
+
+SQL_SPAN_STATS = f"""
+WITH {_SPAN_DUP_SQL},
+cov AS (
+  SELECT DISTINCT doc_id, pos + off AS ti
+  FROM dg, UNNEST(range(0, {SPAN_N})) AS o(off)
+),
+pd AS (SELECT doc_id, count(*) AS dup_ngrams FROM dg GROUP BY doc_id),
+cv AS (SELECT doc_id, count(*) AS covered_tokens FROM cov GROUP BY doc_id)
+SELECT t.doc_id, len(ts) AS n_tokens,
+       coalesce(pd.dup_ngrams, 0) AS dup_ngrams,
+       coalesce(cv.covered_tokens, 0) AS covered_tokens,
+       CASE WHEN len(ts) > 0
+            THEN round(CAST(coalesce(cv.covered_tokens, 0) AS DOUBLE)
+                       / len(ts), 6)
+            ELSE 0.0 END AS coverage
+FROM tok t LEFT JOIN pd USING (doc_id) LEFT JOIN cv USING (doc_id)
+"""
+
+
+def q_span_dedup(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.spans import span_dedup
+
+    return span_dedup(_t(spark, sf_dir, "documents"), n=SPAN_N)
+
+
+SQL_SPAN_DEDUP = f"""
+WITH {_SPAN_DUP_SQL},
+cov AS (
+  SELECT doc_id, list(DISTINCT pos + off) AS cvs
+  FROM dg, UNNEST(range(0, {SPAN_N})) AS o(off) GROUP BY doc_id
+)
+SELECT t.doc_id,
+  coalesce(array_to_string(list_filter(
+    ts, (tk, i) -> NOT coalesce(list_contains(cvs, i - 1), FALSE)), ' '),
+    '') AS clean_text,
+  len(ts) AS n_tokens,
+  len(ts) - len(list_filter(
+    ts, (tk, i) -> NOT coalesce(list_contains(cvs, i - 1), FALSE)))
+    AS removed_tokens
+FROM tok t LEFT JOIN cov USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2029,6 +2100,8 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "tumbling_window": q_tumbling_window,
     "zipnum_scan": q_zipnum_scan,
+    "span_stats": q_span_stats,
+    "span_dedup": q_span_dedup,
 }
 
 ORACLES = {
@@ -2083,4 +2156,6 @@ ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "tumbling_window": SQL_TUMBLING_WINDOW,
     "zipnum_scan": SQL_ZIPNUM_SCAN,
+    "span_stats": SQL_SPAN_STATS,
+    "span_dedup": SQL_SPAN_DEDUP,
 }

@@ -1,0 +1,180 @@
+"""Exact substring (token n-gram span) dedup for training corpora.
+
+Corpus-level exact substring dedup in the spirit of Lee et al. 2021
+("Deduplicating Training Data Makes Language Models Better"): a token
+window of ``n`` consecutive tokens that occurs >= ``min_count`` times
+ANYWHERE in the corpus (across or within documents) marks every token it
+covers as duplicated. ``span_dedup_stats`` reports per-document coverage;
+``span_dedup`` rewrites documents with the covered tokens removed.
+
+Not in the reference (its dedup is per-CDX-key, SURVEY §2.6) — this is the
+training-data-pipeline extension, built like the MinHash family in
+``operators/textops.py``.
+
+Semantics note vs Lee et al.: they keep ONE occurrence of each duplicated
+substring (requires a global total order over occurrences); we drop ALL
+covered tokens, which is the common streaming-corpus simplification and is
+order-independent — the output does not depend on partitioning or input
+order, which keeps the operator deterministic and oracle-checkable.
+
+Scale shape (100 TB of documents):
+- Window hashing is a narrow codegen projection (``transform`` over a
+  ``sequence`` + ``xxhash64``) — no Python, no shuffle, no window text
+  materialized beyond the hash input.
+- The only wide exchanges are (1) the hash-count aggregation over skinny
+  ``(hash)`` rows with map-side combine and (2) the join of window rows
+  against the surviving duplicate hashes — cost proportional to the number
+  of DUPLICATE windows, never all-pairs.
+- The rewrite never explodes tokens: covered indices are collected into one
+  per-doc array and the token array is filtered in place with an
+  index-aware lambda, so full text shuffles exactly once (the final join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str):
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+
+
+def _dup_windows(
+    base: DataFrame, id_col: str, n: int, min_count: int, use_hash: bool
+) -> DataFrame:
+    """(id, pos) of every n-token window whose corpus count >= min_count.
+
+    ``base`` must carry ``__toks`` / ``__nt``. With ``use_hash`` the join
+    key is ``xxhash64`` of the window text (the 100 TB path — collisions
+    are ~2^-64 per pair); without it the window string itself (exact, used
+    by tests to pin hash-vs-string equivalence).
+    """
+    grams = (
+        base.filter(F.col("__nt") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__nt") - n),
+                    lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
+                )
+            ).alias("pos", "__g"),
+        )
+        .select(
+            id_col,
+            "pos",
+            (F.xxhash64("__g") if use_hash else F.col("__g")).alias("__h"),
+        )
+    )
+    dup = (
+        grams.groupBy("__h")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__h")
+    )
+    return grams.join(dup, "__h").select(id_col, "pos")
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    use_hash: bool = True,
+) -> DataFrame:
+    """Per-doc duplicated-span coverage: ``n_tokens``, ``dup_ngrams``
+    (duplicate windows in the doc), ``covered_tokens`` (distinct token
+    positions under any duplicate window), ``coverage`` (fraction).
+
+    Every input doc gets a row (zeroes when nothing is duplicated).
+    """
+    base = (
+        df.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+        .withColumn("__nt", F.size("__toks"))
+    )
+    dw = _dup_windows(base, id_col, n, min_count, use_hash)
+    per_doc = dw.groupBy(id_col).agg(F.count("*").alias("dup_ngrams"))
+    cov = (
+        dw.select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias(
+                "__ti"
+            ),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    return (
+        # long n_tokens: size() is int32, counts are int64 — keep the stat
+        # columns uniformly 64-bit
+        base.select(id_col, F.col("__nt").cast("long").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .join(cov, id_col, "left")
+        .fillna(0, ["dup_ngrams", "covered_tokens"])
+        .withColumn(
+            "coverage",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.col("covered_tokens")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    use_hash: bool = True,
+) -> DataFrame:
+    """Rewrite: drop every token covered by a duplicated window.
+
+    Output: ``(id, clean_text, n_tokens, removed_tokens)`` — one row per
+    input doc; ``clean_text`` is the space-rejoin of the surviving tokens
+    (empty string when the whole doc is duplicated).
+    """
+    base = (
+        df.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+        .withColumn("__nt", F.size("__toks"))
+    )
+    dw = _dup_windows(base, id_col, n, min_count, use_hash)
+    # one skinny array of covered indices per affected doc — the token
+    # array is filtered in place, never exploded
+    cov = (
+        dw.select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias(
+                "__ti"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__ti").alias("__cov"))
+    )
+    kept = F.filter(
+        "__toks",
+        lambda t, i: ~F.array_contains(
+            F.coalesce(F.col("__cov"), F.array().cast("array<int>")), i
+        ),
+    )
+    return (
+        base.join(cov, id_col, "left")
+        .select(
+            id_col,
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.col("__nt").cast("long").alias("n_tokens"),
+            (F.col("__nt") - F.size(kept)).cast("long").alias(
+                "removed_tokens"
+            ),
+        )
+    )

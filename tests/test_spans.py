@@ -1,0 +1,92 @@
+"""Exact substring span dedup tests (operators/spans.py)."""
+
+from __future__ import annotations
+
+from ia_hadoop_tools_spark.operators.spans import span_dedup, span_dedup_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_span_stats_cross_doc_duplicate(spark):
+    # docs 1/2 share the 3-gram "a b c"; doc 3 is clean
+    df = _docs(
+        spark,
+        [
+            (1, "a b c x y"),
+            (2, "p q a b c"),
+            (3, "u v w z k"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_ngrams, r.covered_tokens, r.coverage)
+        for r in span_dedup_stats(df, n=3).collect()
+    }
+    assert got == {
+        1: (5, 1, 3, 0.6),
+        2: (5, 1, 3, 0.6),
+        3: (5, 0, 0, 0.0),
+    }
+
+
+def test_span_dedup_rewrite_and_full_coverage(spark):
+    # doc 2 is an exact copy of doc 1 -> every window duplicated, both
+    # rewritten to ''; doc 3 keeps only tokens outside the shared span
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d"),
+            (2, "a b c d"),
+            (3, "zz a b c qq"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.removed_tokens)
+        for r in span_dedup(df, n=3).collect()
+    }
+    # doc 3's windows ("zz a b", "a b c", "b c qq") — only "a b c" repeats
+    assert got == {
+        1: ("", 4, 4),
+        2: ("", 4, 4),
+        3: ("zz qq", 5, 3),
+    }
+
+
+def test_span_within_doc_repeat_counts(spark):
+    # the duplicate occurrences are WITHIN one doc — corpus-level count
+    # semantics still flag them (Lee et al. count occurrences, not docs)
+    df = _docs(spark, [(1, "a b c x a b c"), (2, "m n o p q")])
+    got = {
+        r.doc_id: (r.dup_ngrams, r.covered_tokens)
+        for r in span_dedup_stats(df, n=3).collect()
+    }
+    assert got[1] == (2, 6)  # both "a b c" windows; x survives
+    assert got[2] == (0, 0)
+
+
+def test_span_min_count_and_short_docs(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "a b")])
+    # min_count=3: two occurrences are no longer "duplicated"
+    got = {
+        r.doc_id: r.covered_tokens
+        for r in span_dedup_stats(df, n=3, min_count=3).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0}
+    # doc 3 is shorter than n: zero windows, still present with full text
+    rw = {
+        r.doc_id: (r.clean_text, r.removed_tokens)
+        for r in span_dedup(df, n=3).collect()
+    }
+    assert rw[3] == ("a b", 0)
+    assert rw[1] == ("", 3) and rw[2] == ("", 3)
+
+
+def test_span_hash_and_string_paths_agree(spark):
+    df = _docs(
+        spark,
+        [(i, f"w{i} shared phrase tokens here w{i + 1} tail") for i in range(6)],
+    )
+    a = sorted(map(tuple, span_dedup_stats(df, n=4, use_hash=True).collect()))
+    b = sorted(map(tuple, span_dedup_stats(df, n=4, use_hash=False).collect()))
+    assert a == b
