@@ -2044,6 +2044,72 @@ FROM tok t LEFT JOIN cov USING (doc_id)
 """
 
 
+# 54. wet_text / wet_extract — WET-style plain-text extraction, the text
+# sibling of the WAT family (CDX/WAT/WET derivative triple; the reference
+# stops at WAT). wet_text drives the codegen html_to_text chain over a
+# deterministic HTML wrapper of the documents table; wet_extract drives the
+# WARC-side wet_generate over the same fixture WARC as the WAT queries
+# (same strip pipeline, shared HTML_TEXT_STEPS).
+
+def q_wet_text(spark, sf_dir):
+    from ia_hadoop_tools_spark.functions.textfns import html_to_text
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>D"),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{}</style></head><body><p>"),
+        F.substring("text", 1, 120),
+        F.lit("</p><!--x--><script>var a=1;</script>&amp;tail</body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        html_to_text(html).alias("text"),
+        F.length(html_to_text(html)).cast("long").alias("n_chars"),
+    )
+
+
+def _sql_wet_text() -> str:
+    from ia_hadoop_tools_spark.functions.textfns import html_to_text_sql
+
+    html = (
+        "'<html><head><title>D' || CAST(doc_id AS VARCHAR) || "
+        "'</title><style>p{}</style></head><body><p>' || "
+        "substr(text, 1, 120) || "
+        "'</p><!--x--><script>var a=1;</script>&amp;tail</body></html>'"
+    )
+    ext = html_to_text_sql(html)
+    return (
+        f"SELECT doc_id, {ext} AS text, "
+        f"length({ext}) AS n_chars FROM documents"
+    )
+
+
+SQL_WET_TEXT = _sql_wet_text()
+
+
+def q_wet_extract(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.extract import wet_generate
+
+    q_wat_extract(spark, sf_dir)  # ensure the fixture WARC exists
+    path = "/tmp/iht_wat_fixture/fixture-00000.warc.gz"
+    paths = spark.createDataFrame([(path,)], "path: string")
+    return wet_generate(paths).select(
+        "target_uri", "timestamp", "rec_type", "text", "n_chars", "error"
+    )
+
+
+SQL_WET_EXTRACT = r"""
+SELECT 'http://example.org/' || i AS target_uri,
+       '202001020304' || lpad(CAST(i AS VARCHAR), 2, '0') AS timestamp,
+       'conversion' AS rec_type,
+       'Doc ' || i || ' n' AS text,
+       length('Doc ' || i || ' n') AS n_chars,
+       CAST(NULL AS VARCHAR) AS error
+FROM range(0, 20) t(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2102,6 +2168,8 @@ QUERIES = {
     "zipnum_scan": q_zipnum_scan,
     "span_stats": q_span_stats,
     "span_dedup": q_span_dedup,
+    "wet_text": q_wet_text,
+    "wet_extract": q_wet_extract,
 }
 
 ORACLES = {
@@ -2158,4 +2226,6 @@ ORACLES = {
     "zipnum_scan": SQL_ZIPNUM_SCAN,
     "span_stats": SQL_SPAN_STATS,
     "span_dedup": SQL_SPAN_DEDUP,
+    "wet_text": SQL_WET_TEXT,
+    "wet_extract": SQL_WET_EXTRACT,
 }

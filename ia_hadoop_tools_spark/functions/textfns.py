@@ -135,3 +135,50 @@ def doc_fingerprint_sql(expr: str, k: int = 8) -> str:
         f"list_min(list_transform(range(1, length({expr}) - {k} + 2), "
         f"i -> {hash32_sql(shingle)}))"
     )
+
+
+# --- WET-style HTML -> plain text ------------------------------------------
+
+#: Ordered (pattern, replacement) steps shared by the Spark expression, its
+#: DuckDB mirror, and the Python mirror in ``operators/extract.py``'s
+#: ``wet_generate``. Patterns stick to the Java-regex/RE2 common subset
+#: (inline (?is) flags, non-greedy, no backreferences). ``&amp;`` decodes
+#: LAST so double-encoded entities don't double-decode.
+HTML_TEXT_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]*>", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+    (r"\s+", " "),
+)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """WET-style plain-text extraction from HTML markup — the text sibling
+    of the WAT metadata family (CDX/WAT/WET is the standard web-archive
+    derivative triple; the reference stops at WAT,
+    /root/reference/src/main/java/org/archive/hadoop/jobs/WATGenerator.java:74).
+
+    Drops script/style/comment content, strips remaining tags, decodes the
+    five common entities, collapses whitespace. A pure codegen
+    ``regexp_replace`` chain — no Python, scales as a narrow projection.
+    """
+    c = _c(col)
+    for pat, rep in HTML_TEXT_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`html_to_text` (RE2 'g' flag per step)."""
+    for pat, rep in HTML_TEXT_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"trim({expr})"

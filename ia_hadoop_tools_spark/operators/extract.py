@@ -400,6 +400,88 @@ def wat_generate(paths_df: DataFrame) -> DataFrame:
     return paths_df.mapInPandas(extract, schema=WAT_OUT_SCHEMA)
 
 
+WET_OUT_SCHEMA = (
+    "target_uri string, timestamp string, rec_type string, text string, "
+    "n_chars long, filename string, offset long, error string"
+)
+
+
+def wet_generate(paths_df: DataFrame) -> DataFrame:
+    """(W)ARC file paths -> WET plain-text conversion rows.
+
+    The text sibling of :func:`wat_generate`: CDX/WAT/WET is the standard
+    web-archive derivative triple (the reference stops at WAT,
+    jobs/WATGenerator.java:74-294; WET follows the same per-file map-only
+    skeleton). One row per ``response`` record with an HTML content type,
+    carrying the extracted plain text — the exact same strip pipeline as
+    the codegen ``functions.textfns.html_to_text`` (shared
+    ``HTML_TEXT_STEPS``), so WARC-side extraction and documents-table
+    extraction produce byte-identical text.
+    """
+    import re as _re
+
+    from ia_hadoop_tools_spark.functions.textfns import HTML_TEXT_STEPS
+
+    steps = [(_re.compile(p), r) for p, r in HTML_TEXT_STEPS]
+
+    def strip(html: str) -> str:
+        for rx, rep in steps:
+            html = rx.sub(rep, html)
+        return html.strip()
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path in pdf["path"]:
+                fname = os.path.basename(path)
+                try:
+                    for headers, payload, off, _mlen in _iter_warc_records_any(
+                        path
+                    ):
+                        if headers.get("warc-type") != "response":
+                            continue
+                        http, body = _http_meta(payload)
+                        ctype = (http.get("Headers") or {}).get(
+                            "Content-Type", ""
+                        )
+                        if "html" not in ctype.lower():
+                            continue
+                        text = strip(body.decode("utf-8", "replace"))
+                        out.append(
+                            dict(
+                                target_uri=headers.get("warc-target-uri"),
+                                timestamp=(headers.get("warc-date") or "")
+                                .replace("-", "")
+                                .replace(":", "")
+                                .replace("T", "")
+                                .rstrip("Z")[:14],
+                                rec_type="conversion",
+                                text=text,
+                                n_chars=len(text),
+                                filename=fname,
+                                offset=off,
+                                error=None,
+                            )
+                        )
+                except Exception as e:  # -soft
+                    out.append(
+                        dict.fromkeys(
+                            ["target_uri", "timestamp", "rec_type", "text",
+                             "n_chars", "offset"]
+                        )
+                        | {"filename": fname, "error": f"{type(e).__name__}: {e}"}
+                    )
+            yield pd.DataFrame(
+                out
+                or {
+                    c.split()[0]: pd.Series(dtype="object")
+                    for c in WET_OUT_SCHEMA.split(", ")
+                }
+            )
+
+    return paths_df.mapInPandas(extract, schema=WET_OUT_SCHEMA)
+
+
 def warc_metadata_generate(paths_df: DataFrame) -> DataFrame:
     """(W)ARC paths -> rows of the embedded *metadata*-type records
     (WARCMetadataRecordGenerator.java:75-180): crawl outlinks, via chains,
