@@ -2110,6 +2110,100 @@ FROM range(0, 20) t(i)
 """
 
 
+# 55. novel_docs — incremental cross-corpus dedup: sources src0-3 are the
+# "new batch", the rest the corpus. Exact dups don't occur naturally across
+# the synthetic sources, so the batch deterministically adopts the text of
+# corpus doc (doc_id + 204) for doc_id % 4 == 1 (left join — the rule
+# adapts to any scale factor).
+
+NOVEL_BATCH = ("src0", "src1", "src2", "src3")
+NOVEL_THRESHOLD = 0.5
+
+
+def q_novel_docs(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.textops import novel_docs
+
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("source").isin(*NOVEL_BATCH))
+    corpus = d.filter(~F.col("source").isin(*NOVEL_BATCH))
+    partner = corpus.select(
+        (F.col("doc_id") - 204).alias("doc_id"), F.col("text").alias("__pt")
+    )
+    planted = batch.join(partner, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 4 == 1) & F.col("__pt").isNotNull(),
+            F.col("__pt"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return novel_docs(planted, corpus, threshold=NOVEL_THRESHOLD)
+
+
+SQL_NOVEL_DOCS = f"""
+WITH batch0 AS (
+  SELECT doc_id, text FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')
+),
+batch AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % 4 = 1 AND p.text IS NOT NULL
+              THEN p.text ELSE b.text END AS text
+  FROM batch0 b
+  LEFT JOIN corpus p ON p.doc_id = b.doc_id + 204
+),
+ex AS (
+  SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c ON b.text = c.text
+),
+btok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM batch),
+ctok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+bsh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, len(toks) - {SHINGLE_WORDS} + 2),
+    i -> array_to_string(list_slice(toks, CAST(i AS INT),
+                                    CAST(i + {SHINGLE_WORDS - 1} AS INT)), ' ')
+  )) AS shingles
+  FROM btok WHERE len(toks) >= {SHINGLE_WORDS}
+),
+csh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, len(toks) - {SHINGLE_WORDS} + 2),
+    i -> array_to_string(list_slice(toks, CAST(i AS INT),
+                                    CAST(i + {SHINGLE_WORDS - 1} AS INT)), ' ')
+  )) AS shingles
+  FROM ctok WHERE len(toks) >= {SHINGLE_WORDS}
+),
+binv AS (SELECT doc_id, unnest(shingles) AS s FROM bsh),
+cinv AS (SELECT doc_id, unnest(shingles) AS s FROM csh),
+shared AS (
+  SELECT b.doc_id AS id, c.doc_id AS cid, count(*) AS inter
+  FROM binv b JOIN cinv c ON b.s = c.s
+  GROUP BY b.doc_id, c.doc_id
+),
+near AS (
+  SELECT id AS doc_id, count(*) AS n_near
+  FROM shared
+  JOIN (SELECT doc_id, len(shingles) AS n_a FROM bsh) na ON na.doc_id = id
+  JOIN (SELECT doc_id, len(shingles) AS n_b FROM csh) nb ON nb.doc_id = cid
+  WHERE round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6)
+        >= {NOVEL_THRESHOLD}
+  GROUP BY id
+)
+SELECT b.doc_id,
+       coalesce(ex.doc_id IS NOT NULL, FALSE) AS exact_dup,
+       coalesce(near.n_near, 0) AS n_near,
+       (ex.doc_id IS NULL AND coalesce(near.n_near, 0) = 0) AS is_novel
+FROM batch b
+LEFT JOIN ex ON ex.doc_id = b.doc_id
+LEFT JOIN near ON near.doc_id = b.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2170,6 +2264,7 @@ QUERIES = {
     "span_dedup": q_span_dedup,
     "wet_text": q_wet_text,
     "wet_extract": q_wet_extract,
+    "novel_docs": q_novel_docs,
 }
 
 ORACLES = {
@@ -2228,4 +2323,5 @@ ORACLES = {
     "span_dedup": SQL_SPAN_DEDUP,
     "wet_text": SQL_WET_TEXT,
     "wet_extract": SQL_WET_EXTRACT,
+    "novel_docs": SQL_NOVEL_DOCS,
 }

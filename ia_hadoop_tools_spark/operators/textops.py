@@ -450,3 +450,123 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def novel_docs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Incremental cross-corpus dedup: flag each NEW-batch doc against an
+    EXISTING corpus — the "what survives ingestion" primitive of a rolling
+    training-data pipeline (the cross-corpus analog of the reference's
+    STAGED-INCLUDED manifest cycle, cdx/notes.txt:19-36, applied to text).
+
+    Output, one row per new doc:
+      - ``exact_dup``: some corpus doc has byte-identical text
+      - ``n_near``: corpus docs with n-gram Jaccard >= ``threshold``
+      - ``is_novel``: neither exact nor near
+
+    Scale shape: the exact check joins on ``xxhash64(text)`` (skinny) and
+    verifies text equality only on hash-equal rows; the near check is the
+    cross-corpus inverted-index join (candidates-then-verify, cost tracks
+    shared-shingle volume, never |new| x |corpus|). ``max_df`` prunes
+    boilerplate shingles by their document frequency across BOTH sides,
+    same semantics as :func:`ngram_jaccard_pairs`. At 100 TB swap the
+    inverted index for the MinHash band join (:func:`minhash_lsh_pairs`
+    buckets built on the corpus once, reused per batch).
+    """
+    from pyspark import StorageLevel
+
+    # --- exact: hash-first, verify text on the (rare) hash-equal rows
+    nh = new_df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__t"),
+        F.xxhash64(text_col).alias("__h"),
+    )
+    ch = corpus_df.select(
+        F.xxhash64(text_col).alias("__h"), F.col(text_col).alias("__ct")
+    ).dropDuplicates(["__h"])
+    exact = (
+        nh.join(ch, "__h")
+        .filter(F.col("__t") == F.col("__ct"))
+        .select("id")
+        .distinct()
+        .withColumn("exact_dup", F.lit(True))
+    )
+
+    # --- near: cross inverted-index join -> exact jaccard verify
+    new_sh = (
+        shingle_sets(
+            ensure_min_partitions(new_df.select(id_col, text_col)),
+            id_col, text_col, shingle_words,
+        )
+        .select(F.col(id_col).alias("id"), F.col("shingles").alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cor_sh = (
+        shingle_sets(
+            ensure_min_partitions(corpus_df.select(id_col, text_col)),
+            id_col, text_col, shingle_words,
+        )
+        .select(F.col(id_col).alias("cid"), F.col("shingles").alias("csh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    inv_n = new_sh.select("id", F.explode("sh").alias("shingle"))
+    inv_c = cor_sh.select("cid", F.explode("csh").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            inv_n.select(F.col("id").alias("d"), "shingle")
+            .unionByName(inv_c.select(F.col("cid").alias("d"), "shingle"))
+            .groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        n_hot = hot.count()
+        if n_hot:
+            logger.warning(
+                "novel_docs: dropping %d shingle(s) over max_df=%d from the "
+                "cross-corpus inverted index", n_hot, max_df,
+            )
+            inv_n = inv_n.join(F.broadcast(hot), "shingle", "left_anti")
+            inv_c = inv_c.join(F.broadcast(hot), "shingle", "left_anti")
+        inv_n = inv_n.persist(StorageLevel.MEMORY_AND_DISK)
+        inv_c = inv_c.persist(StorageLevel.MEMORY_AND_DISK)
+        sizes_n = inv_n.groupBy("id").agg(F.count("*").alias("n_a"))
+        sizes_c = inv_c.groupBy("cid").agg(F.count("*").alias("n_b"))
+    else:
+        sizes_n = new_sh.select("id", F.size("sh").alias("n_a"))
+        sizes_c = cor_sh.select("cid", F.size("csh").alias("n_b"))
+    shared = (
+        inv_n.join(inv_c, "shingle")
+        .groupBy("id", "cid")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
+    near = (
+        shared.join(sizes_n, "id")
+        .join(sizes_c, "cid")
+        .filter(F.round(jac, 6) >= threshold)
+        .groupBy("id")
+        .agg(F.count("*").alias("n_near"))
+    )
+
+    return (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(exact, "id", "left")
+        .join(near, "id", "left")
+        .fillna({"exact_dup": False, "n_near": 0})
+        .select(
+            F.col("id").alias(id_col),
+            "exact_dup",
+            "n_near",
+            (~F.col("exact_dup") & (F.col("n_near") == 0)).alias("is_novel"),
+        )
+    )

@@ -157,3 +157,59 @@ def test_ngram_jaccard_max_df_prunes_hot_shingles(spark, caplog):
     assert (0, 100) in got and got[(0, 100)] == 1.0
     assert all(a == 0 and b == 100 for a, b in got)
     assert any("max_df=5" in r.message for r in caplog.records)
+
+
+def test_novel_docs_cross_corpus(spark):
+    from ia_hadoop_tools_spark.operators.textops import novel_docs
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "spark catalyst tungsten optimizer whole stage codegen"),
+            (102, "totally unrelated corpus padding line with extra words"),
+        ],
+        "doc_id: long, text: string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact copy of 100
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            # near-dup of 100 (one word changed)
+            (2, "the quick brown fox jumps over the lazy dog tomorrow"),
+            # novel
+            (3, "completely new content nobody has ever written before here"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r.doc_id: (r.exact_dup, r.n_near, r.is_novel)
+        for r in novel_docs(batch, corpus, threshold=0.5).collect()
+    }
+    assert got[1] == (True, 1, False)
+    assert got[2] == (False, 1, False)
+    assert got[3] == (False, 0, True)
+
+
+def test_novel_docs_max_df_drops_boilerplate_overlap(spark, caplog):
+    import logging
+
+    from ia_hadoop_tools_spark.operators.textops import novel_docs
+
+    # every doc shares the same boilerplate sentence; bodies are disjoint.
+    boiler = "subscribe to our newsletter for updates and offers"
+    corpus = spark.createDataFrame(
+        [(100 + i, f"{boiler} corpus body {i} alpha beta gamma delta") for i in range(4)],
+        "doc_id: long, text: string",
+    )
+    batch = spark.createDataFrame(
+        [(1, f"{boiler} batch body one epsilon zeta eta theta")],
+        "doc_id: long, text: string",
+    )
+    # without pruning the boilerplate shingles make doc 1 near SOME corpus
+    # docs at a low threshold
+    loose = novel_docs(batch, corpus, threshold=0.2).first()
+    assert loose.n_near > 0
+    with caplog.at_level(logging.WARNING):
+        pruned = novel_docs(batch, corpus, threshold=0.2, max_df=3).first()
+    assert pruned.n_near == 0 and bool(pruned.is_novel)
+    assert any("max_df" in r.message for r in caplog.records)
