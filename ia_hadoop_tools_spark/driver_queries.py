@@ -1248,7 +1248,7 @@ WHERE round({_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')})
 # Testdata has no URL column; both sides synthesize the same deterministic URL
 # per document, then apply the same host-split/re-key logic.
 
-IVF_STRIDE = 50
+IVF_NUM_CENTROIDS = 64
 IVF_NPROBE = 3
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 Q3_SEGMENT = "BUILDING"
@@ -1516,13 +1516,14 @@ def q_ann_ivf(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < ANN_NUM_QUERIES)
     return ann_ivf_topk(
-        e, q, k=ANN_K, centroid_stride=IVF_STRIDE, nprobe=IVF_NPROBE
+        e, q, k=ANN_K, num_centroids=IVF_NUM_CENTROIDS, nprobe=IVF_NPROBE
     )
 
 
 SQL_ANN_IVF = f"""
 WITH cent AS (
-  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+  SELECT vec_id AS cid, embedding FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_NUM_CENTROIDS}
 ),
 assigned AS (
   SELECT vec_id, cid FROM (

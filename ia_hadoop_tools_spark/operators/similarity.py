@@ -156,7 +156,7 @@ def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    centroid_stride: int = 50,
+    num_centroids: int = 64,
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -165,24 +165,37 @@ def ann_ivf_topk(
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
     cells, probe only the ``nprobe`` nearest cells per query.
 
-    Deterministic coarse quantizer (oracle-reproducible): centroids are the
-    corpus vectors with ``id % centroid_stride == 0``; each vector is assigned
-    to its max-cosine centroid (ties to the lower centroid id, cosine compared
-    at 6dp). Output shape matches :func:`ann_bruteforce_topk`; recall < 1 by
-    design.
+    Deterministic FIXED-SIZE coarse quantizer (oracle-reproducible): the
+    centroids are the ``num_centroids`` corpus vectors with the smallest
+    ``md5(cast(id as string))`` — a hash-order sample whose SIZE IS
+    INDEPENDENT OF THE CORPUS, unlike a modulo/stride rule where the centroid
+    count (and thus the broadcast and the n*n_cent assignment cost) grows
+    linearly with n. md5-order is uniform over ids and identical in Spark and
+    DuckDB, so the oracle reproduces the exact centroid set. Each vector is
+    assigned to its max-cosine centroid (ties to the lower centroid id,
+    cosine compared at 6dp). Output shape matches
+    :func:`ann_bruteforce_topk`; recall < 1 by design.
 
-    Scale shape: centroids broadcast twice (assignment + probing); assignment
-    is a map-side broadcast join + one partial-aggregatable ``max_by`` groupBy;
-    the probe join touches ~nprobe/n_cells of the corpus per query instead of
-    all of it. The cell-assignment table is the reusable "index" — persist it
-    across query batches in a real deployment.
+    Scale shape: centroid selection is one ``TakeOrderedAndProject`` pass
+    (per-partition top-K, constant-size driver merge); centroids broadcast
+    twice (assignment + probing) at CONSTANT size; assignment is a map-side
+    broadcast join + one partial-aggregatable ``max_by`` groupBy — n * K dot
+    products, linear in the corpus; the probe join touches ~nprobe/K of the
+    corpus per query instead of all of it. The cell-assignment table is the
+    reusable "index" — persist it across query batches in a real deployment.
     """
     from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
 
-    cent = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("__cid"),
-        F.col(vec_col).alias("__cvec"),
-        l2_norm(F.col(vec_col)).alias("__cnorm"),
+    cent = (
+        corpus.select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+            l2_norm(F.col(vec_col)).alias("__cnorm"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy(F.col("__h").asc(), F.col("__cid").asc())
+        .limit(num_centroids)
+        .drop("__h")
     )
     cos_c = F.round(
         dot_product(F.col("__vec"), F.col("__cvec"))

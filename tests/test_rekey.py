@@ -64,8 +64,8 @@ def test_rekey_query_path_only(spark):
 
 
 def test_ann_ivf_matches_bruteforce_on_probed_cells(spark):
-    """With stride 1 every vector is its own centroid and nprobe == n_cells
-    makes IVF exhaustive — it must equal brute force exactly."""
+    """With num_centroids >= n every vector is its own centroid and
+    nprobe == n_cells makes IVF exhaustive — it must equal brute force."""
     from ia_hadoop_tools_spark.operators.similarity import (
         ann_bruteforce_topk,
         ann_ivf_topk,
@@ -75,5 +75,25 @@ def test_ann_ivf_matches_bruteforce_on_probed_cells(spark):
     e = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
     q = e.filter(F.col("vec_id") < 2)
     exact = ann_bruteforce_topk(e, q, k=5)
-    ivf = ann_ivf_topk(e, q, k=5, centroid_stride=1, nprobe=20)
+    ivf = ann_ivf_topk(e, q, k=5, num_centroids=20, nprobe=20)
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, ivf.collect()))
+
+
+def test_ann_ivf_centroid_count_is_corpus_independent(spark):
+    """The quantizer must select exactly num_centroids regardless of corpus
+    size — the round-2 stride rule grew the centroid set (and its broadcast)
+    linearly with n, which was the engine's one remaining scale-killer."""
+    from ia_hadoop_tools_spark.operators.similarity import ann_ivf_topk
+
+    for n in (50, 400):
+        rows = [
+            (i, [float((i * 13 + j * 5) % 17) for j in range(4)])
+            for i in range(n)
+        ]
+        e = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+        q = e.filter(F.col("vec_id") < 2)
+        out = ann_ivf_topk(e, q, k=3, num_centroids=8, nprobe=2)
+        # smoke the result; the structural claim is checked via the plan
+        assert out.count() > 0
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "GlobalLimit 8" in plan or "limit=8" in plan or "Limit 8" in plan
