@@ -28,13 +28,13 @@ structure (3000-line members) is preserved byte-semantically.
 from __future__ import annotations
 
 import gzip
-import os
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from ia_hadoop_tools_spark.schemas import ZIPNUM_IDX_SCHEMA
+from ia_hadoop_tools_spark.sources import fsio
 
 DEFAULT_LINES_PER_BLOCK = 3000  # conf.zipnum.count, ZipNumOutputFormat.java:33-34
 
@@ -47,12 +47,17 @@ def _summary_key(line: str) -> str:
 
 
 def _write_shard(
-    part_id: int, lines: Iterator[str], out_dir: str, lines_per_block: int
+    part_id: int,
+    lines: Iterator[str],
+    out_dir: str,
+    lines_per_block: int,
+    filesystem=None,
 ) -> Iterator[Row]:
     """Executor-side shard writer: TMP + atomic rename, one gzip member per
-    ``lines_per_block`` lines; yields idx rows."""
+    ``lines_per_block`` lines; yields idx rows. All I/O goes through
+    :mod:`fsio`, so ``out_dir`` may be local, ``hdfs://`` or ``s3://``."""
     shard = f"part-{part_id:05d}.gz"
-    final = os.path.join(out_dir, shard)
+    final = fsio.join(out_dir, shard)
     tmp = final + ".TMP"
     idx_rows: list[Row] = []
     offset = 0
@@ -79,7 +84,7 @@ def _write_shard(
         offset += len(payload)
         buf = []
 
-    with open(tmp, "wb") as fh:
+    with fsio.open_write(tmp, filesystem) as fh:
         for line in lines:
             wrote_any = True
             if not line.endswith("\n"):
@@ -89,17 +94,17 @@ def _write_shard(
                 flush(fh)
         flush(fh)
     if wrote_any:
-        os.replace(tmp, final)  # atomic commit (reference's rename protocol)
+        fsio.rename(tmp, final, filesystem)  # atomic commit (rename protocol)
     else:
-        os.remove(tmp)
+        fsio.remove(tmp, filesystem)
         return iter(())
     # per-shard idx sidecar (ZipNumRecordWriter.java:190-201 writes these
     # alongside each shard; SummaryGenerator later concatenates them)
     summary = final[: -len(".gz")] + ".summary"
-    with open(summary + ".TMP", "w", encoding="utf-8") as sfh:
+    with fsio.open_write_text(summary + ".TMP", filesystem) as sfh:
         for r in idx_rows:
             sfh.write(f"{r.summary_key}\t{r.shard}\t{r.offset}\t{r.length}\n")
-    os.replace(summary + ".TMP", summary)
+    fsio.rename(summary + ".TMP", summary, filesystem)
     return iter(idx_rows)
 
 
@@ -110,11 +115,17 @@ def write_zipnum(
     num_shards: int | None = None,
     value_col: str = "value",
     sort: bool = True,
+    filesystem=None,
 ) -> DataFrame:
     """Write a text DataFrame as a ZipNum cluster directory; returns the idx
     DataFrame (summary_key, shard, offset, length), also persisted as
-    ALL.summary + manifest.txt."""
-    os.makedirs(out_dir, exist_ok=True)
+    ALL.summary + manifest.txt.
+
+    ``out_dir`` may be a local path or any URI pyarrow.fs resolves
+    (``hdfs://``, ``s3://``, …); pass ``filesystem=`` to supply your own
+    FileSystem object (it is pickled into the executor closure).
+    """
+    fsio.makedirs(out_dir, filesystem)
     spark = df.sparkSession
     vals = df.select(F.col(value_col).cast("string").alias("v"))
     if sort:
@@ -124,10 +135,10 @@ def write_zipnum(
             vals = vals.repartitionByRange("v")
         vals = vals.sortWithinPartitions("v")
 
-    lpb = lines_per_block
+    lpb, fs_obj = lines_per_block, filesystem
 
     def writer(pid: int, it: Iterator[Row]) -> Iterator[Row]:
-        return _write_shard(pid, (r["v"] for r in it), out_dir, lpb)
+        return _write_shard(pid, (r["v"] for r in it), out_dir, lpb, fs_obj)
 
     idx = spark.createDataFrame(
         vals.rdd.mapPartitionsWithIndex(writer), ZIPNUM_IDX_SCHEMA
@@ -138,17 +149,27 @@ def write_zipnum(
     # offset-ordered; shard order == range-partition order) are streamed into
     # one file (cdx/SummaryGenerator.java:46-122). No driver-side row
     # materialization — at 100 TB the summary is ~300M lines, and this is a
-    # file-to-file concat, not a collect().
-    summary_generator(out_dir)
-    manifest_aggregator(
-        out_dir, [f for f in os.listdir(out_dir) if f.endswith(".gz")]
-    )
+    # file-to-file concat, not a collect(). THIS JOB'S shard set (from the
+    # idx result, a few rows per shard) scopes both sidecar aggregation
+    # steps — globbing the directory instead would silently merge stale
+    # shards from a previous run with different sharding into the cluster
+    # metadata.
+    job_shards = sorted({r["shard"] for r in idx.select("shard").distinct().collect()})
+    summary_generator(out_dir, shards=job_shards, filesystem=filesystem)
+    manifest_aggregator(out_dir, job_shards, filesystem=filesystem)
     return idx
 
 
-def summary_generator(cluster_dir: str) -> int:
+def summary_generator(
+    cluster_dir: str, shards: list[str] | None = None, filesystem=None
+) -> int:
     """Rebuild ``ALL.summary`` from the per-shard ``*.summary`` sidecars
     (cdx/SummaryGenerator.java:46-122).
+
+    ``shards`` (``.gz`` basenames) scopes the aggregation to a known shard
+    set — ``write_zipnum`` passes its own job's shards so stale files from a
+    previous run can never leak into the cluster metadata. With ``None`` the
+    directory is globbed (standalone CLI rebuild of a whole cluster).
 
     Pairs each ``<shard>.summary`` with its ``<shard>.gz`` (sanity check
     :75-79 — a summary without its data file aborts), concatenates them in
@@ -157,37 +178,44 @@ def summary_generator(cluster_dir: str) -> int:
     ~1/3000 of the data, and this runs as the post-job finalization step
     (§3.1 step 4), not inside the dataflow.
     """
-    shards = sorted(
-        f[: -len(".summary")]
-        for f in os.listdir(cluster_dir)
-        if f.endswith(".summary") and f != "ALL.summary"
-    )
-    for s in shards:
-        if not os.path.exists(os.path.join(cluster_dir, s + ".gz")):
+    if shards is None:
+        stems = sorted(
+            f[: -len(".summary")]
+            for f in fsio.listdir(cluster_dir, filesystem)
+            if f.endswith(".summary") and f != "ALL.summary"
+        )
+    else:
+        stems = sorted(
+            s[: -len(".gz")] if s.endswith(".gz") else s for s in shards
+        )
+    for s in stems:
+        if not fsio.exists(fsio.join(cluster_dir, s + ".gz"), filesystem):
             raise IOError(f"summary {s}.summary has no matching {s}.gz")
     n = 0
-    out = os.path.join(cluster_dir, "ALL.summary")
-    with open(out + ".TMP", "w", encoding="utf-8") as fh:
-        for s in shards:
-            with open(
-                os.path.join(cluster_dir, s + ".summary"), encoding="utf-8"
+    out = fsio.join(cluster_dir, "ALL.summary")
+    with fsio.open_write_text(out + ".TMP", filesystem) as fh:
+        for s in stems:
+            with fsio.open_read_text(
+                fsio.join(cluster_dir, s + ".summary"), filesystem
             ) as sfh:
                 for line in sfh:
                     fh.write(line)
                     n += 1
-    os.replace(out + ".TMP", out)
+    fsio.rename(out + ".TMP", out, filesystem)
     return n
 
 
-def manifest_aggregator(cluster_dir: str, source_basenames: list[str]) -> str:
+def manifest_aggregator(
+    cluster_dir: str, source_basenames: list[str], filesystem=None
+) -> str:
     """Write a sorted, deduplicated ``manifest.txt`` of source basenames
     (cdx/ManifestAggregator.java:34-81 — the reference heap-merges per-shard
     sorted manifests; with a driver-side set the result is identical)."""
-    out = os.path.join(cluster_dir, "manifest.txt")
-    with open(out + ".TMP", "w", encoding="utf-8") as fh:
+    out = fsio.join(cluster_dir, "manifest.txt")
+    with fsio.open_write_text(out + ".TMP", filesystem) as fh:
         for b in sorted(set(source_basenames)):
             fh.write(b + "\n")
-    os.replace(out + ".TMP", out)
+    fsio.rename(out + ".TMP", out, filesystem)
     return out
 
 
@@ -235,6 +263,7 @@ def _read_blocks(
     end: str | None,
     skip_bad: bool = False,
     bad_acc=None,
+    filesystem=None,
 ) -> Iterator[Row]:
     """Ranged-read + gunzip idx blocks; bound emitted lines to [start, end).
 
@@ -248,11 +277,9 @@ def _read_blocks(
 
     log = logging.getLogger(__name__)
     for r in rows:
-        path = os.path.join(out_dir, r["shard"])
+        path = fsio.join(out_dir, r["shard"])
         try:
-            with open(path, "rb") as fh:
-                fh.seek(r["offset"])
-                payload = fh.read(r["length"])
+            payload = fsio.read_range(path, r["offset"], r["length"], filesystem)
         except OSError:
             if not skip_bad:
                 raise
@@ -286,15 +313,33 @@ def _read_blocks(
 
 
 def read_zipnum(
-    spark: SparkSession, cluster_dir: str, skip_bad: bool = False
+    spark: SparkSession,
+    cluster_dir: str,
+    skip_bad: bool = False,
+    filesystem=None,
 ) -> DataFrame:
     """Read a whole ZipNum cluster back into a text DataFrame ('value')."""
-    return zipnum_range(spark, cluster_dir, None, None, skip_bad=skip_bad)
+    return zipnum_range(
+        spark, cluster_dir, None, None, skip_bad=skip_bad, filesystem=filesystem
+    )
 
 
-def load_summary(spark: SparkSession, cluster_dir: str) -> DataFrame:
-    path = os.path.join(cluster_dir, "ALL.summary")
-    return spark.read.schema(ZIPNUM_IDX_SCHEMA).option("sep", "\t").csv(path)
+def load_summary(
+    spark: SparkSession, cluster_dir: str, filesystem=None
+) -> DataFrame:
+    """ALL.summary as a DataFrame. Spark's own CSV reader handles every
+    Hadoop-FS scheme (file/hdfs/s3a/gs/…); for pyarrow-only filesystems
+    (explicit ``filesystem=`` or a non-Hadoop URI) the summary — 1/3000 of
+    the data — is read driver-side through fsio and parallelized."""
+    path = fsio.join(cluster_dir, "ALL.summary")
+    if filesystem is None and fsio.spark_can_read(path):
+        return spark.read.schema(ZIPNUM_IDX_SCHEMA).option("sep", "\t").csv(path)
+    rows = []
+    with fsio.open_read_text(path, filesystem) as fh:
+        for line in fh:
+            key, shard, off, length = line.rstrip("\n").split("\t")
+            rows.append((key, shard, int(off), int(length)))
+    return spark.createDataFrame(rows, ZIPNUM_IDX_SCHEMA)
 
 
 def zipnum_range(
@@ -304,6 +349,7 @@ def zipnum_range(
     end: str | None,
     num_tasks: int | None = None,
     skip_bad: bool = False,
+    filesystem=None,
 ) -> DataFrame:
     """Bounded [start, end) scan over a ZipNum cluster.
 
@@ -318,7 +364,7 @@ def zipnum_range(
     """
     from pyspark.sql import Window
 
-    summary = load_summary(spark, cluster_dir)
+    summary = load_summary(spark, cluster_dir, filesystem)
     if start is not None or end is not None:
         # lead() partitioned BY SHARD, not globally: the global-order window
         # would funnel the whole summary (1/3000 of the data — GBs at 100 TB)
@@ -338,11 +384,13 @@ def zipnum_range(
     if num_tasks:
         summary = summary.repartition(num_tasks)
 
-    s, e, d, sb = start, end, cluster_dir, skip_bad
+    s, e, d, sb, fs_obj = start, end, cluster_dir, skip_bad, filesystem
     acc = spark.sparkContext.accumulator(0) if skip_bad else None
 
     def loader(rows: Iterator[Row]) -> Iterator[Row]:
-        return _read_blocks(d, rows, s, e, skip_bad=sb, bad_acc=acc)
+        return _read_blocks(
+            d, rows, s, e, skip_bad=sb, bad_acc=acc, filesystem=fs_obj
+        )
 
     rdd = summary.rdd.mapPartitions(loader)
     df = spark.createDataFrame(rdd, "value: string")

@@ -21,7 +21,6 @@ Register per session::
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -45,10 +44,10 @@ class ZipNumBlocks(InputPartition):
 
 
 def _load_summary(cluster_dir: str) -> list[tuple[str, str, int, int]]:
+    from ia_hadoop_tools_spark.sources import fsio
+
     rows = []
-    with open(
-        os.path.join(cluster_dir, "ALL.summary"), encoding="utf-8"
-    ) as fh:
+    with fsio.open_read_text(fsio.join(cluster_dir, "ALL.summary")) as fh:
         for line in fh:
             key, shard, off, length = line.rstrip("\n").split("\t")
             rows.append((key, shard, int(off), int(length)))
@@ -141,26 +140,39 @@ class ZipNumReader(DataSourceReader):
     def read(self, partition: ZipNumBlocks):
         """Yield one Arrow RecordBatch per gzip member — the zero-copy fast
         path of the Python DataSource API (row tuples would round-trip every
-        line through the pickler)."""
+        line through the pickler). I/O goes through fsio, so the cluster dir
+        may be local, ``hdfs://`` or ``s3://`` (HDFSBlockLoader.java:19-42).
+
+        skip_bad salvage/skip events are logged per block (executor log) —
+        mirroring ``zipnum_range``'s reporting so tolerated data loss stays
+        visible on this path too."""
+        import logging
+
         import pyarrow as pa
 
+        from ia_hadoop_tools_spark.sources import fsio
         from ia_hadoop_tools_spark.sources.zipnum import _gunzip_salvage
 
+        log = logging.getLogger(__name__)
         for shard, off, length in partition.blocks:
-            path = os.path.join(self.cluster_dir, shard)
+            path = fsio.join(self.cluster_dir, shard)
             try:
-                with open(path, "rb") as fh:
-                    fh.seek(off)
-                    payload = fh.read(length)
+                payload = fsio.read_range(path, off, length)
             except OSError:
                 if not self.skip_bad:
                     raise
+                log.warning("skip-bad: unreadable block %s@%s", shard, off)
                 continue
             text, clean = _gunzip_salvage(payload)
-            if not clean and not self.skip_bad:
-                raise IOError(
-                    f"corrupt gzip member in {shard} at offset {off}; "
-                    f"set option('skip_bad', 'true') to salvage"
+            if not clean:
+                if not self.skip_bad:
+                    raise IOError(
+                        f"corrupt gzip member in {shard} at offset {off}; "
+                        f"set option('skip_bad', 'true') to salvage"
+                    )
+                log.warning(
+                    "skip-bad: corrupt member %s@%s, salvaged %d lines",
+                    shard, off, text.count("\n"),
                 )
             lines = text.splitlines()
             if not lines:

@@ -202,3 +202,58 @@ def test_summary_key_tab_escaping():
 
     # tabs inside the key are %09-escaped (ZipNumRecordWriter.java:94-112)
     assert _summary_key("k\ta 20200101000000 rest") == "k%09a 20200101000000"
+
+def test_zipnum_roundtrip_file_uri(spark, tmp_path):
+    """The whole write/read path accepts a file:// URI — proves every I/O
+    goes through the fsio abstraction (pyarrow.fs), not bare open(): the
+    same code path serves hdfs:// and s3:// on a real cluster."""
+    out = "file://" + str(tmp_path / "uri_cluster")
+    data = _lines(120)
+    df = spark.createDataFrame([(l,) for l in data], "value: string")
+    write_zipnum(df, out, lines_per_block=25, num_shards=2)
+    assert os.path.exists(str(tmp_path / "uri_cluster" / "ALL.summary"))
+    back = sorted(r.value for r in read_zipnum(spark, out).collect())
+    assert back == sorted(data)
+    ranged = sorted(
+        r.value for r in zipnum_range(spark, out, "k0010", "k0020").collect()
+    )
+    assert [r.split()[0] for r in ranged] == [f"k{i:04d}" for i in range(10, 20)]
+
+
+def test_zipnum_explicit_filesystem_object(spark, tmp_path):
+    """An explicit pyarrow FileSystem (here a SubTreeFileSystem) flows
+    through writer closures and readers — the seam for custom FS impls."""
+    from pyarrow import fs as pafs
+
+    root = tmp_path / "subtree"
+    root.mkdir()
+    sub = pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem())
+    data = _lines(60)
+    df = spark.createDataFrame([(l,) for l in data], "value: string")
+    write_zipnum(df, "c1", lines_per_block=20, num_shards=1, filesystem=sub)
+    assert (root / "c1" / "ALL.summary").exists()
+    back = sorted(
+        r.value for r in read_zipnum(spark, "c1", filesystem=sub).collect()
+    )
+    assert back == sorted(data)
+
+
+def test_zipnum_rerun_with_fewer_shards_drops_stale_sidecars(spark, tmp_path):
+    """Re-running write_zipnum into a non-empty dir with fewer shards must
+    scope ALL.summary/manifest.txt to THIS job's shards — globbing the dir
+    would merge the previous run's stale part-00002+ sidecars into the
+    cluster metadata (silent corruption)."""
+    out = str(tmp_path / "cluster")
+    df = spark.createDataFrame([(l,) for l in _lines(300)], "value: string")
+    write_zipnum(df, out, lines_per_block=30, num_shards=4)
+    # second run: same data, HALF the shards
+    write_zipnum(df, out, lines_per_block=30, num_shards=2)
+    with open(os.path.join(out, "ALL.summary")) as fh:
+        shards_in_summary = {line.split("\t")[1] for line in fh}
+    assert shards_in_summary == {"part-00000.gz", "part-00001.gz"}
+    with open(os.path.join(out, "manifest.txt")) as fh:
+        manifest = [l.strip() for l in fh if l.strip()]
+    assert manifest == ["part-00000.gz", "part-00001.gz"]
+    # the summary-driven reader sees exactly one copy of the data
+    back = sorted(r.value for r in read_zipnum(spark, out).collect())
+    assert back == sorted(_lines(300))
