@@ -1762,12 +1762,24 @@ def q_wat_extract(spark, sf_dir):
     )
 
 
+# 38a-oracle. wat_extract is value-checked against a checked-in golden table
+# (fixtures/wat_expected.parquet): the fixture WARC is deterministic, so the
+# full WAT JSON — including the Container offsets/lengths that cannot be
+# recomputed in SQL — is a stable golden. The golden itself is not circular:
+# every envelope field is independently recomputed from the construction rule
+# by the wat_fields oracle below, and tests/test_extract.py pins regeneration.
+
+SQL_WAT_EXTRACT = r"""
+SELECT target_uri, timestamp, rec_type, wat, CAST(error AS VARCHAR) AS error
+FROM read_parquet('/root/repo/fixtures/wat_expected.parquet')
+"""
+
+
 # 38b. wat_fields — value-level check of the WAT envelope (WATGenerator
 # parity): extract the envelope fields from the WAT JSON and compare against
 # a DuckDB oracle that recomputes them from the fixture's construction rule
-# (the fixture is deterministic, so every field is SQL-derivable). This is
-# the hash-verified entry for the WAT family; wat_extract stays rows-only
-# because gzip member offsets aren't reproducible in SQL.
+# (the fixture is deterministic, so every field is SQL-derivable). Together
+# with the golden-table oracle above, the WAT family is fully hash-verified.
 
 def q_wat_fields(spark, sf_dir):
     df = q_wat_extract(spark, sf_dir)
@@ -2310,6 +2322,7 @@ ORACLES = {
     "pivot": SQL_PIVOT,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
+    "wat_extract": SQL_WAT_EXTRACT,
     "wat_fields": SQL_WAT_FIELDS,
     "incremental_cycle": SQL_INCREMENTAL_CYCLE,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,

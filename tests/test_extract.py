@@ -166,3 +166,27 @@ def test_cdx_offsets_drive_repackaging(spark, warc_path, tmp_path):
 
     back = cdx_generate(_paths_df(spark, res[0].out_path)).collect()
     assert sorted(r.digest for r in back) == sorted(r.digest for r in cdx)
+
+
+def test_wat_golden_fixture_current(spark):
+    """The checked-in golden table (fixtures/wat_expected.parquet — the
+    wat_extract oracle) matches a fresh run of the query: catches silent
+    drift between the WAT generator and its golden oracle."""
+    import pandas as pd
+
+    from ia_hadoop_tools_spark.driver_queries import QUERIES
+
+    fresh = (
+        QUERIES["wat_extract"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("target_uri")
+        .reset_index(drop=True)
+    )
+    golden = (
+        pd.read_parquet("/root/repo/fixtures/wat_expected.parquet")
+        .sort_values("target_uri")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        fresh.astype({"error": "object"}), golden.astype({"error": "object"})
+    )
