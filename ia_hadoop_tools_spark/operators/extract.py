@@ -123,16 +123,19 @@ def _iter_warc_records_any(path: str):
             pos += consumed
 
 
-def cdx_generate(paths_df: DataFrame, surt_fn=None) -> DataFrame:
+def cdx_generate(paths_df: DataFrame, surt_fn=None, use_warcio: bool | None = None) -> DataFrame:
     """(W)ARC file paths -> CDX rows (one output row per response record).
 
     ``paths_df`` must have a ``path`` column (from sources/listing.py). Uses
-    warcio when present, else the minimal reader. Per-file errors surface in
-    the ``error`` column (the reference's -soft mode made them a counter).
+    warcio when present, else the minimal reader (``use_warcio`` forces the
+    choice — captured by value so it holds on executors too). Per-file errors
+    surface in the ``error`` column (the reference's -soft mode made them a
+    counter).
     """
     from ia_hadoop_tools_spark.functions.surt import _surt_one
 
     surt = surt_fn or _surt_one
+    want_warcio = HAVE_WARCIO if use_warcio is None else use_warcio
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -144,17 +147,11 @@ def cdx_generate(paths_df: DataFrame, surt_fn=None) -> DataFrame:
                     stream = (
                         gzip.open(raw) if path.endswith(".gz") else raw
                     )
-                    if HAVE_WARCIO:
+                    if want_warcio and HAVE_WARCIO:
                         it = ArchiveIterator(raw if path.endswith(".gz") else stream)
                         for rec in it:
                             if rec.rec_type not in ("response", "revisit"):
                                 continue
-                            # member byte range: offset is valid once the
-                            # record is yielded; length once it's consumed.
-                            # The reference CDXGenerator always writes the
-                            # S/V fields — Wayback range-fetch and
-                            # archive_file_extractor depend on them.
-                            off = it.get_record_offset()
                             url = rec.rec_headers.get_header("WARC-Target-URI")
                             ts = (rec.rec_headers.get_header("WARC-Date") or "").replace(
                                 "-", ""
@@ -165,6 +162,18 @@ def cdx_generate(paths_df: DataFrame, surt_fn=None) -> DataFrame:
                             # agree between the two paths.
                             payload = rec.raw_stream.read()
                             http = rec.http_headers
+                            # member byte range: warcio finalizes member_info
+                            # only after the record — including the gzip
+                            # trailer — is fully consumed, so read_to_end
+                            # BEFORE fetching offset/length (cdxj-indexer's
+                            # usage). The reference CDXGenerator always
+                            # writes the S/V fields — Wayback range-fetch
+                            # and archive_file_extractor depend on them.
+                            it.read_to_end(rec)
+                            try:
+                                off = it.get_record_offset()
+                            except Exception:
+                                off = None
                             try:
                                 mlen = it.get_record_length()
                             except Exception:

@@ -187,40 +187,42 @@ def minhash_signatures(
 def _drop_hot_buckets(
     exploded: DataFrame, max_bucket: int | None, what: str
 ) -> DataFrame:
-    """Drop LSH buckets with more than ``max_bucket`` members (logged).
+    """Drop LSH buckets with more than ``max_bucket`` members — lazily.
 
     One boilerplate bucket of size B yields B^2/2 candidate rows in the
     banded self-join — AQE splits the shuffle but not the quadratic blowup,
-    so pathological buckets must be removed BEFORE the join. The band table
-    is skinny (id, bucket); persisting it makes the hot-bucket census a
-    cheap cached scan with map-side-combined counts, and the hot set itself
-    is tiny by construction, so it broadcasts into a left-anti join — the
-    big side is never reshuffled. Docs in a dropped bucket still pair via
-    their other bands (recall degrades only for pairs agreeing ONLY on the
-    pathological band — exactly the boilerplate collisions being excluded).
+    so pathological buckets must be removed BEFORE the join. The cap is a
+    window count over the bucket key: the window's shuffle partitions on
+    exactly the key the downstream self-join uses, so Catalyst reuses the
+    exchange — no census job, no cache, and constructing the DataFrame
+    launches ZERO Spark jobs (this is a lazy builder; the old eager
+    ``.first()`` census ran a job per construction).
+
+    The dropped-row count rides the real action as an ``Observation``
+    (``df.hot_bucket_obs``): after the caller's first action,
+    ``obs.get["hot_band_rows"]`` is the number of band rows removed —
+    metrics collection costs no extra job. Docs in a dropped bucket still
+    pair via their other bands (recall degrades only for pairs agreeing
+    ONLY on the pathological band — exactly the boilerplate collisions
+    being excluded).
     """
     if max_bucket is None:
         return exploded
-    from pyspark import StorageLevel
+    from pyspark.sql import Observation
 
-    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
-    hot = (
-        exploded.groupBy("bucket")
-        .agg(F.count("*").alias("__bn"))
-        .filter(F.col("__bn") > max_bucket)
+    marked = exploded.withColumn(
+        "__bn", F.count("*").over(Window.partitionBy("bucket"))
     )
-    n_hot, n_rows = hot.agg(
-        F.count("*"), F.coalesce(F.sum("__bn"), F.lit(0))
-    ).first()
-    if n_hot:
-        logger.warning(
-            "%s: dropping %d bucket(s) over max_bucket=%d (%d band rows)",
-            what, n_hot, max_bucket, n_rows,
-        )
-        exploded = exploded.join(
-            F.broadcast(hot.select("bucket")), "bucket", "left_anti"
-        )
-    return exploded
+    obs = Observation(f"{what}.hot_buckets")
+    marked = marked.observe(
+        obs,
+        F.sum(
+            F.when(F.col("__bn") > max_bucket, 1).otherwise(0)
+        ).alias("hot_band_rows"),
+    )
+    out = marked.filter(F.col("__bn") <= max_bucket).drop("__bn")
+    out.hot_bucket_obs = obs
+    return out
 
 
 def minhash_lsh_pairs(

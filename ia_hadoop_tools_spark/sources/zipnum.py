@@ -126,6 +126,17 @@ def write_zipnum(
     FileSystem object (it is pickled into the executor closure).
     """
     fsio.makedirs(out_dir, filesystem)
+    # Re-running into a non-empty dir with different sharding must not leave
+    # a previous run's shards beside fresh metadata: ALL.summary is scoped to
+    # this job's shard set (below), and stale part-*.gz / part-*.summary /
+    # uncommitted *.TMP files are removed up front so the directory IS the
+    # cluster (the reference treats the output dir as job-owned:
+    # mapreduce/ZipNumOutputFormat.java:87-128 names every file it commits).
+    import re as _re
+
+    for f in fsio.listdir(out_dir, filesystem):
+        if f.endswith(".TMP") or _re.fullmatch(r"part-\d+\.(gz|summary)", f):
+            fsio.remove(fsio.join(out_dir, f), filesystem)
     spark = df.sparkSession
     vals = df.select(F.col(value_col).cast("string").alias("v"))
     if sort:

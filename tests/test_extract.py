@@ -168,6 +168,27 @@ def test_cdx_offsets_drive_repackaging(spark, warc_path, tmp_path):
     assert sorted(r.digest for r in back) == sorted(r.digest for r in cdx)
 
 
+def test_warcio_offsets_match_minimal_reader(spark, warc_path):
+    """warcio-installed check of compressed_offset/length: the warcio branch
+    (read_to_end before get_record_offset/length, cdxj-indexer usage) must
+    report the same member byte ranges as the minimal gzip-member reader.
+    Skipped where warcio is absent — the branch is then untaken anyway."""
+    import ia_hadoop_tools_spark.operators.extract as ex
+
+    if not ex.HAVE_WARCIO:
+        pytest.skip("warcio not installed")
+
+    with_warcio = cdx_generate(_paths_df(spark, warc_path), use_warcio=True).collect()
+    minimal = cdx_generate(_paths_df(spark, warc_path), use_warcio=False).collect()
+
+    key = lambda r: (r.original_url, r.timestamp)
+    w = {key(r): (r.compressed_offset, r.compressed_length, r.digest)
+         for r in with_warcio}
+    m = {key(r): (r.compressed_offset, r.compressed_length, r.digest)
+         for r in minimal}
+    assert w == m and all(v[0] is not None and v[1] for v in w.values())
+
+
 def test_wat_golden_fixture_current(spark):
     """The checked-in golden table (fixtures/wat_expected.parquet — the
     wat_extract oracle) matches a fresh run of the query: catches silent

@@ -257,3 +257,10 @@ def test_zipnum_rerun_with_fewer_shards_drops_stale_sidecars(spark, tmp_path):
     # the summary-driven reader sees exactly one copy of the data
     back = sorted(r.value for r in read_zipnum(spark, out).collect())
     assert back == sorted(_lines(300))
+    # and the stale part-0000[23] data/sidecar files are physically gone:
+    # the directory IS the cluster after a rerun
+    on_disk = {f for f in os.listdir(out) if f.startswith("part-")}
+    assert on_disk == {
+        "part-00000.gz", "part-00000.summary",
+        "part-00001.gz", "part-00001.summary",
+    }
