@@ -16,16 +16,21 @@ monotone non-increasing label-sum gives a one-scalar convergence probe per
 round (no row-by-row diff). Persist/unpersist keeps each iteration's
 lineage O(1) — without it the plan doubles per round.
 
-At 100 TB-scale graphs with long chains, swap the propagation loop for the
-large-star/small-star formulation (Kiveris et al., "Connected Components in
-MapReduce and Beyond") — same join primitive, O(log^2 n) rounds; for
-near-dup dedup the plain loop converges in 2-4 rounds.
+At 100 TB-scale graphs with long chains, use ``connected_components_star``
+— the large-star/small-star formulation (Kiveris et al., "Connected
+Components in MapReduce and Beyond"), same join primitive, O(log^2 n)
+rounds on any topology; for near-dup dedup the plain loop converges in
+2-4 rounds and does less work per round.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def connected_components(
@@ -58,6 +63,7 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
+    converged = False
     for _ in range(max_iter):
         # one hop: each node offers its current comp to every neighbor
         offers = (
@@ -74,9 +80,128 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # labels are monotone non-increasing
+            converged = True
             break
         prev_sum = new_sum
     sym.unpersist()
+    if not converged:
+        # deep/chained graphs can exhaust the round budget; silent exit
+        # would hand callers WRONG dedup groups with no signal
+        logger.warning(
+            "connected_components: label propagation did NOT converge in "
+            "%d rounds (label sum still falling) — returned components may "
+            "be split; raise max_iter or use connected_components_star for "
+            "deep graphs", max_iter,
+        )
+    return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star rounds.
+
+    The deep-graph variant (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): converges in O(log^2 n) rounds on ANY
+    topology — a path graph that costs ``connected_components`` diameter
+    rounds collapses logarithmically here. Same output contract as
+    :func:`connected_components` (component = min node id; isolated nodes
+    absent), so the two are drop-in swaps.
+
+    Each round is two self-contained shuffle steps over the (skinny) edge
+    list only — no separate labels table:
+
+    - **large-star**: for every node u with m = min(N(u) ∪ {u}), rewire each
+      strictly LARGER neighbor v to m.
+    - **small-star**: orient edges u > v; rewire u and each of its smaller
+      neighbors to their minimum.
+
+    Convergence probe: (row count, sum of xxhash64(u,v)) of the edge set —
+    order-independent, one scalar aggregation per round, stable iff the
+    edge set stopped changing (up to 64-bit hash-sum collision).
+    """
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    def _probe(df):
+        # decimal(38,0) sum: ANSI-safe (a long sum of 64-bit hashes overflows)
+        return tuple(
+            df.agg(
+                F.count("*"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).first()
+        )
+
+    probe = _probe(e)
+    converged = False
+    for _ in range(max_iter):
+        # --- large-star ---
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("__mn", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star (on the large-star output, oriented u > v) ---
+        o = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        smins = o.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            o.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_probe = _probe(small)
+        e.unpersist()
+        e = small
+        if new_probe == probe:
+            converged = True
+            break
+        probe = new_probe
+    if not converged:
+        logger.warning(
+            "connected_components_star: edge set still changing after %d "
+            "rounds — components may be split", max_iter,
+        )
+    # at the fixpoint the edge set is a star forest: (non-min node -> its
+    # component minimum); minima label themselves
+    labels = (
+        nodes.join(
+            e.select(F.col("u").alias("node"), F.col("v").alias("comp")),
+            "node",
+            "left",
+        )
+        .groupBy("node")
+        .agg(F.min(F.coalesce("comp", "node")).alias("comp"))
+    )
+    nodes.unpersist()
     return labels
 
 

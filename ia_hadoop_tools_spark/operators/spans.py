@@ -25,9 +25,11 @@ Scale shape (100 TB of documents):
   ``(hash)`` rows with map-side combine and (2) the join of window rows
   against the surviving duplicate hashes — cost proportional to the number
   of DUPLICATE windows, never all-pairs.
-- The rewrite never explodes tokens: covered indices are collected into one
-  per-doc array and the token array is filtered in place with an
-  index-aware lambda, so full text shuffles exactly once (the final join).
+- The rewrite is a per-doc hybrid: lightly-covered docs (the common case)
+  filter the token array in place with an index-aware lambda — tokens never
+  explode; heavily-covered docs (over ``inplace_cov_limit`` positions)
+  switch to a positions anti-join + ordered re-aggregation, keeping the
+  worst case (a fully-duplicated long doc) ~linear instead of quadratic.
 """
 
 from __future__ import annotations
@@ -137,20 +139,34 @@ def span_dedup(
     text_col: str = "text",
     min_count: int = 2,
     use_hash: bool = True,
+    inplace_cov_limit: int = 256,
 ) -> DataFrame:
     """Rewrite: drop every token covered by a duplicated window.
 
     Output: ``(id, clean_text, n_tokens, removed_tokens)`` — one row per
     input doc; ``clean_text`` is the space-rejoin of the surviving tokens
     (empty string when the whole doc is duplicated).
+
+    Cost shape — the rewrite is a per-doc HYBRID on covered-set size:
+
+    - ``<= inplace_cov_limit`` covered positions (the overwhelmingly common
+      case): in-place codegen array filter, the token array never explodes;
+      cost O(n_tokens * |covered|) with a small bounded |covered|.
+    - ``> inplace_cov_limit``: positions anti-join — tokens posexplode once,
+      left-anti against the covered (id, position) rows, re-aggregate in
+      position order. Linear in tokens, so a FULLY duplicated long document
+      costs O(n_tokens log n_tokens) instead of the in-place filter's
+      O(n_tokens^2).
+
+    Both branches compute identical output (the split is purely physical);
+    each doc takes exactly one branch of the union.
     """
     base = (
         df.select(F.col(id_col), _tokens(text_col).alias("__toks"))
         .withColumn("__nt", F.size("__toks"))
     )
     dw = _dup_windows(base, id_col, n, min_count, use_hash)
-    # one skinny array of covered indices per affected doc — the token
-    # array is filtered in place, never exploded
+    # one skinny array of covered indices per affected doc
     cov = (
         dw.select(
             id_col,
@@ -161,20 +177,52 @@ def span_dedup(
         .groupBy(id_col)
         .agg(F.collect_set("__ti").alias("__cov"))
     )
+    joined = base.join(cov, id_col, "left")
+    ncov = F.coalesce(F.size("__cov"), F.lit(0))
+
+    # --- light branch: in-place filter over the token array ---
+    light = joined.filter(ncov <= inplace_cov_limit)
     kept = F.filter(
         "__toks",
         lambda t, i: ~F.array_contains(
             F.coalesce(F.col("__cov"), F.array().cast("array<int>")), i
         ),
     )
-    return (
-        base.join(cov, id_col, "left")
+    light_out = light.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.col("__nt").cast("long").alias("n_tokens"),
+        (F.col("__nt") - F.size(kept)).cast("long").alias("removed_tokens"),
+    )
+
+    # --- heavy branch: posexplode -> anti-join on (id, position) -> regroup
+    heavy = joined.filter(ncov > inplace_cov_limit)
+    htoks = heavy.select(
+        F.col(id_col), F.posexplode("__toks").alias("__ti", "__tok")
+    )
+    hcov = heavy.select(F.col(id_col), F.explode("__cov").alias("__ti"))
+    surviving = htoks.join(hcov, [id_col, "__ti"], "left_anti")
+    regrouped = surviving.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__ti", "__tok"))),
+                lambda x: x["__tok"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("__nk"),
+    )
+    heavy_out = (
+        heavy.select(F.col(id_col), "__nt")
+        .join(regrouped, id_col, "left")
         .select(
             id_col,
-            F.concat_ws(" ", kept).alias("clean_text"),
+            # a fully-covered doc survives with zero tokens -> empty string
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             F.col("__nt").cast("long").alias("n_tokens"),
-            (F.col("__nt") - F.size(kept)).cast("long").alias(
+            (F.col("__nt") - F.coalesce("__nk", F.lit(0))).cast("long").alias(
                 "removed_tokens"
             ),
         )
     )
+    return light_out.unionByName(heavy_out)

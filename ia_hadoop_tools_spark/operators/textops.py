@@ -280,11 +280,18 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter.cast("double") / union.cast("double")
-    return (
+    out = (
         verified.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # cache + metrics handles: `shingle_cache.unpersist()` releases the one
+    # persisted table once the caller's action is done; `hot_bucket_obs.get`
+    # (after an action) reports band rows dropped by the max_bucket cap.
+    out.shingle_cache = sh
+    if hasattr(exploded, "hot_bucket_obs"):
+        out.hot_bucket_obs = exploded.hot_bucket_obs
+    return out
 
 
 def simhash(
@@ -361,7 +368,7 @@ def simhash_neardup_pairs(
     e = _drop_hot_buckets(e, max_bucket, "simhash_neardup_pairs")
     l, r = e.alias("l"), e.alias("r")
     ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
-    return (
+    out = (
         l.join(r, on="bucket")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
@@ -372,6 +379,9 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    if hasattr(e, "hot_bucket_obs"):
+        out.hot_bucket_obs = e.hot_bucket_obs
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -412,24 +422,19 @@ def ngram_jaccard_pairs(
     )
     inv = shingles.select("id", F.explode("sh").alias("shingle"))
     if max_df is not None:
-        hot = (
-            inv.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > max_df)
+        # Lazy max_df pruning: a window count over the shingle key — the
+        # SAME key the inverted-index join shuffles on, so the exchange is
+        # reused and no census job runs at construction time. Sizes are
+        # computed over the SURVIVING shingle space, so jaccard stays a true
+        # Jaccard of the pruned sets (exact dup -> 1.0).
+        inv = (
+            inv.withColumn(
+                "__df", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        n_hot = hot.count()
-        if n_hot:
-            logger.warning(
-                "ngram_jaccard_pairs: dropping %d shingle(s) over max_df=%d "
-                "from the inverted index (jaccard over surviving shingles)",
-                n_hot, max_df,
-            )
-            inv = inv.join(
-                F.broadcast(hot.select("shingle")), "shingle", "left_anti"
-            )
-        # sizes over the surviving shingle space, so jaccard stays a true
-        # Jaccard of the pruned sets (exact dup -> 1.0)
-        inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
         sizes = inv.groupBy("id").agg(F.count("*").alias("n"))
     else:
         sizes = shingles.select("id", F.size("sh").alias("n"))
@@ -445,13 +450,18 @@ def ngram_jaccard_pairs(
     jac = F.col("inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("inter")
     ).cast("double")
-    return (
+    out = (
         shared.join(na, "id_a")
         .join(nb, "id_b")
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # cache handles — call .unpersist() on these once the result has been
+    # materialized (bench/driver runs clearCache() between queries)
+    out.shingle_cache = shingles
+    out.index_cache = inv if max_df is not None else None
+    return out
 
 
 def novel_docs(
@@ -521,22 +531,20 @@ def novel_docs(
     inv_n = new_sh.select("id", F.explode("sh").alias("shingle"))
     inv_c = cor_sh.select("cid", F.explode("csh").alias("shingle"))
     if max_df is not None:
+        # Lazy, unconditional pruning: the hot-shingle set (document
+        # frequency across BOTH sides > max_df) is tiny by construction and
+        # broadcasts into left-anti joins — one broadcast exchange, reused
+        # for both sides; no census job runs at construction time.
         hot = (
-            inv_n.select(F.col("id").alias("d"), "shingle")
-            .unionByName(inv_c.select(F.col("cid").alias("d"), "shingle"))
+            inv_n.select("shingle")
+            .unionByName(inv_c.select("shingle"))
             .groupBy("shingle")
             .agg(F.count("*").alias("__df"))
             .filter(F.col("__df") > max_df)
             .select("shingle")
         )
-        n_hot = hot.count()
-        if n_hot:
-            logger.warning(
-                "novel_docs: dropping %d shingle(s) over max_df=%d from the "
-                "cross-corpus inverted index", n_hot, max_df,
-            )
-            inv_n = inv_n.join(F.broadcast(hot), "shingle", "left_anti")
-            inv_c = inv_c.join(F.broadcast(hot), "shingle", "left_anti")
+        inv_n = inv_n.join(F.broadcast(hot), "shingle", "left_anti")
+        inv_c = inv_c.join(F.broadcast(hot), "shingle", "left_anti")
         inv_n = inv_n.persist(StorageLevel.MEMORY_AND_DISK)
         inv_c = inv_c.persist(StorageLevel.MEMORY_AND_DISK)
         sizes_n = inv_n.groupBy("id").agg(F.count("*").alias("n_a"))
@@ -560,7 +568,7 @@ def novel_docs(
         .agg(F.count("*").alias("n_near"))
     )
 
-    return (
+    out = (
         new_df.select(F.col(id_col).alias("id"))
         .join(exact, "id", "left")
         .join(near, "id", "left")
@@ -572,3 +580,7 @@ def novel_docs(
             (~F.col("exact_dup") & (F.col("n_near") == 0)).alias("is_novel"),
         )
     )
+    # cache handles — unpersist after materialization if running many batches
+    out.shingle_caches = (new_sh, cor_sh)
+    out.index_caches = (inv_n, inv_c) if max_df is not None else None
+    return out

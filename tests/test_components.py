@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from ia_hadoop_tools_spark.operators.components import (
     connected_components,
+    connected_components_star,
     dedup_groups,
 )
 
@@ -97,6 +98,39 @@ def test_connected_components_randomized_vs_union_find(spark):
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         got = {r.node: r.comp for r in connected_components(df).collect()}
+        got_star = {
+            r.node: r.comp for r in connected_components_star(df).collect()
+        }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     assert got == expected
+    assert got_star == expected
+
+
+def test_star_variant_long_chain(spark):
+    """The deep-graph case the star variant exists for: a 40-node path has
+    diameter 39 — plain propagation needs ~diameter rounds, large-star/
+    small-star collapses it in O(log^2 n). Also: reversed/interleaved edge
+    ids so min-propagation direction isn't aligned with the chain."""
+    n = 40
+    # zig-zag ids along the path: 0, 39, 1, 38, ... — worst case for
+    # one-directional min flow
+    order = []
+    lo, hi = 0, n - 1
+    while lo <= hi:
+        order.append(lo)
+        if lo != hi:
+            order.append(hi)
+        lo, hi = lo + 1, hi - 1
+    edges = [(order[i], order[i + 1]) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        got = {
+            r.node: r.comp
+            for r in connected_components_star(df, max_iter=12).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    assert got == {i: 0 for i in range(n)}
