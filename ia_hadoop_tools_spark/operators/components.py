@@ -33,6 +33,24 @@ from pyspark.sql import functions as F
 logger = logging.getLogger(__name__)
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and cut its logical plan to a leaf.
+
+    Iterative graph loops MUST break lineage every round: each round's plan
+    references the previous round's several times, so the analyzed logical
+    tree grows ~6^rounds for the star loop (driver OOMs analyzing it long
+    before any data is big — ``persist`` does NOT help; caching substitutes
+    the *physical* scan, the logical tree still carries full lineage).
+    Uses a reliable checkpoint when the session has a checkpoint dir (the
+    cluster-correct choice: survives executor loss), else an eager
+    ``localCheckpoint`` (fine for local/bounded loops).
+    """
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",
@@ -56,11 +74,12 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # seed with the one-hop minimum (node itself or any neighbor) — one
-    # aggregation that replaces the first propagation round
-    labels = (
+    # aggregation that replaces the first propagation round. Lineage is cut
+    # every round (see _truncate_lineage): the loop references `labels`
+    # twice per round, so an uncut plan doubles per iteration.
+    labels = _truncate_lineage(
         sym.groupBy(F.col("src").alias("node"))
         .agg(F.least(F.min("dst"), F.min("src")).alias("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
     converged = False
@@ -70,14 +89,12 @@ def connected_components(
             sym.join(labels, sym["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "comp")
         )
-        new_labels = (
+        new_labels = _truncate_lineage(
             labels.unionByName(offers)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         new_sum = new_labels.agg(F.sum("comp")).first()[0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # labels are monotone non-increasing
             converged = True
@@ -125,11 +142,10 @@ def connected_components_star(
     """
     from pyspark import StorageLevel
 
-    e = (
+    e = _truncate_lineage(
         edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = (
         e.select(F.col("u").alias("node"))
@@ -170,16 +186,14 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).filter(F.col("u") != F.col("v"))
         smins = o.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
+        small = _truncate_lineage(
             o.join(smins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(smins.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         new_probe = _probe(small)
-        e.unpersist()
         e = small
         if new_probe == probe:
             converged = True
