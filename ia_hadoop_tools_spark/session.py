@@ -91,10 +91,14 @@ def get_spark(
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Read the driver's parquet tables from ``sf_dir`` into a dict of DataFrames.
 
-    ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default; we flip ``nanosAsLong`` (runtime-settable) and
-    normalize ``ts`` back to a microsecond TimestampType column so downstream
-    code sees a real timestamp on ANY session, including the test driver's.
+    ``events.parquet``'s ``ts`` physical type has varied across driver data
+    generations — TIMESTAMP(NANOS) (rejected by Spark's reader unless
+    ``nanosAsLong`` is flipped, then surfacing as bigint nanos) or
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (surfacing as TIMESTAMP_NTZ).
+    Normalize every shape to a microsecond session-TZ TimestampType column so
+    downstream code sees one type on ANY session, including the test
+    driver's. Sessions run UTC (see get_spark), so the NTZ->LTZ cast is the
+    identity mapping DuckDB's naive-timestamp oracle uses.
     """
     from pyspark.sql import functions as F
 
@@ -107,10 +111,17 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     out = {}
     for n in names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
-        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # nanos -> floor to micros with integer division (a double division
-            # would lose precision above 2^53; DuckDB's reader does the same
-            # truncation). `ts DIV 1000` stays in exact 64-bit integer math.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if n == "events":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
+                # nanos -> floor to micros with integer division (a double
+                # division would lose precision above 2^53; DuckDB's reader
+                # does the same truncation). `ts DIV 1000` stays in exact
+                # 64-bit integer math.
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+                )
+            elif ts_type == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         out[n] = df
     return out
