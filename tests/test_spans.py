@@ -90,3 +90,35 @@ def test_span_hash_and_string_paths_agree(spark):
     a = sorted(map(tuple, span_dedup_stats(df, n=4, use_hash=True).collect()))
     b = sorted(map(tuple, span_dedup_stats(df, n=4, use_hash=False).collect()))
     assert a == b
+
+
+def test_span_dedup_heavy_branch_equals_light(spark):
+    """A fully-duplicated long doc (>inplace_cov_limit covered positions)
+    takes the positions-anti-join branch; forcing the in-place branch with a
+    huge limit must give identical output — the hybrid split is purely
+    physical. Also pins the partially-covered heavy case (clean prefix kept,
+    in original order)."""
+    dup_body = " ".join(f"w{i % 97}x{i % 31}" for i in range(400))
+    rows = [
+        (1, dup_body),
+        (2, dup_body),  # exact copy -> 400 covered positions in both
+        (3, "unique" + " lead" * 5 + " " + dup_body),  # covered tail only
+        (4, "none of these tokens repeat anywhere else at all"),
+    ]
+    df = _docs(spark, rows)
+    heavy = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.removed_tokens)
+        for r in span_dedup(df, n=8, inplace_cov_limit=16).collect()
+    }
+    light = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.removed_tokens)
+        for r in span_dedup(df, n=8, inplace_cov_limit=10**6).collect()
+    }
+    assert heavy == light
+    assert heavy[1] == ("", 400, 400)
+    assert heavy[2] == ("", 400, 400)
+    # doc 3: the unique prefix survives, ordered; the shared body is gone
+    clean3, n3, rem3 = heavy[3]
+    assert clean3.startswith("unique lead lead")
+    assert rem3 >= 400
+    assert heavy[4][2] == 0
