@@ -2154,6 +2154,39 @@ def q_novel_docs(spark, sf_dir):
     return novel_docs(planted, corpus, threshold=NOVEL_THRESHOLD)
 
 
+# 58. novel_docs_indexed — the rolling-pipeline form of #55: the corpus side
+# comes from a prebuilt CorpusDedupIndex (exact-digest table + MinHash band
+# buckets + shingle sets), so the per-batch cost excludes any corpus
+# re-derivation. Oracle: identical exact-Jaccard SQL as novel_docs — valid
+# because every qualifying pair in this data has Jaccard >= 0.97 and the
+# 32-perm/8-band index catches those deterministically (fixed seed).
+
+
+def q_novel_docs_indexed(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.dedup_index import (
+        build_corpus_index,
+        novel_docs_indexed,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("source").isin(*NOVEL_BATCH))
+    corpus = d.filter(~F.col("source").isin(*NOVEL_BATCH))
+    partner = corpus.select(
+        (F.col("doc_id") - 204).alias("doc_id"), F.col("text").alias("__pt")
+    )
+    planted = batch.join(partner, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 4 == 1) & F.col("__pt").isNotNull(),
+            F.col("__pt"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    idx = build_corpus_index(corpus, num_perm=32, bands=8).persist()
+    return novel_docs_indexed(planted, idx, threshold=NOVEL_THRESHOLD)
+
+
 SQL_NOVEL_DOCS = f"""
 WITH batch0 AS (
   SELECT doc_id, text FROM documents
@@ -2278,6 +2311,7 @@ QUERIES = {
     "wet_text": q_wet_text,
     "wet_extract": q_wet_extract,
     "novel_docs": q_novel_docs,
+    "novel_docs_indexed": q_novel_docs_indexed,
 }
 
 ORACLES = {
@@ -2338,4 +2372,5 @@ ORACLES = {
     "wet_text": SQL_WET_TEXT,
     "wet_extract": SQL_WET_EXTRACT,
     "novel_docs": SQL_NOVEL_DOCS,
+    "novel_docs_indexed": SQL_NOVEL_DOCS,
 }

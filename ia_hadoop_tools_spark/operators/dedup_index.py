@@ -1,0 +1,224 @@
+"""Persistent corpus dedup index: build once, reuse per ingest batch.
+
+:func:`novel_docs` (operators/textops.py) re-shingles the ENTIRE corpus on
+every ingest batch — fine for one-shot runs, wrong for a rolling pipeline
+where the corpus is 100 TB and batches arrive hourly. This module is the
+promised scale path: precompute the corpus-side dedup state ONCE —
+
+- ``exact``: one skinny ``(md5, length)`` row per distinct corpus text
+  (digest identity, the same assumption the reference's CDX digest dedup
+  makes — CdxDedupReducer, SURVEY §2.6);
+- ``buckets``: the MinHash LSH band-bucket table ``(cid, bucket)``;
+- ``shingles``: the corpus shingle sets ``(cid, shingles)`` for
+  exact-Jaccard verification of band candidates
+
+— persist it (in memory via :meth:`CorpusDedupIndex.persist` or on disk via
+:meth:`CorpusDedupIndex.save`), and answer each batch with joins whose cost
+depends on the BATCH and its candidates, never on re-deriving the corpus.
+
+This is the cross-corpus analog of the reference's STAGED-INCLUDED manifest
+cycle (cdx/notes.txt:19-36): the index plays INCLUDED, each batch is STAGED,
+and `novel` is the set difference under near-duplicate semantics.
+
+Scale shape per batch: shingle/sign the batch (narrow, batch-sized), explode
+its band keys, join against ``buckets`` on the bucket key (shuffle ∝ batch
+bands + matching corpus bands, with the same ``max_bucket`` hot-bucket cap
+as :func:`minhash_lsh_pairs`), verify exact Jaccard only on candidate
+(batch, corpus) pairs. The corpus tables are read, never recomputed; on a
+cluster, ``save``/``load`` the index as Parquet and the bucket join's scan
+prunes on the bucket key.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.operators.textops import (
+    _drop_hot_buckets,
+    band_key_array,
+    ensure_min_partitions,
+    minhash_signatures,
+    shingle_sets,
+)
+
+_PARAM_COLS = ("shingle_words", "num_perm", "bands")
+
+
+class CorpusDedupIndex:
+    """Corpus-side dedup state (see module docstring).
+
+    ``exact``: (md5, length) distinct; ``buckets``: (cid, bucket);
+    ``shingles``: (cid, shingles). ``params`` pins the shingle/signature
+    shape so a batch is always signed the same way as the index it probes.
+    """
+
+    def __init__(
+        self,
+        exact: DataFrame,
+        buckets: DataFrame,
+        shingles: DataFrame,
+        shingle_words: int,
+        num_perm: int,
+        bands: int,
+    ) -> None:
+        self.exact = exact
+        self.buckets = buckets
+        self.shingles = shingles
+        self.shingle_words = shingle_words
+        self.num_perm = num_perm
+        self.bands = bands
+
+    def persist(self) -> "CorpusDedupIndex":
+        from pyspark import StorageLevel
+
+        for df in (self.exact, self.buckets, self.shingles):
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+        return self
+
+    def unpersist(self) -> None:
+        for df in (self.exact, self.buckets, self.shingles):
+            df.unpersist()
+
+    def save(self, path: str) -> None:
+        """Write the three tables + params under ``path`` (Parquet)."""
+        params_row = [(self.shingle_words, self.num_perm, self.bands)]
+        spark = self.exact.sparkSession
+        self.exact.write.mode("overwrite").parquet(os.path.join(path, "exact"))
+        self.buckets.write.mode("overwrite").parquet(
+            os.path.join(path, "buckets")
+        )
+        self.shingles.write.mode("overwrite").parquet(
+            os.path.join(path, "shingles")
+        )
+        spark.createDataFrame(
+            params_row, "shingle_words: int, num_perm: int, bands: int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "params")
+        )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "CorpusDedupIndex":
+        p = spark.read.parquet(os.path.join(path, "params")).first()
+        return cls(
+            spark.read.parquet(os.path.join(path, "exact")),
+            spark.read.parquet(os.path.join(path, "buckets")),
+            spark.read.parquet(os.path.join(path, "shingles")),
+            *[p[c] for c in _PARAM_COLS],
+        )
+
+
+def build_corpus_index(
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> CorpusDedupIndex:
+    """Derive the corpus dedup index (lazy DataFrames; persist() or save()).
+
+    One pass over the corpus: shingle sets feed both the signature
+    aggregation (band buckets) and the verification table, so the corpus
+    text is tokenized exactly once.
+    """
+    exact = (
+        corpus_df.select(
+            F.md5(F.col(text_col)).alias("md5"),
+            F.length(F.col(text_col)).alias("length"),
+        )
+        .dropDuplicates(["md5", "length"])
+    )
+    sh = shingle_sets(
+        ensure_min_partitions(corpus_df.select(id_col, text_col)),
+        id_col, text_col, shingle_words,
+    ).select(F.col(id_col).alias("cid"), "shingles")
+    sigs = minhash_signatures(
+        corpus_df, id_col, text_col, num_perm, shingle_words,
+        shingles=sh.select(F.col("cid").alias(id_col), "shingles"),
+    )
+    buckets = sigs.select(
+        F.col(id_col).alias("cid"),
+        F.explode(band_key_array(num_perm, bands)).alias("bucket"),
+    )
+    return CorpusDedupIndex(
+        exact, buckets, sh, shingle_words, num_perm, bands
+    )
+
+
+def novel_docs_indexed(
+    new_df: DataFrame,
+    index: CorpusDedupIndex,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int | None = 5000,
+) -> DataFrame:
+    """Flag each new-batch doc against a prebuilt :class:`CorpusDedupIndex`.
+
+    Same output contract as :func:`novel_docs` — one row per new doc with
+    ``(id_col, exact_dup, n_near, is_novel)`` — but the corpus side comes
+    entirely from the index: no corpus re-shingle, no corpus-wide inverted
+    index. Candidate recall is the MinHash-band guarantee (a pair must agree
+    on at least one band), so pairs barely above ``threshold`` can be
+    missed where :func:`novel_docs` finds them — raise ``num_perm``/
+    ``bands`` at build time to tighten; verification of surviving
+    candidates is exact Jaccard, identical to the inverted-index path.
+    """
+    # --- exact: digest-identity join against the skinny corpus table
+    exact = (
+        new_df.select(
+            F.col(id_col).alias("id"),
+            F.md5(F.col(text_col)).alias("md5"),
+            F.length(F.col(text_col)).alias("length"),
+        )
+        .join(index.exact, ["md5", "length"])
+        .select("id")
+        .distinct()
+        .withColumn("exact_dup", F.lit(True))
+    )
+
+    # --- near: batch band keys -> bucket join -> exact-Jaccard verify
+    new_sh = shingle_sets(
+        ensure_min_partitions(new_df.select(id_col, text_col)),
+        id_col, text_col, index.shingle_words,
+    ).select(F.col(id_col).alias("id"), F.col("shingles").alias("nsh"))
+    sigs = minhash_signatures(
+        new_df, id_col, text_col, index.num_perm, index.shingle_words,
+        shingles=new_sh.select(F.col("id").alias(id_col),
+                               F.col("nsh").alias("shingles")),
+    )
+    nb = sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(band_key_array(index.num_perm, index.bands)).alias("bucket"),
+    )
+    cb = _drop_hot_buckets(index.buckets, max_bucket, "novel_docs_indexed")
+    cand = nb.join(cb, "bucket").select("id", "cid").dropDuplicates()
+    verified = (
+        cand.join(new_sh, "id")
+        .join(index.shingles, "cid")
+    )
+    jac = (
+        F.size(F.array_intersect("nsh", "shingles")).cast("double")
+        / F.size(F.array_union("nsh", "shingles")).cast("double")
+    )
+    near = (
+        verified.filter(F.round(jac, 6) >= threshold)
+        .groupBy("id")
+        .agg(F.count("*").alias("n_near"))
+    )
+
+    return (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(exact, "id", "left")
+        .join(near, "id", "left")
+        .fillna({"exact_dup": False, "n_near": 0})
+        .select(
+            F.col("id").alias(id_col),
+            "exact_dup",
+            F.col("n_near").cast("long").alias("n_near"),
+            (~F.col("exact_dup") & (F.col("n_near") == 0)).alias("is_novel"),
+        )
+    )

@@ -184,6 +184,28 @@ def minhash_signatures(
     )
 
 
+def band_key_array(num_perm: int, bands: int):
+    """Array expression of LSH band keys over a ``sig`` column.
+
+    Key b = "b_sig[b*r]_..._sig[b*r+r-1]" (r = num_perm // bands): two docs
+    collide on band b iff that signature slice is identical. Shared by
+    :func:`minhash_lsh_pairs` (self-join) and the persistent corpus index
+    (``operators/dedup_index.py``) so both sides of a cross-corpus probe
+    derive byte-identical bucket keys.
+    """
+    rows = num_perm // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[F.col("sig").getItem(b * rows + r) for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def _drop_hot_buckets(
     exploded: DataFrame, max_bucket: int | None, what: str
 ) -> DataFrame:
@@ -246,22 +268,15 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
-    rows = num_perm // bands
     sh = shingle_sets(
         ensure_min_partitions(df.select(id_col, text_col)), id_col, text_col, shingle_words
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_words, shingles=sh)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_", F.lit(b), *[F.col("sig").getItem(b * rows + r) for r in range(rows)]
-            )
-            for b in range(bands)
-        ]
-    )
     # Band rows carry only (id, bucket) — the shingle arrays stay OUT of the
     # self-join and are re-attached only to surviving candidate pairs.
-    exploded = sigs.select(F.col(id_col), F.explode(band_keys).alias("bucket"))
+    exploded = sigs.select(
+        F.col(id_col), F.explode(band_key_array(num_perm, bands)).alias("bucket")
+    )
     exploded = _drop_hot_buckets(exploded, max_bucket, "minhash_lsh_pairs")
     left = exploded.alias("l")
     right = exploded.alias("r")
