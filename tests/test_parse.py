@@ -198,3 +198,54 @@ def test_dirty_numerics_never_crash_under_ansi(spark):
     assert r.status is None
     assert r.size == -1            # bad size -> -1 (CrawlLogLoader.java:67-93)
     assert r.duration is None
+
+
+def test_list_files_distributed_matches_driver_walk(spark, tmp_path):
+    """The mapPartitions walk returns the same (path, size) set as the
+    driver-side os.walk for every filter combination, including hidden-dir
+    pruning and deep nesting past the fanout frontier."""
+    import os
+    import time
+
+    from ia_hadoop_tools_spark.sources.listing import (
+        list_files_df,
+        list_files_df_distributed,
+    )
+
+    (tmp_path / "top.warc.gz").write_text("t")
+    (tmp_path / "skip.txt").write_text("s")
+    (tmp_path / ".hidden").mkdir()
+    (tmp_path / ".hidden" / "x.warc.gz").write_text("h")
+    deep = tmp_path / "a" / "b" / "c" / "d"
+    deep.mkdir(parents=True)
+    (deep / "deep.warc.gz").write_text("d")
+    (tmp_path / "a" / "mid.warc.gz").write_text("m")
+    old = tmp_path / "a" / "old.warc.gz"
+    old.write_text("o")
+    os.utime(old, (time.time() - 86400 * 365,) * 2)
+
+    for kwargs in (
+        {},
+        {"extensions": (".warc.gz",)},
+        {"extensions": (".warc.gz",), "min_mtime": time.time() - 86400},
+        {"include_hidden": True},
+    ):
+        want = {
+            (r.path, r.size)
+            for r in list_files_df(spark, str(tmp_path), **kwargs).collect()
+        }
+        got = {
+            (r.path, r.size)
+            for r in list_files_df_distributed(
+                spark, str(tmp_path), fanout_depth=2, **kwargs
+            ).collect()
+        }
+        assert got == want, kwargs
+    # fanout deeper than the tree still works (frontier empties early)
+    got = {
+        os.path.basename(r.path)
+        for r in list_files_df_distributed(
+            spark, str(tmp_path), extensions=(".warc.gz",), fanout_depth=10
+        ).collect()
+    }
+    assert got == {"top.warc.gz", "mid.warc.gz", "old.warc.gz", "deep.warc.gz"}
