@@ -1204,14 +1204,28 @@ FROM (
 """
 
 
+NEARDUP_EXACT_CAP = 2000  # exact-baseline slice: O(cap^2), constant at any sf
+
+
 def q_embedding_neardup(spark, sf_dir):
-    """EXACT near-dup pairs (brute force; the LSH-bucketed scale path is
-    operators/similarity.embedding_neardup_pairs, checked rows-only)."""
+    """EXACT near-dup pairs (brute force) on a FIXED-SIZE slice.
+
+    The all-pairs crossJoin is the oracle baseline, not a production plan —
+    uncapped it grows O(n^2) with the corpus and the bench entry itself
+    stops being runnable at 100x. The ``vec_id < NEARDUP_EXACT_CAP`` bound
+    (applied identically in the SQL oracle) keeps the entry's cost constant
+    at every scale factor; the LSH-bucketed scale path is
+    operators/similarity.embedding_neardup_pairs (``embedding_neardup_lsh``).
+    """
     from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
 
     from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
 
-    e = ensure_min_partitions(_t(spark, sf_dir, "embeddings"))
+    e = ensure_min_partitions(
+        _t(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < NEARDUP_EXACT_CAP
+        )
+    )
     # norms once per vector, not per pair (value identical; 3x fewer traversals)
     a = e.select(
         F.col("vec_id").alias("id_a"),
@@ -1237,7 +1251,9 @@ def q_embedding_neardup(spark, sf_dir):
 SQL_EMBEDDING_NEARDUP = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   round({_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')}), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM (SELECT * FROM embeddings WHERE vec_id < {NEARDUP_EXACT_CAP}) a
+JOIN (SELECT * FROM embeddings WHERE vec_id < {NEARDUP_EXACT_CAP}) b
+  ON a.vec_id < b.vec_id
 WHERE round({_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')}), 6)
       >= {NEARDUP_COS_THRESHOLD}
 """
