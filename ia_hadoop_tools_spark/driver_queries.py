@@ -524,6 +524,46 @@ FROM range(1000, 1500) t(i)
 """
 
 
+# 59. kvstore_scan — the HBase load/store pattern (HBaseStorage.java:96-330,
+# HFileStorage.java:51-263) against the self-contained sorted-KV layout:
+# bulk-load once (range-partitioned + sorted region files + META index),
+# then a row-key-bounded scan through the sortedkv data source (region
+# pruning via pushFilters) pivoted to HBaseStorage's column-list row shape.
+
+
+def q_kvstore_scan(spark, sf_dir):
+    import os as _os
+
+    from ia_hadoop_tools_spark.sources.kvstore import (
+        read_kv_columns,
+        write_kvstore,
+    )
+
+    fixture = "/tmp/iht_kvstore_fixture"
+    if not _os.path.exists(_os.path.join(fixture, "_REGIONS")):
+        rows = []
+        for i in range(3000):
+            k = f"r{i:05d}"
+            rows.append((k, "fa", 1, f"a-{i}"))
+            rows.append((k, "fa", 2, f"a-{i}-new"))  # newer version wins
+            rows.append((k, "fb", 5, str(i * 3)))
+        cells = spark.createDataFrame(
+            rows, "rowkey: string, column: string, ts: long, value: string"
+        )
+        write_kvstore(cells, fixture, num_regions=4)
+    return read_kv_columns(
+        spark, fixture, ["fa", "fb"], gte="r01000", lt="r01200"
+    )
+
+
+SQL_KVSTORE_SCAN = """
+SELECT 'r' || lpad(CAST(i AS VARCHAR), 5, '0') AS rowkey,
+       'a-' || CAST(i AS VARCHAR) || '-new' AS fa,
+       CAST(i * 3 AS VARCHAR) AS fb
+FROM range(1000, 1200) t(i)
+"""
+
+
 def q_rolling_window(spark, sf_dir):
     ev = _events(spark, sf_dir)
     w = (
@@ -2328,6 +2368,7 @@ QUERIES = {
     "wet_extract": q_wet_extract,
     "novel_docs": q_novel_docs,
     "novel_docs_indexed": q_novel_docs_indexed,
+    "kvstore_scan": q_kvstore_scan,
 }
 
 ORACLES = {
@@ -2389,4 +2430,5 @@ ORACLES = {
     "wet_extract": SQL_WET_EXTRACT,
     "novel_docs": SQL_NOVEL_DOCS,
     "novel_docs_indexed": SQL_NOVEL_DOCS,
+    "kvstore_scan": SQL_KVSTORE_SCAN,
 }

@@ -1,0 +1,307 @@
+"""Sorted key-value store connector: the HBase load/store pattern, Spark-first.
+
+The reference ships an HBase Pig connector (pig/HBaseStorage.java:96-330 —
+row-key range scan options ``-gt/-gte/-lt/-lte``, ``-loadKey``, per-region
+``-limit``, a column list projected per row) and an HFile bulk-loader
+(pig/HFileStorage.java:51-263 — rows range-partitioned and sorted so each
+output file is one region's worth of ordered cells). This module re-expresses
+that pattern against a self-contained sorted-KV layout so the connector
+logic is testable without an HBase cluster; swapping the file I/O for a real
+KV client keeps every other line:
+
+- **Layout** (an HBase region/HFile miniature): ``region-NNNNN.kvz`` gzip
+  text files of cells ``rowkey\\tcolumn\\tts\\tvalue`` sorted by (rowkey,
+  column, ts DESC), plus a ``_REGIONS`` meta-index ``file\\tfirst\\tlast``
+  — the META-table equivalent that drives region pruning.
+- **Bulk load** (:func:`write_kvstore`): ``repartitionByRange(rowkey)`` +
+  ``sortWithinPartitions`` + one region file per partition (TMP+rename),
+  exactly HFileStorage's contract: globally range-partitioned, locally
+  sorted, ready for ordered ingestion.
+- **Scan** (the ``sortedkv`` Spark data source): one input partition per
+  region; ``pushFilters`` turns row-key comparisons into region pruning via
+  the meta-index BEFORE any data I/O (partial pushdown — every filter is
+  re-evaluated row-level by Spark, so correctness never depends on
+  pruning), and the in-region read early-terminates past the upper bound
+  because cells are sorted.
+- **Row facade** (:func:`read_kv_columns`): HBaseStorage's column-list
+  semantics — latest-timestamp cell per (rowkey, column), pivoted to one
+  row per key with the requested columns.
+
+Keys and column qualifiers must not contain tab/newline (binary HBase keys
+would be base64-coded by the caller); values are escaped.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+KV_SCHEMA = "rowkey string, column string, ts long, value string"
+REGIONS_FILE = "_REGIONS"
+
+
+def _esc(v: str) -> str:
+    return v.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+
+
+def _unesc(v: str) -> str:
+    out = []
+    it = iter(v)
+    for ch in it:
+        if ch != "\\":
+            out.append(ch)
+            continue
+        nxt = next(it, "")
+        out.append({"t": "\t", "n": "\n", "\\": "\\"}.get(nxt, nxt))
+    return "".join(out)
+
+
+def write_kvstore(
+    df: DataFrame,
+    path: str,
+    num_regions: int | None = None,
+) -> None:
+    """Bulk-load ``(rowkey, column, ts, value)`` cells into a sorted store.
+
+    The HFileStorage contract: range-partition on rowkey (region boundaries
+    come from Spark's reservoir sampling, the analog of presplit points),
+    sort within each partition by (rowkey, column, ts DESC), write one
+    region file per partition under a TMP name and rename on success, then
+    commit the ``_REGIONS`` meta-index last — readers never observe a
+    half-written store.
+    """
+    import gzip
+    import io
+
+    from pyspark import TaskContext
+
+    from ia_hadoop_tools_spark.sources import fsio
+
+    cells = df.select(
+        F.col("rowkey").cast("string"),
+        F.col("column").cast("string"),
+        F.col("ts").cast("long"),
+        F.col("value").cast("string"),
+    )
+    if num_regions:
+        cells = cells.repartitionByRange(num_regions, "rowkey")
+    else:
+        cells = cells.repartitionByRange("rowkey")
+    cells = cells.sortWithinPartitions("rowkey", "column", F.desc("ts"))
+
+    fsio.makedirs(path)
+
+    def _write_region(it):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        name = f"region-{pid:05d}.kvz"
+        tmp = fsio.join(path, f"_tmp.{name}")
+        first = last = None
+        n = 0
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            for row in it:
+                if first is None:
+                    first = row.rowkey
+                last = row.rowkey
+                line = "\t".join(
+                    (
+                        row.rowkey,
+                        row.column,
+                        str(row.ts if row.ts is not None else 0),
+                        _esc(row.value if row.value is not None else ""),
+                    )
+                )
+                gz.write(line.encode("utf-8") + b"\n")
+                n += 1
+        if n == 0:
+            return
+        with fsio.open_write(tmp) as out:
+            out.write(buf.getvalue())
+        fsio.rename(tmp, fsio.join(path, name))
+        yield (name, first, last, n)
+
+    regions = sorted(
+        cells.rdd.mapPartitions(_write_region).collect()
+    )  # one row per region — driver-sized metadata, like a META table
+    tmp_idx = fsio.join(path, f"_tmp.{REGIONS_FILE}")
+    with fsio.open_write_text(tmp_idx) as fh:
+        for name, first, last, n in regions:
+            fh.write(f"{name}\t{first}\t{last}\t{n}\n")
+    fsio.rename(tmp_idx, fsio.join(path, REGIONS_FILE))
+
+
+def read_regions_index(path: str) -> list[tuple[str, str, str, int]]:
+    from ia_hadoop_tools_spark.sources import fsio
+
+    rows = []
+    with fsio.open_read_text(fsio.join(path, REGIONS_FILE)) as fh:
+        for line in fh:
+            name, first, last, n = line.rstrip("\n").split("\t")
+            rows.append((name, first, last, int(n)))
+    return rows
+
+
+class KVRegion(InputPartition):
+    def __init__(self, file: str):
+        self.file = file
+
+
+class SortedKVReader(DataSourceReader):
+    """Region-pruning reader (HBaseStorage scan semantics).
+
+    ``pushFilters`` collects row-key bounds (gt/gte/lt/lte/eq — the same
+    option surface HBaseStorage exposes) and prunes whole regions via the
+    meta-index; bounds are ALSO applied in-region (sorted cells: skip until
+    start, stop past end), and every filter is returned to Spark for exact
+    re-evaluation. ``limit`` caps rows per region, mirroring -limit.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sortedkv source requires .load(<store dir>)")
+        self.limit = int(options["limit"]) if options.get("limit") else None
+        self.start: str | None = None  # inclusive
+        self.end: str | None = None  # inclusive upper bound
+        self.end_exclusive = False
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if getattr(f, "attribute", None) == ("rowkey",):
+                v = getattr(f, "value", None)
+                if isinstance(v, str):
+                    if isinstance(f, (GreaterThanOrEqual, GreaterThan)):
+                        # gt prunes like gte at region granularity; the
+                        # returned filter restores strictness row-level
+                        if self.start is None or v > self.start:
+                            self.start = v
+                    elif isinstance(f, LessThanOrEqual):
+                        if self.end is None or v < self.end:
+                            self.end, self.end_exclusive = v, False
+                    elif isinstance(f, LessThan):
+                        if self.end is None or v <= self.end:
+                            self.end, self.end_exclusive = v, True
+                    elif isinstance(f, EqualTo):
+                        if self.start is None or v > self.start:
+                            self.start = v
+                        if self.end is None or v < self.end:
+                            self.end, self.end_exclusive = v, False
+            yield f  # partial pushdown: Spark re-checks every predicate
+
+    def schema(self) -> str:
+        return KV_SCHEMA
+
+    def partitions(self) -> Sequence[KVRegion]:
+        parts = []
+        for name, first, last, _ in read_regions_index(self.path):
+            if self.start is not None and last < self.start:
+                continue
+            if self.end is not None and (
+                first > self.end
+                or (self.end_exclusive and first >= self.end)
+            ):
+                continue
+            parts.append(KVRegion(name))
+        return parts
+
+    def read(self, partition: KVRegion) -> Iterator[tuple]:
+        import gzip
+        import io
+
+        from ia_hadoop_tools_spark.sources import fsio
+
+        fs, p = fsio.resolve(fsio.join(self.path, partition.file))
+        n = 0
+        with fs.open_input_stream(p) as raw:
+            # stream-decode: the upper-bound early-break means a bounded
+            # scan never decompresses the rest of the region
+            text = io.TextIOWrapper(
+                io.BufferedReader(gzip.GzipFile(fileobj=raw)),
+                encoding="utf-8",
+            )
+            for line in text:
+                rowkey, column, ts, value = line.rstrip("\n").split("\t", 3)
+                if self.start is not None and rowkey < self.start:
+                    continue
+                if self.end is not None:
+                    if rowkey > self.end or (
+                        self.end_exclusive and rowkey >= self.end
+                    ):
+                        break  # sorted region: nothing later can match
+                yield (rowkey, column, int(ts), _unesc(value))
+                n += 1
+                if self.limit is not None and n >= self.limit:
+                    break
+
+
+class SortedKVDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sortedkv"
+
+    def schema(self) -> str:
+        return KV_SCHEMA
+
+    def reader(self, schema) -> SortedKVReader:
+        return SortedKVReader(self.options)
+
+
+def register_sortedkv(spark: SparkSession) -> None:
+    spark.dataSource.register(SortedKVDataSource)
+
+
+def read_kv_columns(
+    spark: SparkSession,
+    path: str,
+    columns: Sequence[str],
+    load_key: bool = True,
+    gt: str | None = None,
+    gte: str | None = None,
+    lt: str | None = None,
+    lte: str | None = None,
+    limit_per_region: int | None = None,
+) -> DataFrame:
+    """HBaseStorage facade: one row per rowkey with the requested columns.
+
+    Option-for-option with the reference loader (HBaseStorage.java:137-146):
+    ``gt/gte/lt/lte`` row-key bounds (pushed into region pruning),
+    ``load_key`` controls whether the rowkey is projected, ``limit_per_region``
+    caps each region scan. Cell resolution is newest-timestamp-wins with a
+    deterministic value tiebreak (HBase returns the max-ts cell version).
+    """
+    register_sortedkv(spark)
+    r = spark.read.format("sortedkv")
+    if limit_per_region is not None:
+        r = r.option("limit", str(limit_per_region))
+    cells = r.load(path)
+    if gt is not None:
+        cells = cells.filter(F.col("rowkey") > gt)
+    if gte is not None:
+        cells = cells.filter(F.col("rowkey") >= gte)
+    if lt is not None:
+        cells = cells.filter(F.col("rowkey") < lt)
+    if lte is not None:
+        cells = cells.filter(F.col("rowkey") <= lte)
+    cells = cells.filter(F.col("column").isin(*columns))
+    row = (
+        cells.groupBy("rowkey")
+        .pivot("column", list(columns))
+        .agg(F.expr("max_by(value, struct(ts, value))"))
+    )
+    if not load_key:
+        row = row.drop("rowkey")
+    return row

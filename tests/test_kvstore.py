@@ -1,0 +1,109 @@
+"""Sorted-KV store connector (sources/kvstore.py): HBase load/store pattern."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.sources.kvstore import (
+    read_kv_columns,
+    read_regions_index,
+    register_sortedkv,
+    write_kvstore,
+)
+
+
+def _cells(spark, n=300):
+    rows = []
+    for i in range(n):
+        k = f"row{i:05d}"
+        rows.append((k, "f:title", 100, f"title-{i}"))
+        rows.append((k, "f:title", 200, f"title-{i}-v2"))  # newer version wins
+        rows.append((k, "f:size", 150, str(i * 10)))
+    return spark.createDataFrame(
+        rows, "rowkey: string, column: string, ts: long, value: string"
+    )
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("kv") / "store")
+    write_kvstore(_cells(spark), path, num_regions=4)
+    return path
+
+
+def test_bulk_load_layout(store):
+    regions = read_regions_index(store)
+    assert len(regions) == 4
+    names = [r[0] for r in regions]
+    assert all(n.startswith("region-") and n.endswith(".kvz") for n in names)
+    # regions are disjoint, ordered ranges (the HFile bulk-load invariant)
+    for (_, _, last_a, _), (_, first_b, _, _) in zip(regions, regions[1:]):
+        assert last_a <= first_b
+    assert sum(r[3] for r in regions) == 900
+    assert not [f for f in os.listdir(store) if f.startswith("_tmp.")]
+
+
+def test_scan_all_and_values(spark, store):
+    register_sortedkv(spark)
+    df = spark.read.format("sortedkv").load(store)
+    assert df.count() == 900
+    one = df.filter(
+        (F.col("rowkey") == "row00007") & (F.col("column") == "f:title")
+    ).orderBy(F.desc("ts")).collect()
+    assert [(r.ts, r.value) for r in one] == [
+        (200, "title-7-v2"), (100, "title-7")
+    ]
+
+
+def test_range_pushdown_prunes_regions(spark, store):
+    register_sortedkv(spark)
+    df = (
+        spark.read.format("sortedkv")
+        .load(store)
+        .filter((F.col("rowkey") >= "row00100") & (F.col("rowkey") < "row00110"))
+    )
+    assert df.count() == 30
+    # the physical scan plans only the covering region(s), not all 4
+    rdd_parts = df.rdd.getNumPartitions()
+    assert rdd_parts < 4, f"expected region pruning, got {rdd_parts} partitions"
+
+
+def test_equality_and_limit(spark, store):
+    register_sortedkv(spark)
+    eq = (
+        spark.read.format("sortedkv").load(store)
+        .filter(F.col("rowkey") == "row00042")
+    )
+    assert eq.count() == 3
+    lim = (
+        spark.read.format("sortedkv").option("limit", "5").load(store)
+    )
+    # per-region limit: 4 regions x 5 cells
+    assert lim.count() == 20
+
+
+def test_read_kv_columns_facade(spark, store):
+    row = read_kv_columns(
+        spark, store, ["f:title", "f:size"], gte="row00290", lt="row00293"
+    ).orderBy("rowkey")
+    got = [tuple(r) for r in row.collect()]
+    assert got == [
+        ("row00290", "title-290-v2", "2900"),
+        ("row00291", "title-291-v2", "2910"),
+        ("row00292", "title-292-v2", "2920"),
+    ]
+
+
+def test_value_escaping_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [("k1", "c", 1, "tab\there\nand \\ backslash")],
+        "rowkey: string, column: string, ts: long, value: string",
+    )
+    write_kvstore(df, path, num_regions=1)
+    register_sortedkv(spark)
+    got = spark.read.format("sortedkv").load(path).collect()
+    assert got[0].value == "tab\there\nand \\ backslash"
