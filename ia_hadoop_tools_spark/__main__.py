@@ -382,11 +382,27 @@ def cmd_corpus_pack(args):
     )
 
 
+def cmd_gzrange_server(args):
+    """gzrange-server: HTTP server answering one-gzip-member range requests
+    (server/GZRangeServer.java:29-50; default port 8009)."""
+    from ia_hadoop_tools_spark.sources.gzrange_server import serve
+
+    print(f"gzrange-server: listening on 127.0.0.1:{args.port}")
+    serve(args.port)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="ia_hadoop_tools_spark", description=__doc__
     )
     sub = p.add_subparsers(dest="tool", required=True)
+
+    s = sub.add_parser(
+        "gzrange-server",
+        help="HTTP server for one-gzip-member unbounded range requests",
+    )
+    s.add_argument("port", nargs="?", type=int, default=8009)
+    s.set_defaults(fn=cmd_gzrange_server)
 
     s = sub.add_parser(
         "corpus-clean", help="quality filter + dedup a document corpus"

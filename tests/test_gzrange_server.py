@@ -1,0 +1,97 @@
+"""GZRange server tests (sources/gzrange_server.py) against a live server.
+
+Status contract from the reference (server/GZRangeServer.java:102-185):
+206 + exact member Content-Length on success, 400 missing offset, 404
+missing file, 415 gzip misalignment, 416 past EOF.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from ia_hadoop_tools_spark.sources.gzrange_server import (
+    fetch_member,
+    make_server,
+    member_compressed_length,
+)
+
+RECORDS = [b"first record payload", b"second, longer record payload " * 10, b"third"]
+
+
+def _member(data: bytes) -> bytes:
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(data)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def gzfile(tmp_path_factory):
+    """Record-compressed file: one gzip member per record, with offsets."""
+    path = tmp_path_factory.mktemp("gzr") / "records.gz"
+    offsets, blob = [], b""
+    for rec in RECORDS:
+        offsets.append(len(blob))
+        blob += _member(rec)
+    path.write_bytes(blob)
+    return str(path), offsets, len(blob)
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = make_server(port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_member_compressed_length_scan(gzfile):
+    path, offsets, total = gzfile
+    sizes = offsets[1:] + [total]
+    with open(path, "rb") as fh:
+        for off, end in zip(offsets, sizes):
+            fh.seek(off)
+            assert member_compressed_length(fh) == end - off
+
+
+def test_fetch_each_member_range_header(server, gzfile):
+    path, offsets, total = gzfile
+    sizes = offsets[1:] + [total]
+    for off, end, rec in zip(offsets, sizes, RECORDS):
+        payload = fetch_member(server, path, off)
+        assert len(payload) == end - off  # exact compressed member
+        assert gzip.decompress(payload) == rec
+
+
+def test_offset_query_param(server, gzfile):
+    path, offsets, _ = gzfile
+    with urllib.request.urlopen(f"{server}{path}?offset={offsets[1]}") as r:
+        assert r.status == 206
+        assert gzip.decompress(r.read()) == RECORDS[1]
+
+
+def _status(url, headers=None):
+    req = urllib.request.Request(url, headers=headers or {})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status
+    except urllib.error.HTTPError as e:
+        return e.code
+
+
+def test_error_statuses(server, gzfile):
+    path, offsets, total = gzfile
+    assert _status(f"{server}{path}") == 400  # no Range / offset
+    assert _status(f"{server}/does/not/exist?offset=0") == 404
+    assert _status(f"{server}{path}?offset={total + 10}") == 416
+    # misaligned: inside a member, not at a boundary
+    assert _status(f"{server}{path}?offset={offsets[1] + 3}") == 415
+    # bounded ranges are NOT the protocol (reference parses only "bytes=N-")
+    assert _status(f"{server}{path}", {"Range": "bytes=0-99"}) == 400
