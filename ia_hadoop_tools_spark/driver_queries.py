@@ -2306,6 +2306,60 @@ LEFT JOIN near ON near.doc_id = b.doc_id
 """
 
 
+# 60. decontam — benchmark n-gram decontamination (GPT-3 App. C style):
+# the "benchmark" is the first 12 tokens of every corpus doc with
+# doc_id % 10 == 7, so contamination is planted deterministically at any
+# scale factor; every corpus doc gets (overlap_ngrams, contaminated).
+
+DECON_N = 8
+DECON_BENCH_TOKENS = 12
+DECON_BENCH_MOD = 7
+
+
+def q_decontam(spark, sf_dir):
+    from ia_hadoop_tools_spark.functions.textfns import tokens
+    from ia_hadoop_tools_spark.operators.decontam import contamination_stats
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == DECON_BENCH_MOD).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(tokens(F.col("text")), 1, DECON_BENCH_TOKENS)
+        ).alias("text"),
+    )
+    return contamination_stats(d, bench, n=DECON_N)
+
+
+SQL_DECONTAM = f"""
+WITH ctok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+bench AS (
+  SELECT array_to_string(list_slice(ts, 1, {DECON_BENCH_TOKENS}), ' ') AS text
+  FROM ctok WHERE doc_id % 10 = {DECON_BENCH_MOD}
+),
+btok AS (SELECT {_TOKS_SQL} AS ts FROM bench),
+bw AS (
+  SELECT DISTINCT array_to_string(list_slice(
+    ts, CAST(i AS INT), CAST(i + {DECON_N - 1} AS INT)), ' ') AS g
+  FROM btok, UNNEST(range(1, len(ts) - {DECON_N} + 2)) AS u(i)
+  WHERE len(ts) >= {DECON_N}
+),
+cw AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(
+    ts, CAST(i AS INT), CAST(i + {DECON_N - 1} AS INT)), ' ') AS g
+  FROM ctok, UNNEST(range(1, len(ts) - {DECON_N} + 2)) AS u(i)
+  WHERE len(ts) >= {DECON_N}
+),
+hits AS (
+  SELECT doc_id, count(*) AS overlap_ngrams
+  FROM cw JOIN bw USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.overlap_ngrams, 0) AS BIGINT) AS overlap_ngrams,
+       coalesce(h.overlap_ngrams, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2369,6 +2423,7 @@ QUERIES = {
     "novel_docs": q_novel_docs,
     "novel_docs_indexed": q_novel_docs_indexed,
     "kvstore_scan": q_kvstore_scan,
+    "decontam": q_decontam,
 }
 
 ORACLES = {
@@ -2431,4 +2486,5 @@ ORACLES = {
     "novel_docs": SQL_NOVEL_DOCS,
     "novel_docs_indexed": SQL_NOVEL_DOCS,
     "kvstore_scan": SQL_KVSTORE_SCAN,
+    "decontam": SQL_DECONTAM,
 }

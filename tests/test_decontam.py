@@ -1,0 +1,83 @@
+"""Benchmark decontamination tests (operators/decontam.py)."""
+
+from __future__ import annotations
+
+from ia_hadoop_tools_spark.operators.decontam import (
+    contamination_stats,
+    decontaminate,
+)
+
+
+def _dfs(spark):
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark q1 8-gram verbatim
+            (1, "prefix words here what is the capital of france answer paris"),
+            # shares only a 5-gram -> clean at n=8
+            (2, "what is the capital of spain is a different question"),
+            (3, "completely unrelated text about spark partitions and shuffles ok"),
+            # too short for any 8-gram window
+            (4, "tiny doc"),
+            # contains windows from BOTH benchmark docs
+            (
+                5,
+                "what is the capital of france answer paris and also "
+                "compute two plus two equals four exactly now",
+            ),
+        ],
+        "doc_id: long, text: string",
+    )
+    benchmark = spark.createDataFrame(
+        [
+            (100, "what is the capital of france answer paris"),
+            (101, "compute two plus two equals four exactly now"),
+        ],
+        "doc_id: long, text: string",
+    )
+    return corpus, benchmark
+
+
+def test_contamination_stats(spark):
+    corpus, bench = _dfs(spark)
+    got = {
+        r.doc_id: (r.overlap_ngrams, r.contaminated)
+        for r in contamination_stats(corpus, bench, n=8).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}  # every corpus doc gets a row
+    assert got[1][1] and got[1][0] >= 1
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+    assert got[5][1] and got[5][0] > got[1][0]  # overlaps both bench docs
+
+
+def test_decontaminate_strict_and_thresholded(spark):
+    corpus, bench = _dfs(spark)
+    strict = sorted(
+        r.doc_id for r in decontaminate(corpus, bench, n=8).collect()
+    )
+    assert strict == [2, 3, 4]
+    # high threshold keeps the single-window doc, drops the multi-hit one
+    n1 = {
+        r.doc_id: r.overlap_ngrams
+        for r in contamination_stats(corpus, bench, n=8).collect()
+    }
+    thresh = n1[1] + 1
+    lax = sorted(
+        r.doc_id
+        for r in decontaminate(corpus, bench, n=8, min_overlap=thresh).collect()
+    )
+    assert 1 in lax and 5 not in lax
+
+
+def test_distinct_windows_counted_once(spark):
+    corpus = spark.createDataFrame(
+        [(1, " ".join(["a b c d e f g h"] * 3))],  # window repeats in doc
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c d e f g h")], "doc_id: long, text: string"
+    )
+    got = contamination_stats(corpus, bench, n=8).collect()[0]
+    # repeated occurrences of the same window count once (distinct windows)
+    assert got.overlap_ngrams < 24
