@@ -148,6 +148,34 @@ def build_corpus_index(
     )
 
 
+def extend_corpus_index(
+    index: CorpusDedupIndex,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> CorpusDedupIndex:
+    """Index' = index ∪ derive(new docs) — the post-ingestion maintenance
+    step of the rolling cycle (probe batch -> keep novel -> extend index).
+
+    Only the NEW docs are shingled/signed; the existing tables are reused
+    as-is (union is metadata-only until an action). Persist or ``save`` the
+    result; saving to a NEW path then swapping is the atomic-publish
+    pattern (the STAGED->INCLUDED promotion, cdx/notes.txt:19-36).
+    """
+    delta = build_corpus_index(
+        new_df, id_col, text_col,
+        index.shingle_words, index.num_perm, index.bands,
+    )
+    return CorpusDedupIndex(
+        index.exact.unionByName(delta.exact).dropDuplicates(
+            ["md5", "length"]
+        ),
+        index.buckets.unionByName(delta.buckets),
+        index.shingles.unionByName(delta.shingles),
+        index.shingle_words, index.num_perm, index.bands,
+    )
+
+
 def novel_docs_indexed(
     new_df: DataFrame,
     index: CorpusDedupIndex,

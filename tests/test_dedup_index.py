@@ -89,3 +89,21 @@ def test_multiple_batches_reuse_one_index(spark):
         assert second == {k + 10: v for k, v in first.items()}
     finally:
         idx.unpersist()
+
+
+def test_extend_corpus_index_incremental(spark):
+    """index ∪ delta answers like an index built from scratch on the union."""
+    from ia_hadoop_tools_spark.operators.dedup_index import extend_corpus_index
+
+    corpus, batch = _corpus_and_batch(spark)
+    extra = spark.createDataFrame(
+        [(200, "entirely novel text that matches nothing in the corpus")],
+        "doc_id: long, text: string",
+    )
+    grown = extend_corpus_index(build_corpus_index(corpus), extra)
+    scratch = build_corpus_index(corpus.unionByName(extra))
+    got = _rows(novel_docs_indexed(batch, grown, threshold=0.5))
+    want = _rows(novel_docs_indexed(batch, scratch, threshold=0.5))
+    assert got == want
+    # doc 3 was novel against the old corpus; the extension makes it a dup
+    assert got[3] == (True, 1, False)
