@@ -1,0 +1,85 @@
+"""Rolling corpus dedup stream (streaming/rolling_dedup.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.streaming.rolling_dedup import (
+    load_current_index,
+    rolling_dedup_stream,
+)
+
+SCHEMA = "doc_id long, text string"
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank"
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_rolling_dedup_cycles(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    index_root = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: two distinct docs + one exact dup inside the batch
+    _write_batch(
+        spark,
+        inp,
+        [(1, BASE), (2, BASE), (3, "a completely different document body")],
+    )
+    q = rolling_dedup_stream(
+        spark, inp, corpus, index_root, ckpt, SCHEMA
+    )
+    q.awaitTermination()
+    kept = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert kept == {1, 3}  # in-batch exact dup dropped (min id kept)
+    assert os.path.exists(os.path.join(index_root, "CURRENT"))
+
+    # batch 2: one exact dup of batch 1, one near-dup, one novel
+    _write_batch(
+        spark,
+        inp,
+        [
+            (10, BASE),
+            (11, BASE + " extra"),
+            (12, "fresh unseen content that matches nothing prior"),
+        ],
+    )
+    q = rolling_dedup_stream(
+        spark, inp, corpus, index_root, ckpt, SCHEMA
+    )
+    q.awaitTermination()
+    kept = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert kept == {1, 3, 12}
+
+    # batch 3: dup of a batch-2 novel doc -> the index really grew
+    _write_batch(
+        spark, inp, [(20, "fresh unseen content that matches nothing prior")]
+    )
+    q = rolling_dedup_stream(
+        spark, inp, corpus, index_root, ckpt, SCHEMA
+    )
+    q.awaitTermination()
+    kept = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert kept == {1, 3, 12}
+
+    # the published index answers standalone probes (versioned pointer)
+    idx = load_current_index(spark, index_root)
+    assert idx.buckets.select("cid").distinct().count() == 3
+    with open(os.path.join(index_root, "CURRENT")) as fh:
+        # batch 3 had nothing novel -> no publish: v000 (b1) then v001 (b2)
+        assert fh.read().strip() == "v001"
+
+    # restart with NO new files: exactly-once file log -> no reprocessing
+    q = rolling_dedup_stream(
+        spark, inp, corpus, index_root, ckpt, SCHEMA
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(corpus).count() == 3
