@@ -667,15 +667,23 @@ def archive_file_extractor(
     return spec_df.groupBy("prefix").applyInPandas(repack, schema=EXTRACTOR_OUT_SCHEMA)
 
 
-def http_import(urls_df: DataFrame, target_dir: str, soft: bool = True) -> None:
+def http_import(
+    urls_df: DataFrame,
+    target_dir: str,
+    soft: bool = True,
+    cookie: str | None = None,
+) -> None:
     """Parallel idempotent URL->file import (HTTPImportMapper semantics).
 
     Per URL: skip if the target exists with matching length (HEAD compare);
     else download to ``<name>.TMP``, verify copied == Content-Length, then
     atomically rename. ``soft`` converts per-URL failures into log lines.
-    ``urls_df`` needs columns (url, name).
+    ``urls_df`` needs columns (url, name). ``cookie`` rides every request —
+    the authenticated-fetch seam (jobs/ArchiveFileExtractor.java:291 signs
+    with an HMAC cookie; see functions/authfns.py).
     """
     os.makedirs(target_dir, exist_ok=True)
+    hdrs = {"Cookie": cookie} if cookie else {}
 
     def work(rows) -> None:
         for r in rows:
@@ -683,7 +691,7 @@ def http_import(urls_df: DataFrame, target_dir: str, soft: bool = True) -> None:
             final = os.path.join(target_dir, name)
             tmp = final + ".TMP"
             try:
-                req = urllib.request.Request(url, method="HEAD")
+                req = urllib.request.Request(url, method="HEAD", headers=hdrs)
                 with urllib.request.urlopen(req) as h:
                     remote_len = int(h.headers.get("Content-Length", "-1"))
                 if (
@@ -692,7 +700,9 @@ def http_import(urls_df: DataFrame, target_dir: str, soft: bool = True) -> None:
                     and os.path.getsize(final) == remote_len
                 ):
                     continue  # idempotent skip
-                with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:
+                with urllib.request.urlopen(
+                    urllib.request.Request(url, headers=hdrs)
+                ) as resp, open(tmp, "wb") as out:
                     copied = 0
                     while chunk := resp.read(1 << 20):
                         out.write(chunk)

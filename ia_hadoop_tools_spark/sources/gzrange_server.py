@@ -127,13 +127,19 @@ def serve(port: int = 8009) -> None:  # pragma: no cover - CLI loop
         srv.server_close()
 
 
-def fetch_member(base_url: str, file_path: str, offset: int) -> bytes:
-    """Client side: fetch the one compressed member at ``offset``."""
+def fetch_member(
+    base_url: str, file_path: str, offset: int, cookie: str | None = None
+) -> bytes:
+    """Client side: fetch the one compressed member at ``offset``.
+
+    ``cookie`` is the authenticated-fetch seam (the reference signs these
+    with an HMAC cookie — functions/authfns.py)."""
     from urllib.request import Request, urlopen
 
-    req = Request(
-        f"{base_url}{file_path}", headers={"Range": f"bytes={offset}-"}
-    )
+    headers = {"Range": f"bytes={offset}-"}
+    if cookie:
+        headers["Cookie"] = cookie
+    req = Request(f"{base_url}{file_path}", headers=headers)
     with urlopen(req) as resp:
         if resp.status != 206:
             raise OSError(f"gzrange server returned {resp.status}")
