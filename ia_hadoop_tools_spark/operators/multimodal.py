@@ -47,7 +47,16 @@ def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
 
     Input needs (asset_id, media_type, payload); output row per asset with a
     ``feature`` array<float> and a per-record ``decode_error``.
+
+    The decode stage is CPU-bound Python: it inherits the scan's
+    partitioning, and a small input in one parquet row group would decode
+    on ONE core (measured exactly that at sf0.1). ``ensure_min_partitions``
+    spreads the batches across the executor slots; at 100 TB the input
+    already has thousands of partitions and it's a no-op.
     """
+    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
