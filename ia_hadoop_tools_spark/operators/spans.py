@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
+
 
 def _tokens(text_col: str):
     return F.filter(
@@ -95,7 +97,9 @@ def span_dedup_stats(
     Every input doc gets a row (zeroes when nothing is duplicated).
     """
     base = (
-        df.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+        # spread the CPU-bound window-hash projection across executor slots
+        # (a one-row-group input would otherwise hash on a single core)
+        ensure_min_partitions(df.select(F.col(id_col), _tokens(text_col).alias("__toks")))
         .withColumn("__nt", F.size("__toks"))
     )
     dw = _dup_windows(base, id_col, n, min_count, use_hash)
@@ -162,7 +166,9 @@ def span_dedup(
     each doc takes exactly one branch of the union.
     """
     base = (
-        df.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+        # spread the CPU-bound window-hash projection across executor slots
+        # (a one-row-group input would otherwise hash on a single core)
+        ensure_min_partitions(df.select(F.col(id_col), _tokens(text_col).alias("__toks")))
         .withColumn("__nt", F.size("__toks"))
     )
     dw = _dup_windows(base, id_col, n, min_count, use_hash)
