@@ -276,6 +276,30 @@ METADATA_OUT_SCHEMA = (
 )
 
 
+def check_fail_pct(
+    df: DataFrame, fail_pct: float = 0.0, error_col: str = "error"
+) -> DataFrame:
+    """``-failpct`` semantics (jobs/CDXGenerator.java:200-249): the
+    extraction jobs tolerate per-record errors (``-soft``, the ``error``
+    column) but FAIL the whole job when more than ``fail_pct`` percent of
+    records errored — silent mass failure must not look like success.
+
+    Runs one counting action; raises ``RuntimeError`` past the threshold,
+    else returns ``df`` unchanged for chaining. ``fail_pct`` is a
+    percentage (0-100), matching the reference flag."""
+    from pyspark.sql import functions as F
+
+    total, errs = df.agg(
+        F.count(F.lit(1)), F.count(F.col(error_col))
+    ).first()
+    if total and errs * 100.0 / total > fail_pct:
+        raise RuntimeError(
+            f"extraction error rate {errs}/{total} "
+            f"({errs * 100.0 / total:.1f}%) exceeds failpct={fail_pct}"
+        )
+    return df
+
+
 def _http_meta(payload: bytes) -> tuple[dict, bytes]:
     """Split an HTTP response payload into (metadata dict, body)."""
     meta: dict = {}

@@ -211,3 +211,22 @@ def test_wat_golden_fixture_current(spark):
     pd.testing.assert_frame_equal(
         fresh.astype({"error": "object"}), golden.astype({"error": "object"})
     )
+
+
+def test_check_fail_pct(spark):
+    from ia_hadoop_tools_spark.operators.extract import check_fail_pct
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "boom"), (4, None)],
+        "id: long, error: string",
+    )
+    # 25% errors: passes a 30% budget and returns the df unchanged
+    assert check_fail_pct(df, fail_pct=30.0).count() == 4
+    with _pytest.raises(RuntimeError, match="exceeds failpct"):
+        check_fail_pct(df, fail_pct=10.0)
+    with _pytest.raises(RuntimeError):
+        check_fail_pct(df)  # default 0: any error fails the job
+    clean = df.filter("error IS NULL")
+    assert check_fail_pct(clean).count() == 3
