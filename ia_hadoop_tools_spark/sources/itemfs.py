@@ -1,0 +1,228 @@
+"""Item-API filesystem: the PetaboxFileSystem pattern on pyarrow.fs.
+
+Reference: hadoop/fs/PetaboxFileSystem.java:57-660 — a read-only Hadoop
+FileSystem over archive items where directory listing comes from a METADATA
+API (item id -> JSON of files with size/mtime, LRU-cached) and file opens
+are HTTP range reads. This module is that pattern as a
+``pyarrow.fs.FileSystemHandler``: anything in this engine that takes a
+``filesystem=`` (the ZipNum codec, fsio.read_range, the kvstore — all of
+sources/fsio.py) can read straight off an item server with zero changes.
+
+Path model (depth-2, like the reference): ``<itemid>/<filename>``; the root
+lists nothing (the reference answers root/depth>2 with empty, :488-491).
+Mutations raise — the reference is explicitly read-only (:305-342).
+
+Protocol (served by any HTTP endpoint; tests run a local one):
+- ``GET {api}/metadata/{itemid}`` -> ``{"files": [{"name", "size",
+  "mtime"}]}`` (mtime epoch seconds)
+- ``GET {dl}/{itemid}/{name}`` with optional ``Range: bytes=a-b``
+
+Scale note: the handler pickles as its two base URLs (``__reduce__``), so
+shipping the filesystem into task closures rebuilds a fresh handler per
+executor — no sockets cross the wire, and the per-handler LRU metadata
+cache (PetaboxFileSystem caches ItemMetadata the same way) means a
+1000-task scan costs one metadata fetch per (executor, item), not per task.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import urllib.request
+from functools import lru_cache
+
+from pyarrow import fs as pafs
+
+
+class _HttpRandomAccessFile(io.RawIOBase):
+    """Seekable read-only file over HTTP Range requests.
+
+    Each ``read`` issues one bounded range request — the positioned-read
+    contract HDFSBlockLoader/PetaboxFileSystem rely on; callers (the ZipNum
+    codec etc.) read in block-sized chunks, so request count tracks block
+    count, not byte count.
+    """
+
+    def __init__(self, url: str, size: int):
+        self._url = url
+        self._size = size
+        self._pos = 0
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def seek(self, offset: int, whence: int = io.SEEK_SET) -> int:
+        if whence == io.SEEK_SET:
+            self._pos = offset
+        elif whence == io.SEEK_CUR:
+            self._pos += offset
+        elif whence == io.SEEK_END:
+            self._pos = self._size + offset
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if self._pos >= self._size:
+            return b""
+        end = self._size - 1 if n is None or n < 0 else min(
+            self._pos + n - 1, self._size - 1
+        )
+        req = urllib.request.Request(
+            self._url, headers={"Range": f"bytes={self._pos}-{end}"}
+        )
+        with urllib.request.urlopen(req) as resp:
+            data = resp.read()
+        self._pos += len(data)
+        return data
+
+    @property
+    def size(self) -> int:
+        return self._size
+
+
+class ItemFileSystemHandler(pafs.FileSystemHandler):
+    """Read-only handler over the item-metadata protocol (module doc)."""
+
+    def __init__(self, api_base: str, dl_base: str, cache_items: int = 256):
+        self.api_base = api_base.rstrip("/")
+        self.dl_base = dl_base.rstrip("/")
+        self.cache_items = cache_items
+        self._meta = lru_cache(maxsize=cache_items)(self._fetch_meta)
+
+    def __reduce__(self):
+        return (
+            ItemFileSystemHandler,
+            (self.api_base, self.dl_base, self.cache_items),
+        )
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, ItemFileSystemHandler)
+            and (self.api_base, self.dl_base)
+            == (other.api_base, other.dl_base)
+        )
+
+    # --- metadata ---------------------------------------------------------
+    def _fetch_meta(self, itemid: str) -> dict:
+        with urllib.request.urlopen(
+            f"{self.api_base}/metadata/{itemid}"
+        ) as r:
+            return json.loads(r.read().decode("utf-8"))
+
+    def _file_entry(self, itemid: str, name: str):
+        for f in self._meta(itemid).get("files", ()):
+            if f["name"] == name:
+                return f
+        return None
+
+    # --- FileSystemHandler surface ----------------------------------------
+    def get_type_name(self) -> str:
+        return f"item::{self.api_base}"
+
+    def normalize_path(self, path: str) -> str:
+        return path.strip("/")
+
+    def get_file_info(self, paths):
+        from datetime import datetime, timezone
+
+        infos = []
+        for p in paths:
+            parts = self.normalize_path(p).split("/")
+            if len(parts) == 1 and parts[0]:
+                try:
+                    self._meta(parts[0])
+                    infos.append(
+                        pafs.FileInfo(parts[0], pafs.FileType.Directory)
+                    )
+                except Exception:
+                    infos.append(
+                        pafs.FileInfo(parts[0], pafs.FileType.NotFound)
+                    )
+            elif len(parts) == 2:
+                f = self._file_entry(*parts)
+                if f is None:
+                    infos.append(pafs.FileInfo(p, pafs.FileType.NotFound))
+                else:
+                    infos.append(
+                        pafs.FileInfo(
+                            p,
+                            pafs.FileType.File,
+                            size=int(f["size"]),
+                            mtime=datetime.fromtimestamp(
+                                float(f.get("mtime", 0)), timezone.utc
+                            ),
+                        )
+                    )
+            else:  # root or deeper than the depth-2 model
+                infos.append(pafs.FileInfo(p, pafs.FileType.NotFound))
+        return infos
+
+    def get_file_info_selector(self, selector):
+        from datetime import datetime, timezone
+
+        itemid = self.normalize_path(selector.base_dir)
+        if not itemid or "/" in itemid:
+            if selector.allow_not_found:
+                return []
+            raise FileNotFoundError(selector.base_dir)
+        try:
+            md = self._meta(itemid)
+        except Exception:
+            if selector.allow_not_found:
+                return []
+            raise FileNotFoundError(selector.base_dir) from None
+        return [
+            pafs.FileInfo(
+                f"{itemid}/{f['name']}",
+                pafs.FileType.File,
+                size=int(f["size"]),
+                mtime=datetime.fromtimestamp(
+                    float(f.get("mtime", 0)), timezone.utc
+                ),
+            )
+            for f in md.get("files", ())
+        ]
+
+    def open_input_stream(self, path):
+        return self.open_input_file(path)
+
+    def open_input_file(self, path):
+        from pyarrow import PythonFile
+
+        parts = self.normalize_path(path).split("/")
+        if len(parts) != 2:
+            raise FileNotFoundError(path)
+        entry = self._file_entry(*parts)
+        if entry is None:
+            raise FileNotFoundError(path)
+        raw = _HttpRandomAccessFile(
+            f"{self.dl_base}/{parts[0]}/{parts[1]}", int(entry["size"])
+        )
+        return PythonFile(raw, mode="r")
+
+    # --- read-only: every mutation raises (PetaboxFileSystem:305-342) -----
+    def _ro(self, *a, **k):
+        raise OSError("item filesystem is read-only")
+
+    create_dir = delete_dir = delete_dir_contents = _ro
+    delete_root_dir_contents = delete_file = move = copy_file = _ro
+    open_output_stream = open_append_stream = _ro
+
+
+def make_item_filesystem(
+    api_base: str, dl_base: str, cache_items: int = 256
+) -> pafs.PyFileSystem:
+    """``pyarrow.fs.PyFileSystem`` over the item-metadata protocol.
+
+    A real pyarrow FileSystem: pass it as ``filesystem=`` to any fsio
+    helper / the ZipNum codec, or use directly
+    (``fs.open_input_file("item/file.gz")``). Pickles by its base URLs.
+    """
+    return pafs.PyFileSystem(
+        ItemFileSystemHandler(api_base, dl_base, cache_items)
+    )
