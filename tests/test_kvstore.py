@@ -107,3 +107,20 @@ def test_value_escaping_roundtrip(spark, tmp_path):
     register_sortedkv(spark)
     got = spark.read.format("sortedkv").load(path).collect()
     assert got[0].value == "tab\there\nand \\ backslash"
+
+
+def test_escape_roundtrip_property():
+    """_esc/_unesc inverse on arbitrary text (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ia_hadoop_tools_spark.sources.kvstore import _esc, _unesc
+
+    @given(st.text())
+    @settings(max_examples=300, deadline=None)
+    def check(s):
+        e = _esc(s)
+        assert "\t" not in e and "\n" not in e
+        assert _unesc(e) == s
+
+    check()
