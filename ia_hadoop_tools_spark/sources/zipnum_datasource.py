@@ -43,11 +43,15 @@ class ZipNumBlocks(InputPartition):
         self.blocks = list(blocks)
 
 
-def _load_summary(cluster_dir: str) -> list[tuple[str, str, int, int]]:
+def _load_summary(
+    cluster_dir: str, filesystem=None
+) -> list[tuple[str, str, int, int]]:
     from ia_hadoop_tools_spark.sources import fsio
 
     rows = []
-    with fsio.open_read_text(fsio.join(cluster_dir, "ALL.summary")) as fh:
+    with fsio.open_read_text(
+        fsio.join(cluster_dir, "ALL.summary"), filesystem
+    ) as fh:
         for line in fh:
             key, shard, off, length = line.rstrip("\n").split("\t")
             rows.append((key, shard, int(off), int(length)))
@@ -102,8 +106,22 @@ class ZipNumReader(DataSourceReader):
             raise ValueError("zipnum source requires .load(<cluster dir>)")
         self.skip_bad = str(options.get("skip_bad", "false")).lower() == "true"
         self.num_partitions = int(options.get("num_partitions", "32"))
+        # item_api/item_dl route ALL I/O through the item-metadata
+        # filesystem (sources/itemfs.py) — a remote cluster behind the
+        # PetaboxFileSystem-style protocol becomes spark.read'able:
+        #   spark.read.format("zipnum").option("item_api", base)
+        #        .option("item_dl", base).load("itemid")
+        self.item_api = options.get("item_api")
+        self.item_dl = options.get("item_dl") or self.item_api
         self.start: str | None = None
         self.end: str | None = None
+
+    def _filesystem(self):
+        if not self.item_api:
+            return None
+        from ia_hadoop_tools_spark.sources.itemfs import make_item_filesystem
+
+        return make_item_filesystem(self.item_api, self.item_dl)
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Narrow the block range from urlkey comparisons; every filter is
@@ -130,7 +148,7 @@ class ZipNumReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         groups = plan_blocks(
-            _load_summary(self.cluster_dir),
+            _load_summary(self.cluster_dir, self._filesystem()),
             self.start,
             self.end,
             self.num_partitions,
@@ -154,10 +172,11 @@ class ZipNumReader(DataSourceReader):
         from ia_hadoop_tools_spark.sources.zipnum import _gunzip_salvage
 
         log = logging.getLogger(__name__)
+        fs = self._filesystem()
         for shard, off, length in partition.blocks:
             path = fsio.join(self.cluster_dir, shard)
             try:
-                payload = fsio.read_range(path, off, length)
+                payload = fsio.read_range(path, off, length, fs)
             except OSError:
                 if not self.skip_bad:
                     raise

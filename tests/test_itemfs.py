@@ -119,3 +119,31 @@ def test_zipnum_codec_over_item_filesystem(spark, item_server):
         spark, "cluster1", "k0100", "k0150", filesystem=fs
     ).collect()
     assert [r.value for r in got] == lines[100:150]
+
+
+def test_zipnum_datasource_over_item_protocol(spark, item_server):
+    """spark.read.format('zipnum').option('item_api', ...) scans a REMOTE
+    cluster (block pruning + Arrow batches) with no local files at all."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.sources.zipnum import write_zipnum
+    from ia_hadoop_tools_spark.sources.zipnum_datasource import register_zipnum
+
+    root, base = item_server
+    cluster_local = os.path.join(root, "cluster2")
+    lines = [f"q{i:04d} 2021 body-{i}" for i in range(400)]
+    df = spark.createDataFrame([(l,) for l in lines], "value: string")
+    write_zipnum(df, cluster_local, lines_per_block=40, num_shards=2)
+
+    register_zipnum(spark)
+    got = (
+        spark.read.format("zipnum")
+        .option("item_api", base)
+        .load("cluster2")
+        .filter((F.col("urlkey") >= "q0050") & (F.col("urlkey") < "q0090"))
+        .orderBy("urlkey")
+        .collect()
+    )
+    assert [r.value for r in got] == lines[50:90]
