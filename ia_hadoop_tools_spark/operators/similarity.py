@@ -152,6 +152,114 @@ def ann_lsh_topk(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _hash_centroids(
+    corpus: DataFrame, num_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Fixed-size deterministic quantizer: the ``num_centroids`` corpus
+    vectors with the smallest ``md5(cast(id as string))`` (uniform over ids,
+    identical in Spark and DuckDB — the oracle reproduces the set)."""
+    from ia_hadoop_tools_spark.functions.vectorfns import l2_norm
+
+    return (
+        corpus.select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+            l2_norm(F.col(vec_col)).alias("__cnorm"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy(F.col("__h").asc(), F.col("__cid").asc())
+        .limit(num_centroids)
+        .drop("__h")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 64,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means coarse quantizer: seeded init + ``iters`` Lloyd
+    rounds; returns (``__cid``, ``__cvec``, ``__cnorm``) for
+    :func:`ann_ivf_topk`'s ``centroids=``.
+
+    Deterministic end-to-end: init is the hash-order selection
+    (:func:`_hash_centroids`), assignment ties break to the lower centroid
+    id, and the update is an exact elementwise mean — same input, same
+    centroids, every run. Trained cells fit the data distribution, so cell
+    sizes even out and probe recall rises vs the raw hash sample.
+
+    Scale shape per round: assignment is the same broadcast-join +
+    ``max_by`` aggregate as the query path (n * K dot products, map-side
+    combinable); the mean update posexplodes assigned vectors into
+    (cell, position) partial sums — shuffle rows bounded by
+    K * dim * map_partitions, NOT by n. The loop cuts lineage per round
+    (see operators/components._truncate_lineage — iterative plans grow
+    exponentially otherwise); empty cells keep their previous centroid.
+    """
+    from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
+    from ia_hadoop_tools_spark.operators.components import _truncate_lineage
+
+    # re-number centroids 0..K-1 so cell ids are stable across rounds
+    cent = _truncate_lineage(
+        _hash_centroids(corpus, num_centroids, id_col, vec_col).select(
+            (F.row_number().over(Window.orderBy("__cid")) - 1).alias("__cid"),
+            F.transform("__cvec", lambda x: x.cast("double")).alias("__cvec"),
+            "__cnorm",
+        )
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__vec"),
+        l2_norm(F.col(vec_col)).alias("__norm"),
+    )
+    cos_c = F.round(
+        dot_product(F.col("__vec"), F.col("__cvec"))
+        / (F.col("__norm") * F.col("__cnorm")),
+        6,
+    )
+    for _ in range(iters):
+        assigned = (
+            vecs.crossJoin(F.broadcast(cent))
+            .select("__vid", "__vec", F.col("__cid"), cos_c.alias("__cos"))
+            .groupBy("__vid")
+            .agg(
+                F.max_by(
+                    "__cid", F.struct(F.col("__cos"), -F.col("__cid"))
+                ).alias("__cell"),
+                F.first("__vec").alias("__vec"),
+            )
+        )
+        means = (
+            assigned.select(
+                "__cell", F.posexplode("__vec").alias("__pos", "__x")
+            )
+            .groupBy("__cell", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__m"))
+                ).alias("__pm")
+            )
+            .select(
+                F.col("__cell").alias("__cid"),
+                F.transform(
+                    "__pm", lambda s: s["__m"].cast("double")
+                ).alias("__cvec"),
+            )
+            .withColumn("__cnorm", l2_norm(F.col("__cvec")))
+            .filter(F.col("__cnorm") > 0)
+        )
+        # empty cells keep their previous centroid (left-anti the updated)
+        kept = cent.join(means.select("__cid"), "__cid", "left_anti")
+        cent = _truncate_lineage(
+            means.unionByName(kept.select("__cid", "__cvec", "__cnorm"))
+        )
+    return cent
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -161,6 +269,7 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
     cells, probe only the ``nprobe`` nearest cells per query.
@@ -187,15 +296,9 @@ def ann_ivf_topk(
     from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
 
     cent = (
-        corpus.select(
-            F.col(id_col).alias("__cid"),
-            F.col(vec_col).alias("__cvec"),
-            l2_norm(F.col(vec_col)).alias("__cnorm"),
-            F.md5(F.col(id_col).cast("string")).alias("__h"),
-        )
-        .orderBy(F.col("__h").asc(), F.col("__cid").asc())
-        .limit(num_centroids)
-        .drop("__h")
+        _hash_centroids(corpus, num_centroids, id_col, vec_col)
+        if centroids is None
+        else centroids
     )
     cos_c = F.round(
         dot_product(F.col("__vec"), F.col("__cvec"))
