@@ -85,7 +85,16 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Iterative operators (connected components, k-means) cut lineage per
+    # round via checkpoint: with a dir set they use RELIABLE checkpoints
+    # (survive executor loss — the cluster-correct mode); without one they
+    # fall back to eager localCheckpoint (fine for local mode). Point this
+    # at HDFS/S3 on a real cluster.
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt:
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
