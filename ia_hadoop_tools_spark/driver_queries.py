@@ -2315,6 +2315,115 @@ LEFT JOIN near ON near.doc_id = b.doc_id
 """
 
 
+# 61-63. TPC-H-shaped engine queries over the reduced synthetic schema
+# (no l_shipmode/l_commitdate columns, so the predicates adapt): q4's
+# EXISTS semi-join, q10's top-k revenue join, q12's conditional aggregation.
+
+Q4_FROM, Q4_TO = "1996-01-01", "1996-04-01"
+Q10_TOPN = 20
+
+
+def q_tpch_q4(spark, sf_dir):
+    """Priority count of orders with at least one late-shipped lineitem
+    (l_shipdate > o_orderdate stands in for commit<receipt): the EXISTS
+    correlated-subquery shape -> left-semi join, orders side broadcastable
+    after the date filter."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= Q4_FROM) & (F.col("o_orderdate") < Q4_TO)
+    )
+    late = t["lineitem"].join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate")).select("l_orderkey")
+    return (
+        o.join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TPCH_Q4 = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= DATE '{Q4_FROM}' AND o_orderdate < DATE '{Q4_TO}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q10(spark, sf_dir):
+    """Top-20 customers by revenue on returned items (l_returnflag = 'R'):
+    the q10 shape — two broadcast dims into the fact scan, one aggregation,
+    Catalyst's TakeOrderedAndProject for the global top-k."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    rev = (
+        F.col("l_extendedprice").cast("decimal(38,4)")
+        * (F.lit(1).cast("decimal(38,4)") - F.col("l_discount").cast("decimal(38,4)"))
+    )
+    joined = (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(Q10_TOPN)
+    )
+
+
+SQL_TPCH_Q10 = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,4))
+             * (1 - CAST(l_discount AS DECIMAL(38,4)))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {Q10_TOPN}
+"""
+
+
+def q_tpch_q12(spark, sf_dir):
+    """Conditional aggregation per return flag (the q12 CASE-sum shape):
+    high- vs low-priority order counts among each flag's lineitems."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # 60. decontam — benchmark n-gram decontamination (GPT-3 App. C style):
 # the "benchmark" is the first 12 tokens of every corpus doc with
 # doc_id % 10 == 7, so contamination is planted deterministically at any
@@ -2433,6 +2542,9 @@ QUERIES = {
     "novel_docs_indexed": q_novel_docs_indexed,
     "kvstore_scan": q_kvstore_scan,
     "decontam": q_decontam,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q12": q_tpch_q12,
 }
 
 ORACLES = {
@@ -2496,4 +2608,7 @@ ORACLES = {
     "novel_docs_indexed": SQL_NOVEL_DOCS,
     "kvstore_scan": SQL_KVSTORE_SCAN,
     "decontam": SQL_DECONTAM,
+    "tpch_q4": SQL_TPCH_Q4,
+    "tpch_q10": SQL_TPCH_Q10,
+    "tpch_q12": SQL_TPCH_Q12,
 }
