@@ -175,6 +175,11 @@ class SortedKVReader(DataSourceReader):
         if not self.path:
             raise ValueError("sortedkv source requires .load(<store dir>)")
         self.limit = int(options["limit"]) if options.get("limit") else None
+        # comma-separated qualifier projection (HBaseStorage's columnList):
+        # non-matching cells are dropped DURING the region stream, before
+        # any row reaches Spark
+        cols = options.get("columns")
+        self.columns = set(cols.split(",")) if cols else None
         self.start: str | None = None  # inclusive
         self.end: str | None = None  # inclusive upper bound
         self.end_exclusive = False
@@ -242,6 +247,8 @@ class SortedKVReader(DataSourceReader):
                         self.end_exclusive and rowkey >= self.end
                     ):
                         break  # sorted region: nothing later can match
+                if self.columns is not None and column not in self.columns:
+                    continue
                 yield (rowkey, column, int(ts), _unesc(value))
                 n += 1
                 if self.limit is not None and n >= self.limit:
@@ -284,7 +291,7 @@ def read_kv_columns(
     deterministic value tiebreak (HBase returns the max-ts cell version).
     """
     register_sortedkv(spark)
-    r = spark.read.format("sortedkv")
+    r = spark.read.format("sortedkv").option("columns", ",".join(columns))
     if limit_per_region is not None:
         r = r.option("limit", str(limit_per_region))
     cells = r.load(path)

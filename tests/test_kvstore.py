@@ -85,6 +85,15 @@ def test_equality_and_limit(spark, store):
     assert lim.count() == 20
 
 
+def test_columns_option_filters_in_stream(spark, store):
+    register_sortedkv(spark)
+    only_size = (
+        spark.read.format("sortedkv").option("columns", "f:size").load(store)
+    )
+    assert only_size.count() == 300
+    assert only_size.select("column").distinct().collect()[0].column == "f:size"
+
+
 def test_read_kv_columns_facade(spark, store):
     row = read_kv_columns(
         spark, store, ["f:title", "f:size"], gte="row00290", lt="row00293"
