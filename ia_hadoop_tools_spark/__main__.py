@@ -382,6 +382,26 @@ def cmd_corpus_pack(args):
     )
 
 
+def cmd_corpus_decontam(args):
+    """corpus-decontam: drop docs overlapping a benchmark/eval parquet
+    (n-gram window overlap; the pre-training decontamination step)."""
+    from ia_hadoop_tools_spark.operators.decontam import decontaminate
+
+    spark = _spark(args)
+    corpus = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark)
+    n0 = corpus.count()
+    out = decontaminate(
+        corpus, bench, n=args.ngram, min_overlap=args.min_overlap
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n1 = spark.read.parquet(args.output).count()
+    print(
+        f"corpus-decontam: {n0} -> {n1} docs "
+        f"({n0 - n1} contaminated dropped) -> {args.output}"
+    )
+
+
 def cmd_gzrange_server(args):
     """gzrange-server: HTTP server answering one-gzip-member range requests
     (server/GZRangeServer.java:29-50; default port 8009)."""
@@ -403,6 +423,16 @@ def main(argv=None):
     )
     s.add_argument("port", nargs="?", type=int, default=8009)
     s.set_defaults(fn=cmd_gzrange_server)
+
+    s = sub.add_parser(
+        "corpus-decontam", help="drop docs overlapping a benchmark set"
+    )
+    s.add_argument("input")
+    s.add_argument("benchmark")
+    s.add_argument("output")
+    s.add_argument("--ngram", type=int, default=8)
+    s.add_argument("--min-overlap", type=int, default=1)
+    s.set_defaults(fn=cmd_corpus_decontam)
 
     s = sub.add_parser(
         "corpus-clean", help="quality filter + dedup a document corpus"

@@ -131,3 +131,23 @@ def test_corpus_clean_sample_pack(spark, tmp_path, capsys):
     packed = spark.read.parquet(out3)
     assert {"bin", "bin_offset", "seq_start"} <= set(packed.columns)
     assert packed.count() == 22
+
+
+def test_corpus_decontam_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "dc_docs")
+    bench = str(tmp_path / "dc_bench")
+    phrase = "what is the answer to the ultimate question of everything"
+    spark.createDataFrame(
+        [
+            (1, f"intro words then {phrase} and a closing remark here"),
+            (2, "a fully original document with no benchmark overlap at all"),
+        ],
+        "doc_id: long, text: string",
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [(9, phrase)], "doc_id: long, text: string"
+    ).write.parquet(bench)
+    out = str(tmp_path / "dc_out")
+    got = _run(capsys, "corpus-decontam", src, bench, out)
+    assert "corpus-decontam: 2 -> 1 docs (1 contaminated dropped)" in got
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [2]
