@@ -133,3 +133,34 @@ def test_escape_roundtrip_property():
         assert _unesc(e) == s
 
     check()
+
+
+def test_write_read_roundtrip_randomized(spark, tmp_path):
+    """Differential: random cell tables -> bulk load -> full scan == input
+    (multiset equality), across region counts. Seeded, reproducible."""
+    import random
+
+    rng = random.Random(4242)
+    for trial, n_regions in ((0, 1), (1, 3), (2, 8)):
+        rows = []
+        for i in range(rng.randrange(50, 200)):
+            rows.append(
+                (
+                    f"k{rng.randrange(1000):04d}",
+                    rng.choice(["a", "b", "c"]),
+                    rng.randrange(10),
+                    "".join(
+                        rng.choice("xy\t\n\\ z") for _ in range(rng.randrange(12))
+                    ),
+                )
+            )
+        df = spark.createDataFrame(
+            rows, "rowkey: string, column: string, ts: long, value: string"
+        )
+        path = str(tmp_path / f"rt{trial}")
+        write_kvstore(df, path, num_regions=n_regions)
+        register_sortedkv(spark)
+        got = sorted(
+            map(tuple, spark.read.format("sortedkv").load(path).collect())
+        )
+        assert got == sorted(map(tuple, rows)), (trial, n_regions)
