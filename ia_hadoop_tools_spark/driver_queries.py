@@ -2478,6 +2478,79 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+# 64. lm_score — CCNet-style character-LM quality scoring: train the bigram
+# model on the doc_id % 10 < 5 half, score every doc; the SQL oracle
+# replicates counts, add-k smoothing, and the per-bigram floors exactly.
+
+LM_SMOOTH_K = 0.1
+LM_REF_MOD = 5
+
+
+def q_lm_score(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.lm_quality import (
+        lm_score,
+        train_char_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    model = train_char_lm(
+        d.filter(F.col("doc_id") % 10 < LM_REF_MOD), smooth_k=LM_SMOOTH_K
+    )
+    return lm_score(d, model)
+
+
+SQL_LM_SCORE = f"""
+WITH ref AS (
+  SELECT lower(text) AS t FROM documents WHERE doc_id % 10 < {LM_REF_MOD}
+),
+vset AS (
+  SELECT count(DISTINCT substr(t, CAST(i AS INT), 1)) AS v
+  FROM ref, UNNEST(range(1, length(t) + 1)) AS u(i)
+),
+rbg AS (
+  SELECT substr(t, CAST(i AS INT), 1) AS ctx,
+         substr(t, CAST(i AS INT) + 1, 1) AS nxt
+  FROM ref, UNNEST(range(1, length(t))) AS u(i)
+  WHERE length(t) >= 2
+),
+cc AS (SELECT ctx, count(*) AS cn FROM rbg GROUP BY ctx),
+pc AS (SELECT ctx, nxt, count(*) AS pn FROM rbg GROUP BY ctx, nxt),
+model AS (
+  SELECT pc.ctx, pc.nxt,
+         round(ln((pn + {LM_SMOOTH_K}) / (cn + {LM_SMOOTH_K} * v)), 6)
+           AS logp
+  FROM pc JOIN cc ON pc.ctx = cc.ctx CROSS JOIN vset
+),
+floors AS (
+  SELECT ctx, round(ln({LM_SMOOTH_K} / (cn + {LM_SMOOTH_K} * v)), 6)
+           AS logp_unseen
+  FROM cc CROSS JOIN vset
+),
+nc AS (SELECT round(ln(1.0 / v), 6) AS logp_nocontext FROM vset),
+dbg AS (
+  SELECT doc_id,
+         substr(lower(text), CAST(i AS INT), 1) AS ctx,
+         substr(lower(text), CAST(i AS INT) + 1, 1) AS nxt
+  FROM documents, UNNEST(range(1, length(text))) AS u(i)
+  WHERE length(text) >= 2
+),
+scored AS (
+  SELECT doc_id,
+         round(avg(coalesce(m.logp, f.logp_unseen, nc.logp_nocontext)), 6)
+           AS lm_score,
+         count(*) AS n_bigrams
+  FROM dbg
+  LEFT JOIN model m ON dbg.ctx = m.ctx AND dbg.nxt = m.nxt
+  LEFT JOIN floors f ON dbg.ctx = f.ctx
+  CROSS JOIN nc
+  GROUP BY doc_id
+)
+SELECT d.doc_id, s.lm_score,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2545,6 +2618,7 @@ QUERIES = {
     "tpch_q4": q_tpch_q4,
     "tpch_q10": q_tpch_q10,
     "tpch_q12": q_tpch_q12,
+    "lm_score": q_lm_score,
 }
 
 ORACLES = {
@@ -2611,4 +2685,5 @@ ORACLES = {
     "tpch_q4": SQL_TPCH_Q4,
     "tpch_q10": SQL_TPCH_Q10,
     "tpch_q12": SQL_TPCH_Q12,
+    "lm_score": SQL_LM_SCORE,
 }

@@ -1,0 +1,144 @@
+"""Character-LM quality scoring: the CCNet/KenLM filter, Spark-native.
+
+CCNet (Wenzek et al. 2020) buckets corpus docs by the perplexity of a
+KenLM n-gram model trained on clean reference text; low-probability docs
+are gibberish/boilerplate candidates. No KenLM here — the same shape is a
+pure DataFrame computation with a CHARACTER bigram model, which keeps the
+whole pipeline deterministic, JVM-side, and SQL-oracle-able:
+
+- :func:`train_char_lm`: bigram + unigram character counts over a
+  reference corpus — two map-side-combinable aggregations; the model is a
+  skinny table (|charset|^2 rows max), broadcastable anywhere.
+- :func:`lm_score`: mean log P(c_i | c_{i-1}) per doc under add-k
+  smoothing — explode docs into character bigrams (skinny (doc, bigram)
+  rows; the text itself never shuffles), broadcast-join the model, one
+  aggregation back. Unseen bigrams/contexts fall back to the smoothed
+  floor, so scores are defined for any input.
+
+Not in the reference (its quality filtering is CDX-rule-level) — a
+training-data-pipeline extension like operators/quality.py, which covers
+the complementary shape-based (Gopher) rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SMOOTH_K = 0.1
+
+
+def train_char_lm(
+    reference: DataFrame,
+    text_col: str = "text",
+    smooth_k: float = DEFAULT_SMOOTH_K,
+) -> DataFrame:
+    """Bigram character model: (``ctx``, ``nxt``, ``logp``).
+
+    ``logp`` = ln((count(ctx,nxt) + k) / (count(ctx) + k * V)) with V =
+    distinct characters in the reference — add-k smoothing, so every seen
+    context assigns mass to unseen continuations. The table also carries
+    each context's smoothed FLOOR (``logp_unseen``) on every row;
+    :func:`lm_score` reads context floors from a distinct projection.
+    """
+    t = F.lower(F.col(text_col))
+    chars = reference.select(
+        F.explode(F.split(t, "(?!$)")).alias("__c")
+    )
+    v = chars.select("__c").distinct().count()
+    bigrams = reference.filter(F.length(t) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 1),
+                lambda i: F.struct(
+                    F.substring(t, i, 1).alias("ctx"),
+                    F.substring(t, i + 1, 1).cast("string").alias("nxt"),
+                ),
+            )
+        ).alias("__s")
+    ).select("__s.ctx", "__s.nxt")
+    ctx_counts = bigrams.groupBy("ctx").agg(F.count("*").alias("__cn"))
+    pair_counts = bigrams.groupBy("ctx", "nxt").agg(
+        F.count("*").alias("__pn")
+    )
+    return (
+        pair_counts.join(ctx_counts, "ctx")
+        .select(
+            "ctx",
+            "nxt",
+            F.round(
+                F.log(
+                    (F.col("__pn") + F.lit(smooth_k))
+                    / (F.col("__cn") + F.lit(smooth_k * v))
+                ),
+                6,
+            ).alias("logp"),
+            F.round(
+                F.log(
+                    F.lit(smooth_k) / (F.col("__cn") + F.lit(smooth_k * v))
+                ),
+                6,
+            ).alias("logp_unseen"),
+            F.lit(round(__import__("math").log(1.0 / v), 6)).alias(
+                "logp_nocontext"
+            ),
+        )
+    )
+
+
+def lm_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, lm_score, n_bigrams): mean ln-prob of the doc's character
+    bigrams under ``model`` (higher = more reference-like). Docs shorter
+    than 2 chars score null with ``n_bigrams`` 0.
+
+    Plan: skinny (id, ctx, nxt) rows -> broadcast left join of the model
+    pairs -> per-context floor for seen-context/unseen-pair -> global
+    1/V floor for unseen contexts -> one aggregation. The doc text never
+    shuffles; both joins broadcast (the model is charset-bounded).
+    """
+    t = F.lower(F.col(text_col))
+    grams = docs.filter(F.length(t) >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 1),
+                lambda i: F.struct(
+                    F.substring(t, i, 1).alias("ctx"),
+                    F.substring(t, i + 1, 1).cast("string").alias("nxt"),
+                ),
+            )
+        ).alias("__s"),
+    ).select(id_col, "__s.ctx", "__s.nxt")
+    floors = model.select("ctx", "logp_unseen").distinct()
+    nocontext = model.select("logp_nocontext").first()
+    nc = nocontext["logp_nocontext"] if nocontext is not None else 0.0
+    scored = (
+        grams.join(F.broadcast(model.select("ctx", "nxt", "logp")),
+                   ["ctx", "nxt"], "left")
+        .join(F.broadcast(floors), "ctx", "left")
+        .select(
+            id_col,
+            F.coalesce(
+                "logp", "logp_unseen", F.lit(nc).cast("double")
+            ).alias("__lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("__lp"), 6).alias("lm_score"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            "lm_score",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        )
+    )
