@@ -41,6 +41,9 @@ def train_char_lm(
     each context's smoothed FLOOR (``logp_unseen``) on every row;
     :func:`lm_score` reads context floors from a distinct projection.
     """
+    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
+
+    reference = ensure_min_partitions(reference)
     t = F.lower(F.col(text_col))
     chars = reference.select(
         F.explode(F.split(t, "(?!$)")).alias("__c")
@@ -101,6 +104,9 @@ def lm_score(
     1/V floor for unseen contexts -> one aggregation. The doc text never
     shuffles; both joins broadcast (the model is charset-bounded).
     """
+    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
+
+    docs = ensure_min_partitions(docs)
     t = F.lower(F.col(text_col))
     grams = docs.filter(F.length(t) >= 2).select(
         F.col(id_col),
