@@ -70,7 +70,15 @@ def _parse_offset(range_header: str | None, query: str) -> int:
 
 
 class GZRangeHandler(BaseHTTPRequestHandler):
-    """GET <file-path>?offset=N  or  GET <file-path> + Range: bytes=N-"""
+    """GET <file-path>?offset=N  or  GET <file-path> + Range: bytes=N-
+
+    With ``hmac_secret`` set on the server class, every request must carry
+    a valid unexpired cookie (functions/authfns.py) — the server side of
+    the reference's signed-fetch loop (ArchiveFileExtractor signs, the
+    range service verifies); 401 otherwise.
+    """
+
+    hmac_secret: str | None = None
 
     def log_message(self, fmt, *args):  # quiet: tests drive many requests
         pass
@@ -86,6 +94,14 @@ class GZRangeHandler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
         import os
 
+        if self.hmac_secret is not None:
+            from ia_hadoop_tools_spark.functions.authfns import (
+                verify_hmac_cookie,
+            )
+
+            cookie = self.headers.get("Cookie") or ""
+            if not verify_hmac_cookie(cookie, self.hmac_secret):
+                return self._text(401, "invalid or expired cookie")
         u = urlparse(self.path)
         target = u.path
         if not os.path.isfile(target):
@@ -115,8 +131,16 @@ class GZRangeHandler(BaseHTTPRequestHandler):
         self.wfile.write(payload)
 
 
-def make_server(port: int = 8009) -> ThreadingHTTPServer:
-    return ThreadingHTTPServer(("127.0.0.1", port), GZRangeHandler)
+def make_server(
+    port: int = 8009, hmac_secret: str | None = None
+) -> ThreadingHTTPServer:
+    handler = GZRangeHandler
+    if hmac_secret is not None:
+        handler = type(
+            "AuthGZRangeHandler", (GZRangeHandler,),
+            {"hmac_secret": hmac_secret},
+        )
+    return ThreadingHTTPServer(("127.0.0.1", port), handler)
 
 
 def serve(port: int = 8009) -> None:  # pragma: no cover - CLI loop

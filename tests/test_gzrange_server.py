@@ -95,3 +95,28 @@ def test_error_statuses(server, gzfile):
     assert _status(f"{server}{path}?offset={offsets[1] + 3}") == 415
     # bounded ranges are NOT the protocol (reference parses only "bytes=N-")
     assert _status(f"{server}{path}", {"Range": "bytes=0-99"}) == 400
+
+
+def test_hmac_authenticated_server(gzfile):
+    """The signed-fetch loop end-to-end: client signs with the shared
+    secret, authenticated server verifies; unsigned/forged -> 401."""
+    import gzip as _gzip
+    import threading as _threading
+
+    from ia_hadoop_tools_spark.functions.authfns import hmac_cookie_str
+    from ia_hadoop_tools_spark.sources.gzrange_server import make_server
+
+    path, offsets, _ = gzfile
+    srv = make_server(port=0, hmac_secret="topsecret")
+    t = _threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        assert _status(f"{base}{path}?offset=0") == 401  # unsigned
+        bad = hmac_cookie_str("extract", "wrongsecret")
+        assert _status(f"{base}{path}?offset=0", {"Cookie": bad}) == 401
+        good = hmac_cookie_str("extract", "topsecret")
+        payload = fetch_member(base, path, offsets[1], cookie=good)
+        assert _gzip.decompress(payload) == RECORDS[1]
+    finally:
+        srv.shutdown()
