@@ -71,6 +71,7 @@ def main() -> None:
                     f"# bench error {name}: {type(e).__name__}: {str(e)[:200]}",
                     file=sys.stderr,
                 )
+                best = -1.0  # ANY failed rep marks the query failed
                 break
             best = dt if best < 0 else min(best, dt)
         timings[name] = best

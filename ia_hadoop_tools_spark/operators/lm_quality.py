@@ -49,6 +49,11 @@ def train_char_lm(
         F.explode(F.split(t, "(?!$)")).alias("__c")
     )
     v = chars.select("__c").distinct().count()
+    if v == 0:
+        raise ValueError(
+            "train_char_lm: reference corpus has no characters — an empty "
+            "model would score every doc 0.0 (the best possible score)"
+        )
     bigrams = reference.filter(F.length(t) >= 2).select(
         F.explode(
             F.transform(
@@ -122,7 +127,11 @@ def lm_score(
     ).select(id_col, "__s.ctx", "__s.nxt")
     floors = model.select("ctx", "logp_unseen").distinct()
     nocontext = model.select("logp_nocontext").first()
-    nc = nocontext["logp_nocontext"] if nocontext is not None else 0.0
+    if nocontext is None:
+        # an empty model would coalesce every bigram to log-prob 0.0 — the
+        # BEST score — silently passing gibberish through a quality filter
+        raise ValueError("lm_score: model is empty (no bigram rows)")
+    nc = nocontext["logp_nocontext"]
     scored = (
         grams.join(F.broadcast(model.select("ctx", "nxt", "logp")),
                    ["ctx", "nxt"], "left")

@@ -81,6 +81,11 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # iterative loops checkpoint every round (_truncate_lineage); without
+        # this the reliable-checkpoint dirs accumulate for the session's
+        # lifetime — with it, checkpoints are deleted once their DataFrame
+        # is garbage-collected
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

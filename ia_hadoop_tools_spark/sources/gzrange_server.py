@@ -114,7 +114,7 @@ class GZRangeHandler(BaseHTTPRequestHandler):
                 400, 'Require "Range" header or "offset" GET parameter'
             )
         size = os.path.getsize(target)
-        if offset > size:
+        if offset >= size:  # valid member starts are 0..size-1
             return self._text(416, "range past EOF")
         with open(target, "rb") as fh:
             fh.seek(offset)

@@ -107,6 +107,9 @@ class ItemFileSystemHandler(pafs.FileSystemHandler):
             == (other.api_base, other.dl_base)
         )
 
+    def __hash__(self):  # __eq__ alone would set __hash__ = None
+        return hash((self.api_base, self.dl_base))
+
     # --- metadata ---------------------------------------------------------
     def _fetch_meta(self, itemid: str) -> dict:
         with urllib.request.urlopen(

@@ -84,7 +84,6 @@ def write_kvstore(
     half-written store.
     """
     import gzip
-    import io
 
     from pyspark import TaskContext
 
@@ -111,9 +110,13 @@ def write_kvstore(
         tmp = fsio.join(path, f"_tmp.{name}")
         first = last = None
         n = 0
-        buf = io.BytesIO()
-        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        out = None
+        gz = None
+        try:
             for row in it:
+                if out is None:  # open lazily: empty partitions write nothing
+                    out = fsio.open_write(tmp)
+                    gz = gzip.GzipFile(fileobj=out, mode="wb", mtime=0)
                 if first is None:
                     first = row.rowkey
                 last = row.rowkey
@@ -125,12 +128,17 @@ def write_kvstore(
                         _esc(row.value if row.value is not None else ""),
                     )
                 )
+                # streamed straight to the target fs — a region never
+                # accumulates in executor memory
                 gz.write(line.encode("utf-8") + b"\n")
                 n += 1
+        finally:
+            if gz is not None:
+                gz.close()
+            if out is not None:
+                out.close()
         if n == 0:
             return
-        with fsio.open_write(tmp) as out:
-            out.write(buf.getvalue())
         fsio.rename(tmp, fsio.join(path, name))
         yield (name, first, last, n)
 
@@ -221,7 +229,9 @@ class SortedKVReader(DataSourceReader):
             ):
                 continue
             parts.append(KVRegion(name))
-        return parts
+        # never return []: pyspark substitutes [None] for an empty partition
+        # list and read(None) would crash — same guard as the zipnum reader
+        return parts or [KVRegion("")]
 
     def read(self, partition: KVRegion) -> Iterator[tuple]:
         import gzip
@@ -229,6 +239,8 @@ class SortedKVReader(DataSourceReader):
 
         from ia_hadoop_tools_spark.sources import fsio
 
+        if partition is None or not partition.file:  # fully-pruned scan
+            return
         fs, p = fsio.resolve(fsio.join(self.path, partition.file))
         n = 0
         with fs.open_input_stream(p) as raw:

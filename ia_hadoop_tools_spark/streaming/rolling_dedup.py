@@ -10,8 +10,11 @@ the text-corpus analog of the reference's STAGED/INCLUDED loop
 
 Per-batch cost tracks the batch and its LSH candidates, never a corpus
 re-derivation (operators/dedup_index.py; BASELINE.md probe shows flat batch
-cost at 20x corpus). Exactly-once per input file comes from the streaming
-checkpoint's file log, replacing STAGED-INCLUDED bookkeeping.
+cost at 20x corpus). The streaming checkpoint's file log delivers each
+input file at-least-once (replacing STAGED-INCLUDED bookkeeping); the sink
+is IDEMPOTENT per batch — novel docs overwrite a ``batch_id=N`` corpus
+partition, so a replayed batch rewrites its own output instead of
+duplicating it — which upgrades the composition to effectively-once.
 
 Index publication is versioned-directory + atomic swap: each cycle saves to
 ``index/vNNN`` then moves a ``CURRENT`` pointer file — readers resolve the
@@ -36,21 +39,39 @@ from ia_hadoop_tools_spark.sources import fsio
 CURRENT = "CURRENT"
 
 
+def _existing_versions(index_root: str) -> list[int]:
+    from pyarrow import fs as pafs
+
+    fs, p = fsio.resolve(index_root)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
+    except OSError:
+        return []
+    out = []
+    for i in infos:
+        name = i.base_name
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
 def publish_index(index: CorpusDedupIndex, index_root: str) -> str:
-    """Save ``index`` as the next version and swap the CURRENT pointer."""
-    ver = 0
-    cur = fsio.join(index_root, CURRENT)
-    if fsio.exists(cur):
-        with fsio.open_read_text(cur) as fh:
-            ver = int(fh.read().strip().lstrip("v")) + 1
-    vdir = f"v{ver:03d}"
+    """Save ``index`` as the next version and swap the CURRENT pointer.
+
+    The next version comes from scanning existing ``vNNN`` dirs (not from
+    CURRENT), so a crash that loses the pointer never restarts at v000
+    over data a stale reader may still hold; the pointer swap is a single
+    rename-with-overwrite — no remove-then-rename window where CURRENT is
+    absent.
+    """
+    vers = _existing_versions(index_root)
+    vdir = f"v{(vers[-1] + 1) if vers else 0:03d}"
     index.save(fsio.join(index_root, vdir))
+    cur = fsio.join(index_root, CURRENT)
     tmp = fsio.join(index_root, f"_tmp.{CURRENT}")
     with fsio.open_write_text(tmp) as fh:
         fh.write(vdir)
-    if fsio.exists(cur):
-        fsio.remove(cur)
-    fsio.rename(tmp, cur)
+    fsio.rename(tmp, cur)  # overwrites atomically on local/HDFS
     return vdir
 
 
@@ -83,7 +104,19 @@ def rolling_dedup_stream(
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.select(id_col, text_col).persist()
+        from pyspark.sql import functions as F
+
+        # in-batch exact self-dedup FIRST (keep the min id per text):
+        # two copies arriving in one batch must not both survive — the
+        # index only covers already-ingested docs, so without this the
+        # steady-state path would admit intra-batch duplicates
+        batch_df = (
+            batch_df.select(id_col, text_col)
+            .groupBy(text_col)
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, text_col)
+            .persist()
+        )
         try:
             if fsio.exists(fsio.join(index_root, CURRENT)):
                 idx = load_current_index(spark, index_root)
@@ -94,16 +127,16 @@ def rolling_dedup_stream(
                 novel = batch_df.join(novel_ids, id_col)
             else:
                 idx = None
-                # bootstrap: batch self-dedup via exact text (keep min id)
-                novel = (
-                    batch_df.groupBy(text_col)
-                    .agg({id_col: "min"})
-                    .withColumnRenamed(f"min({id_col})", id_col)
-                    .select(id_col, text_col)
-                )
+                novel = batch_df
             novel = novel.persist()
             if novel.take(1):
-                novel.write.mode("append").parquet(corpus_path)
+                # per-batch subdir + overwrite = IDEMPOTENT append:
+                # foreachBatch is at-least-once, so a replayed batch (crash
+                # between this write and the index publish) overwrites its
+                # own partition instead of duplicating rows
+                novel.write.mode("overwrite").parquet(
+                    fsio.join(corpus_path, f"batch_id={batch_id}")
+                )
                 grown = (
                     extend_corpus_index(idx, novel, id_col, text_col)
                     if idx is not None

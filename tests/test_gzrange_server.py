@@ -91,6 +91,7 @@ def test_error_statuses(server, gzfile):
     assert _status(f"{server}{path}") == 400  # no Range / offset
     assert _status(f"{server}/does/not/exist?offset=0") == 404
     assert _status(f"{server}{path}?offset={total + 10}") == 416
+    assert _status(f"{server}{path}?offset={total}") == 416  # exactly EOF
     # misaligned: inside a member, not at a boundary
     assert _status(f"{server}{path}?offset={offsets[1] + 3}") == 415
     # bounded ranges are NOT the protocol (reference parses only "bytes=N-")

@@ -164,3 +164,25 @@ def test_write_read_roundtrip_randomized(spark, tmp_path):
             map(tuple, spark.read.format("sortedkv").load(path).collect())
         )
         assert got == sorted(map(tuple, rows)), (trial, n_regions)
+
+
+def test_fully_pruned_and_empty_scans(spark, store, tmp_path):
+    """A filter that prunes every region (and an empty store) must return
+    an empty DataFrame, not crash the read task."""
+    from pyspark.sql import functions as F
+
+    register_sortedkv(spark)
+    none = (
+        spark.read.format("sortedkv").load(store)
+        .filter(F.col("rowkey") > "zzzz")
+    )
+    assert none.count() == 0
+    empty = str(tmp_path / "empty_store")
+    write_kvstore(
+        spark.createDataFrame(
+            [], "rowkey: string, column: string, ts: long, value: string"
+        ),
+        empty,
+        num_regions=2,
+    )
+    assert spark.read.format("sortedkv").load(empty).count() == 0

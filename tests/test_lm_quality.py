@@ -63,3 +63,16 @@ def test_unseen_context_uses_global_floor(spark):
     got = lm_score(docs, model).collect()[0]
     nc = model.select("logp_nocontext").first()[0]
     assert got.lm_score == nc  # every bigram fell to the 1/V floor
+
+
+def test_degenerate_model_raises(spark):
+    import pytest as _pytest
+
+    empty_ref = spark.createDataFrame([], "doc_id: long, text: string")
+    with _pytest.raises(ValueError, match="no characters"):
+        train_char_lm(empty_ref)
+    ref, model = _model(spark)
+    empty_model = model.filter("1 = 0")
+    docs = spark.createDataFrame([(1, "ab")], "doc_id: long, text: string")
+    with _pytest.raises(ValueError, match="model is empty"):
+        lm_score(docs, empty_model)
