@@ -2244,8 +2244,16 @@ def q_novel_docs_indexed(spark, sf_dir):
     )
     # build-once/probe-many is the operator's contract: the saved index is
     # the per-sf fixture (like the zipnum/kvstore fixtures), so this entry
-    # times the steady-state batch probe, not a corpus re-derivation
-    fixture = f"/tmp/iht_dedup_index_{_os.path.basename(sf_dir.rstrip('/'))}"
+    # times the steady-state batch probe, not a corpus re-derivation.
+    # The fixture key includes a CONTENT fingerprint: testdata regenerates
+    # between driver rounds, and probing a stale index against a new corpus
+    # would silently corrupt the oracle comparison.
+    fp = corpus.agg(
+        F.sum(F.xxhash64("text").cast("decimal(38,0)")).alias("h"),
+        F.count("*").alias("n"),
+    ).first()
+    tag = f"{_os.path.basename(sf_dir.rstrip('/'))}_{fp.n}_{str(fp.h)[-12:]}"
+    fixture = f"/tmp/iht_dedup_index_{tag}"
     if not _os.path.exists(_os.path.join(fixture, "params")):
         build_corpus_index(corpus, num_perm=32, bands=8).save(fixture)
     idx = CorpusDedupIndex.load(spark, fixture)
