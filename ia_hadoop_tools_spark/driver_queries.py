@@ -2559,6 +2559,18 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
+# 65. cdxj_roundtrip — CDXJ (pywb JSON-lines CDX) interchange: parse the
+# golden CDX fixture, emit CDXJ, parse it back; the result must equal
+# parse_cdx's output exactly, so the oracle IS the cdx_parse expected table.
+
+
+def q_cdxj_roundtrip(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.parse import cdx_to_cdxj, parse_cdxj
+
+    df = spark.createDataFrame([(l,) for l in CDX_FIXTURE_LINES], "value: string")
+    return parse_cdxj(cdx_to_cdxj(parse_cdx(df)))
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2627,6 +2639,7 @@ QUERIES = {
     "tpch_q10": q_tpch_q10,
     "tpch_q12": q_tpch_q12,
     "lm_score": q_lm_score,
+    "cdxj_roundtrip": q_cdxj_roundtrip,
 }
 
 ORACLES = {
@@ -2694,4 +2707,5 @@ ORACLES = {
     "tpch_q10": SQL_TPCH_Q10,
     "tpch_q12": SQL_TPCH_Q12,
     "lm_score": SQL_LM_SCORE,
+    "cdxj_roundtrip": SQL_CDX_PARSE,
 }

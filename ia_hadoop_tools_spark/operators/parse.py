@@ -144,6 +144,72 @@ def cdx_to_text(df: DataFrame) -> DataFrame:
     return df.select(F.concat_ws(" ", *parts).alias("value"))
 
 
+#: CDXJ JSON keys, in emission order, mapped to the typed CDX columns —
+#: pywb's cdxj convention: every value a JSON STRING, absent fields omitted.
+_CDXJ_KEYS = (
+    ("url", "original_url"),
+    ("mime", "mimetype"),
+    ("status", "statuscode"),
+    ("digest", "digest"),
+    ("redirect", "redirect"),
+    ("meta", "meta_flags"),
+    ("length", "compressed_length"),
+    ("offset", "compressed_offset"),
+    ("filename", "filename"),
+)
+
+
+def cdx_to_cdxj(df: DataFrame) -> DataFrame:
+    """Typed CDX -> CDXJ lines: ``urlkey timestamp {json}``.
+
+    The modern (pywb / OpenWayback 3) index format: same sort key prefix as
+    plain CDX, attributes as a JSON object with string values, nulls
+    omitted. Not in the reference (it predates CDXJ) — interchange with the
+    current wayback stack is what makes this engine's clusters consumable
+    there. Pure codegen projection (``to_json`` drops null fields).
+    """
+    obj = F.to_json(
+        F.struct(
+            *[
+                F.col(col).cast("string").alias(key)
+                for key, col in _CDXJ_KEYS
+            ]
+        )
+    )
+    return df.select(
+        F.concat_ws(
+            " ", F.col("urlkey"), F.col("timestamp"), obj
+        ).alias("value")
+    )
+
+
+def parse_cdxj(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """CDXJ lines -> the same typed 11-column schema as :func:`parse_cdx`.
+
+    ``split(value, ' ', 3)`` keeps spaces inside the JSON object intact;
+    attributes parse as a string map, numerics try_cast (malformed values
+    null out rather than failing the job, matching parse_cdx). Roundtrip
+    ``parse_cdxj(cdx_to_cdxj(x)) == x`` is the oracle-checked contract.
+    """
+    v = F.split(F.col(value_col), " ", 3)
+    m = F.from_json(F.element_at(v, 3), "map<string,string>")
+    cols = {
+        "urlkey": F.element_at(v, 1),
+        "timestamp": F.element_at(v, 2),
+    }
+    for key, col in _CDXJ_KEYS:
+        cols[col] = m.getItem(key)
+    out = []
+    for name in CDX_COLUMNS:
+        c = cols[name]
+        if name == "statuscode":
+            c = c.try_cast("int")
+        elif name in ("compressed_length", "compressed_offset"):
+            c = c.try_cast("long")
+        out.append(c.alias(name))
+    return df.filter(F.size(v) >= 3).select(*out)
+
+
 def parse_crawllog(df: DataFrame, value_col: str = "value") -> DataFrame:
     """Heritrix crawl log lines -> 13-column typed DataFrame.
 

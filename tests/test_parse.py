@@ -249,3 +249,37 @@ def test_list_files_distributed_matches_driver_walk(spark, tmp_path):
         ).collect()
     }
     assert got == {"top.warc.gz", "mid.warc.gz", "old.warc.gz", "deep.warc.gz"}
+
+
+def test_cdxj_roundtrip_and_format(spark):
+    """CDXJ emission format (urlkey ts {json-with-nulls-omitted}) and the
+    parse_cdxj(cdx_to_cdxj(x)) == x contract, including a redirect with
+    spaces (must survive via the 3-way split)."""
+    import json
+
+    from ia_hadoop_tools_spark.operators.parse import (
+        cdx_to_cdxj,
+        parse_cdx,
+        parse_cdxj,
+    )
+
+    lines = [
+        "com,x)/p 20200101000000 http://x.com/p text/html 200 DIG "
+        "http://x.com/redir with spaces - 55 1234 f.warc.gz",
+        "com,y)/ 20200101000001 http://y.com/ warc/revisit - DIG2 - - - 99 g.warc.gz",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value: string")
+    typed = parse_cdx(df)
+    cdxj = cdx_to_cdxj(typed).collect()
+    head = [r.value for r in cdxj if r.value.startswith("com,x)/p ")][0]
+    key, ts, obj = head.split(" ", 2)
+    assert (key, ts) == ("com,x)/p", "20200101000000")
+    j = json.loads(obj)
+    assert j["redirect"] == "http://x.com/redir with spaces"
+    assert j["status"] == "200" and j["length"] == "55"
+    assert "meta" not in j  # null field omitted
+    back = parse_cdxj(cdx_to_cdxj(typed))
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, typed.collect())
+    )
+    assert back.schema == typed.schema
