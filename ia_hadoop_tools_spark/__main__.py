@@ -382,6 +382,15 @@ def cmd_corpus_pack(args):
     )
 
 
+def cmd_cdxj_convert(args):
+    """cdxj-convert: CDX text -> CDXJ lines (pywb JSON-lines index)."""
+    from ia_hadoop_tools_spark.operators.parse import cdx_to_cdxj
+
+    spark = _spark(args)
+    for line in cdx_to_cdxj(_read_cdx(spark, args.input)).toLocalIterator():
+        sys.stdout.write(line.value + "\n")
+
+
 def cmd_corpus_decontam(args):
     """corpus-decontam: drop docs overlapping a benchmark/eval parquet
     (n-gram window overlap; the pre-training decontamination step)."""
@@ -423,6 +432,10 @@ def main(argv=None):
     )
     s.add_argument("port", nargs="?", type=int, default=8009)
     s.set_defaults(fn=cmd_gzrange_server)
+
+    s = sub.add_parser("cdxj-convert", help="CDX text -> CDXJ lines")
+    s.add_argument("input", nargs="+")
+    s.set_defaults(fn=cmd_cdxj_convert)
 
     s = sub.add_parser(
         "corpus-decontam", help="drop docs overlapping a benchmark set"

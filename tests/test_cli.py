@@ -151,3 +151,16 @@ def test_corpus_decontam_cli(spark, tmp_path, capsys):
     got = _run(capsys, "corpus-decontam", src, bench, out)
     assert "corpus-decontam: 2 -> 1 docs (1 contaminated dropped)" in got
     assert [r.doc_id for r in spark.read.parquet(out).collect()] == [2]
+
+
+def test_cdxj_convert_cli(spark, tmp_path, capsys):
+    import json
+
+    p = tmp_path / "in.cdx"
+    p.write_text(
+        "com,x)/ 20200101000000 http://x.com/ text/html 200 DIG - - 5 9 f.warc.gz\n"
+    )
+    got = _run(capsys, "cdxj-convert", str(p))
+    key, ts, obj = got.strip().split(" ", 2)
+    assert (key, ts) == ("com,x)/", "20200101000000")
+    assert json.loads(obj)["url"] == "http://x.com/"
