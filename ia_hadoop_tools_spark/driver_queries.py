@@ -2571,6 +2571,108 @@ def q_cdxj_roundtrip(spark, sf_dir):
     return parse_cdxj(cdx_to_cdxj(parse_cdx(df)))
 
 
+# 66. cdx_server_query — the user-facing CDX Server lookup (pywb
+# /cdx?url=&matchType=&filter=&collapse=) over a deterministic generated
+# cluster: domain match catches example.com + sub.example.com but not
+# examplezz.com; day-collapse keeps the earliest capture per (urlkey, day).
+
+
+def q_cdx_server_query(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.cdx_query import cdx_query
+
+    i = F.col("id")
+    host = F.element_at(
+        F.array(
+            F.lit("example.com"), F.lit("sub.example.com"),
+            F.lit("example.org"), F.lit("examplezz.com"),
+        ),
+        (i % 4 + 1).cast("int"),
+    )
+    key = F.element_at(
+        F.array(
+            F.lit("com,example)"), F.lit("com,example,sub)"),
+            F.lit("org,example)"), F.lit("com,examplezz)"),
+        ),
+        (i % 4 + 1).cast("int"),
+    )
+    path = F.concat(F.lit("/p"), (i % 7).cast("string"))
+    # minute = (i // 24) % 60 breaks the generator's period-840 collisions:
+    # no two rows share (urlkey, timestamp, original_url), so the collapse
+    # tie-break is total and the oracle comparison deterministic
+    ts = F.concat(
+        F.lit("202001"),
+        F.lpad((i % 20 + 1).cast("string"), 2, "0"),
+        F.lpad((i % 24).cast("string"), 2, "0"),
+        F.lpad((F.floor(i / 24) % 60).cast("string"), 2, "0"),
+        F.lit("00"),
+    )
+    cluster = spark.range(2000).select(
+        F.concat(key, path).alias("urlkey"),
+        ts.alias("timestamp"),
+        F.concat(F.lit("http://"), host, path).alias("original_url"),
+        F.lit("text/html").alias("mimetype"),
+        F.when(i % 5 < 3, 200).otherwise(404).alias("statuscode"),
+        F.concat(F.lit("D"), (i % 60).cast("string")).alias("digest"),
+        F.lit(None).cast("string").alias("redirect"),
+        F.lit(None).cast("string").alias("meta_flags"),
+        (i % 900 + 100).alias("compressed_length"),
+        (i * 17).alias("compressed_offset"),
+        F.lit("f.warc.gz").alias("filename"),
+    )
+    return cdx_query(
+        cluster,
+        "http://example.com/",
+        match_type="domain",
+        from_ts="20200103",
+        to_ts="20200112",
+        filters=["status:200"],
+        collapse="timestamp:8",
+    )
+
+
+SQL_CDX_SERVER_QUERY = """
+WITH gen AS (
+  SELECT
+    (CASE CAST(i % 4 AS INT) WHEN 0 THEN 'com,example)' WHEN 1 THEN 'com,example,sub)'
+          WHEN 2 THEN 'org,example)' ELSE 'com,examplezz)' END)
+      || '/p' || CAST(i % 7 AS VARCHAR) AS urlkey,
+    '202001' || lpad(CAST(i % 20 + 1 AS VARCHAR), 2, '0')
+      || lpad(CAST(i % 24 AS VARCHAR), 2, '0')
+      || lpad(CAST((i // 24) % 60 AS VARCHAR), 2, '0') || '00' AS timestamp,
+    'http://' ||
+    (CASE CAST(i % 4 AS INT) WHEN 0 THEN 'example.com' WHEN 1 THEN 'sub.example.com'
+          WHEN 2 THEN 'example.org' ELSE 'examplezz.com' END)
+      || '/p' || CAST(i % 7 AS VARCHAR) AS original_url,
+    'text/html' AS mimetype,
+    CASE WHEN i % 5 < 3 THEN 200 ELSE 404 END AS statuscode,
+    'D' || CAST(i % 60 AS VARCHAR) AS digest,
+    CAST(NULL AS VARCHAR) AS redirect,
+    CAST(NULL AS VARCHAR) AS meta_flags,
+    CAST(i % 900 + 100 AS BIGINT) AS compressed_length,
+    CAST(i * 17 AS BIGINT) AS compressed_offset,
+    'f.warc.gz' AS filename
+  FROM range(2000) t(i)
+),
+matched AS (
+  SELECT * FROM gen
+  WHERE (urlkey LIKE 'com,example)%' OR urlkey LIKE 'com,example,%')
+    AND timestamp >= '20200103000000' AND timestamp <= '20200112999999'
+    AND regexp_matches(CAST(statuscode AS VARCHAR), '^(?:200)$')
+),
+collapsed AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY urlkey, substr(timestamp, 1, 8)
+      ORDER BY timestamp ASC, original_url ASC) AS rn
+  FROM matched
+)
+SELECT urlkey, timestamp, original_url, mimetype,
+       CAST(statuscode AS INTEGER) AS statuscode, digest, redirect,
+       meta_flags, compressed_length, compressed_offset, filename
+FROM collapsed WHERE rn = 1
+ORDER BY urlkey, timestamp
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2640,6 +2742,7 @@ QUERIES = {
     "tpch_q12": q_tpch_q12,
     "lm_score": q_lm_score,
     "cdxj_roundtrip": q_cdxj_roundtrip,
+    "cdx_server_query": q_cdx_server_query,
 }
 
 ORACLES = {
@@ -2708,4 +2811,5 @@ ORACLES = {
     "tpch_q12": SQL_TPCH_Q12,
     "lm_score": SQL_LM_SCORE,
     "cdxj_roundtrip": SQL_CDX_PARSE,
+    "cdx_server_query": SQL_CDX_SERVER_QUERY,
 }

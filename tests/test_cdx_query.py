@@ -1,0 +1,94 @@
+"""CDX Server-style query API (operators/cdx_query.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ia_hadoop_tools_spark.operators.cdx_query import cdx_query
+
+
+@pytest.fixture(scope="module")
+def cluster(spark):
+    rows = [
+        # urlkey, ts, url, mime, status, digest
+        ("com,example)/", "20200101000000", "http://example.com/", "text/html", 200, "D1"),
+        ("com,example)/", "20200101120000", "http://example.com/", "text/html", 200, "D1"),
+        ("com,example)/", "20200102000000", "http://example.com/", "text/html", 404, "D2"),
+        ("com,example)/page", "20200103000000", "http://example.com/page", "text/html", 200, "D3"),
+        ("com,example,sub)/x", "20200104000000", "http://sub.example.com/x", "text/html", 200, "D4"),
+        ("com,examplezz)/", "20200105000000", "http://examplezz.com/", "text/html", 200, "D5"),
+        ("org,other)/", "20200106000000", "http://other.org/", "warc/revisit", None, "D6"),
+    ]
+    full = [
+        (k, t, u, m, s, d, None, None, 10, 99, "f.warc.gz")
+        for k, t, u, m, s, d in rows
+    ]
+    return spark.createDataFrame(
+        full,
+        "urlkey: string, timestamp: string, original_url: string, "
+        "mimetype: string, statuscode: int, digest: string, "
+        "redirect: string, meta_flags: string, compressed_length: long, "
+        "compressed_offset: long, filename: string",
+    )
+
+
+def _keys(df):
+    return [(r.urlkey, r.timestamp) for r in df.collect()]
+
+
+def test_match_types(cluster):
+    assert len(_keys(cdx_query(cluster, "http://example.com/"))) == 3
+    assert len(_keys(cdx_query(cluster, "http://example.com/", "prefix"))) == 4
+    # host: example.com pages but NOT sub.example.com, NOT examplezz.com
+    host = _keys(cdx_query(cluster, "http://example.com/other", "host"))
+    assert {k for k, _ in host} == {"com,example)/", "com,example)/page"}
+    # domain: subdomains included, examplezz still excluded
+    dom = _keys(cdx_query(cluster, "http://example.com/", "domain"))
+    assert {k for k, _ in dom} == {
+        "com,example)/", "com,example)/page", "com,example,sub)/x"
+    }
+
+
+def test_time_bounds_and_filters(cluster):
+    got = _keys(
+        cdx_query(
+            cluster, "http://example.com/", "domain",
+            from_ts="20200102", to_ts="20200103",
+        )
+    )
+    assert [t for _, t in got] == ["20200102000000", "20200103000000"]
+    ok = cdx_query(
+        cluster, "http://example.com/", "domain", filters=["status:200"]
+    )
+    assert all(r.statuscode == 200 for r in ok.collect())
+    neg = cdx_query(
+        cluster, "http://other.org/", "host", filters=["!mime:text/.*"]
+    )
+    assert [r.mimetype for r in neg.collect()] == ["warc/revisit"]
+    # positive filter on a null field never matches
+    nul = cdx_query(
+        cluster, "http://other.org/", "host", filters=["status:200"]
+    )
+    assert nul.count() == 0
+
+
+def test_collapse_and_limit(cluster):
+    # one per (urlkey, day): the two 20200101 exact captures collapse to the
+    # earliest
+    c = _keys(
+        cdx_query(cluster, "http://example.com/", collapse="timestamp:8")
+    )
+    assert c == [("com,example)/", "20200101000000"), ("com,example)/", "20200102000000")]
+    d = _keys(
+        cdx_query(cluster, "http://example.com/", collapse="digest")
+    )
+    assert d == [("com,example)/", "20200101000000"), ("com,example)/", "20200102000000")]
+    lim = cdx_query(cluster, "http://example.com/", "domain", limit=2)
+    assert len(_keys(lim)) == 2
+
+
+def test_bad_specs_raise(cluster):
+    with pytest.raises(ValueError, match="match_type"):
+        cdx_query(cluster, "http://example.com/", "fuzzy")
+    with pytest.raises(ValueError, match="filter"):
+        cdx_query(cluster, "http://example.com/", filters=["statuscode=200"])
