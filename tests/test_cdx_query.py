@@ -92,3 +92,42 @@ def test_bad_specs_raise(cluster):
         cdx_query(cluster, "http://example.com/", "fuzzy")
     with pytest.raises(ValueError, match="filter"):
         cdx_query(cluster, "http://example.com/", filters=["statuscode=200"])
+
+
+def test_query_over_zipnum_cluster(spark, tmp_path):
+    """The full user story: ZipNum cluster on disk -> zipnum DataSource scan
+    (block pruning) -> parse -> CDX-Server lookup."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.parse import parse_cdx
+    from ia_hadoop_tools_spark.sources.zipnum import write_zipnum
+    from ia_hadoop_tools_spark.sources.zipnum_datasource import register_zipnum
+
+    lines = [
+        f"com,site{i % 5})/p{i % 3} 2020010{i % 9 + 1}000000 "
+        f"http://site{i % 5}.com/p{i % 3} text/html "
+        f"{200 if i % 4 else 404} DIG{i} - - 10 {i * 7} f.warc.gz"
+        for i in range(300)
+    ]
+    df = spark.createDataFrame([(l,) for l in sorted(lines)], "value: string")
+    cluster_dir = str(tmp_path / "cluster")
+    write_zipnum(df, cluster_dir, lines_per_block=30, num_shards=2)
+
+    register_zipnum(spark)
+    raw = (
+        spark.read.format("zipnum")
+        .load(cluster_dir)
+        # pushed range narrows the block scan before parsing anything
+        .filter((F.col("urlkey") >= "com,site2)") & (F.col("urlkey") < "com,site3)"))
+    )
+    typed = parse_cdx(raw.select("value"))
+    got = cdx_query(
+        typed, "http://site2.com/x", match_type="host", filters=["status:200"]
+    ).collect()
+    assert got and all(
+        r.urlkey.startswith("com,site2)") and r.statuscode == 200 for r in got
+    )
+    expected = sum(
+        1 for i in range(300) if i % 5 == 2 and i % 4 != 0
+    )
+    assert len(got) == expected
