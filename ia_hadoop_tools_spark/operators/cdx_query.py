@@ -12,16 +12,21 @@ engine answers the same questions:
 - ``from_ts`` / ``to_ts``: 14-digit timestamp bounds (prefix-padded, so
   ``2020`` means the whole year).
 - ``filters``: CDX-Server grammar ``[!]field:regex`` — regex must match
-  (or not match, with ``!``) the field's string value.
-- ``collapse``: keep the first capture per distinct value of a field (or
-  field prefix like ``timestamp:8`` for one-per-day) per urlkey —
-  deterministic: first = earliest (timestamp, then full row order).
-- ``limit``: global cap after sorting.
+  the field's RENDERED value, where absent fields render as ``-`` exactly
+  like CDX text lines (so ``mime:-`` and ``status:.*`` behave as they do
+  against a classic CDX server).
+- ``collapse``: pywb semantics — merge ADJACENT captures (per urlkey, in
+  timestamp order) whose collapse value repeats; field or field prefix
+  (``timestamp:8`` = one per day run). Non-adjacent repeats survive,
+  matching the server's streaming collapse.
+- ``limit``: global cap after sorting (``limit=0`` returns nothing).
 
-Every predicate lands on the sorted cluster scan (urlkey range + timestamp
-comparisons push into Parquet row-group pruning; regex filters evaluate in
-codegen); collapse is one window — the same shapes as the reference's own
-range scans (cdx/ClusterRange.java) with the day-limit window (§2.6).
+The query key is computed DRIVER-SIDE (``_surt_one``) so every urlkey
+predicate is a plain string comparison that reaches Parquet
+``PushedFilters`` — on a sorted cluster the scan reads only the covering
+row groups (the reference's summary binary search, cdx/ClusterRange.java);
+timestamp bounds push the same way. Regex filters evaluate in codegen;
+collapse is one lag window over the already-sorted key order.
 """
 
 from __future__ import annotations
@@ -32,9 +37,14 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ia_hadoop_tools_spark.functions.surt import surt_expr
+from ia_hadoop_tools_spark.functions.surt import _surt_one
+from ia_hadoop_tools_spark.schemas import CDX_COLUMNS
 
 _TS_LEN = 14
+
+#: total tie-break under (urlkey, timestamp) — same-second captures of one
+#: URL (revisit + original) must collapse/order deterministically
+_TIEBREAK = ("original_url", "digest", "compressed_offset", "filename")
 
 
 def _pad_ts(ts: str, low: bool) -> str:
@@ -43,24 +53,22 @@ def _pad_ts(ts: str, low: bool) -> str:
 
 
 def _key_predicate(url: str, match_type: str) -> Column:
+    skey = _surt_one(url)
+    if skey is None:
+        raise ValueError(f"cannot canonicalize url: {url!r}")
     k = F.col("urlkey")
-    # derive the query's SURT key once, driver-side, via a literal select
-    # trick is unnecessary: surt_expr over a literal column folds constant
-    skey = surt_expr(F.lit(url))
     if match_type == "exact":
         return k == skey
     if match_type == "prefix":
-        return k.startswith(skey)
+        return k.startswith(F.lit(skey))
+    host = skey.split(")", 1)[0]
     if match_type == "host":
-        # everything under the host: "com,example)/..." — host part of the
-        # query key, up to and including ")"
-        host = F.concat(F.substring_index(skey, ")", 1), F.lit(")"))
-        return k.startswith(host)
+        # everything under the host: "com,example)..." key prefix
+        return k.startswith(F.lit(host + ")"))
     if match_type == "domain":
         # host + subdomains: "com,example)" prefix OR "com,example," prefix
-        bare = F.substring_index(skey, ")", 1)
-        return k.startswith(F.concat(bare, F.lit(")"))) | k.startswith(
-            F.concat(bare, F.lit(","))
+        return k.startswith(F.lit(host + ")")) | k.startswith(
+            F.lit(host + ",")
         )
     raise ValueError(f"match_type must be exact|prefix|host|domain: {match_type!r}")
 
@@ -77,16 +85,26 @@ _FIELD_ALIASES = {
 }
 
 
+def _resolve_field(field: str) -> str:
+    col = _FIELD_ALIASES.get(field, field)
+    if col not in CDX_COLUMNS:
+        raise ValueError(
+            f"unknown CDX field {field!r}; use one of "
+            f"{sorted(set(CDX_COLUMNS) | set(_FIELD_ALIASES))}"
+        )
+    return col
+
+
 def _filter_predicate(spec: str) -> Column:
     m = _FILTER_RE.match(spec)
     if not m:
         raise ValueError(f"filter must be [!]field:regex, got {spec!r}")
     neg, field, pattern = m.groups()
-    col = F.col(_FIELD_ALIASES.get(field, field)).cast("string")
+    # filters run against the RENDERED value — null prints as '-' in CDX
+    # text, and that is what server-side filters match against
+    col = F.coalesce(F.col(_resolve_field(field)).cast("string"), F.lit("-"))
     # CDX Server semantics: regex must match the WHOLE field value
-    hit = col.rlike(f"^(?:{pattern})$")
-    # null fields never match a positive filter; a negated filter keeps them
-    pred = F.coalesce(hit, F.lit(False))
+    pred = col.rlike(f"^(?:{pattern})$")
     return ~pred if neg else pred
 
 
@@ -102,9 +120,12 @@ def cdx_query(
 ) -> DataFrame:
     """Query a typed CDX cluster with CDX-Server semantics (module doc).
 
-    Returns matching rows sorted by (urlkey, timestamp); ``collapse`` keeps
-    the earliest capture per distinct (urlkey, collapse-value).
+    Returns matching rows sorted by (urlkey, timestamp, tiebreakers);
+    ``collapse`` merges runs of adjacent captures sharing the collapse
+    value, keeping each run's first.
     """
+    if limit is not None and limit < 0:
+        raise ValueError(f"limit must be >= 0, got {limit}")
     out = cluster.filter(_key_predicate(url, match_type))
     if from_ts:
         out = out.filter(F.col("timestamp") >= _pad_ts(from_ts, True))
@@ -112,24 +133,26 @@ def cdx_query(
         out = out.filter(F.col("timestamp") <= _pad_ts(to_ts, False))
     for spec in filters:
         out = out.filter(_filter_predicate(spec))
+    order = [F.col("timestamp").asc()] + [F.col(c).asc() for c in _TIEBREAK]
     if collapse:
         if ":" in collapse:
             field, ln = collapse.split(":", 1)
             cval = F.substring(
-                F.col(_FIELD_ALIASES.get(field, field)).cast("string"),
-                1, int(ln),
+                F.col(_resolve_field(field)).cast("string"), 1, int(ln)
             )
         else:
-            cval = F.col(_FIELD_ALIASES.get(collapse, collapse)).cast("string")
-        w = Window.partitionBy(F.col("urlkey"), cval).orderBy(
-            F.col("timestamp").asc(), F.col("original_url").asc()
-        )
+            cval = F.col(_resolve_field(collapse)).cast("string")
+        # pywb collapse merges ADJACENT repeats only: keep a row iff its
+        # collapse value differs from the previous row's (per urlkey, in
+        # the output order) — non-adjacent repeats survive
+        w = Window.partitionBy(F.col("urlkey")).orderBy(*order)
+        prev = F.lag(cval).over(w)
         out = (
-            out.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            out.withColumn("__keep", prev.isNull() | (cval != prev))
+            .filter(F.col("__keep"))
+            .drop("__keep")
         )
-    out = out.orderBy(F.col("urlkey").asc(), F.col("timestamp").asc())
-    if limit:
+    out = out.orderBy(F.col("urlkey").asc(), *order)
+    if limit is not None:
         out = out.limit(limit)
     return out

@@ -65,11 +65,19 @@ def test_time_bounds_and_filters(cluster):
         cluster, "http://other.org/", "host", filters=["!mime:text/.*"]
     )
     assert [r.mimetype for r in neg.collect()] == ["warc/revisit"]
-    # positive filter on a null field never matches
+    # null fields render as '-' for filtering (classic CDX-server behavior)
     nul = cdx_query(
         cluster, "http://other.org/", "host", filters=["status:200"]
     )
     assert nul.count() == 0
+    dash = cdx_query(
+        cluster, "http://other.org/", "host", filters=["status:-"]
+    )
+    assert dash.count() == 1  # the null-status revisit row matches '-'
+    anyv = cdx_query(
+        cluster, "http://other.org/", "host", filters=["status:.*"]
+    )
+    assert anyv.count() == 1  # '.*' matches the rendered '-' too
 
 
 def test_collapse_and_limit(cluster):
@@ -85,6 +93,59 @@ def test_collapse_and_limit(cluster):
     assert d == [("com,example)/", "20200101000000"), ("com,example)/", "20200102000000")]
     lim = cdx_query(cluster, "http://example.com/", "domain", limit=2)
     assert len(_keys(lim)) == 2
+    assert cdx_query(cluster, "http://example.com/", limit=0).count() == 0
+    with pytest.raises(ValueError, match="limit"):
+        cdx_query(cluster, "http://example.com/", limit=-1)
+
+
+def test_collapse_is_adjacent_only(spark):
+    """pywb collapse merges RUNS: a value that reappears non-adjacently
+    survives (D1, D2, D1 -> three rows)."""
+    rows = [
+        ("com,a)/", "20200101000000", "http://a.com/", "text/html", 200, "D1"),
+        ("com,a)/", "20200102000000", "http://a.com/", "text/html", 200, "D2"),
+        ("com,a)/", "20200103000000", "http://a.com/", "text/html", 200, "D1"),
+        ("com,a)/", "20200103010000", "http://a.com/", "text/html", 200, "D1"),
+    ]
+    df = spark.createDataFrame(
+        [(k, t, u, m, s_, d, None, None, 1, 2, "f") for k, t, u, m, s_, d in rows],
+        "urlkey: string, timestamp: string, original_url: string, "
+        "mimetype: string, statuscode: int, digest: string, redirect: string, "
+        "meta_flags: string, compressed_length: long, compressed_offset: long, "
+        "filename: string",
+    )
+    got = [r.timestamp for r in cdx_query(df, "http://a.com/", collapse="digest").collect()]
+    # the adjacent D1 pair merges; the non-adjacent D1 reappearance stays
+    assert got == ["20200101000000", "20200102000000", "20200103000000"]
+
+
+def test_urlkey_predicate_reaches_pushed_filters(spark, tmp_path):
+    """The query key is a driver-side literal, so the key bound must land
+    in the parquet scan's PushedFilters (row-group pruning on a sorted
+    cluster)."""
+    from ia_hadoop_tools_spark.operators.cluster import write_cluster
+
+    rows = [
+        (f"com,s{i % 9})/p{i % 4}", f"2020010{i % 9 + 1}000000",
+         f"http://s{i % 9}.com/p{i % 4}", "text/html", 200, f"D{i}",
+         None, None, 1, i, "f.warc.gz")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "urlkey: string, timestamp: string, original_url: string, "
+        "mimetype: string, statuscode: int, digest: string, redirect: string, "
+        "meta_flags: string, compressed_length: long, compressed_offset: long, "
+        "filename: string",
+    )
+    path = str(tmp_path / "qcluster")
+    write_cluster(df, path, num_ranges=3)
+    q = cdx_query(spark.read.parquet(path), "http://s3.com/", "host")
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "StringStartsWith(urlkey,com,s3)" in plan
+    assert q.count() > 0
 
 
 def test_bad_specs_raise(cluster):
@@ -92,6 +153,8 @@ def test_bad_specs_raise(cluster):
         cdx_query(cluster, "http://example.com/", "fuzzy")
     with pytest.raises(ValueError, match="filter"):
         cdx_query(cluster, "http://example.com/", filters=["statuscode=200"])
+    with pytest.raises(ValueError, match="unknown CDX field"):
+        cdx_query(cluster, "http://example.com/", filters=["stattus:200"])
 
 
 def test_query_over_zipnum_cluster(spark, tmp_path):
