@@ -2577,9 +2577,9 @@ def q_cdxj_roundtrip(spark, sf_dir):
 # examplezz.com; day-collapse keeps the earliest capture per (urlkey, day).
 
 
-def q_cdx_server_query(spark, sf_dir):
-    from ia_hadoop_tools_spark.operators.cdx_query import cdx_query
-
+def _gen_cdx_cluster(spark):
+    """Deterministic 2000-row cluster shared by the cdx_server_* queries
+    (mirrored exactly by _SQL_GEN_CDX_CLUSTER)."""
     i = F.col("id")
     host = F.element_at(
         F.array(
@@ -2619,8 +2619,14 @@ def q_cdx_server_query(spark, sf_dir):
         (i * 17).alias("compressed_offset"),
         F.lit("f.warc.gz").alias("filename"),
     )
+    return cluster
+
+
+def q_cdx_server_query(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.cdx_query import cdx_query
+
     return cdx_query(
-        cluster,
+        _gen_cdx_cluster(spark),
         "http://example.com/",
         match_type="domain",
         from_ts="20200103",
@@ -2630,8 +2636,7 @@ def q_cdx_server_query(spark, sf_dir):
     )
 
 
-SQL_CDX_SERVER_QUERY = """
-WITH gen AS (
+_SQL_GEN_CDX_CLUSTER = """gen AS (
   SELECT
     (CASE CAST(i % 4 AS INT) WHEN 0 THEN 'com,example)' WHEN 1 THEN 'com,example,sub)'
           WHEN 2 THEN 'org,example)' ELSE 'com,examplezz)' END)
@@ -2652,7 +2657,10 @@ WITH gen AS (
     CAST(i * 17 AS BIGINT) AS compressed_offset,
     'f.warc.gz' AS filename
   FROM range(2000) t(i)
-),
+)"""
+
+SQL_CDX_SERVER_QUERY = f"""
+WITH {_SQL_GEN_CDX_CLUSTER},
 matched AS (
   SELECT * FROM gen
   WHERE (urlkey LIKE 'com,example)%' OR urlkey LIKE 'com,example,%')
@@ -2670,6 +2678,53 @@ SELECT urlkey, timestamp, original_url, mimetype,
        meta_flags, compressed_length, compressed_offset, filename
 FROM collapsed WHERE rn = 1
 ORDER BY urlkey, timestamp
+"""
+
+
+# 67. cdx_server_closest — the Wayback Machine's primary lookup: the k
+# captures of one URL nearest a requested time T (sort=closest), the point
+# binary search the reference's sorted cluster exists to serve
+# (cdx/CDXCluster.java:31-43). Distance is in calendar seconds, ties break
+# toward the earlier capture; limit=7 makes row ORDER matter, so the oracle
+# replays the same abs-diff ranking.
+
+
+def q_cdx_server_closest(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.cdx_query import cdx_query
+
+    return cdx_query(
+        _gen_cdx_cluster(spark),
+        "http://example.com/p3",
+        sort="closest",
+        closest="20200110",
+        limit=7,
+    )
+
+
+# 1578614400 = days(1970-01-01 -> 2020-01-10) * 86400 — the padded target
+# '20200110000000' in the same tz-free seconds space as the Spark side
+SQL_CDX_SERVER_CLOSEST = f"""
+WITH {_SQL_GEN_CDX_CLUSTER},
+matched AS (SELECT * FROM gen WHERE urlkey = 'com,example)/p3'),
+ranked AS (
+  SELECT *,
+    abs(
+      date_diff('day', DATE '1970-01-01',
+                CAST(strptime(substr(timestamp, 1, 8), '%Y%m%d') AS DATE))
+        * 86400
+      + CAST(substr(timestamp, 9, 2) AS BIGINT) * 3600
+      + CAST(substr(timestamp, 11, 2) AS BIGINT) * 60
+      + CAST(substr(timestamp, 13, 2) AS BIGINT)
+      - 1578614400
+    ) AS dist
+  FROM matched
+)
+SELECT urlkey, timestamp, original_url, mimetype,
+       CAST(statuscode AS INTEGER) AS statuscode, digest, redirect,
+       meta_flags, compressed_length, compressed_offset, filename
+FROM ranked
+ORDER BY dist ASC, timestamp ASC, original_url ASC
+LIMIT 7
 """
 
 
@@ -2743,6 +2798,7 @@ QUERIES = {
     "lm_score": q_lm_score,
     "cdxj_roundtrip": q_cdxj_roundtrip,
     "cdx_server_query": q_cdx_server_query,
+    "cdx_server_closest": q_cdx_server_closest,
 }
 
 ORACLES = {
@@ -2812,4 +2868,5 @@ ORACLES = {
     "lm_score": SQL_LM_SCORE,
     "cdxj_roundtrip": SQL_CDX_PARSE,
     "cdx_server_query": SQL_CDX_SERVER_QUERY,
+    "cdx_server_closest": SQL_CDX_SERVER_CLOSEST,
 }

@@ -19,6 +19,15 @@ engine answers the same questions:
   timestamp order) whose collapse value repeats; field or field prefix
   (``timestamp:8`` = one per day run). Non-adjacent repeats survive,
   matching the server's streaming collapse.
+- ``sort``: ``default`` (urlkey, timestamp ascending), ``reverse``
+  (latest capture first per urlkey), or ``closest`` with a ``closest``
+  timestamp — the Wayback Machine's primary lookup ("the capture nearest
+  time T", the point binary search the reference's sorted cluster exists
+  to serve: cdx/CDXCluster.java:31-43). Distance is measured in SECONDS
+  (calendar-aware, timezone-free), not in raw ts14 numeric space, so
+  20191231235959 really is one second from 20200101000000; ties break
+  toward the EARLIER capture. With ``limit=k`` this is "the k captures
+  nearest T".
 - ``limit``: global cap after sorting (``limit=0`` returns nothing).
 
 The query key is computed DRIVER-SIDE (``_surt_one``) so every urlkey
@@ -50,6 +59,22 @@ _TIEBREAK = ("original_url", "digest", "compressed_offset", "filename")
 def _pad_ts(ts: str, low: bool) -> str:
     """Prefix timestamp -> full 14-digit bound (low: 0-pad, high: 9-pad)."""
     return ts.ljust(_TS_LEN, "0" if low else "9")
+
+
+def _ts14_seconds(ts: Column) -> Column:
+    """ts14 string -> seconds since 1970-01-01 00:00:00, timezone-free.
+
+    ``to_date``/``unix_date`` are pure calendar arithmetic (no session-tz
+    dependence), so closest-distance ranking is deterministic across
+    drivers and matches a naive-timestamp SQL oracle exactly.
+    """
+    days = F.unix_date(F.to_date(F.substring(ts, 1, 8), "yyyyMMdd"))
+    return (
+        days.cast("long") * 86400
+        + F.substring(ts, 9, 2).cast("long") * 3600
+        + F.substring(ts, 11, 2).cast("long") * 60
+        + F.substring(ts, 13, 2).cast("long")
+    )
 
 
 def _key_predicate(url: str, match_type: str) -> Column:
@@ -117,15 +142,26 @@ def cdx_query(
     filters: Sequence[str] = (),
     collapse: str | None = None,
     limit: int | None = None,
+    sort: str = "default",
+    closest: str | None = None,
 ) -> DataFrame:
     """Query a typed CDX cluster with CDX-Server semantics (module doc).
 
-    Returns matching rows sorted by (urlkey, timestamp, tiebreakers);
-    ``collapse`` merges runs of adjacent captures sharing the collapse
-    value, keeping each run's first.
+    Returns matching rows sorted by (urlkey, timestamp, tiebreakers) —
+    reversed per urlkey under ``sort="reverse"``, nearest-``closest``-first
+    under ``sort="closest"``; ``collapse`` merges runs of adjacent captures
+    sharing the collapse value (always evaluated in ascending timestamp
+    order, the stream order a CDX server collapses in), keeping each run's
+    first.
     """
     if limit is not None and limit < 0:
         raise ValueError(f"limit must be >= 0, got {limit}")
+    if sort not in ("default", "reverse", "closest"):
+        raise ValueError(f"sort must be default|reverse|closest: {sort!r}")
+    if (sort == "closest") != (closest is not None):
+        raise ValueError("sort='closest' requires closest=<ts14>, and vice versa")
+    if closest is not None and not closest.isdigit():
+        raise ValueError(f"closest must be a digit-string timestamp: {closest!r}")
     out = cluster.filter(_key_predicate(url, match_type))
     if from_ts:
         out = out.filter(F.col("timestamp") >= _pad_ts(from_ts, True))
@@ -152,7 +188,20 @@ def cdx_query(
             .filter(F.col("__keep"))
             .drop("__keep")
         )
-    out = out.orderBy(F.col("urlkey").asc(), *order)
+    if sort == "reverse":
+        # exact reverse of the default order within each urlkey
+        final = [F.col("timestamp").desc()] + [
+            F.col(c).desc() for c in _TIEBREAK
+        ]
+    elif sort == "closest":
+        target = _ts14_seconds(F.lit(_pad_ts(closest, True)))
+        dist = F.abs(_ts14_seconds(F.col("timestamp")) - target)
+        # tie toward the earlier capture: equidistant before/after T picks
+        # the before-T row (then the usual total tie-break)
+        final = [dist.asc()] + order
+    else:
+        final = order
+    out = out.orderBy(F.col("urlkey").asc(), *final)
     if limit is not None:
         out = out.limit(limit)
     return out

@@ -148,6 +148,63 @@ def test_urlkey_predicate_reaches_pushed_filters(spark, tmp_path):
     assert q.count() > 0
 
 
+def test_sort_reverse(cluster):
+    got = _keys(cdx_query(cluster, "http://example.com/", sort="reverse"))
+    fwd = _keys(cdx_query(cluster, "http://example.com/"))
+    assert got == list(reversed(fwd))
+    # reverse + limit = the LATEST capture
+    last = _keys(cdx_query(cluster, "http://example.com/", sort="reverse", limit=1))
+    assert last == [("com,example)/", "20200102000000")]
+
+
+def test_sort_closest(spark):
+    """Wayback's nearest-to-T lookup: distance is measured in SECONDS, so a
+    capture one second before midnight New Year beats one a day after —
+    raw ts14 numeric distance would invert that."""
+    rows = [
+        ("com,a)/", "20191231235959"),  # 1 s before target
+        ("com,a)/", "20200102000000"),  # 1 day after
+        ("com,a)/", "20200101000030"),  # 30 s after
+        ("com,a)/", "20200103000000"),
+    ]
+    df = spark.createDataFrame(
+        [(k, t, "http://a.com/", "text/html", 200, "D", None, None, 1, 2, "f")
+         for k, t in rows],
+        "urlkey: string, timestamp: string, original_url: string, "
+        "mimetype: string, statuscode: int, digest: string, redirect: string, "
+        "meta_flags: string, compressed_length: long, compressed_offset: long, "
+        "filename: string",
+    )
+    got = [t for _, t in _keys(
+        cdx_query(df, "http://a.com/", sort="closest", closest="20200101")
+    )]
+    assert got == [
+        "20191231235959", "20200101000030", "20200102000000", "20200103000000"
+    ]
+    # nearest-1 with a limit
+    one = _keys(cdx_query(
+        df, "http://a.com/", sort="closest", closest="20200101", limit=1
+    ))
+    assert one == [("com,a)/", "20191231235959")]
+
+
+def test_sort_closest_tie_breaks_earlier(spark):
+    """Equidistant captures before/after T resolve to the EARLIER one."""
+    df = spark.createDataFrame(
+        [("com,a)/", t, "http://a.com/", "text/html", 200, "D", None, None,
+          1, 2, "f")
+         for t in ("20200101000000", "20200101002000")],
+        "urlkey: string, timestamp: string, original_url: string, "
+        "mimetype: string, statuscode: int, digest: string, redirect: string, "
+        "meta_flags: string, compressed_length: long, compressed_offset: long, "
+        "filename: string",
+    )
+    got = _keys(cdx_query(
+        df, "http://a.com/", sort="closest", closest="20200101001000", limit=1
+    ))
+    assert got == [("com,a)/", "20200101000000")]
+
+
 def test_bad_specs_raise(cluster):
     with pytest.raises(ValueError, match="match_type"):
         cdx_query(cluster, "http://example.com/", "fuzzy")
@@ -155,6 +212,14 @@ def test_bad_specs_raise(cluster):
         cdx_query(cluster, "http://example.com/", filters=["statuscode=200"])
     with pytest.raises(ValueError, match="unknown CDX field"):
         cdx_query(cluster, "http://example.com/", filters=["stattus:200"])
+    with pytest.raises(ValueError, match="sort"):
+        cdx_query(cluster, "http://example.com/", sort="fuzzy")
+    with pytest.raises(ValueError, match="closest"):
+        cdx_query(cluster, "http://example.com/", sort="closest")
+    with pytest.raises(ValueError, match="closest"):
+        cdx_query(cluster, "http://example.com/", closest="20200101")
+    with pytest.raises(ValueError, match="digit"):
+        cdx_query(cluster, "http://example.com/", sort="closest", closest="x")
 
 
 def test_query_over_zipnum_cluster(spark, tmp_path):
