@@ -420,6 +420,15 @@ def cmd_gzrange_server(args):
     serve(args.port)
 
 
+def cmd_cdx_server(args):
+    """cdx-server: serve a ZipNum cluster over the HttpTextLoader paging
+    contract (pig/HttpTextLoader.java:80-138; default port 8010)."""
+    from ia_hadoop_tools_spark.sources.cdx_http_server import serve
+
+    print(f"cdx-server: serving {args.cluster} on 127.0.0.1:{args.port}")
+    serve(args.cluster, args.port, args.page_size)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="ia_hadoop_tools_spark", description=__doc__
@@ -432,6 +441,15 @@ def main(argv=None):
     )
     s.add_argument("port", nargs="?", type=int, default=8009)
     s.set_defaults(fn=cmd_gzrange_server)
+
+    s = sub.add_parser(
+        "cdx-server",
+        help="serve a ZipNum cluster over the paged CDX query contract",
+    )
+    s.add_argument("cluster")
+    s.add_argument("port", nargs="?", type=int, default=8010)
+    s.add_argument("--page-size", type=int, default=10)
+    s.set_defaults(fn=cmd_cdx_server)
 
     s = sub.add_parser("cdxj-convert", help="CDX text -> CDXJ lines")
     s.add_argument("input", nargs="+")

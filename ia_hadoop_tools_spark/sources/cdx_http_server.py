@@ -1,0 +1,235 @@
+"""CDX cluster HTTP server: the SERVING side of the paged-query contract.
+
+Reference: the consuming half lives in pig/HttpTextLoader.java:80-138 (one
+input split per ``&page=i``, page count probed via ``&showNumPages=true`` →
+``X-CDX-Num-Pages`` header, optional ``X-CDX-Cluster-Uri`` for deref mode)
+and pig/HttpZipNumDerefLineRecordReader.java:66-74 (``start=``/``end=``
+range pushdown riding the query string, summary pages requested with
+``&showPagedIndex=true``). The reference ecosystem assumes a wayback CDX
+server publishing that contract; this module IS that server over a ZipNum
+cluster written by this engine (sources/zipnum.py), so two deployments of
+this engine can feed each other: one serves a cluster, the other reads it
+with :func:`ia_hadoop_tools_spark.sources.http.read_http_paged`.
+
+Contract served (all parameters in the query string):
+
+- ``showNumPages=true`` → ``200``, page count in ``X-CDX-Num-Pages`` and as
+  the body; ``X-CDX-Cluster-Uri`` names the cluster directory. The count
+  honors ``start``/``end``/``pageSize``, so a pruned query costs
+  proportionally fewer pages (the pushdown the reference's record reader
+  exploits). HEAD works the same way minus the body.
+- ``page=i`` (default 0) → that page's CDX lines, dereferenced server-side
+  (blocks ranged-read + gunzipped, lines bounded to ``[start, end)``).
+- ``showPagedIndex=true&page=i`` → that page's SUMMARY lines (tab-separated
+  ``key shard offset length``) — the deref client fetches blocks itself.
+- With ``hmac_secret``, every request must carry a valid HMAC cookie
+  (functions/authfns.py); 401 otherwise — the ``cdx_auth_token`` pattern
+  (pig/HttpTextLoader.java:199-204).
+
+Pages are contiguous runs of summary blocks: ``page_size`` blocks per page
+over the range-pruned block list. Page boundaries are a pure function of
+``(start, end, pageSize)``, so the stateless probe-then-fetch sequence is
+consistent without server-side session state.
+
+Scale note: like the GZRange server this is an ops-side sidecar, not a
+Spark operator — it serves whatever fsio can read (local/HDFS/S3 via
+pyarrow.fs) from one configured cluster directory only (no arbitrary-path
+reads), binding loopback by default.
+"""
+
+from __future__ import annotations
+
+import bisect
+import math
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from ia_hadoop_tools_spark.sources import fsio
+from ia_hadoop_tools_spark.sources.zipnum import _gunzip_salvage
+
+NUM_PAGES_HEADER = "X-CDX-Num-Pages"  # HttpTextLoader.java:60
+CLUSTER_URI_HEADER = "X-CDX-Cluster-Uri"  # HttpTextLoader.java:61
+
+
+class ClusterPager:
+    """Range-pruned, page-chunked view of one cluster's ALL.summary.
+
+    The summary is globally key-sorted (shards cover alphabetically
+    contiguous ranges), so block ``i`` covers ``[key_i, key_{i+1})`` and
+    range pruning is two binary searches — the driver-side twin of
+    cdx/CDXCluster.getRangeBlockIterator (cdx/CDXCluster.java:31-43).
+    """
+
+    def __init__(self, cluster_dir: str, filesystem=None):
+        self.cluster_dir = cluster_dir
+        self.filesystem = filesystem
+        blocks: list[tuple[str, str, int, int]] = []
+        path = fsio.join(cluster_dir, "ALL.summary")
+        with fsio.open_read_text(path, filesystem) as fh:
+            for line in fh:
+                key, shard, off, length = line.rstrip("\n").split("\t")
+                blocks.append((key, shard, int(off), int(length)))
+        self.blocks = blocks
+        self._keys = [b[0] for b in blocks]
+
+    def prune(self, start: str | None, end: str | None) -> tuple[int, int]:
+        """[lo, hi) block-index window intersecting [start, end)."""
+        lo = 0
+        if start is not None:
+            # keep the last block whose key <= start: it may still hold
+            # in-range lines (its key is a lower bound, not a first line)
+            lo = max(bisect.bisect_right(self._keys, start) - 1, 0)
+        hi = len(self.blocks)
+        if end is not None:
+            hi = bisect.bisect_left(self._keys, end, lo)
+        return lo, hi
+
+    def num_pages(
+        self, start: str | None, end: str | None, page_size: int
+    ) -> int:
+        lo, hi = self.prune(start, end)
+        return math.ceil((hi - lo) / page_size)
+
+    def page_blocks(
+        self, page: int, start: str | None, end: str | None, page_size: int
+    ) -> list[tuple[str, str, int, int]]:
+        lo, hi = self.prune(start, end)
+        plo = lo + page * page_size
+        return self.blocks[plo : min(plo + page_size, hi)]
+
+    def index_lines(self, blocks) -> str:
+        return "".join(
+            f"{k}\t{shard}\t{off}\t{ln}\n" for k, shard, off, ln in blocks
+        )
+
+    def deref_lines(
+        self, blocks, start: str | None, end: str | None
+    ) -> str:
+        """Ranged-read + gunzip each block; bound lines to [start, end) by
+        their ``urlkey timestamp`` prefix (same rule as zipnum._read_blocks)."""
+        out: list[str] = []
+        for _key, shard, off, length in blocks:
+            path = fsio.join(self.cluster_dir, shard)
+            payload = fsio.read_range(path, off, length, self.filesystem)
+            text, clean = _gunzip_salvage(payload)
+            if not clean:
+                raise OSError(f"corrupt gzip member in {shard} at {off}")
+            for line in text.splitlines():
+                if start is not None or end is not None:
+                    k = " ".join(line.split(" ", 2)[:2])
+                    if start is not None and k < start:
+                        continue
+                    if end is not None and k >= end:
+                        continue
+                out.append(line + "\n")
+        return "".join(out)
+
+
+class CDXClusterHandler(BaseHTTPRequestHandler):
+    """GET/HEAD ``?showNumPages=true | [showPagedIndex=true&]page=i`` with
+    optional ``start``/``end``/``pageSize`` — the HttpTextLoader contract."""
+
+    pager: ClusterPager  # set by make_cdx_server subclassing
+    page_size: int = 10
+    hmac_secret: str | None = None
+
+    def log_message(self, fmt, *args):  # quiet under test load
+        pass
+
+    def _text(self, code: int, body: str, headers: dict[str, str] | None = None,
+              send_body: bool = True) -> None:
+        payload = body.encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "text/plain;charset=utf-8")
+        self.send_header("Content-Length", str(len(payload)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        if send_body:
+            self.wfile.write(payload)
+
+    def _handle(self, send_body: bool) -> None:
+        if self.hmac_secret is not None:
+            from ia_hadoop_tools_spark.functions.authfns import (
+                verify_hmac_cookie,
+            )
+
+            cookie = self.headers.get("Cookie") or ""
+            if not verify_hmac_cookie(cookie, self.hmac_secret):
+                return self._text(
+                    401, "invalid or expired cookie\n", send_body=send_body
+                )
+        q = parse_qs(urlparse(self.path).query)
+
+        def one(name: str) -> str | None:
+            vals = q.get(name)
+            return vals[0] if vals else None
+
+        start, end = one("start"), one("end")
+        try:
+            page_size = int(one("pageSize") or self.page_size)
+            page = int(one("page") or 0)
+        except ValueError:
+            return self._text(400, "bad page/pageSize\n", send_body=send_body)
+        if page_size < 1 or page < 0:
+            return self._text(400, "bad page/pageSize\n", send_body=send_body)
+
+        if (one("showNumPages") or "").lower() == "true":
+            n = self.pager.num_pages(start, end, page_size)
+            return self._text(
+                200, f"{n}\n",
+                {NUM_PAGES_HEADER: str(n),
+                 CLUSTER_URI_HEADER: self.pager.cluster_dir},
+                send_body=send_body,
+            )
+
+        n = self.pager.num_pages(start, end, page_size)
+        if page >= n and page != 0:  # page 0 of an empty range is just empty
+            return self._text(400, f"page {page} >= numpages {n}\n",
+                              send_body=send_body)
+        blocks = self.pager.page_blocks(page, start, end, page_size)
+        if (one("showPagedIndex") or "").lower() == "true":
+            return self._text(200, self.pager.index_lines(blocks),
+                              send_body=send_body)
+        try:
+            body = self.pager.deref_lines(blocks, start, end)
+        except OSError as e:
+            return self._text(500, f"{e}\n", send_body=send_body)
+        return self._text(200, body, send_body=send_body)
+
+    def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        self._handle(send_body=True)
+
+    def do_HEAD(self) -> None:  # noqa: N802 — the reference probes via HEAD
+        self._handle(send_body=False)
+
+
+def make_cdx_server(
+    cluster_dir: str,
+    port: int = 8010,
+    page_size: int = 10,
+    hmac_secret: str | None = None,
+    filesystem=None,
+) -> ThreadingHTTPServer:
+    """Serve one ZipNum cluster over the HttpTextLoader paging contract
+    (loopback bind; ``port=0`` picks an ephemeral port for tests)."""
+    handler = type(
+        "BoundCDXClusterHandler",
+        (CDXClusterHandler,),
+        {
+            "pager": ClusterPager(cluster_dir, filesystem),
+            "page_size": page_size,
+            "hmac_secret": hmac_secret,
+        },
+    )
+    return ThreadingHTTPServer(("127.0.0.1", port), handler)
+
+
+def serve(
+    cluster_dir: str, port: int = 8010, page_size: int = 10
+) -> None:  # pragma: no cover - CLI loop
+    srv = make_cdx_server(cluster_dir, port, page_size)
+    try:
+        srv.serve_forever()
+    finally:
+        srv.server_close()

@@ -69,8 +69,6 @@ def read_http_paged(
     """
     import pandas as pd
 
-    if num_pages is None:
-        num_pages = discover_num_pages(url, cookie)
     push: dict[str, str] = {}
     if start is not None:
         push["start"] = start
@@ -78,6 +76,14 @@ def read_http_paged(
         push["end"] = end
 
     base = _with_params(url, push)
+    if num_pages is None:
+        # probe WITH the pushdown params: the reference's location URL
+        # already carries start/end when queryLineCount appends
+        # showNumPages (HttpTextLoader.java:189-196), so a pruned range
+        # costs proportionally fewer pages
+        num_pages = discover_num_pages(base, cookie)
+    if num_pages == 0:
+        return spark.createDataFrame([], "page long, value string")
     ck = cookie
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

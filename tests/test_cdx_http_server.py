@@ -1,0 +1,147 @@
+"""CDX cluster HTTP server (sources/cdx_http_server.py): the serving side
+of the HttpTextLoader paging contract, driven end-to-end by this repo's own
+read_http_paged client — two deployments of the engine feeding each other."""
+
+from __future__ import annotations
+
+import threading
+import urllib.request
+
+import pytest
+
+from ia_hadoop_tools_spark.sources.cdx_http_server import make_cdx_server
+from ia_hadoop_tools_spark.sources.http import discover_num_pages, read_http_paged
+from ia_hadoop_tools_spark.sources.zipnum import write_zipnum, zipnum_range
+
+N_LINES = 300
+LINES_PER_BLOCK = 20
+PAGE_SIZE = 3  # blocks per page
+
+
+def _lines():
+    return sorted(
+        f"com,site{i % 5})/p{i % 3} 2020010{i % 9 + 1}000000 "
+        f"http://site{i % 5}.com/p{i % 3} text/html 200 DIG{i} - - 10 "
+        f"{i * 7} f.warc.gz"
+        for i in range(N_LINES)
+    )
+
+
+@pytest.fixture(scope="module")
+def cluster_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("served") / "cluster")
+    df = spark.createDataFrame([(l,) for l in _lines()], "value: string")
+    write_zipnum(df, d, lines_per_block=LINES_PER_BLOCK, num_shards=2)
+    return d
+
+
+@pytest.fixture(scope="module")
+def server(cluster_dir):
+    srv = make_cdx_server(cluster_dir, port=0, page_size=PAGE_SIZE)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/cdx"
+    srv.shutdown()
+
+
+def _get(url: str, method: str = "GET"):
+    req = urllib.request.Request(url, method=method)
+    try:
+        resp = urllib.request.urlopen(req, timeout=30)
+        return resp.status, dict(resp.headers), resp.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read().decode()
+
+
+def _n_blocks(cluster_dir):
+    with open(f"{cluster_dir}/ALL.summary") as fh:
+        return sum(1 for _ in fh)
+
+
+def test_num_pages_probe_get_and_head(server, cluster_dir):
+    # blocks chunk per shard, so count them from the summary itself
+    want = -(-_n_blocks(cluster_dir) // PAGE_SIZE)
+    assert discover_num_pages(server) == want
+    # HEAD probe (the reference's queryLineCount uses HEAD): header only
+    status, headers, body = _get(f"{server}?showNumPages=true", method="HEAD")
+    assert status == 200 and int(headers["X-CDX-Num-Pages"]) == want
+    assert body == ""
+    assert headers["X-CDX-Cluster-Uri"]  # deref clients need the cluster loc
+
+
+def test_full_scan_matches_zipnum_range(spark, server, cluster_dir):
+    got = sorted(r.value for r in read_http_paged(spark, server).collect())
+    assert got == _lines()
+    direct = sorted(
+        r.value for r in zipnum_range(spark, cluster_dir, None, None).collect()
+    )
+    assert got == direct
+
+
+def test_range_pushdown_prunes_pages(spark, server, cluster_dir):
+    start, end = "com,site2)", "com,site3)"
+    # the probe carries start/end, so the page count shrinks server-side
+    assert discover_num_pages(server) > discover_num_pages(
+        f"{server}?start={start}&end={end}"
+    ) > 0
+    got = sorted(
+        r.value
+        for r in read_http_paged(spark, server, start=start, end=end).collect()
+    )
+    direct = sorted(
+        r.value
+        for r in zipnum_range(spark, cluster_dir, start, end).collect()
+    )
+    assert got == direct and got  # non-empty and identical
+
+
+def test_empty_range_yields_no_rows(spark, server):
+    # a range past every key keeps at most the conservative trailing block
+    # (its upper bound is unknown to the summary) and dereferences to zero
+    # lines; a range BELOW every key prunes to exactly zero pages
+    assert discover_num_pages(f"{server}?start=zzz&end=zzza") <= 1
+    assert read_http_paged(spark, server, start="zzz", end="zzza").count() == 0
+    assert discover_num_pages(f"{server}?end=aaa") == 0
+    assert read_http_paged(spark, server, end="aaa").count() == 0
+
+
+def test_show_paged_index_serves_summary(server, cluster_dir):
+    n = discover_num_pages(server)
+    got = ""
+    for page in range(n):
+        status, _, body = _get(f"{server}?showPagedIndex=true&page={page}")
+        assert status == 200
+        got += body
+    with open(f"{cluster_dir}/ALL.summary") as fh:
+        assert got == fh.read()
+
+
+def test_page_size_override_and_bad_requests(server, cluster_dir):
+    # pageSize=1 -> one block per page
+    assert discover_num_pages(f"{server}?pageSize=1") == _n_blocks(cluster_dir)
+    status, _, _ = _get(f"{server}?page=9999")
+    assert status == 400
+    status, _, _ = _get(f"{server}?page=-1")
+    assert status == 400
+    status, _, _ = _get(f"{server}?pageSize=oops")
+    assert status == 400
+
+
+def test_hmac_auth(cluster_dir):
+    from ia_hadoop_tools_spark.functions.authfns import hmac_cookie_str
+
+    srv = make_cdx_server(cluster_dir, port=0, hmac_secret="s3cret")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/cdx"
+        status, _, _ = _get(f"{url}?showNumPages=true")
+        assert status == 401
+        cookie = hmac_cookie_str("cdx_auth_token", "s3cret")
+        req = urllib.request.Request(f"{url}?showNumPages=true")
+        req.add_header("Cookie", cookie)
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
+            assert int(resp.headers["X-CDX-Num-Pages"]) > 0
+    finally:
+        srv.shutdown()
