@@ -1,0 +1,164 @@
+"""Batched, bounded-async external sink (the Cassandra importer shape).
+
+Reference: cassandra/CDXImporter.java:36-70,118-137 — rows accumulate into
+10k-statement UNLOGGED batches (``numToBatch``); batches go out as async
+futures with at most 8 in flight (``numActive``), applying backpressure by
+waiting on the OLDEST future before admitting a new one. That
+foreachPartition-writer-with-bounded-async-batches pattern is the one §2.2
+sink shape the engine lacked; this module is the generic Spark-first
+version, decoupled from any one database driver.
+
+Differences from the reference, on purpose:
+
+- The reference logs-and-continues on a batch timeout (data loss under
+  sustained failure). Here a batch retries ``retries`` times with backoff
+  and then RAISES, failing the Spark task — Spark re-runs the task, and
+  because every batch carries a deterministic idempotency key
+  (``partitionId-batchSeq``) an idempotent endpoint (Cassandra INSERT by
+  primary key, any upsert store) converges to exactly-once content.
+- Connection setup is per partition (``make_sender`` factory = the
+  reference's ``init``: connect + prepare once, then bind per batch).
+
+Scale: one connection pool per partition-task, ``max_in_flight`` bounds
+executor memory (at most ``max_in_flight * batch_size`` rows buffered in
+futures) and bounds pressure on the external store per task; totals ride
+Spark accumulators, not collected data.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from collections.abc import Callable, Iterator
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+#: reference operating constants (CDXImporter.java:38-46)
+DEFAULT_BATCH_SIZE = 10_000
+DEFAULT_MAX_IN_FLIGHT = 8
+DEFAULT_TIMEOUT = 180.0  # the reference's 3-minute future wait
+
+SendFn = Callable[[list[Any], str], None]
+
+
+def write_batched_async(
+    df: DataFrame,
+    make_sender: Callable[[int], SendFn],
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    max_in_flight: int = DEFAULT_MAX_IN_FLIGHT,
+    timeout: float = DEFAULT_TIMEOUT,
+    retries: int = 3,
+    backoff: float = 0.2,
+) -> dict[str, int]:
+    """Write ``df`` to an external store in bounded-async batches.
+
+    ``make_sender(partition_id)`` runs once per partition task and returns
+    ``send(rows, batch_id)``; ``send`` is called from a bounded thread pool
+    with at most ``batch_size`` rows and a deterministic ``batch_id``
+    (``"<partition>-<seq>"``) the endpoint can use as an idempotency key.
+    Backpressure matches the reference: when ``max_in_flight`` futures are
+    out, the OLDEST must finish before the next batch is admitted.
+
+    Returns ``{"rows": n, "batches": n, "retries": n}`` (accumulator
+    totals; task retries can overcount rows/batches — the endpoint's
+    idempotency, not the counters, is the correctness story).
+    """
+    if batch_size < 1 or max_in_flight < 1 or retries < 0:
+        raise ValueError("batch_size/max_in_flight >= 1, retries >= 0")
+    sc = df.sparkSession.sparkContext
+    rows_acc = sc.accumulator(0)
+    batches_acc = sc.accumulator(0)
+    retries_acc = sc.accumulator(0)
+
+    def send_with_retry(send: SendFn, rows: list[Any], batch_id: str) -> None:
+        for attempt in range(retries + 1):
+            try:
+                send(rows, batch_id)
+                rows_acc.add(len(rows))
+                batches_acc.add(1)
+                return
+            except Exception:
+                if attempt == retries:
+                    raise
+                retries_acc.add(1)
+                time.sleep(backoff * (2**attempt))
+
+    def run_partition(it: Iterator[Any]) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        send = make_sender(pid)
+        pool = ThreadPoolExecutor(max_workers=max_in_flight)
+        in_flight: deque = deque()
+        seq = 0
+        try:
+            def submit(rows: list[Any]) -> None:
+                nonlocal seq
+                if len(in_flight) >= max_in_flight:
+                    # admit-by-retiring-the-oldest (CDXImporter.sendBatch)
+                    in_flight.popleft().result(timeout=timeout)
+                in_flight.append(
+                    pool.submit(send_with_retry, send, rows, f"{pid}-{seq}")
+                )
+                seq += 1
+
+            batch: list[Any] = []
+            for row in it:
+                batch.append(row)
+                if len(batch) >= batch_size:
+                    submit(batch)
+                    batch = []
+            if batch:  # the close()-time flush
+                submit(batch)
+            while in_flight:
+                in_flight.popleft().result(timeout=timeout)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+            closer = getattr(send, "close", None)
+            if callable(closer):
+                closer()
+
+    df.rdd.foreachPartition(run_partition)
+    return {
+        "rows": rows_acc.value,
+        "batches": batches_acc.value,
+        "retries": retries_acc.value,
+    }
+
+
+def http_json_sender(
+    url: str, cookie: str | None = None, timeout: float = 60.0
+) -> Callable[[int], SendFn]:
+    """``make_sender`` posting each batch as a JSON array with an
+    ``X-Batch-Id`` idempotency header — the wire shape the tests' mock
+    endpoint (and any upsert HTTP store) consumes."""
+
+    def make(partition_id: int) -> SendFn:
+        import json
+        import urllib.request
+
+        def send(rows: list[Any], batch_id: str) -> None:
+            payload = [
+                r.asDict(recursive=True) if hasattr(r, "asDict") else dict(r)
+                for r in rows
+            ]
+            req = urllib.request.Request(
+                url,
+                data=json.dumps(payload).encode("utf-8"),
+                headers={
+                    "Content-Type": "application/json",
+                    "X-Batch-Id": batch_id,
+                },
+                method="POST",
+            )
+            if cookie:
+                req.add_header("Cookie", cookie)
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                if resp.status >= 300:
+                    raise OSError(f"sink endpoint returned {resp.status}")
+
+        return send
+
+    return make

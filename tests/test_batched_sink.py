@@ -1,0 +1,133 @@
+"""Batched bounded-async sink (sources/batched_sink.py) against a live mock
+endpoint: pins batch size, bounded in-flight concurrency (admit by retiring
+the oldest), and idempotent retry — the CDXImporter contract."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from ia_hadoop_tools_spark.sources.batched_sink import (
+    http_json_sender,
+    write_batched_async,
+)
+
+
+class _Endpoint(BaseHTTPRequestHandler):
+    """Idempotent upsert store keyed by row['k'], batch-aware."""
+
+    lock = threading.Lock()
+    store: dict  # k -> row
+    batch_sizes: dict  # batch_id -> size (last successful attempt)
+    attempts: dict  # batch_id -> count
+    active = 0
+    max_active = 0
+    fail_first_attempt = False
+    fail_always = False
+    delay = 0.0
+
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):  # noqa: N802 (http.server API)
+        cls = _Endpoint
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        rows = json.loads(body)
+        batch_id = self.headers["X-Batch-Id"]
+        with cls.lock:
+            cls.active += 1
+            cls.max_active = max(cls.max_active, cls.active)
+            cls.attempts[batch_id] = cls.attempts.get(batch_id, 0) + 1
+            first = cls.attempts[batch_id] == 1
+        try:
+            if cls.delay:
+                time.sleep(cls.delay)
+            if cls.fail_always or (cls.fail_first_attempt and first):
+                self.send_response(500)
+                self.end_headers()
+                return
+            with cls.lock:
+                for r in rows:  # upsert: retries converge, no duplicates
+                    cls.store[r["k"]] = r
+                cls.batch_sizes[batch_id] = len(rows)
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+        finally:
+            with cls.lock:
+                cls.active -= 1
+
+
+@pytest.fixture()
+def endpoint():
+    _Endpoint.store = {}
+    _Endpoint.batch_sizes = {}
+    _Endpoint.attempts = {}
+    _Endpoint.active = 0
+    _Endpoint.max_active = 0
+    _Endpoint.fail_first_attempt = False
+    _Endpoint.fail_always = False
+    _Endpoint.delay = 0.0
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Endpoint)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/ingest"
+    srv.shutdown()
+
+
+def test_batch_size_and_idempotent_retry(spark, endpoint):
+    _Endpoint.fail_first_attempt = True  # every batch fails once, then lands
+    df = spark.range(500).selectExpr("id as k", "id * 2 as v").repartition(2)
+    stats = write_batched_async(
+        df, http_json_sender(endpoint), batch_size=100,
+        max_in_flight=4, retries=3, backoff=0.01,
+    )
+    assert sorted(_Endpoint.store) == list(range(500))  # exactly-once content
+    assert all(r["v"] == r["k"] * 2 for r in _Endpoint.store.values())
+    assert all(s <= 100 for s in _Endpoint.batch_sizes.values())
+    assert stats["rows"] == 500
+    assert stats["batches"] == len(_Endpoint.batch_sizes)
+    assert stats["retries"] == len(_Endpoint.batch_sizes)  # one retry each
+    assert all(n == 2 for n in _Endpoint.attempts.values())
+
+
+def test_bounded_in_flight_concurrency(spark, endpoint):
+    _Endpoint.delay = 0.15
+    df = spark.range(600).selectExpr("id as k", "id as v").coalesce(1)
+    write_batched_async(
+        df, http_json_sender(endpoint), batch_size=100, max_in_flight=2,
+    )
+    assert sorted(_Endpoint.store) == list(range(600))
+    # the bound holds strictly, and async actually overlapped requests
+    assert _Endpoint.max_active <= 2
+    assert _Endpoint.max_active == 2
+
+
+def test_exhausted_retries_fail_the_job(spark, endpoint):
+    _Endpoint.fail_always = True
+    df = spark.range(10).selectExpr("id as k").coalesce(1)
+    with pytest.raises(Exception, match="500|returned"):
+        write_batched_async(
+            df, http_json_sender(endpoint), batch_size=5,
+            retries=1, backoff=0.01,
+        )
+
+
+def test_trailing_partial_batch_flushes(spark, endpoint):
+    df = spark.range(101).selectExpr("id as k").coalesce(1)
+    stats = write_batched_async(
+        df, http_json_sender(endpoint), batch_size=100,
+    )
+    assert sorted(_Endpoint.store) == list(range(101))
+    assert sorted(_Endpoint.batch_sizes.values()) == [1, 100]
+    assert stats["batches"] == 2
+
+
+def test_bad_params_raise(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        write_batched_async(df, http_json_sender("http://x"), batch_size=0)
