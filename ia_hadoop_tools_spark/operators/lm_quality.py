@@ -40,6 +40,11 @@ def train_char_lm(
     context assigns mass to unseen continuations. The table also carries
     each context's smoothed FLOOR (``logp_unseen``) on every row;
     :func:`lm_score` reads context floors from a distinct projection.
+
+    LAZY: constructing the model launches no Spark job — V rides along as
+    a 1-row broadcast aggregate folded into the plan. An empty reference
+    yields an empty model, which :func:`lm_score` rejects (an empty model
+    would score every doc 0.0, the best possible score).
     """
     from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
 
@@ -48,12 +53,7 @@ def train_char_lm(
     chars = reference.select(
         F.explode(F.split(t, "(?!$)")).alias("__c")
     )
-    v = chars.select("__c").distinct().count()
-    if v == 0:
-        raise ValueError(
-            "train_char_lm: reference corpus has no characters — an empty "
-            "model would score every doc 0.0 (the best possible score)"
-        )
+    vdf = chars.agg(F.count_distinct("__c").alias("__v"))
     bigrams = reference.filter(F.length(t) >= 2).select(
         F.explode(
             F.transform(
@@ -71,23 +71,25 @@ def train_char_lm(
     )
     return (
         pair_counts.join(ctx_counts, "ctx")
+        .crossJoin(F.broadcast(vdf))
         .select(
             "ctx",
             "nxt",
             F.round(
                 F.log(
                     (F.col("__pn") + F.lit(smooth_k))
-                    / (F.col("__cn") + F.lit(smooth_k * v))
+                    / (F.col("__cn") + F.lit(smooth_k) * F.col("__v"))
                 ),
                 6,
             ).alias("logp"),
             F.round(
                 F.log(
-                    F.lit(smooth_k) / (F.col("__cn") + F.lit(smooth_k * v))
+                    F.lit(smooth_k)
+                    / (F.col("__cn") + F.lit(smooth_k) * F.col("__v"))
                 ),
                 6,
             ).alias("logp_unseen"),
-            F.lit(round(__import__("math").log(1.0 / v), 6)).alias(
+            F.round(F.log(F.lit(1.0) / F.col("__v")), 6).alias(
                 "logp_nocontext"
             ),
         )

@@ -68,11 +68,32 @@ def test_unseen_context_uses_global_floor(spark):
 def test_degenerate_model_raises(spark):
     import pytest as _pytest
 
+    # an empty reference builds (lazily) an empty model, which lm_score
+    # rejects — emptiness surfaces at the first action, not construction
     empty_ref = spark.createDataFrame([], "doc_id: long, text: string")
-    with _pytest.raises(ValueError, match="no characters"):
-        train_char_lm(empty_ref)
-    ref, model = _model(spark)
-    empty_model = model.filter("1 = 0")
     docs = spark.createDataFrame([(1, "ab")], "doc_id: long, text: string")
     with _pytest.raises(ValueError, match="model is empty"):
+        lm_score(docs, train_char_lm(empty_ref))
+    ref, model = _model(spark)
+    empty_model = model.filter("1 = 0")
+    with _pytest.raises(ValueError, match="model is empty"):
         lm_score(docs, empty_model)
+
+
+def test_train_launches_no_jobs_at_construction(spark):
+    """Model construction is LAZY: zero Spark jobs until an action (the
+    old implementation ran a distinct().count() vocabulary census plus an
+    empty-check per construction). Same guard as the textops builders."""
+    ref = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "jumps over the lazy dog")],
+        "doc_id: long, text: string",
+    )
+    sc = spark.sparkContext
+    group = "lazy-lm-construction-probe"
+    sc.setJobGroup(group, "no jobs may appear here")
+    try:
+        train_char_lm(ref)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup("", "")
+    assert list(jobs or []) == []
