@@ -2,6 +2,7 @@
 
 from ia_hadoop_tools_spark.plans.partitioning import (  # noqa: F401
     assign_range_ids,
+    boundaries_from_summary,
     parse_splitfile,
     sample_boundaries,
     write_named_shards,

@@ -82,6 +82,15 @@ def assign_range_ids(
     return df.withColumn(out_col, pandas_udf(_bucket, "int")(key))
 
 
+def _pick_evenly(keys: list, n_ranges: int) -> list:
+    """n_ranges-1 evenly-ranked boundary keys from a sorted sample
+    (ZipNumPartitioner's every-(n/splits)th-line pick, :120-127)."""
+    if not keys:
+        return []
+    step = len(keys) / n_ranges
+    return sorted({keys[min(int(i * step), len(keys) - 1)] for i in range(1, n_ranges)})
+
+
 def sample_boundaries(
     df: DataFrame,
     key_col: str,
@@ -95,22 +104,61 @@ def sample_boundaries(
     itself, so it works for STRING sort keys where ``approxQuantile`` doesn't).
     Feed the result to ``assign_range_ids``/``write_named_shards`` to re-shard
     new data congruently with an existing cluster. Deterministic for a fixed
-    (data, seed); driver memory is bounded by ``sample_size`` keys.
+    (data, partitioning, seed); driver memory is bounded by ``sample_size``
+    keys.
+
+    ONE Spark job, no pre-count: a uniform ``sample_size``-row sample is the
+    global top-k by a seeded random priority (``TakeOrdered`` — per-partition
+    bounded heaps, merge of partials), so the table is scanned exactly once.
+    When the table IS a cluster on disk, prefer
+    :func:`boundaries_from_summary`: the summary is ~1/3000 of the data and
+    already stratified.
     """
     if n_ranges < 2:
         return []
-    n = df.count()
-    if n == 0:
-        return []
-    frac = min(1.0, sample_size / n)
-    sampled = df.select(key_col) if frac >= 1.0 else df.select(key_col).sample(
-        fraction=frac, seed=seed
+    sampled = (
+        df.select(key_col)
+        .filter(F.col(key_col).isNotNull())
+        .withColumn("__r", F.rand(seed))
+        .orderBy("__r")
+        .limit(sample_size)
     )
-    keys = sorted(r[0] for r in sampled.collect() if r[0] is not None)
-    if not keys:
+    keys = sorted(r[0] for r in sampled.collect())
+    return _pick_evenly(keys, n_ranges)
+
+
+def boundaries_from_summary(
+    spark: SparkSession,
+    cluster_dir: str,
+    n_ranges: int,
+    sample_size: int = 100_000,
+    seed: int = 42,
+    filesystem=None,
+) -> list:
+    """Boundary keys for re-sharding, read from an existing cluster's
+    ALL.summary instead of scanning the data — the literal
+    ZipNumPartitioner strategy (mapreduce/ZipNumPartitioner.java:92-135).
+
+    Blocks hold equal line counts, so block keys are an exact stratified
+    sample of the row distribution; at 100 TB the summary is ~1/3000 of the
+    data and this touches ZERO data files. ``sample_size`` bounds driver
+    memory when even the summary is huge (same top-k-by-random-priority
+    sample as :func:`sample_boundaries`).
+    """
+    from ia_hadoop_tools_spark.sources.zipnum import load_summary
+
+    if n_ranges < 2:
         return []
-    step = len(keys) / n_ranges
-    return sorted({keys[min(int(i * step), len(keys) - 1)] for i in range(1, n_ranges)})
+    summary = load_summary(spark, cluster_dir, filesystem)
+    sampled = (
+        summary.select("summary_key")
+        .filter(F.col("summary_key").isNotNull())
+        .withColumn("__r", F.rand(seed))
+        .orderBy("__r")
+        .limit(sample_size)
+    )
+    keys = sorted(r[0] for r in sampled.collect())
+    return _pick_evenly(keys, n_ranges)
 
 
 def write_named_shards(

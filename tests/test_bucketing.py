@@ -57,3 +57,56 @@ def test_sample_boundaries_string_keys(spark):
 
     # determinism
     assert bounds == sample_boundaries(df, "urlkey", 4, sample_size=2000)
+
+
+def test_sample_boundaries_single_job_no_precount(spark):
+    """The sample is one TakeOrdered job — no full-table count() first
+    (the old path scanned the table twice; at 100 TB the extra scan per
+    re-shard is real money)."""
+    df = spark.createDataFrame(
+        [(f"k{i:05d}",) for i in range(5000)], "urlkey: string"
+    )
+    sc = spark.sparkContext
+    group = "sample-boundaries-job-probe"
+    sc.setJobGroup(group, "exactly one job may appear here")
+    try:
+        bounds = sample_boundaries(df, "urlkey", 4, sample_size=1000)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup("", "")
+    assert len(bounds) >= 1
+    assert len(list(jobs or [])) == 1
+
+
+def test_boundaries_from_summary_matches_data_path(spark, tmp_path):
+    """ZipNumPartitioner mode: boundaries sampled from an existing
+    cluster's ALL.summary (zero data-file reads) split the data as evenly
+    as boundaries sampled from the rows themselves."""
+    from ia_hadoop_tools_spark.plans.partitioning import boundaries_from_summary
+    from ia_hadoop_tools_spark.sources.zipnum import write_zipnum
+
+    lines = sorted(f"k{i:05d} 20200101000000 x" for i in range(6000))
+    df = spark.createDataFrame([(l,) for l in lines], "value: string")
+    d = str(tmp_path / "cluster")
+    write_zipnum(df, d, lines_per_block=10, num_shards=2)
+
+    keyed = spark.createDataFrame(
+        [(l.split(" ")[0],) for l in lines], "urlkey: string"
+    )
+    for bounds in (
+        boundaries_from_summary(spark, d, 4),
+        sample_boundaries(keyed, "urlkey", 4, sample_size=3000),
+    ):
+        assert 1 <= len(bounds) <= 3 and bounds == sorted(bounds)
+        # interior boundaries -> range starts: prepend range 0's start
+        ided = assign_range_ids(keyed, [""] + bounds, "urlkey")
+        sizes = [
+            r.n
+            for r in ided.groupBy("range_id").agg(F.count("*").alias("n")).collect()
+        ]
+        # each range within 2x of an even split
+        assert min(sizes) > 6000 / 4 / 2 and max(sizes) < 6000 / 4 * 2
+    # summary path is deterministic too
+    assert boundaries_from_summary(spark, d, 4) == boundaries_from_summary(
+        spark, d, 4
+    )
