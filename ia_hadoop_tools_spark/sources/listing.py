@@ -102,6 +102,12 @@ def parse_date_filter(expr: str):
     return lambda mtime: all(fn(mtime, d) for fn, d in parsed)
 
 
+#: past this many driver-walked entries, list_files_df hands off to the
+#: distributed walk (the 10M+-file LSR case should never serialize through
+#: one os.walk loop)
+AUTO_DISTRIBUTE_THRESHOLD = 100_000
+
+
 def list_files_df(
     spark: SparkSession,
     root: str,
@@ -111,13 +117,25 @@ def list_files_df(
     max_mtime: float | None = None,
     date_filter: str | None = None,
     num_partitions: int | None = None,
+    auto_distribute_threshold: int | None = AUTO_DISTRIBUTE_THRESHOLD,
 ) -> DataFrame:
     """Recursive file enumeration -> DataFrame(path, size, mtime).
 
-    The walk is driver-side (file listings are metadata — tiny next to data);
-    the returned DataFrame is the fan-out axis for per-file extraction jobs
-    (FilenameInputFormat semantics: one record per file name).
+    Small trees walk driver-side (file listings are metadata — tiny next
+    to data); the returned DataFrame is the fan-out axis for per-file
+    extraction jobs (FilenameInputFormat semantics: one record per file
+    name). Past ``auto_distribute_threshold`` enumerated files — or for
+    any non-local URI root — the call routes itself to
+    :func:`list_files_df_distributed`, so callers never driver-walk a
+    10M-file tree by accident (pass ``None`` to force the driver walk).
     """
+    from ia_hadoop_tools_spark.sources import fsio
+
+    if fsio.has_scheme(root):  # URI roots (file/hdfs/s3/gs) walk via pyarrow
+        return list_files_df_distributed(
+            spark, root, extensions, include_hidden, min_mtime, max_mtime,
+            date_filter, num_partitions=num_partitions,
+        )
     pred = parse_date_filter(date_filter) if date_filter else None
     rows = []
     for dirpath, dirnames, filenames in os.walk(root):
@@ -137,6 +155,14 @@ def list_files_df(
             if pred is not None and not pred(st.st_mtime):
                 continue
             rows.append((full, st.st_size, datetime.utcfromtimestamp(st.st_mtime)))
+            if (
+                auto_distribute_threshold is not None
+                and len(rows) > auto_distribute_threshold
+            ):
+                return list_files_df_distributed(
+                    spark, root, extensions, include_hidden, min_mtime,
+                    max_mtime, date_filter, num_partitions=num_partitions,
+                )
     df = spark.createDataFrame(rows, "path: string, size: long, mtime: timestamp")
     return df.repartition(num_partitions) if num_partitions else df
 
@@ -150,6 +176,7 @@ def _visible(name: str) -> bool:
 
 def _walk_subtree(
     dir_path: str,
+    uri_prefix: str,
     extensions: tuple[str, ...],
     include_hidden: bool,
     min_mtime: float | None,
@@ -158,9 +185,16 @@ def _walk_subtree(
 ):
     """Recursively list one subtree through pyarrow.fs — runs IN the worker.
 
-    The filesystem is re-resolved from the URI inside the task (fs handles
-    don't need to pickle); hidden-dir pruning walks level-by-level, so a
-    hidden subtree costs one listing call, not a full descent.
+    ``dir_path`` is a scheme-stripped pyarrow path (``info.path`` — e.g.
+    ``bucket/key`` for s3); ``uri_prefix`` is the original root's
+    ``scheme://authority`` prefix, re-attached before resolving so the
+    worker lands on the SAME filesystem as the driver (a bare resolve
+    would silently fall back to LocalFileSystem). The filesystem is
+    re-resolved inside the task (fs handles don't need to pickle);
+    hidden-dir pruning walks level-by-level, so a hidden subtree costs one
+    listing call, not a full descent. A failure listing the shipped
+    subtree root RAISES (a silently skipped frontier entry = silently
+    partial results); directories that vanish mid-walk are tolerated.
     """
     from datetime import datetime
 
@@ -168,14 +202,20 @@ def _walk_subtree(
 
     from ia_hadoop_tools_spark.sources import fsio
 
-    fs, p = fsio.resolve(dir_path)
+    fs, p = fsio.resolve(uri_prefix + dir_path)
+    root_path = p
     stack = [p]
     while stack:
         cur = stack.pop()
         try:
             infos = fs.get_file_info(pafs.FileSelector(cur, recursive=False))
-        except OSError:  # dir vanished between frontier build and walk
-            continue
+        except OSError:
+            if cur == root_path:
+                raise OSError(
+                    f"cannot list shipped subtree {uri_prefix + dir_path!r}"
+                    " — results would be silently partial"
+                )
+            continue  # dir vanished between discovery and walk: a race
         for info in infos:
             name = info.base_name
             if not include_hidden and not _visible(name):
@@ -196,7 +236,7 @@ def _walk_subtree(
             if pred is not None and not pred(mts):
                 continue
             yield (
-                info.path,
+                uri_prefix + info.path,
                 int(info.size or 0),
                 datetime.utcfromtimestamp(mts),
             )
@@ -235,6 +275,14 @@ def list_files_df_distributed(
 
     pred = parse_date_filter(date_filter) if date_filter else None
     fs, base = fsio.resolve(root)
+    # scheme://authority prefix of the original root: pyarrow's info.path
+    # is scheme-stripped, so every path shipped to a worker (and every
+    # returned row) gets the prefix back — a schemeless re-resolve would
+    # silently fall back to LocalFileSystem on hdfs/s3/gs roots
+    root_n = root.rstrip("/") or root
+    uri_prefix = (
+        root_n[: -len(base)] if base and root_n.endswith(base) else ""
+    )
 
     shallow_rows: list[tuple] = []
     frontier = [base]
@@ -259,7 +307,7 @@ def list_files_df_distributed(
                     if pred is not None and not pred(mts):
                         continue
                     shallow_rows.append(
-                        (info.path, int(info.size or 0),
+                        (uri_prefix + info.path, int(info.size or 0),
                          datetime.utcfromtimestamp(mts))
                     )
         frontier = nxt
@@ -273,7 +321,8 @@ def list_files_df_distributed(
         sc = spark.sparkContext
         n_slices = min(len(frontier), sc.defaultParallelism * 4)
         args = (
-            tuple(extensions), include_hidden, min_mtime, max_mtime, pred,
+            uri_prefix, tuple(extensions), include_hidden, min_mtime,
+            max_mtime, pred,
         )
         deep = spark.createDataFrame(
             sc.parallelize(sorted(frontier), n_slices).flatMap(

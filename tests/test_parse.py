@@ -250,6 +250,46 @@ def test_list_files_distributed_matches_driver_walk(spark, tmp_path):
     }
     assert got == {"top.warc.gz", "mid.warc.gz", "old.warc.gz", "deep.warc.gz"}
 
+    # AUTO route: past the threshold list_files_df hands off to the
+    # distributed walk — same result set, RDD-backed plan
+    auto = list_files_df(spark, str(tmp_path), auto_distribute_threshold=1)
+    assert {
+        (r.path, r.size) for r in auto.collect()
+    } == {(r.path, r.size) for r in list_files_df(spark, str(tmp_path)).collect()}
+    assert "ExistingRDD" in auto._jdf.queryExecution().toString()
+
+    # URI roots keep their scheme end-to-end: frontier subtrees are
+    # re-prefixed before the worker resolves them (a schemeless resolve
+    # would fall back to LocalFileSystem on hdfs/s3 and silently return
+    # partial results), and returned paths are full URIs
+    uri = {
+        r.path
+        for r in list_files_df(
+            spark, f"file://{tmp_path}", extensions=(".warc.gz",)
+        ).collect()
+    }
+    assert uri == {
+        f"file://{tmp_path}/top.warc.gz",
+        f"file://{tmp_path}/a/mid.warc.gz",
+        f"file://{tmp_path}/a/old.warc.gz",
+        f"file://{tmp_path}/a/b/c/d/deep.warc.gz",
+    }
+
+
+def test_walk_subtree_root_failure_raises(tmp_path):
+    """A frontier subtree the worker cannot list must RAISE, not silently
+    drop its files from the result."""
+    import pytest as _pytest
+
+    from ia_hadoop_tools_spark.sources.listing import _walk_subtree
+
+    with _pytest.raises(OSError, match="silently partial"):
+        list(
+            _walk_subtree(
+                str(tmp_path / "never-existed"), "", (), False, None, None, None
+            )
+        )
+
 
 def test_cdxj_roundtrip_and_format(spark):
     """CDXJ emission format (urlkey ts {json-with-nulls-omitted}) and the
