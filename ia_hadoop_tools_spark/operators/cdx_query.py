@@ -144,6 +144,7 @@ def cdx_query(
     limit: int | None = None,
     sort: str = "default",
     closest: str | None = None,
+    collapse_segment: int | None = 8,
 ) -> DataFrame:
     """Query a typed CDX cluster with CDX-Server semantics (module doc).
 
@@ -162,6 +163,10 @@ def cdx_query(
         raise ValueError("sort='closest' requires closest=<ts14>, and vice versa")
     if closest is not None and not closest.isdigit():
         raise ValueError(f"closest must be a digit-string timestamp: {closest!r}")
+    if collapse_segment is not None and not 1 <= collapse_segment <= _TS_LEN:
+        raise ValueError(
+            f"collapse_segment must be 1..{_TS_LEN} or None: {collapse_segment}"
+        )
     out = cluster.filter(_key_predicate(url, match_type))
     if from_ts:
         out = out.filter(F.col("timestamp") >= _pad_ts(from_ts, True))
@@ -181,13 +186,56 @@ def cdx_query(
         # pywb collapse merges ADJACENT repeats only: keep a row iff its
         # collapse value differs from the previous row's (per urlkey, in
         # the output order) — non-adjacent repeats survive
-        w = Window.partitionBy(F.col("urlkey")).orderBy(*order)
-        prev = F.lag(cval).over(w)
-        out = (
-            out.withColumn("__keep", prev.isNull() | (cval != prev))
-            .filter(F.col("__keep"))
-            .drop("__keep")
-        )
+        if collapse_segment is None:
+            # one window task per urlkey: fine for normal histories, a
+            # single hot task for a mega-URL (tens of millions of captures)
+            w = Window.partitionBy(F.col("urlkey")).orderBy(*order)
+            prev = F.lag(cval).over(w)
+            out = (
+                out.withColumn("__keep", prev.isNull() | (cval != prev))
+                .filter(F.col("__keep"))
+                .drop("__keep")
+            )
+        else:
+            # SEGMENTED collapse, bit-identical to the single window: the
+            # per-urlkey window is bounded by a timestamp-prefix bucket
+            # (default 8 = per day), so a 25-year mega-history spreads over
+            # ~9k tasks instead of one. Stitch: each segment's first row
+            # compares against the PREVIOUS segment's last collapse value,
+            # computed as a tiny (urlkey, segment)-grained aggregate whose
+            # own lag window runs over segments, not captures.
+            seg = F.substring(F.col("timestamp"), 1, collapse_segment)
+            tb = [F.col("timestamp")] + [F.col(c) for c in _TIEBREAK]
+            out = out.withColumn("__cv", cval).withColumn("__seg", seg)
+            wseg = Window.partitionBy("urlkey", "__seg").orderBy(*order)
+            out = out.withColumn("__prev", F.lag("__cv").over(wseg)).withColumn(
+                "__rn", F.row_number().over(wseg)
+            )
+            # last collapse value per segment: max over (order..., cv)
+            # structs == the ascending-order last row's value (null cv and
+            # null tiebreaks order exactly like the window's orderBy)
+            seg_last = (
+                out.groupBy("urlkey", "__seg")
+                .agg(F.max(F.struct(*tb, F.col("__cv"))).alias("__m"))
+                .select(
+                    "urlkey", "__seg", F.col("__m").getField("__cv").alias("__last")
+                )
+            )
+            wprev = Window.partitionBy("urlkey").orderBy("__seg")
+            seg_prev = seg_last.withColumn(
+                "__seg_prev", F.lag("__last").over(wprev)
+            ).drop("__last")
+            eff_prev = F.when(F.col("__rn") == 1, F.col("__seg_prev")).otherwise(
+                F.col("__prev")
+            )
+            out = (
+                out.join(seg_prev, ["urlkey", "__seg"], "left")
+                .withColumn(
+                    "__keep", eff_prev.isNull() | (F.col("__cv") != eff_prev)
+                )
+                .filter(F.col("__keep"))
+                .drop("__cv", "__seg", "__prev", "__rn", "__seg_prev", "__keep")
+            )
     if sort == "reverse":
         # exact reverse of the default order within each urlkey
         final = [F.col("timestamp").desc()] + [

@@ -148,6 +148,40 @@ def test_urlkey_predicate_reaches_pushed_filters(spark, tmp_path):
     assert q.count() > 0
 
 
+def test_segmented_collapse_identical_to_single_window(spark):
+    """The day-segmented collapse (mega-URL skew fix) must be BIT-IDENTICAL
+    to the single per-urlkey window, including same-day runs crossing
+    segment boundaries, null collapse values, and multi-key mixes."""
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(600):
+        k = f"com,s{i % 3})/"
+        day = rnd.randint(1, 9)
+        ts = f"2020010{day}{rnd.randint(0, 23):02d}{rnd.randint(0, 59):02d}00"
+        dig = rnd.choice(["D1", "D1", "D2", None])  # runs + nulls
+        rows.append(
+            (k, ts, f"http://s{i % 3}.com/", "text/html", 200, dig,
+             None, None, 1, i, "f")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "urlkey: string, timestamp: string, original_url: string, "
+        "mimetype: string, statuscode: int, digest: string, redirect: string, "
+        "meta_flags: string, compressed_length: long, compressed_offset: long, "
+        "filename: string",
+    )
+    for coll in ("digest", "timestamp:8", "timestamp:10"):
+        seg = cdx_query(df, "http://s1.com/", collapse=coll).collect()
+        single = cdx_query(
+            df, "http://s1.com/", collapse=coll, collapse_segment=None
+        ).collect()
+        assert seg == single, coll
+    with pytest.raises(ValueError, match="collapse_segment"):
+        cdx_query(df, "http://s1.com/", collapse="digest", collapse_segment=0)
+
+
 def test_sort_reverse(cluster):
     got = _keys(cdx_query(cluster, "http://example.com/", sort="reverse"))
     fwd = _keys(cdx_query(cluster, "http://example.com/"))
