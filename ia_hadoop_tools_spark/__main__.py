@@ -416,8 +416,11 @@ def cmd_gzrange_server(args):
     (server/GZRangeServer.java:29-50; default port 8009)."""
     from ia_hadoop_tools_spark.sources.gzrange_server import serve
 
-    print(f"gzrange-server: listening on 127.0.0.1:{args.port}")
-    serve(args.port)
+    print(
+        f"gzrange-server: listening on 127.0.0.1:{args.port}"
+        f" (root: {args.root or 'unconfined'})"
+    )
+    serve(args.port, root_dir=args.root)
 
 
 def cmd_cdx_server(args):
@@ -440,6 +443,7 @@ def main(argv=None):
         help="HTTP server for one-gzip-member unbounded range requests",
     )
     s.add_argument("port", nargs="?", type=int, default=8009)
+    s.add_argument("--root", help="serve only files under this directory")
     s.set_defaults(fn=cmd_gzrange_server)
 
     s = sub.add_parser(

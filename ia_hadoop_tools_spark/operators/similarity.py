@@ -214,9 +214,15 @@ def train_ivf_centroids(
         F.col(vec_col).alias("__vec"),
         l2_norm(F.col(vec_col)).alias("__norm"),
     )
+    # zero-norm vectors would make __cos NaN (NaN sorts ABOVE every double,
+    # so their cell would depend on evaluation order): pin them to -1 so
+    # they deterministically land in the lowest-id tie-break cell
     cos_c = F.round(
-        dot_product(F.col("__vec"), F.col("__cvec"))
-        / (F.col("__norm") * F.col("__cnorm")),
+        F.when(
+            F.col("__norm") > 0,
+            dot_product(F.col("__vec"), F.col("__cvec"))
+            / (F.col("__norm") * F.col("__cnorm")),
+        ).otherwise(F.lit(-1.0)),
         6,
     )
     for _ in range(iters):
@@ -236,7 +242,10 @@ def train_ivf_centroids(
                 "__cell", F.posexplode("__vec").alias("__pos", "__x")
             )
             .groupBy("__cell", "__pos")
-            .agg(F.avg("__x").alias("__m"))
+            # rounded mean: double avg is accumulation-order-dependent at
+            # the last ulps, and unrounded means would make the trained
+            # centroids drift run-to-run with partitioning
+            .agg(F.round(F.avg("__x"), 6).alias("__m"))
             .groupBy("__cell")
             .agg(
                 F.array_sort(

@@ -76,9 +76,16 @@ class GZRangeHandler(BaseHTTPRequestHandler):
     a valid unexpired cookie (functions/authfns.py) — the server side of
     the reference's signed-fetch loop (ArchiveFileExtractor signs, the
     range service verifies); 401 otherwise.
+
+    With ``root_dir`` set, only files under it are served: the request
+    path is realpath-normalized and must stay inside the root (403
+    otherwise), making the reference's implicit serve-the-archive-tree
+    deployment assumption explicit — a cookie authorizes the archive
+    tree, not every file the process can read.
     """
 
     hmac_secret: str | None = None
+    root_dir: str | None = None
 
     def log_message(self, fmt, *args):  # quiet: tests drive many requests
         pass
@@ -104,6 +111,11 @@ class GZRangeHandler(BaseHTTPRequestHandler):
                 return self._text(401, "invalid or expired cookie")
         u = urlparse(self.path)
         target = u.path
+        if self.root_dir is not None:
+            real = os.path.realpath(target)
+            root = os.path.realpath(self.root_dir)
+            if real != root and not real.startswith(root + os.sep):
+                return self._text(403, "path outside served root")
         if not os.path.isfile(target):
             return self._text(404, "not found")
         if not os.access(target, os.R_OK):
@@ -132,19 +144,23 @@ class GZRangeHandler(BaseHTTPRequestHandler):
 
 
 def make_server(
-    port: int = 8009, hmac_secret: str | None = None
+    port: int = 8009,
+    hmac_secret: str | None = None,
+    root_dir: str | None = None,
 ) -> ThreadingHTTPServer:
     handler = GZRangeHandler
-    if hmac_secret is not None:
+    if hmac_secret is not None or root_dir is not None:
         handler = type(
-            "AuthGZRangeHandler", (GZRangeHandler,),
-            {"hmac_secret": hmac_secret},
+            "BoundGZRangeHandler", (GZRangeHandler,),
+            {"hmac_secret": hmac_secret, "root_dir": root_dir},
         )
     return ThreadingHTTPServer(("127.0.0.1", port), handler)
 
 
-def serve(port: int = 8009) -> None:  # pragma: no cover - CLI loop
-    srv = make_server(port)
+def serve(
+    port: int = 8009, root_dir: str | None = None
+) -> None:  # pragma: no cover - CLI loop
+    srv = make_server(port, root_dir=root_dir)
     try:
         srv.serve_forever()
     finally:

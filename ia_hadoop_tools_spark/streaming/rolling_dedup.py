@@ -16,10 +16,14 @@ is IDEMPOTENT per batch — novel docs overwrite a ``batch_id=N`` corpus
 partition, so a replayed batch rewrites its own output instead of
 duplicating it — which upgrades the composition to effectively-once.
 
-Index publication is versioned-directory + atomic swap: each cycle saves to
-``index/vNNN`` then moves a ``CURRENT`` pointer file — readers resolve the
-pointer and never observe a half-written index (the TMP+rename protocol,
-jobs/CDXGenerator.java:123-136, applied to a directory tree).
+Index publication is versioned directories with a ``_PUBLISHED`` marker
+written LAST: readers resolve the highest marked ``vNNN`` and never observe
+a half-written index (the TMP+rename commit idea, jobs/CDXGenerator.java:
+123-136, applied to a directory tree without relying on
+rename-with-overwrite — pyarrow's HDFS move fails when the destination
+exists, and object-store renames are copy+delete, so a mutable pointer
+file cannot be swapped atomically everywhere). A ``CURRENT`` pointer file
+is still refreshed as an ops convenience, but nothing depends on it.
 """
 
 from __future__ import annotations
@@ -37,9 +41,12 @@ from ia_hadoop_tools_spark.operators.dedup_index import (
 from ia_hadoop_tools_spark.sources import fsio
 
 CURRENT = "CURRENT"
+PUBLISHED_MARKER = "_PUBLISHED"
 
 
-def _existing_versions(index_root: str) -> list[int]:
+def _existing_versions(
+    index_root: str, published_only: bool = False
+) -> list[int]:
     from pyarrow import fs as pafs
 
     fs, p = fsio.resolve(index_root)
@@ -51,33 +58,62 @@ def _existing_versions(index_root: str) -> list[int]:
     for i in infos:
         name = i.base_name
         if name.startswith("v") and name[1:].isdigit():
+            if published_only:
+                marker = fs.get_file_info(
+                    f"{i.path}/{PUBLISHED_MARKER}"
+                )
+                if marker.type == pafs.FileType.NotFound:
+                    continue  # crashed mid-save: ignore the partial dir
             out.append(int(name[1:]))
     return sorted(out)
 
 
 def publish_index(index: CorpusDedupIndex, index_root: str) -> str:
-    """Save ``index`` as the next version and swap the CURRENT pointer.
+    """Save ``index`` as the next version and mark it published.
 
-    The next version comes from scanning existing ``vNNN`` dirs (not from
-    CURRENT), so a crash that loses the pointer never restarts at v000
-    over data a stale reader may still hold; the pointer swap is a single
-    rename-with-overwrite — no remove-then-rename window where CURRENT is
-    absent.
+    The next version comes from scanning ALL existing ``vNNN`` dirs
+    (published or partial), so a crash mid-save never reuses a dir and a
+    lost pointer never restarts at v000 over data a stale reader may
+    still hold. The commit point is the ``_PUBLISHED`` marker written
+    LAST inside the version dir — a plain create, atomic on every
+    filesystem (local/HDFS/object stores), unlike rename-with-overwrite
+    which pyarrow's HDFS move rejects and object stores emulate as
+    copy+delete. CURRENT is refreshed best-effort for ops visibility;
+    readers resolve versions from markers, never from CURRENT.
     """
     vers = _existing_versions(index_root)
     vdir = f"v{(vers[-1] + 1) if vers else 0:03d}"
     index.save(fsio.join(index_root, vdir))
+    with fsio.open_write_text(
+        fsio.join(index_root, vdir, PUBLISHED_MARKER)
+    ) as fh:
+        fh.write("ok")
     cur = fsio.join(index_root, CURRENT)
     tmp = fsio.join(index_root, f"_tmp.{CURRENT}")
     with fsio.open_write_text(tmp) as fh:
         fh.write(vdir)
-    fsio.rename(tmp, cur)  # overwrites atomically on local/HDFS
+    try:
+        fsio.rename(tmp, cur)
+    except OSError:
+        # HDFS rename won't overwrite: retire the old pointer first. The
+        # brief absent-pointer window is harmless — no reader uses CURRENT.
+        try:
+            fsio.remove(cur)
+            fsio.rename(tmp, cur)
+        except OSError:
+            pass
     return vdir
 
 
 def load_current_index(spark: SparkSession, index_root: str) -> CorpusDedupIndex:
-    with fsio.open_read_text(fsio.join(index_root, CURRENT)) as fh:
-        vdir = fh.read().strip()
+    """Load the highest PUBLISHED version (marker-resolved; falls back to
+    the CURRENT pointer only for pre-marker layouts)."""
+    vers = _existing_versions(index_root, published_only=True)
+    if vers:
+        vdir = f"v{vers[-1]:03d}"
+    else:
+        with fsio.open_read_text(fsio.join(index_root, CURRENT)) as fh:
+            vdir = fh.read().strip()
     return CorpusDedupIndex.load(spark, fsio.join(index_root, vdir))
 
 

@@ -121,3 +121,31 @@ def test_hmac_authenticated_server(gzfile):
         assert _gzip.decompress(payload) == RECORDS[1]
     finally:
         srv.shutdown()
+
+
+def test_root_confinement(gzfile, tmp_path):
+    """With root_dir set, only files under it are served: a readable file
+    outside the root (or a ../ escape normalizing outside) gets 403."""
+    import os as _os
+    import threading as _threading
+
+    path, offsets, _ = gzfile
+    outside = tmp_path / "outside.gz"
+    outside.write_bytes(_member(b"outside payload"))
+
+    root = _os.path.dirname(path)
+    srv = make_server(port=0, root_dir=root)
+    t = _threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # in-root file still serves
+        payload = fetch_member(base, path, offsets[0])
+        assert gzip.decompress(payload) == RECORDS[0]
+        # a file the process CAN read but outside the root: refused
+        assert _status(f"{base}{outside}?offset=0") == 403
+        # ../ escape that normalizes outside the root: refused
+        esc = f"{root}/../{outside.parent.name}/{outside.name}"
+        assert _status(f"{base}{esc}?offset=0") == 403
+    finally:
+        srv.shutdown()

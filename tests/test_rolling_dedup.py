@@ -83,3 +83,18 @@ def test_rolling_dedup_cycles(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.read.parquet(corpus).count() == 3
+
+    # every published version carries the _PUBLISHED commit marker
+    for v in ("v000", "v001"):
+        assert os.path.exists(os.path.join(index_root, v, "_PUBLISHED"))
+
+    # a crash mid-save leaves an UNMARKED partial dir: readers must skip
+    # it (no marker), and the next publish must not reuse its number
+    os.makedirs(os.path.join(index_root, "v002", "exact"))
+    idx2 = load_current_index(spark, index_root)
+    assert idx2.buckets.select("cid").distinct().count() == 3  # still v001
+    from ia_hadoop_tools_spark.streaming.rolling_dedup import publish_index
+
+    assert publish_index(idx2, index_root) == "v003"
+    idx3 = load_current_index(spark, index_root)
+    assert idx3.buckets.select("cid").distinct().count() == 3

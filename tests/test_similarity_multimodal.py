@@ -107,8 +107,28 @@ def test_train_ivf_centroids_deterministic_and_recall(spark):
     cent2 = train_ivf_centroids(emb, num_centroids=16, iters=3)
     rows1 = sorted(map(tuple, cent1.collect()))
     rows2 = sorted(map(tuple, cent2.collect()))
-    assert rows1 == rows2  # seeded + exact means -> bitwise deterministic
+    assert rows1 == rows2  # seeded + rounded means -> bitwise deterministic
     assert len(rows1) == 16
+    # determinism must survive a DIFFERENT physical partitioning (double
+    # avg accumulates in partition order; the rounded means absorb that)
+    cent3 = train_ivf_centroids(emb.repartition(7), num_centroids=16, iters=3)
+    assert sorted(map(tuple, cent3.collect())) == rows1
+    # zero-norm vectors assign deterministically (pinned cos = -1), never
+    # poisoning the mean update with NaNs
+    dim = len(emb.first().embedding)
+    zero = spark.createDataFrame(
+        [(99_991, [0.0] * dim), (99_992, [0.0] * dim)],
+        "vec_id: long, embedding: array<double>",
+    )
+    cz = train_ivf_centroids(
+        emb.select("vec_id", "embedding").unionByName(zero),
+        num_centroids=16, iters=2,
+    )
+    got = cz.collect()
+    assert len(got) == 16
+    assert all(
+        all(not (x != x) for x in r["__cvec"]) for r in got
+    )  # no NaN anywhere
 
     def recall(result):
         exact = {
