@@ -22,6 +22,12 @@ Contract served (all parameters in the query string):
   (blocks ranged-read + gunzipped, lines bounded to ``[start, end)``).
 - ``showPagedIndex=true&page=i`` → that page's SUMMARY lines (tab-separated
   ``key shard offset length``) — the deref client fetches blocks itself.
+- ``key=<urlkey>&closest=<ts>[&limit=n]`` → the n captures of that urlkey
+  nearest the 14-digit timestamp, nearest first (ties toward the earlier
+  capture) — Wayback's point lookup, served the way pywb serves
+  ``sort=closest``: binary search the summary to the covering blocks
+  (cdx/CDXCluster.java:31-43), deref only those, rank by seconds
+  distance. Cost is O(blocks holding that urlkey), not a cluster scan.
 - With ``hmac_secret``, every request must carry a valid HMAC cookie
   (functions/authfns.py); 401 otherwise — the ``cdx_auth_token`` pattern
   (pig/HttpTextLoader.java:199-204).
@@ -49,6 +55,24 @@ from ia_hadoop_tools_spark.sources.zipnum import _gunzip_salvage
 
 NUM_PAGES_HEADER = "X-CDX-Num-Pages"  # HttpTextLoader.java:60
 CLUSTER_URI_HEADER = "X-CDX-Cluster-Uri"  # HttpTextLoader.java:61
+
+
+def _ts14_seconds(ts: str) -> int:
+    """ts14 -> seconds since 1970-01-01, timezone-free — the same calendar
+    arithmetic as operators/cdx_query._ts14_seconds, so the served closest
+    ranking and the DataFrame sort=closest ranking agree exactly."""
+    from datetime import date
+
+    days = (
+        date(int(ts[0:4]), int(ts[4:6]), int(ts[6:8])).toordinal()
+        - date(1970, 1, 1).toordinal()
+    )
+    return (
+        days * 86400
+        + int(ts[8:10]) * 3600
+        + int(ts[10:12]) * 60
+        + int(ts[12:14])
+    )
 
 
 class ClusterPager:
@@ -101,6 +125,29 @@ class ClusterPager:
         return "".join(
             f"{k}\t{shard}\t{off}\t{ln}\n" for k, shard, off, ln in blocks
         )
+
+    def closest_lines(self, urlkey: str, ts: str, limit: int = 1) -> str:
+        """The ``limit`` captures of ``urlkey`` nearest ``ts``, nearest
+        first; ties break toward the earlier capture. Touches only the
+        blocks whose key range can hold the urlkey ('!' is the smallest
+        printable above the key-field separator, so ``[key, key + '!')``
+        bounds exactly that urlkey's lines)."""
+        lo, hi = self.prune(urlkey, urlkey + "!")
+        target = _ts14_seconds(ts.ljust(14, "0"))
+        scored = []
+        for line in self.deref_lines(
+            self.blocks[lo:hi], urlkey, urlkey + "!"
+        ).splitlines():
+            parts = line.split(" ", 2)
+            if len(parts) < 2 or parts[0] != urlkey:
+                continue
+            try:
+                dist = abs(_ts14_seconds(parts[1]) - target)
+            except ValueError:
+                continue  # malformed capture timestamp: not rankable
+            scored.append((dist, parts[1], line))
+        scored.sort()
+        return "".join(line + "\n" for _, _, line in scored[:limit])
 
     def deref_lines(
         self, blocks, start: str | None, end: str | None
@@ -180,6 +227,20 @@ class CDXClusterHandler(BaseHTTPRequestHandler):
                 200, f"{n}\n",
                 {NUM_PAGES_HEADER: str(n),
                  CLUSTER_URI_HEADER: self.pager.cluster_dir},
+                send_body=send_body,
+            )
+
+        ts = one("closest")
+        if ts is not None:
+            key = one("key")
+            lim = one("limit") or "1"
+            if not key or len(ts) < 4 or not ts.isdigit() or not lim.isdigit():
+                return self._text(
+                    400, "closest requires key=<urlkey>, digit ts, digit limit\n",
+                    send_body=send_body,
+                )
+            return self._text(
+                200, self.pager.closest_lines(key, ts, int(lim)),
                 send_body=send_body,
             )
 

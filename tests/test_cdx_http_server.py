@@ -127,6 +127,52 @@ def test_page_size_override_and_bad_requests(server, cluster_dir):
     assert status == 400
 
 
+def test_closest_point_lookup(server, cluster_dir):
+    """Wayback's point lookup served over HTTP: nearest capture(s) to a
+    timestamp for one urlkey, ranked by calendar-seconds distance with
+    ties toward the earlier capture, touching only the covering blocks."""
+    from ia_hadoop_tools_spark.sources.cdx_http_server import ClusterPager
+
+    key = "com,site2)/p1"
+    # captures of this key: i%5==2 and i%3==1 -> i%15==7 -> days i%9+1
+    want_all = sorted(l for l in _lines() if l.startswith(key + " "))
+    assert want_all  # fixture sanity
+
+    status, _, body = _get(f"{server}?key={key}&closest=20200104120000&limit=3")
+    assert status == 200
+    got = body.splitlines()
+    assert len(got) == 3
+    # rank the fixture lines the same way and compare exactly
+    def secs(ts):
+        from datetime import date
+        return (
+            (date(int(ts[:4]), int(ts[4:6]), int(ts[6:8])).toordinal() - 719162)
+            * 86400
+            + int(ts[8:10]) * 3600 + int(ts[10:12]) * 60 + int(ts[12:14])
+        )
+    target = secs("20200104120000")
+    want = sorted(
+        want_all, key=lambda l: (abs(secs(l.split(" ")[1]) - target), l.split(" ")[1])
+    )[:3]
+    assert got == want
+
+    # default limit is 1 (the classic "closest capture")
+    status, _, body = _get(f"{server}?key={key}&closest=2020010500")
+    assert status == 200 and len(body.splitlines()) == 1
+
+    # the lookup is block-bounded: covering blocks for one key are a tiny
+    # slice of the cluster
+    pager = ClusterPager(cluster_dir)
+    lo, hi = pager.prune(key, key + "!")
+    assert 0 < hi - lo < len(pager.blocks) / 3
+
+    # unknown key -> empty 200, bad requests -> 400
+    status, _, body = _get(f"{server}?key=zz,nope)/&closest=20200101")
+    assert status == 200 and body == ""
+    assert _get(f"{server}?closest=20200101")[0] == 400
+    assert _get(f"{server}?key={key}&closest=notdigits")[0] == 400
+
+
 def test_hmac_auth(cluster_dir):
     from ia_hadoop_tools_spark.functions.authfns import hmac_cookie_str
 
