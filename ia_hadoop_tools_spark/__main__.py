@@ -423,6 +423,31 @@ def cmd_gzrange_server(args):
     serve(args.port, root_dir=args.root)
 
 
+def cmd_http_export(args):
+    """http-export: push a parquet table to an HTTP endpoint in bounded
+    async batches (the Cassandra importer shape, cassandra/CDXImporter.java:
+    36-70 — batch_size rows per POST, max_in_flight futures, idempotent
+    batch ids)."""
+    from ia_hadoop_tools_spark.sources.batched_sink import (
+        http_json_sender,
+        write_batched_async,
+    )
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    stats = write_batched_async(
+        df,
+        http_json_sender(args.url, cookie=args.cookie),
+        batch_size=args.batch_size,
+        max_in_flight=args.max_in_flight,
+        retries=args.retries,
+    )
+    print(
+        f"http-export: {stats['rows']} rows in {stats['batches']} batches "
+        f"-> {args.url} ({stats['retries']} retries)"
+    )
+
+
 def cmd_cdx_server(args):
     """cdx-server: serve a ZipNum cluster over the HttpTextLoader paging
     contract (pig/HttpTextLoader.java:80-138; default port 8010)."""
@@ -445,6 +470,18 @@ def main(argv=None):
     s.add_argument("port", nargs="?", type=int, default=8009)
     s.add_argument("--root", help="serve only files under this directory")
     s.set_defaults(fn=cmd_gzrange_server)
+
+    s = sub.add_parser(
+        "http-export",
+        help="push a parquet table to an HTTP endpoint in async batches",
+    )
+    s.add_argument("input")
+    s.add_argument("url")
+    s.add_argument("--batch-size", type=int, default=10_000)
+    s.add_argument("--max-in-flight", type=int, default=8)
+    s.add_argument("--retries", type=int, default=3)
+    s.add_argument("--cookie")
+    s.set_defaults(fn=cmd_http_export)
 
     s = sub.add_parser(
         "cdx-server",

@@ -2728,6 +2728,35 @@ LIMIT 7
 """
 
 
+# 68. cdx_server_reverse — pywb's sort=reverse (latest captures first);
+# with limit=9 the RESULT SET is the nine LATEST captures of the urlkey,
+# so the oracle genuinely checks the reversed order, not just the filter.
+
+
+def q_cdx_server_reverse(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.cdx_query import cdx_query
+
+    return cdx_query(
+        _gen_cdx_cluster(spark),
+        "http://sub.example.com/p5",
+        sort="reverse",
+        limit=9,
+    )
+
+
+SQL_CDX_SERVER_REVERSE = f"""
+WITH {_SQL_GEN_CDX_CLUSTER}
+SELECT urlkey, timestamp, original_url, mimetype,
+       CAST(statuscode AS INTEGER) AS statuscode, digest, redirect,
+       meta_flags, compressed_length, compressed_offset, filename
+FROM gen
+WHERE urlkey = 'com,example,sub)/p5'
+ORDER BY timestamp DESC, original_url DESC, digest DESC,
+         compressed_offset DESC, filename DESC
+LIMIT 9
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2799,6 +2828,7 @@ QUERIES = {
     "cdxj_roundtrip": q_cdxj_roundtrip,
     "cdx_server_query": q_cdx_server_query,
     "cdx_server_closest": q_cdx_server_closest,
+    "cdx_server_reverse": q_cdx_server_reverse,
 }
 
 ORACLES = {
@@ -2869,4 +2899,5 @@ ORACLES = {
     "cdxj_roundtrip": SQL_CDX_PARSE,
     "cdx_server_query": SQL_CDX_SERVER_QUERY,
     "cdx_server_closest": SQL_CDX_SERVER_CLOSEST,
+    "cdx_server_reverse": SQL_CDX_SERVER_REVERSE,
 }

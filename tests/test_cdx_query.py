@@ -239,6 +239,43 @@ def test_sort_closest_tie_breaks_earlier(spark):
     assert got == [("com,a)/", "20200101000000")]
 
 
+def test_closest_keeps_pushdown_and_bounded_topk(spark, tmp_path):
+    """sort=closest on a parquet cluster: the exact-match key stays a
+    pushable literal (EqualTo in PushedFilters — row-group pruning on the
+    sorted layout) and the nearest-k is TakeOrderedAndProject (bounded
+    per-partition heaps), never a full sort."""
+    from ia_hadoop_tools_spark.operators.cluster import write_cluster
+
+    rows = [
+        (f"com,s{i % 9})/p{i % 4}", f"2020010{i % 9 + 1}000000",
+         f"http://s{i % 9}.com/p{i % 4}", "text/html", 200, f"D{i}",
+         None, None, 1, i, "f.warc.gz")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "urlkey: string, timestamp: string, original_url: string, "
+        "mimetype: string, statuscode: int, digest: string, redirect: string, "
+        "meta_flags: string, compressed_length: long, compressed_offset: long, "
+        "filename: string",
+    )
+    path = str(tmp_path / "ccluster")
+    write_cluster(df, path, num_ranges=3)
+    q = cdx_query(
+        spark.read.parquet(path), "http://s3.com/p2",
+        sort="closest", closest="20200105", limit=3,
+    )
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "EqualTo(urlkey,com,s3)/p2" in plan
+    assert "TakeOrderedAndProject" in plan
+    got = [r.timestamp for r in q.collect()]
+    # every capture of com,s3)/p2 lands on day 4 (i = 30 mod 36 fixes the
+    # day); nearest-3 to the 20200105 target is that same-day trio
+    assert got == ["20200104000000"] * 3
+
+
 def test_bad_specs_raise(cluster):
     with pytest.raises(ValueError, match="match_type"):
         cdx_query(cluster, "http://example.com/", "fuzzy")

@@ -164,3 +164,41 @@ def test_cdxj_convert_cli(spark, tmp_path, capsys):
     key, ts, obj = got.strip().split(" ", 2)
     assert (key, ts) == ("com,x)/", "20200101000000")
     assert json.loads(obj)["url"] == "http://x.com/"
+
+
+def test_http_export(spark, tmp_path, capsys):
+    import json as _json
+    import threading as _threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    received = {}
+
+    class _Sink(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):  # noqa: N802
+            rows = _json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+            )
+            for r in rows:
+                received[r["k"]] = r
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Sink)
+    _threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = str(tmp_path / "t.parquet")
+        spark.range(250).selectExpr("id as k", "id * 3 as v").write.parquet(src)
+        out = _run(
+            capsys, "http-export", src,
+            f"http://127.0.0.1:{srv.server_address[1]}/ingest",
+            "--batch-size", "100",
+        )
+        assert "250 rows" in out
+        assert sorted(received) == list(range(250))
+        assert all(received[k]["v"] == k * 3 for k in received)
+    finally:
+        srv.shutdown()
