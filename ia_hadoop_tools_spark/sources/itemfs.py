@@ -229,3 +229,127 @@ def make_item_filesystem(
     return pafs.PyFileSystem(
         ItemFileSystemHandler(api_base, dl_base, cache_items)
     )
+
+
+def search_collection_items(
+    api_base: str,
+    collection: str,
+    rows_per_page: int = 200,
+    max_retries: int = 5,
+    retry_delay: float = 0.5,
+    timeout: float = 60.0,
+) -> list[tuple[str, float]]:
+    """Collection id -> ``[(itemid, publicdate_epoch)]`` via the paged
+    search API — the ItemSearcher pattern (hadoop/fs/ItemSearcher.java:
+    23-29; SearchEngineItemSearcher.java:74-160 pages /advancedsearch.php
+    200 rows at a time with bounded retries; rows/paging/retry constants
+    mirror it).
+
+    Protocol: ``GET {api}/advancedsearch.php?q=collection:{c}&start=N&
+    rows=M&output=json`` -> ``{"response": {"numFound": n, "docs":
+    [{"identifier", "publicdate"}]}}`` with ISO-Z publicdates.
+    """
+    import time as _time
+    import urllib.parse
+    from datetime import datetime, timezone
+
+    out: list[tuple[str, float]] = []
+    start = 0
+    while True:
+        q = urllib.parse.urlencode(
+            {
+                "q": f"collection:{collection}",
+                "start": str(start),
+                "rows": str(rows_per_page),
+                "output": "json",
+            }
+        )
+        url = f"{api_base}/advancedsearch.php?{q}"
+        last_err: Exception | None = None
+        for attempt in range(max_retries):
+            try:
+                with urllib.request.urlopen(url, timeout=timeout) as resp:
+                    payload = json.loads(resp.read().decode("utf-8"))
+                break
+            except OSError as e:  # retry transient fetch errors, like :120-146
+                last_err = e
+                _time.sleep(retry_delay * (attempt + 1))
+        else:
+            raise OSError(
+                f"search failed after {max_retries} tries: {url}"
+            ) from last_err
+        r = payload.get("response") or {}
+        docs = r.get("docs") or []
+        for d in docs:
+            pd = d.get("publicdate")
+            try:
+                mt = (
+                    datetime.strptime(pd, "%Y-%m-%dT%H:%M:%SZ")
+                    .replace(tzinfo=timezone.utc)
+                    .timestamp()
+                    if pd
+                    else 0.0
+                )
+            except ValueError:
+                mt = 0.0  # isodatetime2timestamp returns 0 on parse failure
+            out.append((d["identifier"], mt))
+        start += len(docs)
+        if not docs or start >= int(r.get("numFound", 0)):
+            return out
+
+
+def list_collection_files_df(
+    spark,
+    api_base: str,
+    dl_base: str,
+    collection: str,
+    rows_per_page: int = 200,
+):
+    """Every file of every item in a collection ->
+    ``DataFrame(path, size, mtime)`` with ``path = itemid/name`` readable
+    through :func:`make_item_filesystem` — the PetaboxFileSystem
+    listStatus-over-a-collection flow as a distributed listing: the item
+    search is one driver-side metadata query (item counts are small next
+    to file counts), then each item's metadata fetch runs executor-side,
+    one task axis per item, mirroring how LSR listings fan out.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    items = search_collection_items(
+        api_base, collection, rows_per_page=rows_per_page
+    )
+    if not items:
+        return spark.createDataFrame(
+            [], "path: string, size: long, mtime: timestamp"
+        )
+    api = api_base
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from datetime import datetime
+
+        for pdf in batches:
+            for itemid in pdf["itemid"]:
+                with urllib.request.urlopen(
+                    f"{api}/metadata/{itemid}", timeout=60
+                ) as resp:
+                    meta = json.loads(resp.read().decode("utf-8"))
+                files = meta.get("files") or []
+                yield pd.DataFrame(
+                    {
+                        "path": [f"{itemid}/{f['name']}" for f in files],
+                        "size": [int(f.get("size") or 0) for f in files],
+                        "mtime": [
+                            datetime.utcfromtimestamp(
+                                float(f.get("mtime") or 0)
+                            )
+                            for f in files
+                        ],
+                    }
+                )
+
+    ids = spark.createDataFrame(
+        [(i,) for i, _ in items], "itemid: string"
+    ).repartition(min(len(items), 64))
+    return ids.mapInPandas(fetch, schema="path string, size long, mtime timestamp")

@@ -18,17 +18,50 @@ from pyarrow import fs as pafs
 from ia_hadoop_tools_spark.sources.itemfs import make_item_filesystem
 
 
+_handlers: dict = {}
+
+
 @pytest.fixture(scope="module")
 def item_server(tmp_path_factory):
-    """Serves ``root/<itemid>/*`` files + /metadata/<itemid> JSON + ranges."""
+    """Serves ``root/<itemid>/*`` files + /metadata/<itemid> JSON + ranges
+    + a paged /advancedsearch.php (collection = item-name prefix)."""
     root = tmp_path_factory.mktemp("items")
 
     class H(BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
 
+        search_fail_next = 0  # set >0 to 500 the next N search requests
+
         def do_GET(self):
-            parts = self.path.strip("/").split("/")
+            from urllib.parse import parse_qs, urlsplit
+
+            u = urlsplit(self.path)
+            parts = u.path.strip("/").split("/")
+            if parts[0] == "advancedsearch.php":
+                if H.search_fail_next > 0:
+                    H.search_fail_next -= 1
+                    self.send_error(500)
+                    return
+                q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                coll = q["q"].split(":", 1)[1]
+                items = sorted(
+                    d.name for d in root.iterdir()
+                    if d.is_dir() and d.name.startswith(coll)
+                )
+                start, rows = int(q["start"]), int(q["rows"])
+                docs = [
+                    {"identifier": i, "publicdate": "2020-01-02T03:04:05Z"}
+                    for i in items[start : start + rows]
+                ]
+                body = json.dumps(
+                    {"response": {"numFound": len(items), "docs": docs}}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if parts[0] == "metadata" and len(parts) == 2:
                 item = root / parts[1]
                 if not item.is_dir():
@@ -70,6 +103,7 @@ def item_server(tmp_path_factory):
                 return
             self.send_error(404)
 
+    _handlers["H"] = H
     srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -147,3 +181,55 @@ def test_zipnum_datasource_over_item_protocol(spark, item_server):
         .collect()
     )
     assert [r.value for r in got] == lines[50:90]
+
+
+def test_search_collection_items_paged_with_retries(item_server):
+    """The ItemSearcher pattern: paged advancedsearch with bounded retries
+    — 5 items at 2 rows/page = 3 requests, transient 500s retried."""
+    import os as _os
+
+    from ia_hadoop_tools_spark.sources.itemfs import search_collection_items
+
+    root, base = item_server
+    for i in range(5):
+        d = _os.path.join(root, f"warcs-x-{i:02d}")
+        _os.makedirs(d, exist_ok=True)
+        with open(_os.path.join(d, f"f{i}.txt"), "w") as fh:
+            fh.write("payload")
+
+    got = search_collection_items(base, "warcs-x", rows_per_page=2)
+    assert [i for i, _ in got] == [f"warcs-x-{i:02d}" for i in range(5)]
+    assert all(mt > 0 for _, mt in got)  # publicdate parsed
+
+    _handlers["H"].search_fail_next = 2  # two transient failures, then ok
+    got2 = search_collection_items(
+        base, "warcs-x", rows_per_page=200, retry_delay=0.01
+    )
+    assert [i for i, _ in got2] == [i for i, _ in got]
+
+    _handlers["H"].search_fail_next = 99  # permanent failure -> raises
+    with pytest.raises(OSError, match="search failed"):
+        search_collection_items(
+            base, "warcs-x", max_retries=2, retry_delay=0.01
+        )
+    _handlers["H"].search_fail_next = 0
+
+    assert search_collection_items(base, "no-such-coll") == []
+
+
+def test_list_collection_files_df(spark, item_server):
+    """Collection -> distributed per-item metadata listing -> every file
+    readable through the item filesystem by the listed path."""
+    from ia_hadoop_tools_spark.sources.itemfs import list_collection_files_df
+
+    root, base = item_server
+    df = list_collection_files_df(spark, base, base, "warcs-x")
+    rows = {r.path: r.size for r in df.collect()}
+    assert sorted(rows) == [f"warcs-x-{i:02d}/f{i}.txt" for i in range(5)]
+    assert all(s == len("payload") for s in rows.values())
+
+    ifs = make_item_filesystem(base, base)
+    with ifs.open_input_file(sorted(rows)[0]) as fh:
+        assert fh.read() == b"payload"
+
+    assert list_collection_files_df(spark, base, base, "zzz").count() == 0
