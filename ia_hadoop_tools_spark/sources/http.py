@@ -24,6 +24,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 NUM_PAGES_HEADER = "X-CDX-Num-Pages"  # HttpTextLoader.java:60
+CLUSTER_URI_HEADER = "X-CDX-Cluster-Uri"  # HttpTextLoader.java:61
 
 
 def _with_params(url: str, extra: dict[str, str]) -> str:
@@ -39,15 +40,26 @@ def discover_num_pages(url: str, cookie: str | None = None, timeout: int = 60) -
     """Driver-side probe: ``&showNumPages=true`` -> X-CDX-Num-Pages header
     (falls back to the response body if the header is absent, matching the
     reference's tolerant parse)."""
+    return discover_cluster_info(url, cookie, timeout)[0]
+
+
+def discover_cluster_info(
+    url: str, cookie: str | None = None, timeout: int = 60
+) -> tuple[int, str | None]:
+    """``(num_pages, cluster_uri)`` from one probe — the reference's
+    queryLineCount reads BOTH headers (HttpTextLoader.java:189-225:
+    X-CDX-Num-Pages for the split count, X-CDX-Cluster-Uri to switch the
+    record reader into deref mode)."""
     probe = _with_params(url, {"showNumPages": "true"})
     req = urllib.request.Request(probe)
     if cookie:
         req.add_header("Cookie", cookie)
     with urllib.request.urlopen(req, timeout=timeout) as resp:
+        cluster_uri = resp.headers.get(CLUSTER_URI_HEADER)
         hdr = resp.headers.get(NUM_PAGES_HEADER)
         if hdr is not None:
-            return int(hdr.strip())
-        return int(resp.read().decode().strip())
+            return int(hdr.strip()), cluster_uri
+        return int(resp.read().decode().strip()), cluster_uri
 
 
 def read_http_paged(
@@ -104,3 +116,88 @@ def read_http_paged(
     else:
         pages = pages.repartition(num_pages)  # one task per page, as reference
     return pages.mapInPandas(fetch, schema="page long, value string")
+
+
+def read_http_zipnum_deref(
+    spark: SparkSession,
+    url: str,
+    cluster_uri: str | None = None,
+    start: str | None = None,
+    end: str | None = None,
+    cookie: str | None = None,
+    num_pages: int | None = None,
+    timeout: int = 300,
+    skip_bad: bool = False,
+    filesystem=None,
+) -> DataFrame:
+    """DEREF mode: fetch only SUMMARY pages over HTTP, pull data blocks
+    directly from storage — pig/HttpZipNumDerefLineRecordReader.java:30-75
+    (the record reader asks the server for ``showPagedIndex`` splits, then
+    ``ZipNumIndex.getCDXIterator`` reads the shards itself).
+
+    This is the scale architecture: the HTTP server moves ~1/3000 of the
+    bytes (index lines); every task streams its blocks straight from the
+    cluster filesystem (``cluster_uri`` — discovered from the probe's
+    X-CDX-Cluster-Uri header when not given), so data bandwidth scales
+    with the cluster, not with one server. ``start``/``end`` push down
+    twice: the server prunes index pages, and each task re-bounds emitted
+    lines. Returns DataFrame(value), rows identical to ``zipnum_range``.
+    """
+    from pyspark.sql import Row
+
+    from ia_hadoop_tools_spark.sources.zipnum import _read_blocks
+
+    push: dict[str, str] = {"showPagedIndex": "true"}
+    if start is not None:
+        push["start"] = start
+    if end is not None:
+        push["end"] = end
+    base = _with_params(url, push)
+    if num_pages is None or cluster_uri is None:
+        n, uri = discover_cluster_info(base, cookie)
+        num_pages = n if num_pages is None else num_pages
+        cluster_uri = uri if cluster_uri is None else cluster_uri
+    if cluster_uri is None:
+        raise ValueError(
+            "deref mode needs cluster_uri (server sent no X-CDX-Cluster-Uri)"
+        )
+    if num_pages == 0:
+        return spark.createDataFrame([], "value: string")
+
+    ck, s, e, d, sb, fs_obj, to = (
+        cookie, start, end, cluster_uri, skip_bad, filesystem, timeout,
+    )
+    acc = spark.sparkContext.accumulator(0) if skip_bad else None
+
+    def deref(pages) -> "list[Row]":
+        for page in pages:
+            page_url = _with_params(base, {"page": str(int(page))})
+            req = urllib.request.Request(page_url)
+            if ck:
+                req.add_header("Cookie", ck)
+            with urllib.request.urlopen(req, timeout=to) as resp:
+                text = resp.read().decode("utf-8", errors="replace")
+            rows = []
+            for line in text.split("\n"):
+                if not line:
+                    continue
+                key, shard, off, length = line.split("\t")
+                rows.append(
+                    Row(
+                        summary_key=key, shard=shard,
+                        offset=int(off), length=int(length),
+                    )
+                )
+            yield from _read_blocks(
+                d, iter(rows), s, e, skip_bad=sb, bad_acc=acc,
+                filesystem=fs_obj,
+            )
+
+    rdd = (
+        spark.sparkContext.parallelize(range(num_pages), num_pages)
+        .mapPartitions(deref)
+    )
+    df = spark.createDataFrame(rdd, "value: string")
+    if acc is not None:
+        df.skip_bad_count = acc
+    return df

@@ -127,6 +127,34 @@ def test_page_size_override_and_bad_requests(server, cluster_dir):
     assert status == 400
 
 
+def test_deref_mode_reads_blocks_directly(spark, server, cluster_dir):
+    """HttpZipNumDeref flow: summary pages over HTTP (cluster_uri
+    discovered from the probe header), data blocks pulled straight from
+    the cluster filesystem — rows identical to the served scan and the
+    direct scan, with and without range pushdown."""
+    from ia_hadoop_tools_spark.sources.http import read_http_zipnum_deref
+
+    got = sorted(
+        r.value for r in read_http_zipnum_deref(spark, server).collect()
+    )
+    assert got == _lines()
+
+    start, end = "com,site1)", "com,site2)"
+    got = sorted(
+        r.value
+        for r in read_http_zipnum_deref(
+            spark, server, start=start, end=end
+        ).collect()
+    )
+    direct = sorted(
+        r.value for r in zipnum_range(spark, cluster_dir, start, end).collect()
+    )
+    assert got == direct and got
+
+    # empty range short-circuits to zero pages
+    assert read_http_zipnum_deref(spark, server, end="aaa").count() == 0
+
+
 def test_closest_point_lookup(server, cluster_dir):
     """Wayback's point lookup served over HTTP: nearest capture(s) to a
     timestamp for one urlkey, ranked by calendar-seconds distance with
