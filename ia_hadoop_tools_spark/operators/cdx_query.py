@@ -61,14 +61,29 @@ def _pad_ts(ts: str, low: bool) -> str:
     return ts.ljust(_TS_LEN, "0" if low else "9")
 
 
+#: low CALENDAR defaults for closest-target padding: month/day pad to 01,
+#: not 00 — '2020' must become 20200101000000, a real date; zero-padding
+#: would make to_date NULL and silently break the distance ranking
+_CLOSEST_PAD = "01" "01" "000000"
+
+
+def pad_closest_ts(ts: str) -> str:
+    """Partial closest timestamp (>=4 digits) -> valid 14-digit target."""
+    return ts + _CLOSEST_PAD[len(ts) - 4 :] if len(ts) < _TS_LEN else ts[:_TS_LEN]
+
+
 def _ts14_seconds(ts: Column) -> Column:
     """ts14 string -> seconds since 1970-01-01 00:00:00, timezone-free.
 
-    ``to_date``/``unix_date`` are pure calendar arithmetic (no session-tz
-    dependence), so closest-distance ranking is deterministic across
-    drivers and matches a naive-timestamp SQL oracle exactly.
+    ``try_to_date``/``unix_date`` are pure calendar arithmetic (no
+    session-tz dependence), so closest-distance ranking is deterministic
+    across drivers and matches a naive-timestamp SQL oracle exactly.
+    Non-calendar timestamps (Feb 30 in dirty CDX data) yield NULL — under
+    ANSI mode plain ``to_date`` would fail the whole query on one bad row.
     """
-    days = F.unix_date(F.to_date(F.substring(ts, 1, 8), "yyyyMMdd"))
+    days = F.unix_date(
+        F.call_function("try_to_date", F.substring(ts, 1, 8), F.lit("yyyyMMdd"))
+    )
     return (
         days.cast("long") * 86400
         + F.substring(ts, 9, 2).cast("long") * 3600
@@ -161,8 +176,10 @@ def cdx_query(
         raise ValueError(f"sort must be default|reverse|closest: {sort!r}")
     if (sort == "closest") != (closest is not None):
         raise ValueError("sort='closest' requires closest=<ts14>, and vice versa")
-    if closest is not None and not closest.isdigit():
-        raise ValueError(f"closest must be a digit-string timestamp: {closest!r}")
+    if closest is not None and (not closest.isdigit() or len(closest) < 4):
+        raise ValueError(
+            f"closest must be a >=4-digit timestamp prefix: {closest!r}"
+        )
     if collapse_segment is not None and not 1 <= collapse_segment <= _TS_LEN:
         raise ValueError(
             f"collapse_segment must be 1..{_TS_LEN} or None: {collapse_segment}"
@@ -242,11 +259,14 @@ def cdx_query(
             F.col(c).desc() for c in _TIEBREAK
         ]
     elif sort == "closest":
-        target = _ts14_seconds(F.lit(_pad_ts(closest, True)))
+        target = _ts14_seconds(F.lit(pad_closest_ts(closest)))
         dist = F.abs(_ts14_seconds(F.col("timestamp")) - target)
         # tie toward the earlier capture: equidistant before/after T picks
-        # the before-T row (then the usual total tie-break)
-        final = [dist.asc()] + order
+        # the before-T row (then the usual total tie-break). NULLs LAST:
+        # a malformed capture timestamp (Feb 30 etc. in dirty CDX data)
+        # has NULL distance and must rank as farthest, never nearest —
+        # matching the HTTP server, which skips unrankable captures.
+        final = [dist.asc_nulls_last()] + order
     else:
         final = order
     out = out.orderBy(F.col("urlkey").asc(), *final)

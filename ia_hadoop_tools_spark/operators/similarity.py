@@ -214,12 +214,14 @@ def train_ivf_centroids(
         F.col(vec_col).alias("__vec"),
         l2_norm(F.col(vec_col)).alias("__norm"),
     )
-    # zero-norm vectors would make __cos NaN (NaN sorts ABOVE every double,
-    # so their cell would depend on evaluation order): pin them to -1 so
-    # they deterministically land in the lowest-id tie-break cell
+    # zero-norm VECTORS or zero-norm seed CENTROIDS (an all-zero corpus
+    # vector can be hash-sampled as a centroid) would make __cos NaN — and
+    # NaN sorts ABOVE every double, so one zero centroid would win every
+    # max_by assignment: pin both cases to -1 so they deterministically
+    # lose to any real match (lowest-id tie-break otherwise)
     cos_c = F.round(
         F.when(
-            F.col("__norm") > 0,
+            (F.col("__norm") > 0) & (F.col("__cnorm") > 0),
             dot_product(F.col("__vec"), F.col("__cvec"))
             / (F.col("__norm") * F.col("__cnorm")),
         ).otherwise(F.lit(-1.0)),

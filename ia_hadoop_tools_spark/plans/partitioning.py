@@ -147,18 +147,13 @@ def boundaries_from_summary(
     """
     from ia_hadoop_tools_spark.sources.zipnum import load_summary
 
-    if n_ranges < 2:
-        return []
-    summary = load_summary(spark, cluster_dir, filesystem)
-    sampled = (
-        summary.select("summary_key")
-        .filter(F.col("summary_key").isNotNull())
-        .withColumn("__r", F.rand(seed))
-        .orderBy("__r")
-        .limit(sample_size)
+    return sample_boundaries(
+        load_summary(spark, cluster_dir, filesystem),
+        "summary_key",
+        n_ranges,
+        sample_size=sample_size,
+        seed=seed,
     )
-    keys = sorted(r[0] for r in sampled.collect())
-    return _pick_evenly(keys, n_ranges)
 
 
 def write_named_shards(

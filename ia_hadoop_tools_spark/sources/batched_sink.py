@@ -43,6 +43,13 @@ DEFAULT_TIMEOUT = 180.0  # the reference's 3-minute future wait
 SendFn = Callable[[list[Any], str], None]
 
 
+class NonRetryableError(Exception):
+    """Raise from a sender to fail the batch IMMEDIATELY — no retries, no
+    backoff. For permanent endpoint answers (4xx: bad payload, expired
+    auth, batch too large) where re-sending the same bytes can only burn
+    time and load."""
+
+
 def write_batched_async(
     df: DataFrame,
     make_sender: Callable[[int], SendFn],
@@ -72,21 +79,35 @@ def write_batched_async(
     batches_acc = sc.accumulator(0)
     retries_acc = sc.accumulator(0)
 
-    def send_with_retry(send: SendFn, rows: list[Any], batch_id: str) -> None:
-        for attempt in range(retries + 1):
-            try:
-                send(rows, batch_id)
-                rows_acc.add(len(rows))
-                batches_acc.add(1)
-                return
-            except Exception:
-                if attempt == retries:
-                    raise
-                retries_acc.add(1)
-                time.sleep(backoff * (2**attempt))
-
     def run_partition(it: Iterator[Any]) -> None:
+        import threading
+
         from pyspark import TaskContext
+
+        # pyspark Accumulator.add is an unlocked read-modify-write; pool
+        # threads would race it. Tally locally under a lock, flush to the
+        # accumulators ONCE from the task thread at the end.
+        local = {"rows": 0, "batches": 0, "retries": 0}
+        local_lock = threading.Lock()
+
+        def send_with_retry(
+            send: SendFn, rows: list[Any], batch_id: str
+        ) -> None:
+            for attempt in range(retries + 1):
+                try:
+                    send(rows, batch_id)
+                    with local_lock:
+                        local["rows"] += len(rows)
+                        local["batches"] += 1
+                    return
+                except NonRetryableError:
+                    raise  # permanent endpoint answer: retrying = pure waste
+                except Exception:
+                    if attempt == retries:
+                        raise
+                    with local_lock:
+                        local["retries"] += 1
+                    time.sleep(backoff * (2**attempt))
 
         pid = TaskContext.get().partitionId()
         send = make_sender(pid)
@@ -119,6 +140,9 @@ def write_batched_async(
             closer = getattr(send, "close", None)
             if callable(closer):
                 closer()
+            rows_acc.add(local["rows"])
+            batches_acc.add(local["batches"])
+            retries_acc.add(local["retries"])
 
     df.rdd.foreachPartition(run_partition)
     return {
@@ -137,6 +161,7 @@ def http_json_sender(
 
     def make(partition_id: int) -> SendFn:
         import json
+        import urllib.error
         import urllib.request
 
         def send(rows: list[Any], batch_id: str) -> None:
@@ -155,9 +180,19 @@ def http_json_sender(
             )
             if cookie:
                 req.add_header("Cookie", cookie)
-            with urllib.request.urlopen(req, timeout=timeout) as resp:
-                if resp.status >= 300:
-                    raise OSError(f"sink endpoint returned {resp.status}")
+            try:
+                # urlopen raises HTTPError for >=400 and follows 3xx, so a
+                # returned response IS success — no status check needed
+                with urllib.request.urlopen(req, timeout=timeout):
+                    pass
+            except urllib.error.HTTPError as e:
+                # permanent client errors don't heal on resend; 408/429
+                # are the two retry-worthy 4xx
+                if 400 <= e.code < 500 and e.code not in (408, 429):
+                    raise NonRetryableError(
+                        f"sink endpoint returned {e.code}"
+                    ) from e
+                raise OSError(f"sink endpoint returned {e.code}") from e
 
         return send
 

@@ -132,8 +132,10 @@ class ClusterPager:
         blocks whose key range can hold the urlkey ('!' is the smallest
         printable above the key-field separator, so ``[key, key + '!')``
         bounds exactly that urlkey's lines)."""
+        from ia_hadoop_tools_spark.operators.cdx_query import pad_closest_ts
+
         lo, hi = self.prune(urlkey, urlkey + "!")
-        target = _ts14_seconds(ts.ljust(14, "0"))
+        target = _ts14_seconds(pad_closest_ts(ts))
         scored = []
         for line in self.deref_lines(
             self.blocks[lo:hi], urlkey, urlkey + "!"
@@ -239,10 +241,11 @@ class CDXClusterHandler(BaseHTTPRequestHandler):
                     400, "closest requires key=<urlkey>, digit ts, digit limit\n",
                     send_body=send_body,
                 )
-            return self._text(
-                200, self.pager.closest_lines(key, ts, int(lim)),
-                send_body=send_body,
-            )
+            try:
+                body = self.pager.closest_lines(key, ts, int(lim))
+            except OSError as e:  # corrupt block on the deref path
+                return self._text(500, f"{e}\n", send_body=send_body)
+            return self._text(200, body, send_body=send_body)
 
         n = self.pager.num_pages(start, end, page_size)
         if page >= n and page != 0:  # page 0 of an empty range is just empty

@@ -137,10 +137,27 @@ def list_files_df(
             date_filter, num_partitions=num_partitions,
         )
     pred = parse_date_filter(date_filter) if date_filter else None
+    # abspath so the driver walk and the distributed walk (which resolves
+    # through pyarrow and always yields absolute paths) return the SAME
+    # path shape whichever side of the threshold a tree lands on
+    root = os.path.abspath(root)
     rows = []
+    seen = 0
     for dirpath, dirnames, filenames in os.walk(root):
         if not include_hidden:
             dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        # the threshold counts ENUMERATED files, not kept rows — a 10M-file
+        # tree with a selective filter must still route to the distributed
+        # walk instead of serializing through this loop
+        seen += len(filenames)
+        if (
+            auto_distribute_threshold is not None
+            and seen > auto_distribute_threshold
+        ):
+            return list_files_df_distributed(
+                spark, root, extensions, include_hidden, min_mtime,
+                max_mtime, date_filter, num_partitions=num_partitions,
+            )
         for fn in filenames:
             if not include_hidden and fn.startswith((".", "_")):
                 continue
@@ -155,14 +172,6 @@ def list_files_df(
             if pred is not None and not pred(st.st_mtime):
                 continue
             rows.append((full, st.st_size, datetime.utcfromtimestamp(st.st_mtime)))
-            if (
-                auto_distribute_threshold is not None
-                and len(rows) > auto_distribute_threshold
-            ):
-                return list_files_df_distributed(
-                    spark, root, extensions, include_hidden, min_mtime,
-                    max_mtime, date_filter, num_partitions=num_partitions,
-                )
     df = spark.createDataFrame(rows, "path: string, size: long, mtime: timestamp")
     return df.repartition(num_partitions) if num_partitions else df
 
@@ -278,11 +287,21 @@ def list_files_df_distributed(
     # scheme://authority prefix of the original root: pyarrow's info.path
     # is scheme-stripped, so every path shipped to a worker (and every
     # returned row) gets the prefix back — a schemeless re-resolve would
-    # silently fall back to LocalFileSystem on hdfs/s3/gs roots
-    root_n = root.rstrip("/") or root
-    uri_prefix = (
-        root_n[: -len(base)] if base and root_n.endswith(base) else ""
-    )
+    # silently fall back to LocalFileSystem on hdfs/s3/gs roots. Built
+    # from the PARSED root (not suffix-matching, which breaks on '/' roots
+    # and non-normalized paths): object-store fs paths keep the authority
+    # (bucket) in the path ('bucket/key'), hdfs-like ones don't ('/path'),
+    # so include the netloc in the prefix only when base does not carry it.
+    if fsio.has_scheme(root):
+        from urllib.parse import urlsplit
+
+        u = urlsplit(root)
+        if u.netloc and base.startswith(u.netloc):
+            uri_prefix = f"{u.scheme}://"
+        else:
+            uri_prefix = f"{u.scheme}://{u.netloc}"
+    else:
+        uri_prefix = ""
 
     shallow_rows: list[tuple] = []
     frontier = [base]

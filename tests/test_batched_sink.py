@@ -28,6 +28,7 @@ class _Endpoint(BaseHTTPRequestHandler):
     max_active = 0
     fail_first_attempt = False
     fail_always = False
+    fail_status = 500
     delay = 0.0
 
     def log_message(self, *a):
@@ -47,7 +48,7 @@ class _Endpoint(BaseHTTPRequestHandler):
             if cls.delay:
                 time.sleep(cls.delay)
             if cls.fail_always or (cls.fail_first_attempt and first):
-                self.send_response(500)
+                self.send_response(cls.fail_status)
                 self.end_headers()
                 return
             with cls.lock:
@@ -71,6 +72,7 @@ def endpoint():
     _Endpoint.max_active = 0
     _Endpoint.fail_first_attempt = False
     _Endpoint.fail_always = False
+    _Endpoint.fail_status = 500
     _Endpoint.delay = 0.0
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _Endpoint)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -115,6 +117,22 @@ def test_exhausted_retries_fail_the_job(spark, endpoint):
             df, http_json_sender(endpoint), batch_size=5,
             retries=1, backoff=0.01,
         )
+
+
+def test_permanent_4xx_fails_immediately_without_retries(spark, endpoint):
+    """A 400-class endpoint answer is NOT transient: the batch must fail
+    on the first attempt (NonRetryableError), not burn retries+backoff
+    re-sending bytes the endpoint already rejected."""
+    _Endpoint.fail_always = True
+    _Endpoint.fail_status = 400
+    df = spark.range(10).selectExpr("id as k").coalesce(1)
+    with pytest.raises(Exception, match="400"):
+        write_batched_async(
+            df, http_json_sender(endpoint), batch_size=5,
+            retries=3, backoff=0.01,
+        )
+    # one attempt per batch, zero retries
+    assert all(n == 1 for n in _Endpoint.attempts.values())
 
 
 def test_trailing_partial_batch_flushes(spark, endpoint):

@@ -222,6 +222,33 @@ def test_sort_closest(spark):
     assert one == [("com,a)/", "20191231235959")]
 
 
+def test_sort_closest_partial_target_and_dirty_timestamps(spark):
+    """A 4/6-digit closest target pads to a VALID calendar date (2020 ->
+    20200101000000, not 20200000000000 whose to_date is NULL), and a
+    capture with a non-calendar timestamp ranks FARTHEST, never nearest."""
+    rows = [
+        ("com,a)/", "20191231235959"),
+        ("com,a)/", "20200230123456"),  # Feb 30: dirty real-world CDX data
+        ("com,a)/", "20200103000000"),
+    ]
+    df = spark.createDataFrame(
+        [(k, t, "http://a.com/", "text/html", 200, "D", None, None, 1, 2, "f")
+         for k, t in rows],
+        "urlkey: string, timestamp: string, original_url: string, "
+        "mimetype: string, statuscode: int, digest: string, redirect: string, "
+        "meta_flags: string, compressed_length: long, compressed_offset: long, "
+        "filename: string",
+    )
+    got = [t for _, t in _keys(
+        cdx_query(df, "http://a.com/", sort="closest", closest="2020")
+    )]
+    # target = 20200101000000: the New Year's Eve capture is 1 s away; the
+    # malformed Feb 30 row is unrankable and must come LAST
+    assert got == ["20191231235959", "20200103000000", "20200230123456"]
+    with pytest.raises(ValueError, match="closest"):
+        cdx_query(df, "http://a.com/", sort="closest", closest="202")
+
+
 def test_sort_closest_tie_breaks_earlier(spark):
     """Equidistant captures before/after T resolve to the EARLIER one."""
     df = spark.createDataFrame(
