@@ -96,6 +96,24 @@ COMMENTARY = {
         "exchange aggregates the matching (doc, window) rows, then the "
         "per-doc stats join back broadcast."
     ),
+    "cdx_server_closest": (
+        "Wayback's nearest-to-T lookup: the exact-key predicate is a plain "
+        "string literal (pushable to `PushedFilters` on a parquet cluster — "
+        "pinned by test_cdx_query), and the nearest-k ranking is ONE "
+        "`TakeOrderedAndProject` on the tz-free seconds-distance expression "
+        "— per-partition bounded heaps, no shuffle, no full sort, O(k) "
+        "memory."
+    ),
+    "cdx_server_query": (
+        "Day-segmented collapse (round 4): the lag window partitions by "
+        "(urlkey, day) — task size bounded by captures PER DAY, so a "
+        "100M-capture mega-URL spreads over ~9k tasks instead of one — and "
+        "the boundary stitch is a `BroadcastHashJoin` of the tiny per-"
+        "(urlkey, segment) last-value aggregate back onto the captures. The "
+        "only data-sized exchanges are the window's own hash partition and "
+        "the final presentation sort; results are bit-identical to the "
+        "single-window path (differential test)."
+    ),
 }
 
 
