@@ -2757,6 +2757,177 @@ LIMIT 9
 """
 
 
+# 69-72. Four more TPC-H planner shapes (engine-upgrade breadth, SURVEY
+# §2.5): q13 outer-join distribution, q14 conditional-aggregate ratio,
+# q18 having + semi-join, q19 disjunctive multi-table pushdown. The
+# generator's part table has single-word p_type and no partsupp/comment
+# columns, so predicates adapt while keeping each query's planner shape.
+
+
+def q_tpch_q13(spark, sf_dir):
+    """Customer order-count distribution (q13): LEFT OUTER customer->orders,
+    count per customer, then the distribution of those counts — two
+    aggregations with the outer join preserving zero-order customers."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Promo revenue share (q14): one month of lineitems, part broadcast
+    into the fact scan, conditional-sum ratio in ONE aggregation pass."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    rev = (
+        F.col("l_extendedprice").cast("decimal(38,4)")
+        * (F.lit(1).cast("decimal(38,4)") - F.col("l_discount").cast("decimal(38,4)"))
+    )
+    joined = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1997-03-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
+            "__promo"
+        ),
+        F.sum(rev).alias("__total"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0)
+            * F.col("__promo").cast("double")
+            / F.col("__total").cast("double"),
+            4,
+        ).alias("promo_revenue")
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT round(
+    100.0
+    * CAST(sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice AS DECIMAL(38,4))
+                    * (1 - CAST(l_discount AS DECIMAL(38,4))) ELSE 0 END)
+       AS DOUBLE)
+    / CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))
+               * (1 - CAST(l_discount AS DECIMAL(38,4)))) AS DOUBLE),
+    4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-04-01'
+"""
+
+Q18_MIN_QTY = 300
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Large-volume orders (q18): per-order quantity HAVING filter feeds a
+    semi-join back into orders+customer; the having side is a skinny
+    (orderkey, sum) aggregate, broadcastable at any scale."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc())
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {Q18_MIN_QTY}
+) ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate ASC
+LIMIT 100
+"""
+
+
+def q_tpch_q19(spark, sf_dir):
+    """Disjunctive multi-table predicate (q19): three OR'd brand/size/qty
+    branches spanning part AND lineitem — the shape that exercises
+    cross-table constraint pushdown; part broadcasts, one global sum."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    rev = (
+        F.col("l_extendedprice").cast("decimal(38,4)")
+        * (F.lit(1).cast("decimal(38,4)") - F.col("l_discount").cast("decimal(38,4)"))
+    )
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    cond = (
+        ((b == "Brand#15") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#19") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,4))
+            * (1 - CAST(l_discount AS DECIMAL(38,4)))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2829,6 +3000,10 @@ QUERIES = {
     "cdx_server_query": q_cdx_server_query,
     "cdx_server_closest": q_cdx_server_closest,
     "cdx_server_reverse": q_cdx_server_reverse,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
 }
 
 ORACLES = {
@@ -2900,4 +3075,8 @@ ORACLES = {
     "cdx_server_query": SQL_CDX_SERVER_QUERY,
     "cdx_server_closest": SQL_CDX_SERVER_CLOSEST,
     "cdx_server_reverse": SQL_CDX_SERVER_REVERSE,
+    "tpch_q13": SQL_TPCH_Q13,
+    "tpch_q14": SQL_TPCH_Q14,
+    "tpch_q18": SQL_TPCH_Q18,
+    "tpch_q19": SQL_TPCH_Q19,
 }
