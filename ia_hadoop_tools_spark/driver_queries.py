@@ -2928,6 +2928,44 @@ WHERE (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 5
 """
 
 
+# 73. salted_join_topk — the skew-mitigation join path under the oracle:
+# salted_join must return EXACTLY what the plain equi-join returns (the
+# salt is an execution detail), summarized as revenue per mktsegment.
+# Pins plans/skew.py with a value-level differential, not just pytest.
+
+
+def q_salted_join_topk(spark, sf_dir):
+    from ia_hadoop_tools_spark.plans.skew import salted_join
+
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    joined = salted_join(
+        t["orders"].withColumnRenamed("o_custkey", "c_custkey"),
+        t["customer"],
+        on="c_custkey",
+        n_salt=8,
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_SALTED_JOIN_TOPK = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 2) AS DOUBLE)
+         AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3004,6 +3042,7 @@ QUERIES = {
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
+    "salted_join_topk": q_salted_join_topk,
 }
 
 ORACLES = {
@@ -3079,4 +3118,5 @@ ORACLES = {
     "tpch_q14": SQL_TPCH_Q14,
     "tpch_q18": SQL_TPCH_Q18,
     "tpch_q19": SQL_TPCH_Q19,
+    "salted_join_topk": SQL_SALTED_JOIN_TOPK,
 }

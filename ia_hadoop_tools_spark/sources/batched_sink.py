@@ -58,6 +58,7 @@ def write_batched_async(
     timeout: float = DEFAULT_TIMEOUT,
     retries: int = 3,
     backoff: float = 0.2,
+    batch_id_prefix: str = "",
 ) -> dict[str, int]:
     """Write ``df`` to an external store in bounded-async batches.
 
@@ -121,7 +122,10 @@ def write_batched_async(
                     # admit-by-retiring-the-oldest (CDXImporter.sendBatch)
                     in_flight.popleft().result(timeout=timeout)
                 in_flight.append(
-                    pool.submit(send_with_retry, send, rows, f"{pid}-{seq}")
+                    pool.submit(
+                        send_with_retry, send, rows,
+                        f"{batch_id_prefix}{pid}-{seq}",
+                    )
                 )
                 seq += 1
 

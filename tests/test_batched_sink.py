@@ -149,3 +149,30 @@ def test_bad_params_raise(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         write_batched_async(df, http_json_sender("http://x"), batch_size=0)
+
+
+def test_stream_to_endpoint_exactly_once_content(spark, endpoint, tmp_path):
+    """availableNow stream -> batched sink: backlog drains to the endpoint
+    with streaming-batch-scoped idempotency keys; a restart with no new
+    files re-sends nothing (file-log checkpoint)."""
+    from ia_hadoop_tools_spark.streaming.export import stream_to_endpoint
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(300).selectExpr("id as k", "id as v").write.parquet(
+        inp, mode="overwrite"
+    )
+    stream = spark.readStream.schema("k long, v long").parquet(inp)
+    q = stream_to_endpoint(
+        stream, http_json_sender(endpoint), ckpt, batch_size=100,
+    )
+    q.awaitTermination()
+    assert sorted(_Endpoint.store) == list(range(300))
+    assert all(bid.startswith("b") for bid in _Endpoint.batch_sizes)
+
+    n_batches = len(_Endpoint.batch_sizes)
+    q = stream_to_endpoint(
+        stream, http_json_sender(endpoint), ckpt, batch_size=100,
+    )
+    q.awaitTermination()
+    assert len(_Endpoint.batch_sizes) == n_batches  # nothing re-sent
