@@ -2966,6 +2966,72 @@ ORDER BY c_mktsegment
 """
 
 
+# 74. lm_buckets — CCNet's operational step: bucket the corpus into
+# head/middle/tail by LM score (Wenzek et al. 2020 keep/flag/drop by
+# perplexity third). Scale shape matters: CCNet derives its cutoffs once
+# from a bounded calibration set, NOT by globally ranking the corpus — a
+# corpus-wide ntile would funnel every (doc, score) pair through one
+# window task. Here the tercile cutoffs come from a FIXED-SIZE slice
+# (doc_id < 200 — constant cost at any SF, the same fixed-slice trick as
+# embedding_neardup), broadcast back; the corpus side is a pure
+# comparison, embarrassingly parallel.
+
+LM_CAL_DOCS = 200
+
+
+def q_lm_buckets(spark, sf_dir):
+    from pyspark.sql import Window
+
+    scored = q_lm_score(spark, sf_dir).filter(F.col("lm_score").isNotNull())
+    cal = scored.filter(F.col("doc_id") < LM_CAL_DOCS)
+    w = Window.orderBy(F.col("lm_score").desc(), F.col("doc_id").asc())
+    ranked = cal.withColumn("__b", F.ntile(3).over(w))
+    th = ranked.groupBy().agg(
+        F.min(F.when(F.col("__b") == 1, F.col("lm_score"))).alias("__t1"),
+        F.min(F.when(F.col("__b") == 2, F.col("lm_score"))).alias("__t2"),
+    )
+    bucket = (
+        F.when(F.col("lm_score") >= F.col("__t1"), "head")
+        .when(F.col("lm_score") >= F.col("__t2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("lm_score"), 6).alias("avg_score"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_LM_BUCKETS = f"""
+WITH lm AS ({SQL_LM_SCORE}),
+cal AS (
+  SELECT lm_score,
+         ntile(3) OVER (ORDER BY lm_score DESC, doc_id ASC) AS b
+  FROM lm WHERE doc_id < {LM_CAL_DOCS} AND lm_score IS NOT NULL
+),
+th AS (
+  SELECT min(CASE WHEN b = 1 THEN lm_score END) AS t1,
+         min(CASE WHEN b = 2 THEN lm_score END) AS t2
+  FROM cal
+)
+SELECT bucket, count(*) AS n_docs, round(avg(lm_score), 6) AS avg_score
+FROM (
+  SELECT CASE WHEN lm_score >= t1 THEN 'head'
+              WHEN lm_score >= t2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         lm_score
+  FROM lm, th
+  WHERE lm_score IS NOT NULL
+)
+GROUP BY bucket ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3043,6 +3109,7 @@ QUERIES = {
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
     "salted_join_topk": q_salted_join_topk,
+    "lm_buckets": q_lm_buckets,
 }
 
 ORACLES = {
@@ -3119,4 +3186,5 @@ ORACLES = {
     "tpch_q18": SQL_TPCH_Q18,
     "tpch_q19": SQL_TPCH_Q19,
     "salted_join_topk": SQL_SALTED_JOIN_TOPK,
+    "lm_buckets": SQL_LM_BUCKETS,
 }
