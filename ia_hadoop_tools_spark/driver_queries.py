@@ -3032,6 +3032,83 @@ GROUP BY bucket ORDER BY bucket
 """
 
 
+# 87. semdedup — SemDeDup (Abbas et al. 2023): cluster the embedding
+# space, then near-dup ONLY within clusters — the quadratic term is
+# bounded by the largest cluster, not the corpus, which is what makes
+# embedding-level dedup tractable at 100 TB. Centroids here are a FIXED
+# slice (vec_id < K — constant cost at any sf, same trick as
+# embedding_neardup's cap); production path plugs train_ivf_centroids in.
+# Output is row-level (vec_id, cluster_id, is_dup) so the oracle pins the
+# assignment AND the keep rule, not just counts.
+
+SEMDEDUP_K = 16
+SEMDEDUP_COS = 0.35  # synthetic 64-dim embeddings: in-cluster max ~0.49
+
+
+def q_semdedup(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.similarity import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return semdedup(e, centroids, threshold=SEMDEDUP_COS).orderBy("vec_id")
+
+
+def _semdedup_dot_sql(x: str, y: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> CAST({x}[CAST(i AS INT)] AS DOUBLE)"
+        f" * CAST({y}[CAST(i AS INT)] AS DOUBLE)))"
+    )
+
+
+def _semdedup_norm_sql(x: str) -> str:
+    return f"sqrt({_semdedup_dot_sql(x, x)})"
+
+
+SQL_SEMDEDUP = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {SEMDEDUP_K}
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         round({_semdedup_dot_sql('e.embedding', 'c.cvec')}
+               / ({_semdedup_norm_sql('e.embedding')}
+                  * {_semdedup_norm_sql('c.cvec')}), 6) AS cos
+  FROM embeddings e, cent c
+  WHERE {_semdedup_norm_sql('e.embedding')}
+        * {_semdedup_norm_sql('c.cvec')} <> 0
+),
+best AS (
+  SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+wv AS (
+  SELECT b.vec_id, b.cluster_id, e.embedding
+  FROM best b JOIN embeddings e USING (vec_id)
+),
+dups AS (
+  SELECT DISTINCT bb.vec_id AS dup_id
+  FROM wv a JOIN wv bb
+    ON a.cluster_id = bb.cluster_id AND a.vec_id < bb.vec_id
+  WHERE round({_semdedup_dot_sql('a.embedding', 'bb.embedding')}
+              / ({_semdedup_norm_sql('a.embedding')}
+                 * {_semdedup_norm_sql('bb.embedding')}), 6)
+        >= {SEMDEDUP_COS}
+)
+SELECT b.vec_id, b.cluster_id,
+       (dup_id IS NOT NULL) AS is_dup
+FROM best b LEFT JOIN dups ON b.vec_id = dup_id
+ORDER BY b.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3110,7 +3187,17 @@ QUERIES = {
     "tpch_q19": q_tpch_q19,
     "salted_join_topk": q_salted_join_topk,
     "lm_buckets": q_lm_buckets,
+    "semdedup": q_semdedup,
 }
+
+# 75-86. The remaining 12 TPC-H planner shapes (q2 q6 q7 q8 q9 q11 q15
+# q16 q17 q20 q21 q22) live in tpch.py — completing the 22-query suite.
+from ia_hadoop_tools_spark.tpch import (  # noqa: E402
+    TPCH_EXTRA_ORACLES,
+    TPCH_EXTRA_QUERIES,
+)
+
+QUERIES.update(TPCH_EXTRA_QUERIES)
 
 ORACLES = {
     "day_limit": SQL_DAY_LIMIT,
@@ -3187,4 +3274,7 @@ ORACLES = {
     "tpch_q19": SQL_TPCH_Q19,
     "salted_join_topk": SQL_SALTED_JOIN_TOPK,
     "lm_buckets": SQL_LM_BUCKETS,
+    "semdedup": SQL_SEMDEDUP,
 }
+
+ORACLES.update(TPCH_EXTRA_ORACLES)

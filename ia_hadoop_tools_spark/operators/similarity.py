@@ -451,3 +451,121 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """Nearest-centroid (max-cosine) assignment: (id_col, cluster_id, cos).
+
+    The centroid table BROADCASTS (it is tiny by construction — k-means k,
+    or a fixed slice); the corpus is scanned once and never shuffles for the
+    assignment. Ties break toward the SMALLEST centroid id, and cosines are
+    rounded to 6 decimals BEFORE ranking, so the assignment is deterministic
+    and bit-stable across engines (the oracle applies the same rule).
+    Zero-norm vectors assign to no centroid and are dropped (documented —
+    they carry no direction to cluster by).
+    """
+    from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
+
+    c = centroids.select(
+        F.col(centroid_id_col).alias("__cid"),
+        F.col(centroid_vec_col).alias("__cvec"),
+        l2_norm(F.col(centroid_vec_col)).alias("__cn"),
+    )
+    e = df.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__en")
+    )
+    denom = F.col("__en") * F.col("__cn")
+    cos = F.round(
+        dot_product(F.col(vec_col), F.col("__cvec")) / denom, 6
+    )
+    scored = (
+        e.join(F.broadcast(c), denom != 0.0)
+        .select(F.col(id_col), F.col("__cid"), cos.alias("__cos"))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("__cos"), (-F.col("__cid")).alias("__nid"))).alias(
+            "__best"
+        )
+    )
+    return best.select(
+        F.col(id_col),
+        (-F.col("__best.__nid")).cast("long").alias("cluster_id"),
+        F.col("__best.__cos").alias("cos_to_centroid"),
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering the embedding space and dropping near-identical vectors
+    WITHIN each cluster only.
+
+    The whole point at 100 TB scale: all-pairs cosine is O(n^2), but
+    near-duplicates land in the same cluster, so the quadratic term is
+    bounded by the LARGEST CLUSTER, not the corpus — assignment is a
+    broadcast join (no corpus shuffle), the within-cluster self-join
+    shuffles once on cluster_id (co-located), and k scales with corpus
+    size to keep clusters bounded.
+
+    Keep rule (deterministic): a vector is a duplicate iff some
+    same-cluster vector with a SMALLER id has cosine >= threshold to it —
+    the lowest-id member of every near-dup neighborhood survives. (The
+    paper keeps the member with lowest cosine-to-centroid; the id rule is
+    the deterministic, oracle-checkable variant of the same policy.)
+
+    Returns (id_col, cluster_id, is_dup).
+    """
+    from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
+
+    assigned = assign_clusters(df, centroids, id_col=id_col, vec_col=vec_col)
+    withvec = assigned.join(df.select(id_col, vec_col), id_col).select(
+        F.col(id_col),
+        "cluster_id",
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    a = withvec.select(
+        F.col(id_col).alias("__ida"),
+        F.col("cluster_id").alias("__ca"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = withvec.select(
+        F.col(id_col).alias("__idb"),
+        F.col("cluster_id").alias("__cb"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    cos = F.round(
+        dot_product(F.col("__va"), F.col("__vb"))
+        / (F.col("__na") * F.col("__nb")),
+        6,
+    )
+    dup_ids = (
+        a.join(b, (F.col("__ca") == F.col("__cb")) & (F.col("__ida") < F.col("__idb")))
+        .filter(cos >= threshold)
+        .select(F.col("__idb").alias("__dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup_ids, F.col(id_col) == F.col("__dup_id"), "left_outer"
+        )
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.col("__dup_id").isNotNull().alias("is_dup"),
+        )
+    )

@@ -114,6 +114,33 @@ COMMENTARY = {
         "the final presentation sort; results are bit-identical to the "
         "single-window path (differential test)."
     ),
+    "tpch_q2": (
+        "Correlated scalar-min subquery decorrelated: the per-part minimum "
+        "is a SKINNY aggregate (partkey, min_cost) that broadcasts back "
+        "into the candidate join, and every dimension (filtered part, "
+        "nation, region, supplier) broadcasts into the lineitem-derived ps "
+        "scan — the fact-sized side never shuffles for a dim."
+    ),
+    "tpch_q9": (
+        "Composite-key fact-to-ps join (partkey, suppkey): ps is a partial-"
+        "aggregated projection of the same lineitem scan, so the join "
+        "shuffles skinny (key, cost) rows, not full rows; part/supplier/"
+        "nation all broadcast; profit accumulates in exact decimal."
+    ),
+    "semdedup": (
+        "SemDeDup's scale contract: centroid assignment is a broadcast "
+        "(nested-loop) join — the corpus never shuffles to pick a cluster — "
+        "and the only corpus-sized exchange hashes on cluster_id for the "
+        "within-cluster self-join, so the quadratic verify is bounded by "
+        "the largest cluster. The dup-mark join back is skinny (ids only)."
+    ),
+    "tpch_q21": (
+        "EXISTS / NOT-EXISTS multi-self-join planned as LeftSemi + "
+        "LeftAnti on the orderkey equi-key with the suppkey<>suppkey "
+        "conjunct attached as a join residual — no cartesian product, and "
+        "the 'late' relation computes once per side from a pushed-filter "
+        "scan (status F, shipdate>orderdate)."
+    ),
 }
 
 

@@ -149,3 +149,62 @@ def test_train_ivf_centroids_deterministic_and_recall(spark):
     # nprobe=3 of 16 cells probes ~19% of the corpus; anything well above
     # that fraction shows the cells are real structure, not random slices
     assert r_trained > 0.3
+
+
+def test_semdedup_keep_rule_and_clusters(spark, sf_dir):
+    """SemDeDup invariants: every vector gets exactly one cluster; the
+    lowest id of each cluster is never a dup; marking is consistent with a
+    brute-force within-cluster check; and the plan broadcasts centroids."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.similarity import (
+        assign_clusters,
+        semdedup,
+    )
+    from ia_hadoop_tools_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    out = semdedup(emb, cent, threshold=0.35).collect()
+    n = emb.count()
+    assert len(out) == n and len({r.vec_id for r in out}) == n
+
+    # lowest id per cluster always survives
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for rows in by_cluster.values():
+        lowest = min(rows, key=lambda r: r.vec_id)
+        assert not lowest.is_dup
+
+    # assignment plan: centroids broadcast, corpus does not shuffle for it
+    plan = (
+        assign_clusters(emb, cent)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    # dup marks match a brute-force within-cluster check
+    import itertools
+
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return round(dot / (na * nb), 6)
+
+    for rows in by_cluster.values():
+        ids = sorted(r.vec_id for r in rows)
+        marked = {r.vec_id for r in rows if r.is_dup}
+        expect = set()
+        for a, b in itertools.combinations(ids, 2):
+            if cos(vecs[a], vecs[b]) >= 0.35:
+                expect.add(b)
+        assert marked == expect
