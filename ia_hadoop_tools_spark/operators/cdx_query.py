@@ -160,6 +160,8 @@ def cdx_query(
     sort: str = "default",
     closest: str | None = None,
     collapse_segment: int | None = 8,
+    offset: int = 0,
+    fields: Sequence[str] | None = None,
 ) -> DataFrame:
     """Query a typed CDX cluster with CDX-Server semantics (module doc).
 
@@ -169,9 +171,16 @@ def cdx_query(
     sharing the collapse value (always evaluated in ascending timestamp
     order, the stream order a CDX server collapses in), keeping each run's
     first.
+
+    ``offset``/``fields`` are pywb's paging + projection params: ``offset``
+    skips the first n rows of the final order (applied BEFORE ``limit``,
+    as pywb does), and ``fields`` (pywb ``fl=``) projects the named CDX
+    fields — applied last so filters/collapse still see every column.
     """
     if limit is not None and limit < 0:
         raise ValueError(f"limit must be >= 0, got {limit}")
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
     if sort not in ("default", "reverse", "closest"):
         raise ValueError(f"sort must be default|reverse|closest: {sort!r}")
     if (sort == "closest") != (closest is not None):
@@ -270,6 +279,10 @@ def cdx_query(
     else:
         final = order
     out = out.orderBy(F.col("urlkey").asc(), *final)
+    if offset:
+        out = out.offset(offset)
     if limit is not None:
         out = out.limit(limit)
+    if fields is not None:
+        out = out.select(*[_resolve_field(f) for f in fields])
     return out

@@ -357,3 +357,37 @@ def test_query_over_zipnum_cluster(spark, tmp_path):
         1 for i in range(300) if i % 5 == 2 and i % 4 != 0
     )
     assert len(got) == expected
+
+
+def test_offset_and_fields(cluster):
+    """pywb paging + projection params: offset skips n rows of the final
+    order before limit; fl= projects named fields (aliases resolve) after
+    filters/collapse have seen the full row."""
+    base = _keys(cdx_query(cluster, "http://example.com/", "domain"))
+    # offset composes with limit: rows [1:3] of the un-offset order
+    page = _keys(
+        cdx_query(cluster, "http://example.com/", "domain", offset=1, limit=2)
+    )
+    assert page == base[1:3]
+    # offset past the end -> empty, not an error
+    assert (
+        _keys(cdx_query(cluster, "http://example.com/", "domain", offset=99))
+        == []
+    )
+    # fields projects and resolves pywb aliases; order preserved
+    df = cdx_query(
+        cluster, "http://example.com/", "domain", fields=["urlkey", "timestamp"]
+    )
+    assert df.columns == ["urlkey", "timestamp"]
+    assert [tuple(r) for r in df.collect()] == base
+    # offset composes with sort=reverse
+    rev = _keys(cdx_query(cluster, "http://example.com/", sort="reverse"))
+    assert _keys(
+        cdx_query(cluster, "http://example.com/", sort="reverse", offset=1)
+    ) == rev[1:]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cdx_query(cluster, "http://example.com/", offset=-1)
+    with _pytest.raises(ValueError):
+        cdx_query(cluster, "http://example.com/", fields=["nope"])
