@@ -1209,16 +1209,28 @@ WHERE round(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6)
 
 # similarity search
 
-_DOT_SQL = (
-    "list_sum(list_transform(range(1, 65), "
-    "i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)"
-    " * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))"
-)
-_NORM_SQL = (
-    "sqrt(list_sum(list_transform(range(1, 65), "
-    "i -> CAST({v}.embedding[CAST(i AS INT)] AS DOUBLE)"
-    " * CAST({v}.embedding[CAST(i AS INT)] AS DOUBLE))))"
-)
+EMB_DIM = 64  # testdata embedding width; the ONE place the SQL dim lives
+
+
+def _vec_dot_sql(x: str, y: str) -> str:
+    """Canonical DuckDB list dot product over EMB_DIM positions.
+
+    Every oracle dot/norm below derives from this single definition (the
+    operands are SQL expressions, e.g. 'a.embedding' or 'p.w'); redundant
+    CASTs on already-DOUBLE operands are no-ops."""
+    return (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> CAST({x}[CAST(i AS INT)] AS DOUBLE)"
+        f" * CAST({y}[CAST(i AS INT)] AS DOUBLE)))"
+    )
+
+
+def _vec_norm_sql(x: str) -> str:
+    return f"sqrt({_vec_dot_sql(x, x)})"
+
+
+_DOT_SQL = _vec_dot_sql("a.embedding", "b.embedding")
+_NORM_SQL = _vec_norm_sql("{v}.embedding")
 
 
 def q_ann_topk(spark, sf_dir):
@@ -1547,16 +1559,8 @@ FROM (
 # 34. ann_ivf — IVF approximate nearest neighbor (deterministic coarse
 # quantizer; the judge-graded "scale path" next to ann_topk's brute force)
 
-_DOT2 = (
-    "list_sum(list_transform(range(1, 65), "
-    "i -> CAST({u}.embedding[CAST(i AS INT)] AS DOUBLE)"
-    " * CAST({v}.embedding[CAST(i AS INT)] AS DOUBLE)))"
-)
-_NORM2 = (
-    "sqrt(list_sum(list_transform(range(1, 65), "
-    "i -> CAST({u}.embedding[CAST(i AS INT)] AS DOUBLE)"
-    " * CAST({u}.embedding[CAST(i AS INT)] AS DOUBLE))))"
-)
+_DOT2 = _vec_dot_sql("{u}.embedding", "{v}.embedding")
+_NORM2 = _vec_norm_sql("{u}.embedding")
 
 
 def _cos2(u: str, v: str) -> str:
@@ -1697,10 +1701,7 @@ def _ann_lsh_sql(num_planes: int = 16, bands: int = 4, dim: int = 64) -> str:
         f"({pid}, [{', '.join(repr(x) for x in w)}]::DOUBLE[])"
         for pid, w in enumerate(planes)
     )
-    dot_pw = (
-        "list_sum(list_transform(range(1, 65), "
-        "i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * p.w[CAST(i AS INT)]))"
-    )
+    dot_pw = _vec_dot_sql("e.embedding", "p.w")
     return f"""
 WITH planes(pid, w) AS (
   VALUES
@@ -1946,10 +1947,7 @@ def _embedding_neardup_lsh_sql(num_planes: int = 16, bands: int = 4) -> str:
         f"({pid}, [{', '.join(repr(x) for x in w)}]::DOUBLE[])"
         for pid, w in enumerate(planes)
     )
-    dot_pw = (
-        "list_sum(list_transform(range(1, 65), "
-        "i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * p.w[CAST(i AS INT)]))"
-    )
+    dot_pw = _vec_dot_sql("e.embedding", "p.w")
     return f"""
 WITH planes(pid, w) AS (
   VALUES
@@ -3056,16 +3054,7 @@ def q_semdedup(spark, sf_dir):
     return semdedup(e, centroids, threshold=SEMDEDUP_COS).orderBy("vec_id")
 
 
-def _semdedup_dot_sql(x: str, y: str) -> str:
-    return (
-        f"list_sum(list_transform(range(1, 65), "
-        f"i -> CAST({x}[CAST(i AS INT)] AS DOUBLE)"
-        f" * CAST({y}[CAST(i AS INT)] AS DOUBLE)))"
-    )
 
-
-def _semdedup_norm_sql(x: str) -> str:
-    return f"sqrt({_semdedup_dot_sql(x, x)})"
 
 
 SQL_SEMDEDUP = f"""
@@ -3075,12 +3064,12 @@ WITH cent AS (
 ),
 scored AS (
   SELECT e.vec_id, c.cid,
-         round({_semdedup_dot_sql('e.embedding', 'c.cvec')}
-               / ({_semdedup_norm_sql('e.embedding')}
-                  * {_semdedup_norm_sql('c.cvec')}), 6) AS cos
+         round({_vec_dot_sql('e.embedding', 'c.cvec')}
+               / ({_vec_norm_sql('e.embedding')}
+                  * {_vec_norm_sql('c.cvec')}), 6) AS cos
   FROM embeddings e, cent c
-  WHERE {_semdedup_norm_sql('e.embedding')}
-        * {_semdedup_norm_sql('c.cvec')} <> 0
+  WHERE {_vec_norm_sql('e.embedding')}
+        * {_vec_norm_sql('c.cvec')} <> 0
 ),
 best AS (
   SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM (
@@ -3097,9 +3086,9 @@ dups AS (
   SELECT DISTINCT bb.vec_id AS dup_id
   FROM wv a JOIN wv bb
     ON a.cluster_id = bb.cluster_id AND a.vec_id < bb.vec_id
-  WHERE round({_semdedup_dot_sql('a.embedding', 'bb.embedding')}
-              / ({_semdedup_norm_sql('a.embedding')}
-                 * {_semdedup_norm_sql('bb.embedding')}), 6)
+  WHERE round({_vec_dot_sql('a.embedding', 'bb.embedding')}
+              / ({_vec_norm_sql('a.embedding')}
+                 * {_vec_norm_sql('bb.embedding')}), 6)
         >= {SEMDEDUP_COS}
 )
 SELECT b.vec_id, b.cluster_id,

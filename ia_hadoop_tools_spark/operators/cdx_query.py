@@ -284,5 +284,9 @@ def cdx_query(
     if limit is not None:
         out = out.limit(limit)
     if fields is not None:
-        out = out.select(*[_resolve_field(f) for f in fields])
+        # keep the REQUESTED name (pywb fl= contract): a caller asking for
+        # fl=status reads row["status"], not the canonical "statuscode"
+        out = out.select(
+            *[F.col(_resolve_field(f)).alias(f) for f in fields]
+        )
     return out

@@ -527,9 +527,18 @@ def semdedup(
 
     Returns (id_col, cluster_id, is_dup).
     """
+    from pyspark import StorageLevel
+
     from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
 
-    assigned = assign_clusters(df, centroids, id_col=id_col, vec_col=vec_col)
+    # The assignment subtree feeds THREE consumers (the a/b sides of the
+    # within-cluster self-join and the final dup-mark join), and its
+    # broadcast-NLJ has no exchange for ReuseExchange to dedup — without a
+    # persist the corpus would re-score against every centroid 3x per
+    # action (same pattern as embedding_neardup_pairs' banded persist).
+    assigned = assign_clusters(
+        df, centroids, id_col=id_col, vec_col=vec_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     withvec = assigned.join(df.select(id_col, vec_col), id_col).select(
         F.col(id_col),
         "cluster_id",

@@ -127,7 +127,10 @@ def q_tpch_q2(spark, sf_dir):
             "n_name",
             "p_partkey",
             "p_name",
-            F.round("ps_supplycost", 4).alias("supplycost"),
+            # floor-quantized, not round(): floor of the binary double is
+            # engine-independent; round() can split on HALF_UP midpoints
+            (F.floor(F.col("ps_supplycost") * 1e4).cast("long") / F.lit(1e4))
+            .alias("supplycost"),
         )
         .orderBy(
             F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
@@ -148,7 +151,7 @@ cand AS (
            AND p_size = {Q2_SIZE} AND p_type = '{Q2_TYPE}'
 )
 SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-       round(ps_supplycost, 4) AS supplycost
+       CAST(floor(ps_supplycost * 10000) AS BIGINT) / 10000.0 AS supplycost
 FROM cand
 WHERE ps_supplycost = (
   SELECT min(c2.ps_supplycost) FROM cand c2
@@ -229,11 +232,11 @@ def q_tpch_q7(spark, sf_dir):
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        # customer scales with SF (unlike nation/region): shuffle-join it,
+        # matching the repo's other TPC-H shapes — only true dims broadcast
         .join(
-            F.broadcast(
-                t["customer"].join(
-                    n2, F.col("c_nationkey") == F.col("__cn_key")
-                )
+            t["customer"].join(
+                F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key")
             ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
@@ -319,9 +322,9 @@ def q_tpch_q8(spark, sf_dir):
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(
-            F.broadcast(cust_side), F.col("o_custkey") == F.col("c_custkey")
-        )
+        # cust_side is region-filtered but still O(customers) — scales with
+        # SF, so no forced broadcast (AQE may still choose one when small)
+        .join(cust_side, F.col("o_custkey") == F.col("c_custkey"))
     )
     agg = base.groupBy(
         F.year("o_orderdate").cast("long").alias("o_year")
@@ -373,13 +376,19 @@ Q9_NAME_FRAG = "gear"
 
 
 def q_tpch_q9(spark, sf_dir):
+    # Cost term stays in INTEGER MICROS: floor(supplycost * 1e6) is a pure
+    # function of the binary double (identical in both engines — no
+    # decimal-string rounding, unlike casting the double product to
+    # DECIMAL, which lands on HALF_UP-vs-binary midpoints). The micro sum
+    # is an exact bigint; revenue keeps the proven per-row decimal cast;
+    # the two exact sums combine only in the final per-group projection.
     t = load_tables(
         spark, sf_dir, ("part", "supplier", "lineitem", "orders", "nation")
     )
     ps = _partsupp(t)
-    profit = _rev() - (
-        F.col("ps_supplycost") * F.col("l_quantity")
-    ).cast(_DEC)
+    cost_micro = F.floor(F.col("ps_supplycost") * 1e6).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long")
     return (
         t["lineitem"]
         .join(
@@ -406,7 +415,19 @@ def q_tpch_q9(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+        .agg(
+            F.sum(_rev()).alias("__rev"),
+            F.sum(cost_micro).alias("__cost_micro"),
+        )
+        .select(
+            "nation",
+            "o_year",
+            F.round(
+                F.col("__rev").cast("double")
+                - F.col("__cost_micro").cast("double") / F.lit(1e6),
+                2,
+            ).alias("sum_profit"),
+        )
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -414,11 +435,12 @@ def q_tpch_q9(spark, sf_dir):
 SQL_TPCH_Q9 = f"""
 WITH {SQL_PS}
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       CAST(round(sum(
-         CAST(l_extendedprice AS DECIMAL(38,4))
-           * (1 - CAST(l_discount AS DECIMAL(38,4)))
-         - CAST(ps_supplycost * l_quantity AS DECIMAL(38,4))
-       ), 2) AS DOUBLE) AS sum_profit
+       round(
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))
+                  * (1 - CAST(l_discount AS DECIMAL(38,4)))) AS DOUBLE)
+         - CAST(sum(CAST(floor(ps_supplycost * 1000000) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 1000000,
+         2) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_name LIKE '%{Q9_NAME_FRAG}%'
 JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey

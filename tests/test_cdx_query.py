@@ -380,6 +380,13 @@ def test_offset_and_fields(cluster):
     )
     assert df.columns == ["urlkey", "timestamp"]
     assert [tuple(r) for r in df.collect()] == base
+    # pywb alias names are PRESERVED in the output (fl=status reads
+    # row["status"], not the canonical "statuscode")
+    al = cdx_query(
+        cluster, "http://example.com/", fields=["status", "length"]
+    )
+    assert al.columns == ["status", "length"]
+    assert [r.status for r in al.collect()] == [200, 200, 404]
     # offset composes with sort=reverse
     rev = _keys(cdx_query(cluster, "http://example.com/", sort="reverse"))
     assert _keys(
