@@ -3098,6 +3098,53 @@ ORDER BY b.vec_id
 """
 
 
+# 88. bm25_topk — corpus keyword search (operators/search.py): the
+# retrieval counterpart of the dedup layer. One token-explode pass builds
+# postings + doclens (map-side combinable); the per-term df table is tiny
+# and broadcasts; ranking is a bounded TakeOrderedAndProject. Scores
+# round to 6dp BEFORE ranking so ln() ulp drift can't reorder the top-k.
+
+BM25_TERMS = ("spark", "join", "window")
+BM25_K = 25
+
+
+def q_bm25_topk(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.search import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), BM25_TERMS, k=BM25_K)
+
+
+SQL_BM25_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, t AS token FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dln FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n, sum(dln) AS sumdl FROM dl),
+tf AS (
+  SELECT doc_id, token, count(*) AS tfreq FROM toks
+  WHERE token IN {BM25_TERMS} GROUP BY 1, 2
+),
+dfreq AS (SELECT token, count(*) AS dfx FROM tf GROUP BY 1)
+SELECT doc_id,
+       round(sum(
+         ln(1 + (n - dfx + 0.5) / (dfx + 0.5))
+         * tfreq * ({1.2} + 1)
+         / (tfreq + {1.2} * (1 - {0.75}
+            + {0.75} * dln / (CAST(sumdl AS DOUBLE) / n)))
+       ), 6) AS bm25
+FROM tf
+JOIN dfreq USING (token)
+JOIN dl USING (doc_id), stats
+GROUP BY doc_id, n, sumdl
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3177,6 +3224,7 @@ QUERIES = {
     "salted_join_topk": q_salted_join_topk,
     "lm_buckets": q_lm_buckets,
     "semdedup": q_semdedup,
+    "bm25_topk": q_bm25_topk,
 }
 
 # 75-86. The remaining 12 TPC-H planner shapes (q2 q6 q7 q8 q9 q11 q15
@@ -3264,6 +3312,7 @@ ORACLES = {
     "salted_join_topk": SQL_SALTED_JOIN_TOPK,
     "lm_buckets": SQL_LM_BUCKETS,
     "semdedup": SQL_SEMDEDUP,
+    "bm25_topk": SQL_BM25_TOPK,
 }
 
 ORACLES.update(TPCH_EXTRA_ORACLES)

@@ -1,0 +1,110 @@
+"""Corpus keyword search: postings + BM25 ranking over a text column.
+
+The retrieval counterpart of the dedup/quality layer: a training-data
+pipeline needs "find the documents matching these terms" at corpus scale
+(inspection, targeted filtering, contamination forensics) just as much as
+dedup. Spark-first shape:
+
+- one token-explode pass over the corpus builds (doc, term, tf) postings
+  and doc lengths — map-side combinable aggregations, no Python;
+- the query side collapses to a TINY per-term document-frequency table
+  that broadcasts back into the postings;
+- ranking is a single TakeOrderedAndProject (bounded top-k heap per
+  partition, no global sort).
+
+At 100 TB the posting build is the only corpus-sized stage (one shuffle
+keyed on doc_id); per-query work touches only the rows containing query
+terms (filter pushed below the explode's projection). For a standing
+index, persist ``build_postings``'s output as a parquet table bucketed by
+term and skip the build per query.
+
+Float discipline: tf/df/doclen are exact integers; idf/score math runs in
+IEEE doubles from identical inputs and the final score is rounded to 6
+decimals BEFORE ranking, so cross-engine ulp drift in ln() cannot reorder
+the top-k (ties break on doc_id).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokenize(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, token) rows: lowercase, split on non-alphanumeric runs."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+
+
+def build_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens): (token, id, tf) and (id, doclen).
+
+    Both are one map-side-combinable aggregation off the same token
+    explode; write them out bucketed by token/id respectively to serve
+    standing queries without re-tokenizing."""
+    toks = tokenize(df, id_col, text_col)
+    postings = toks.groupBy("token", id_col).agg(F.count("*").alias("tf"))
+    doclens = toks.groupBy(id_col).agg(F.count("*").alias("doclen"))
+    return postings, doclens
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 (Robertson-Sparck Jones idf, the standard
+    `ln(1 + (N-df+0.5)/(df+0.5))` form) for a bag of query terms.
+
+    Returns (id_col, bm25) with bm25 rounded to 6 decimals, ordered
+    score-desc then id-asc (deterministic k boundary)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokenize(df, id_col, text_col)
+    doclens = toks.groupBy(id_col).agg(F.count("*").alias("__dl"))
+    stats = doclens.agg(
+        F.count("*").alias("__n"), F.sum("__dl").alias("__sumdl")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*[t.lower() for t in query_terms]))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("__tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("__df"))
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_part = (
+        F.col("__tf") * (k1 + 1)
+        / (F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / avgdl))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(doclens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
