@@ -1,0 +1,242 @@
+"""Registry entries for the round-4 analytics additions: iterative
+PageRank, KMV distinct sketches, exact group quantiles, DSIR importance
+scoring, and cohort retention.
+
+Every query here is INTEGER-DETERMINISTIC by construction (scaled
+fixed-point arithmetic, floor division, portable md5-prefix hashing), so
+the DuckDB oracle reproduces values bit-exactly — including the
+5-iteration PageRank, whose oracle is the update rule unrolled into a
+CTE chain (iterative algorithms usually get the weaker rows-only check;
+integer arithmetic buys them the full value-hash gate).
+
+Shared-constant discipline matches driver_queries.py: every constant the
+two sides must agree on is a module-level name used by both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.operators.analytics import (
+    cohort_retention,
+    exact_group_quantiles,
+)
+from ia_hadoop_tools_spark.operators.graph import (
+    PR_SCALE,
+    pagerank,
+    symmetric_edges,
+)
+from ia_hadoop_tools_spark.operators.importance import DSIR_SCALE, dsir_scores
+from ia_hadoop_tools_spark.operators.sketches import (
+    KMV_SPACE,
+    kmv_distinct,
+)
+from ia_hadoop_tools_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# shared constants
+
+#: supplier node ids live at partkey-space + this offset (max partkey << 1e6)
+PR_SUPPLIER_OFFSET = 1_000_000
+PR_ITERATIONS = 5
+PR_BASE = (PR_SCALE * 15) // 100  # teleport floor at damping 0.85
+
+KMV_K = 64
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+# ---------------------------------------------------------------------------
+# pagerank — iterative rank propagation on the part<->supplier graph
+# (the WAT-outlink host-graph pattern: jobs/WATGenerator.java:48-120 feeds
+# link graphs; this is the analysis those links exist for)
+
+
+def q_pagerank(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    pairs = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + PR_SUPPLIER_OFFSET).alias("dst"),
+    ).distinct()
+    edges = symmetric_edges(pairs, "src", "dst")
+    ranks = pagerank(edges, iterations=PR_ITERATIONS)
+    return ranks.select("node", F.col("rank").alias("pr"))
+
+
+def _sql_pagerank() -> str:
+    """Unrolled CTE chain: r0 .. r{PR_ITERATIONS}, exact bigint arithmetic."""
+    ctes = [
+        f"""pairs AS (
+  SELECT DISTINCT l_partkey AS src, l_suppkey + {PR_SUPPLIER_OFFSET} AS dst
+  FROM lineitem)""",
+        """edges AS (
+  SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs)""",
+        """outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)""",
+        """nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst AS node FROM edges)""",
+        f"""r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes)""",
+    ]
+    for i in range(1, PR_ITERATIONS + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST({PR_BASE} + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(r.pr // o.od) AS BIGINT) AS c
+    FROM edges e
+    JOIN r{i - 1} r ON r.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, pr FROM r{PR_ITERATIONS}"
+    )
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct — mergeable bottom-k distinct sketch: distinct active
+# user-days per event_type (SortedDistinctBagFactory's job at sketch cost,
+# pig/SortedDistinctBagFactory per SURVEY §2.6)
+
+
+def q_kmv_distinct(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    user_day = F.concat_ws(
+        ":",
+        F.col("user_id").cast("string"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd"),
+    )
+    return kmv_distinct(ev, ["event_type"], user_day, k=KMV_K)
+
+
+SQL_KMV_DISTINCT = f"""
+WITH vals AS (
+  SELECT DISTINCT event_type,
+    CAST('0x' || substr(md5(
+      'kmv:' || CAST(user_id AS VARCHAR) || ':' ||
+      strftime(CAST(ts AS DATE), '%Y-%m-%d')), 1, 8) AS BIGINT) AS h
+  FROM events),
+kept AS (
+  SELECT event_type, h
+  FROM (SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM vals)
+  WHERE rn <= {KMV_K})
+SELECT event_type,
+  count(*) AS n_kept,
+  MAX(h) AS kth_hash,
+  CAST(CASE WHEN count(*) < {KMV_K} THEN count(*)
+            ELSE ({KMV_K - 1} * {KMV_SPACE}) // MAX(h) END AS BIGINT)
+    AS est_distinct
+FROM kept GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# group_quantiles — exact order-statistics percentiles of line revenue per
+# return flag (percentile_disc semantics, integer index arithmetic)
+
+
+def q_group_quantiles(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return exact_group_quantiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        tiebreak=("l_orderkey", "l_linenumber"),
+    )
+
+
+SQL_GROUP_QUANTILES = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+    row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+    count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem)
+SELECT l_returnflag,
+  MAX(CASE WHEN rn = (n * 1 + 1) // 2 THEN l_extendedprice END) AS p50,
+  MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN l_extendedprice END) AS p90,
+  MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN l_extendedprice END) AS p99
+FROM ranked GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights — DSIR importance scores (hashed-bigram target/raw ratio)
+# against the English slice of the documents corpus
+
+
+def q_dsir_weights(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dsir_scores(
+        docs,
+        F.col("lang") == DSIR_TARGET_LANG,
+        n_buckets=DSIR_BUCKETS,
+    )
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH words AS (
+  SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS t,
+         string_split(text, ' ') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id, t,
+    CAST('0x' || substr(md5('dsir:' || ws[i] || ' ' || ws[i + 1]), 1, 8)
+         AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM words, UNNEST(range(1, len(ws))) AS u(i)),
+scores AS (
+  SELECT b,
+    ({DSIR_SCALE} * (CAST(count(*) FILTER (WHERE t) AS BIGINT) + 1))
+      // (count(*) + 1) AS s
+  FROM bg GROUP BY b)
+SELECT doc_id,
+  count(*) AS n_bigrams,
+  CAST(CAST(SUM(s) AS BIGINT) // count(*) AS BIGINT) AS dsir_score
+FROM bg JOIN scores USING (b)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# retention — cohort retention rollup over the events stream
+
+
+def q_retention(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return cohort_retention(ev)
+
+
+SQL_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS f FROM events GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT strftime(f, '%Y-%m-%d') AS cohort_day,
+  CAST(date_diff('day', f, d) AS BIGINT) AS day_offset,
+  count(*) AS n_users
+FROM active JOIN firsts USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+ANALYTICS_QUERIES = {
+    "pagerank": q_pagerank,
+    "kmv_distinct": q_kmv_distinct,
+    "group_quantiles": q_group_quantiles,
+    "dsir_weights": q_dsir_weights,
+    "retention": q_retention,
+}
+
+ANALYTICS_ORACLES = {
+    "pagerank": SQL_PAGERANK,
+    "kmv_distinct": SQL_KMV_DISTINCT,
+    "group_quantiles": SQL_GROUP_QUANTILES,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "retention": SQL_RETENTION,
+}

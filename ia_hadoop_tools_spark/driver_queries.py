@@ -3316,3 +3316,14 @@ ORACLES = {
 }
 
 ORACLES.update(TPCH_EXTRA_ORACLES)
+
+# 89-93. Round-4 analytics additions (iterative PageRank, KMV sketches,
+# exact quantiles, DSIR scoring, cohort retention) live in
+# analytics_queries.py.
+from ia_hadoop_tools_spark.analytics_queries import (  # noqa: E402
+    ANALYTICS_ORACLES,
+    ANALYTICS_QUERIES,
+)
+
+QUERIES.update(ANALYTICS_QUERIES)
+ORACLES.update(ANALYTICS_ORACLES)

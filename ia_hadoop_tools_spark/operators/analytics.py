@@ -1,0 +1,93 @@
+"""Warehouse-analytics primitives: exact group quantiles, cohort retention.
+
+Rounding out the engine's OLAP surface (SURVEY §2.6/§2.7 aggregate
+family) with two shapes every analytics user reaches for:
+
+- :func:`exact_group_quantiles` — order-statistics quantiles
+  (``percentile_disc`` semantics: the value AT index ceil(q*n), never an
+  interpolated float), computed with integer index arithmetic and a
+  total tie-break order so results are bit-deterministic and
+  reproducible in plain SQL. Exact quantiles are sort-based — one
+  window per group; for billion-row groups the engine's scale path is
+  ``approx_percentile`` (t-digest, mergeable), this operator is the
+  exact small/medium-group form the oracle can verify.
+- :func:`cohort_retention` — the classic product-analytics rollup:
+  users bucketed by first-seen day, counted at each day offset. One
+  groupBy(user) for cohorts + one distinct + one groupBy(cohort,
+  offset); all shuffles keyed on high-cardinality columns, fully
+  partial-aggregated.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[tuple[str, int, int]] = (
+        ("p50", 1, 2),
+        ("p90", 9, 10),
+        ("p99", 99, 100),
+    ),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group discrete quantiles: value at row ceil(q*n) of the sorted group.
+
+    ``quantiles`` are (label, numerator, denominator) rationals so the
+    index ceil(n*num/den) = (n*num + den - 1) div den stays in integer
+    arithmetic. ``tiebreak`` columns complete the sort order when
+    ``value_col`` has duplicates (determinism, not semantics — any row
+    at the index carries the same value).
+    """
+    order = [F.col(value_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    wn = Window.partitionBy(*group_cols)
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(wn)
+    )
+    aggs = []
+    keep: Column | None = None
+    for label, num, den in quantiles:
+        idx = F.expr(f"(__n * {num} + {den - 1}) div {den}")
+        hit = F.col("__rn") == idx
+        keep = hit if keep is None else (keep | hit)
+        aggs.append(
+            F.max(F.when(hit, F.col(value_col))).alias(label)
+        )
+    return ranked.filter(keep).groupBy(*group_cols).agg(*aggs)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort-retention rollup: (``cohort_day``, ``day_offset``, ``n_users``).
+
+    ``cohort_day`` (yyyy-MM-dd string) is the user's first active day;
+    ``n_users`` counts distinct users of that cohort active exactly
+    ``day_offset`` days later. Day 0 row per cohort = cohort size.
+    """
+    day = F.to_date(F.col(ts_col))
+    firsts = events.groupBy(user_col).agg(F.min(day).alias("__first"))
+    active = events.select(F.col(user_col), day.alias("__day")).distinct()
+    out = (
+        active.join(firsts, user_col)
+        .select(
+            F.date_format("__first", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("__day", "__first").cast("long").alias("day_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+    if max_offset is not None:
+        out = out.filter(F.col("day_offset") <= max_offset)
+    return out

@@ -1,0 +1,261 @@
+"""Tests for the round-4 analytics additions: PageRank, KMV sketches,
+exact quantiles, DSIR importance scoring, cohort retention."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.operators.analytics import (
+    cohort_retention,
+    exact_group_quantiles,
+)
+from ia_hadoop_tools_spark.operators.graph import (
+    PR_SCALE,
+    degree_stats,
+    pagerank,
+    symmetric_edges,
+)
+from ia_hadoop_tools_spark.operators.importance import (
+    dsir_scores,
+    dsir_select,
+    word_bigrams,
+)
+from ia_hadoop_tools_spark.operators.sketches import (
+    kmv_distinct,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+
+# ---------------------------------------------------------------------------
+# pagerank
+
+
+def test_pagerank_two_node_cycle(spark):
+    """A <-> B must converge to equal ranks at exactly the fixed point.
+
+    Fixed point of the integer rule for a 2-cycle (od=1): r = base +
+    85*r div 100; starting from SCALE the sequence is monotone and both
+    nodes stay equal every iteration by symmetry.
+    """
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    rows = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1] == rows[2]
+    # hand-unroll: r0 = SCALE; r_{i+1} = 150e6 + (85 * r_i) div 100
+    r = PR_SCALE
+    for _ in range(3):
+        r = 150_000_000 + (85 * r) // 100
+    assert rows[1] == r
+
+
+def test_pagerank_star_ranks_hub_highest(spark):
+    """Hub of a 4-spoke symmetric star outranks every spoke; spokes tie."""
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    edges = symmetric_edges(pairs, "src", "dst")
+    rows = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    hub, spokes = rows[0], [rows[i] for i in range(1, 5)]
+    assert all(hub > s for s in spokes)
+    assert len(set(spokes)) == 1
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    edges = symmetric_edges(
+        spark.createDataFrame(
+            [(i, (i * 7) % 23) for i in range(40)], "src long, dst long"
+        ).filter("src != dst"),
+        "src",
+        "dst",
+    )
+    a = {r["node"]: r["rank"] for r in pagerank(edges, iterations=4).collect()}
+    b = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges.repartition(13), iterations=4).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_materialize_every_same_result(spark):
+    edges = symmetric_edges(
+        spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "src long, dst long"
+        ),
+        "src",
+        "dst",
+    )
+    lazy = {r["node"]: r["rank"] for r in pagerank(edges, iterations=6).collect()}
+    ckpt = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=6, materialize_every=2).collect()
+    }
+    assert lazy == ckpt
+
+
+def test_degree_stats(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    d = {r["node"]: (r["out_degree"], r["in_degree"]) for r in degree_stats(edges).collect()}
+    assert d == {1: (2, 0), 2: (1, 1), 3: (0, 2)}
+
+
+# ---------------------------------------------------------------------------
+# KMV sketches
+
+
+def test_kmv_exact_when_under_k(spark):
+    df = spark.createDataFrame(
+        [("a", i % 10) for i in range(100)], "g string, v long"
+    )
+    out = kmv_distinct(df, ["g"], F.col("v").cast("string"), k=64).collect()
+    assert len(out) == 1
+    assert out[0]["n_kept"] == 10
+    assert out[0]["est_distinct"] == 10  # sketch not full -> exact
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    n = 5000
+    df = spark.createDataFrame([("g", i) for i in range(n)], "g string, v long")
+    out = kmv_distinct(df, ["g"], F.col("v").cast("string"), k=256).collect()[0]
+    assert out["n_kept"] == 256
+    # standard error ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert abs(out["est_distinct"] - n) / n < 0.25
+
+
+def test_kmv_salted_equals_unsalted(spark):
+    df = spark.createDataFrame(
+        [("g%d" % (i % 3), i) for i in range(2000)], "g string, v long"
+    )
+    val = F.col("v").cast("string")
+    a = kmv_sketch(df, ["g"], val, k=32, salted=True)
+    b = kmv_sketch(df, ["g"], val, k=32, salted=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    left = spark.createDataFrame([("g", i) for i in range(0, 600)], "g string, v long")
+    right = spark.createDataFrame(
+        [("g", i) for i in range(300, 900)], "g string, v long"
+    )
+    val = F.col("v").cast("string")
+    merged = kmv_merge(
+        kmv_sketch(left, ["g"], val, k=48),
+        kmv_sketch(right, ["g"], val, k=48),
+        ["g"],
+        k=48,
+    )
+    direct = kmv_sketch(left.unionByName(right), ["g"], val, k=48)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est = kmv_estimate(merged, ["g"], k=48).collect()[0]
+    assert abs(est["est_distinct"] - 900) / 900 < 0.6  # k=48: loose bound
+
+
+# ---------------------------------------------------------------------------
+# exact quantiles
+
+
+def test_exact_group_quantiles_known_values(spark):
+    # group x: 1..100 -> p50=50, p90=90, p99=99; ceil semantics
+    df = spark.createDataFrame(
+        [("x", float(i)) for i in range(1, 101)], "g string, v double"
+    )
+    row = exact_group_quantiles(df, ["g"], "v").collect()[0]
+    assert (row["p50"], row["p90"], row["p99"]) == (50.0, 90.0, 99.0)
+
+
+def test_exact_group_quantiles_small_group(spark):
+    df = spark.createDataFrame([("y", 7.0), ("y", 3.0)], "g string, v double")
+    row = exact_group_quantiles(df, ["g"], "v").collect()[0]
+    # n=2: idx50=ceil(1)=1 -> 3.0, idx90=ceil(1.8)=2 -> 7.0, idx99=2 -> 7.0
+    assert (row["p50"], row["p90"], row["p99"]) == (3.0, 7.0, 7.0)
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+
+
+def test_word_bigrams_short_docs(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("solo",), ("x y",)], "text string"
+    )
+    rows = df.select(word_bigrams("text").alias("bg")).collect()
+    assert rows[0]["bg"] == ["a b", "b c"]
+    assert rows[1]["bg"] == []
+    assert rows[2]["bg"] == ["x y"]
+
+
+def test_dsir_scores_target_docs_rank_higher(spark):
+    # target docs share a distinctive bigram vocabulary; raw docs don't
+    rows = [(i, "alpha beta alpha beta alpha beta", "t") for i in range(10)]
+    rows += [(100 + i, "gamma delta gamma delta gamma delta", "r") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, kind string")
+    scored = dsir_scores(docs, F.col("kind") == "t").collect()
+    by_id = {r["doc_id"]: r["dsir_score"] for r in scored}
+    assert min(by_id[i] for i in range(10)) > max(
+        by_id[100 + i] for i in range(10)
+    )
+
+
+def test_dsir_select_histogram_matches_global_window(spark):
+    rows = [(i, f"w{i % 7} w{(i * 3) % 11} w{i % 5} w{(i + 1) % 7}", i % 3 == 0)
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    sel = dsir_select(docs, F.col("is_t"), 1, 4)
+    scored = dsir_scores(docs, F.col("is_t"))
+    w = Window.orderBy(F.col("dsir_score").desc(), F.col("doc_id").asc())
+    n = scored.count()
+    expect = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= n // 4)
+        .drop("r")
+    )
+    assert sorted(r["doc_id"] for r in sel.collect()) == sorted(
+        r["doc_id"] for r in expect.collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention
+
+
+def test_cohort_retention_basic(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-02 09:00:00"),
+            (2, "2024-01-01 11:00:00"),
+            (2, "2024-01-01 12:00:00"),  # same day dedups
+            (3, "2024-01-02 08:00:00"),
+        ],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-02", 0): 1,
+    }
+
+
+def test_cohort_retention_max_offset(spark):
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-20 10:00:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = cohort_retention(ev, max_offset=7).collect()
+    assert {r["day_offset"] for r in out} == {0}
+
+
+def test_pagerank_rejects_bad_iterations(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(edges, iterations=0)
