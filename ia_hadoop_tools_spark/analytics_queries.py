@@ -225,12 +225,115 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# funnel — ordered-step conversion funnel (chained conditional-min shape)
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+FUNNEL_WINDOW_S = 7 * 86400
+
+
+def q_funnel(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.funnel import funnel_counts
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return funnel_counts(ev, FUNNEL_STEPS, FUNNEL_WINDOW_S)
+
+
+SQL_FUNNEL = f"""
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}'
+    AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL {FUNNEL_WINDOW_S} SECOND
+  GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+                JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}'
+    AND e.ts > t2.t2 AND e.ts <= t1.t1 + INTERVAL {FUNNEL_WINDOW_S} SECOND
+  GROUP BY e.user_id)
+SELECT CAST(1 AS INTEGER) AS step, '{FUNNEL_STEPS[0]}' AS step_name,
+       (SELECT count(*) FROM t1) AS n_users
+UNION ALL
+SELECT CAST(2 AS INTEGER), '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM t2)
+UNION ALL
+SELECT CAST(3 AS INTEGER), '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM t3)
+"""
+
+
+# ---------------------------------------------------------------------------
+# triangles — degree-ordered triangle count of the user co-activity graph
+# (edge = two users active on >= TRI_MIN_SHARED_DAYS common days)
+
+TRI_MIN_SHARED_DAYS = 28
+
+
+def q_triangles(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.graph import triangle_count
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ud = ev.select(
+        F.col("user_id").alias("u"), F.to_date("ts").alias("d")
+    ).distinct()
+    # shared-days(a, b) <= min(active_days(a), active_days(b)), so users
+    # below the edge threshold can never form an edge — prune them BEFORE
+    # the per-day pair join (the expensive quadratic step; at sf0.1 this
+    # cuts candidate pairs ~8x with a provably identical result)
+    qual = (
+        ud.groupBy("u")
+        .agg(F.count("*").alias("__nd"))
+        .filter(F.col("__nd") >= TRI_MIN_SHARED_DAYS)
+        .select("u")
+    )
+    ud = ud.join(qual, "u")
+    a, b = ud.alias("a"), ud.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.d") == F.col("b.d")) & (F.col("a.u") < F.col("b.u")))
+        .groupBy(F.col("a.u").alias("src"), F.col("b.u").alias("dst"))
+        .agg(F.count("*").alias("__sh"))
+        .filter(F.col("__sh") >= TRI_MIN_SHARED_DAYS)
+        .select("src", "dst")
+    )
+    return triangle_count(pairs)
+
+
+SQL_TRIANGLES = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+edges AS (
+  SELECT a.u AS a, b.u AS b
+  FROM ud a JOIN ud b ON a.d = b.d AND a.u < b.u
+  GROUP BY a.u, b.u
+  HAVING count(*) >= {TRI_MIN_SHARED_DAYS}),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges)
+  GROUP BY node),
+oriented AS (
+  SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v
+  FROM edges e
+  JOIN deg da ON da.node = e.a
+  JOIN deg db ON db.node = e.b)
+SELECT count(*) AS n_triangles
+FROM oriented e1
+JOIN oriented e2 ON e2.u = e1.v
+JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
 ANALYTICS_QUERIES = {
     "pagerank": q_pagerank,
     "kmv_distinct": q_kmv_distinct,
     "group_quantiles": q_group_quantiles,
     "dsir_weights": q_dsir_weights,
     "retention": q_retention,
+    "funnel": q_funnel,
+    "triangles": q_triangles,
 }
 
 ANALYTICS_ORACLES = {
@@ -239,4 +342,6 @@ ANALYTICS_ORACLES = {
     "group_quantiles": SQL_GROUP_QUANTILES,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "retention": SQL_RETENTION,
+    "funnel": SQL_FUNNEL,
+    "triangles": SQL_TRIANGLES,
 }

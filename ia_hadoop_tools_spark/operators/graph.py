@@ -120,6 +120,57 @@ def pagerank(
     return ranks
 
 
+def triangle_count(pairs: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Global triangle count of an undirected graph, degree-ordered.
+
+    Input is any (src, dst) pair table; it is normalized to canonical
+    undirected edges (min, max) and deduplicated, so direction and
+    duplicates don't matter. The enumeration orients every edge from its
+    lower-(degree, id) endpoint to its higher one — the classic
+    O(m^(3/2)) bound (Schank & Wagner 2005): a node's oriented
+    out-degree is at most ~sqrt(2m), so the wedge join
+    (u->v) x (v->w) stays near-linear even on skewed degree
+    distributions, and each triangle is counted exactly once.
+
+    Returns a single row (``n_triangles`` long). All joins are
+    node-keyed shuffles; nothing touches the driver.
+    """
+    e = pairs.select(
+        F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("a"),
+        F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient a->b iff (deg, id) of a < (deg, id) of b — a strict total order
+    da, db = deg.alias("da"), deg.alias("db")
+    oriented = (
+        e.join(da, F.col("a") == F.col("da.node"))
+        .join(db, F.col("b") == F.col("db.node"))
+        .select(
+            F.when(
+                (F.col("da.deg") < F.col("db.deg"))
+                | ((F.col("da.deg") == F.col("db.deg")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("__e")
+        )
+        .select("__e.u", "__e.v")
+    ).persist()  # read three times below; lazy until the action
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+    )
+    tri = wedges.join(
+        e3, (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v"))
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))
+
+
 def degree_stats(edges: DataFrame) -> DataFrame:
     """Per-node (out_degree, in_degree) from a directed edge list."""
     out_d = edges.groupBy(F.col("src").alias("node")).agg(

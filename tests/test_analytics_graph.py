@@ -259,3 +259,117 @@ def test_pagerank_rejects_bad_iterations(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank(edges, iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# triangles
+
+
+def _tri(spark, pairs):
+    from ia_hadoop_tools_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return triangle_count(df).collect()[0]["n_triangles"]
+
+
+def test_triangle_count_k4(spark):
+    import itertools
+
+    k4 = list(itertools.combinations(range(4), 2))
+    assert _tri(spark, k4) == 4
+
+
+def test_triangle_count_square_is_zero(spark):
+    assert _tri(spark, [(0, 1), (1, 2), (2, 3), (3, 0)]) == 0
+
+
+def test_triangle_count_direction_and_dupes_ignored(spark):
+    # K3 given with mixed directions + duplicates + a pendant edge
+    assert _tri(spark, [(1, 2), (2, 1), (3, 2), (1, 3), (3, 4)]) == 1
+
+
+# ---------------------------------------------------------------------------
+# funnel
+
+
+def _ev(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_funnel_counts_basic(spark):
+    from ia_hadoop_tools_spark.operators.funnel import funnel_counts
+
+    ev = _ev(
+        spark,
+        [
+            # u1 completes all three in order
+            (1, "a", "2024-01-01 00:00:00"),
+            (1, "b", "2024-01-01 01:00:00"),
+            (1, "c", "2024-01-01 02:00:00"),
+            # u2 does b before a: step 2 never completes
+            (2, "b", "2024-01-01 00:00:00"),
+            (2, "a", "2024-01-01 01:00:00"),
+            # u3 reaches step 2 only
+            (3, "a", "2024-01-01 00:00:00"),
+            (3, "b", "2024-01-01 00:30:00"),
+        ],
+    )
+    out = {r["step"]: r["n_users"] for r in funnel_counts(ev, ("a", "b", "c"), 86400).collect()}
+    assert out == {1: 3, 2: 2, 3: 1}
+
+
+def test_funnel_window_expiry(spark):
+    from ia_hadoop_tools_spark.operators.funnel import funnel_counts
+
+    ev = _ev(
+        spark,
+        [
+            (1, "a", "2024-01-01 00:00:00"),
+            (1, "b", "2024-01-03 00:00:00"),  # outside 1-day window
+        ],
+    )
+    out = {r["step"]: r["n_users"] for r in funnel_counts(ev, ("a", "b"), 86400).collect()}
+    assert out == {1: 1, 2: 0}
+
+
+def test_funnel_same_timestamp_does_not_chain(spark):
+    from ia_hadoop_tools_spark.operators.funnel import funnel_counts
+
+    ev = _ev(
+        spark,
+        [
+            (1, "a", "2024-01-01 00:00:00"),
+            (1, "b", "2024-01-01 00:00:00"),  # strict >: not counted
+        ],
+    )
+    out = {r["step"]: r["n_users"] for r in funnel_counts(ev, ("a", "b"), 86400).collect()}
+    assert out == {1: 1, 2: 0}
+
+
+def test_funnel_uses_earliest_qualifying_times(spark):
+    from ia_hadoop_tools_spark.operators.funnel import funnel_times
+
+    ev = _ev(
+        spark,
+        [
+            (1, "a", "2024-01-01 00:00:00"),
+            (1, "b", "2024-01-01 05:00:00"),
+            (1, "b", "2024-01-01 01:00:00"),  # earliest b after a wins
+            (1, "c", "2024-01-01 03:00:00"),  # after the EARLIEST b -> valid
+        ],
+    )
+    row = funnel_times(ev, ("a", "b", "c"), 86400).collect()[0]
+    assert str(row["t2"]) == "2024-01-01 01:00:00"
+    assert str(row["t3"]) == "2024-01-01 03:00:00"
+
+
+def test_funnel_rejects_single_step(spark):
+    from ia_hadoop_tools_spark.operators.funnel import funnel_counts
+
+    ev = _ev(spark, [(1, "a", "2024-01-01 00:00:00")])
+    with pytest.raises(ValueError):
+        funnel_counts(ev, ("a",), 60)
