@@ -326,6 +326,43 @@ JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
 """
 
 
+# ---------------------------------------------------------------------------
+# collocations — word2vec phrase mining over the documents corpus
+
+COLL_MIN_COUNT = 5
+COLL_DISCOUNT = 5
+COLL_SCALE = 1_000_000
+
+
+def q_collocations(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.textops import collocation_scores
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return collocation_scores(
+        docs, min_count=COLL_MIN_COUNT, discount=COLL_DISCOUNT, scale=COLL_SCALE
+    )
+
+
+SQL_COLLOCATIONS = f"""
+WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+words AS (SELECT unnest(ws) AS w FROM ws),
+n_total AS (SELECT count(*) AS n FROM words),
+uni AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+pairs AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS n_pair
+  FROM ws, UNNEST(range(1, len(ws))) AS u(i)
+  GROUP BY 1, 2
+  HAVING count(*) >= {COLL_MIN_COUNT} AND count(*) > {COLL_DISCOUNT})
+SELECT w1, w2, n_pair,
+  CAST(((n_pair - {COLL_DISCOUNT}) * n * {COLL_SCALE})
+       // (u1.c * u2.c) AS BIGINT) AS score
+FROM pairs
+JOIN uni u1 ON u1.w = pairs.w1
+JOIN uni u2 ON u2.w = pairs.w2
+CROSS JOIN n_total
+"""
+
+
 ANALYTICS_QUERIES = {
     "pagerank": q_pagerank,
     "kmv_distinct": q_kmv_distinct,
@@ -334,6 +371,7 @@ ANALYTICS_QUERIES = {
     "retention": q_retention,
     "funnel": q_funnel,
     "triangles": q_triangles,
+    "collocations": q_collocations,
 }
 
 ANALYTICS_ORACLES = {
@@ -344,4 +382,5 @@ ANALYTICS_ORACLES = {
     "retention": SQL_RETENTION,
     "funnel": SQL_FUNNEL,
     "triangles": SQL_TRIANGLES,
+    "collocations": SQL_COLLOCATIONS,
 }

@@ -599,3 +599,64 @@ def novel_docs(
     out.shingle_caches = (new_sh, cor_sh)
     out.index_caches = (inv_n, inv_c) if max_df is not None else None
     return out
+
+
+def collocation_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    discount: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Word2vec-style phrase mining: score adjacent word pairs by how much
+    more often they co-occur than chance (Mikolov et al. 2013 §4).
+
+    Integer-exact variant of ``score = (c12 - delta) * N / (c1 * c2)``:
+    the scaled numerator and the floor division keep results bit-stable
+    under any partitioning (no float accumulation), so the DuckDB oracle
+    matches exactly. Pairs with ``c12 <= discount`` or ``c12 <
+    min_count`` are dropped (the word2vec discount kills rare-pair
+    noise).
+
+    Returns (``w1``, ``w2``, ``n_pair``, ``score``); higher score =
+    stronger collocation ("new york" class pairs).
+
+    Scale shape: two groupBys (pairs, unigrams) with full map-side
+    combine over vocabulary-bounded key spaces, then a broadcast-sized
+    unigram join (vocab << corpus; for web-scale vocabularies the join
+    keys are still words — shuffle degrades gracefully).
+    """
+    from ia_hadoop_tools_spark.operators.importance import word_bigrams
+
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    n_total = words.groupBy().agg(F.count("*").alias("__n"))
+    uni = words.groupBy("w").agg(F.count("*").alias("__c"))
+    pairs = (
+        docs.select(F.explode(word_bigrams(text_col)).alias("__bg"))
+        .select(
+            F.split(F.col("__bg"), " ").getItem(0).alias("w1"),
+            F.split(F.col("__bg"), " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(
+            (F.col("n_pair") >= min_count) & (F.col("n_pair") > discount)
+        )
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("__c").alias("__c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("__c").alias("__c2"))
+    return (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.expr(
+                f"((n_pair - {discount}) * __n * {scale}L) div (__c1 * __c2)"
+            ).alias("score"),
+        )
+    )

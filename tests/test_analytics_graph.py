@@ -373,3 +373,22 @@ def test_funnel_rejects_single_step(spark):
     ev = _ev(spark, [(1, "a", "2024-01-01 00:00:00")])
     with pytest.raises(ValueError):
         funnel_counts(ev, ("a",), 60)
+
+
+# ---------------------------------------------------------------------------
+# collocations
+
+
+def test_collocation_scores_ranks_fixed_phrase_top(spark):
+    from ia_hadoop_tools_spark.operators.textops import collocation_scores
+
+    # "new york" always adjacent; "the cat/dog/fish..." spreads "the" thin
+    rows = [(f"new york trip {i % 7} the w{i % 13} the w{(i * 5) % 13}",)
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "text string")
+    out = collocation_scores(docs, min_count=10).collect()
+    scores = {(r["w1"], r["w2"]): r["score"] for r in out}
+    ny = scores[("new", "york")]
+    assert all(ny >= s for s in scores.values())
+    # discount kills pairs at or below the threshold
+    assert all(r["n_pair"] > 5 for r in out)
