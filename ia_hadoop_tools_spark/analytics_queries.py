@@ -60,7 +60,11 @@ def q_pagerank(spark, sf_dir):
         (F.col("l_suppkey") + PR_SUPPLIER_OFFSET).alias("dst"),
     ).distinct()
     edges = symmetric_edges(pairs, "src", "dst")
-    ranks = pagerank(edges, iterations=PR_ITERATIONS)
+    # symmetric graph: every node is a dst, so skip the per-iteration
+    # teleport-floor left join (one fewer shuffle per superstep)
+    ranks = pagerank(
+        edges, iterations=PR_ITERATIONS, all_nodes_have_inedges=True
+    )
     return ranks.select("node", F.col("rank").alias("pr"))
 
 
@@ -363,6 +367,92 @@ CROSS JOIN n_total
 """
 
 
+# ---------------------------------------------------------------------------
+# scd2 — slowly-changing-dimension snapshot merge over the customer dim:
+# day-2 snapshot bumps acctbal for custkey % 10 == 0 and adds a new-key
+# cohort (custkey % 37 == 0, offset by 1e6)
+
+SCD_T0, SCD_T1 = "2024-01-01", "2024-02-01"
+SCD_CHANGE_MOD = 10
+SCD_NEW_MOD = 37
+SCD_NEW_OFFSET = 1_000_000
+
+
+def q_scd2(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.scd import scd2_merge
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    base = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit(SCD_T0).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    snap = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(
+            F.col("c_custkey") % SCD_CHANGE_MOD == 0,
+            F.col("c_acctbal") + 100,
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % SCD_NEW_MOD == 0).select(
+            (F.col("c_custkey") + SCD_NEW_OFFSET).alias("c_custkey"),
+            F.lit("NEWSEG").alias("c_mktsegment"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    return scd2_merge(
+        base,
+        snap,
+        keys=("c_custkey",),
+        tracked=("c_mktsegment", "c_acctbal"),
+        effective_ts=SCD_T1,
+    )
+
+
+SQL_SCD2 = f"""
+WITH base AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         '{SCD_T0}' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+  FROM customer),
+snap AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % {SCD_CHANGE_MOD} = 0
+              THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + {SCD_NEW_OFFSET}, 'NEWSEG', 0.0
+  FROM customer WHERE c_custkey % {SCD_NEW_MOD} = 0),
+j AS (
+  SELECT b.c_custkey AS bk, b.c_mktsegment AS bseg, b.c_acctbal AS bbal,
+         b.valid_from AS bfrom, b.valid_to AS bto,
+         s.c_custkey AS sk, s.c_mktsegment AS sseg, s.c_acctbal AS sbal
+  FROM base b FULL OUTER JOIN snap s ON b.c_custkey = s.c_custkey),
+unchanged AS (
+  SELECT bk AS c_custkey, bseg AS c_mktsegment, bbal AS c_acctbal,
+         bfrom AS valid_from, bto AS valid_to
+  FROM j WHERE bk IS NOT NULL AND sk IS NOT NULL
+    AND bseg IS NOT DISTINCT FROM sseg AND bbal IS NOT DISTINCT FROM sbal),
+newly_closed AS (
+  SELECT bk, bseg, bbal, bfrom, '{SCD_T1}' AS valid_to
+  FROM j WHERE bk IS NOT NULL AND sk IS NOT NULL
+    AND (bseg IS DISTINCT FROM sseg OR bbal IS DISTINCT FROM sbal)),
+reopened AS (
+  SELECT sk, sseg, sbal, '{SCD_T1}' AS valid_from,
+         CAST(NULL AS VARCHAR) AS valid_to
+  FROM j WHERE sk IS NOT NULL
+    AND (bk IS NULL OR bseg IS DISTINCT FROM sseg
+         OR bbal IS DISTINCT FROM sbal))
+SELECT * FROM unchanged
+UNION ALL SELECT * FROM newly_closed
+UNION ALL SELECT * FROM reopened
+"""
+
+
 ANALYTICS_QUERIES = {
     "pagerank": q_pagerank,
     "kmv_distinct": q_kmv_distinct,
@@ -372,6 +462,7 @@ ANALYTICS_QUERIES = {
     "funnel": q_funnel,
     "triangles": q_triangles,
     "collocations": q_collocations,
+    "scd2": q_scd2,
 }
 
 ANALYTICS_ORACLES = {
@@ -383,4 +474,5 @@ ANALYTICS_ORACLES = {
     "funnel": SQL_FUNNEL,
     "triangles": SQL_TRIANGLES,
     "collocations": SQL_COLLOCATIONS,
+    "scd2": SQL_SCD2,
 }

@@ -56,6 +56,7 @@ def pagerank(
     scale: int = PR_SCALE,
     materialize_every: int | None = None,
     cache_edges: bool = True,
+    all_nodes_have_inedges: bool = False,
 ) -> DataFrame:
     """Integer-exact PageRank over a directed edge list (``src``, ``dst``).
 
@@ -76,6 +77,12 @@ def pagerank(
     localCheckpoint the rank vector every k iterations (runs jobs
     eagerly — only worth it past ~10 iterations, where plan depth itself
     becomes the cost).
+
+    ``all_nodes_have_inedges=True`` (safe on symmetric graphs, where
+    every node is some edge's dst) drops the per-iteration left join
+    against the node list — the join only exists to hand in-edge-less
+    nodes their teleport floor, so when none exist it is one shuffle per
+    superstep of pure overhead.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -108,13 +115,21 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("__contrib").alias("__c"))
         )
-        ranks = nodes.join(sums, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.expr(f"({DAMP_NUM} * coalesce(__c, 0L)) div {DAMP_DEN}")
-            ).alias("rank"),
-        )
+        if all_nodes_have_inedges:
+            ranks = sums.select(
+                "node",
+                (
+                    F.lit(base) + F.expr(f"({DAMP_NUM} * __c) div {DAMP_DEN}")
+                ).alias("rank"),
+            )
+        else:
+            ranks = nodes.join(sums, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({DAMP_NUM} * coalesce(__c, 0L)) div {DAMP_DEN}")
+                ).alias("rank"),
+            )
         if materialize_every and (i + 1) % materialize_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -141,6 +141,54 @@ COMMENTARY = {
         "the 'late' relation computes once per side from a pushed-filter "
         "scan (status F, shipdate>orderdate)."
     ),
+    "pagerank": (
+        "Pregel supersteps as relational ops: the persisted edge table is "
+        "`InMemoryTableScan`-ed once per iteration; the rank-vector side of "
+        "each superstep join is `BroadcastHashJoin` at this SF (AQE decides; "
+        "at web scale it degrades to a node-keyed shuffle join — the "
+        "canonical cost). One `HashAggregate` pair (partial + final) per "
+        "superstep carries the contribution sums; integer arithmetic means "
+        "no accumulation-order sensitivity anywhere in the plan."
+    ),
+    "triangles": (
+        "The quadratic step (per-day user pairing) happens AFTER the "
+        "active-days pruning aggregate, so the self-join input is the "
+        "qualified-user slice only. The oriented edge table is persisted "
+        "and scanned three times (e1/e2/e3); wedge join + closing join are "
+        "both key-shuffles bounded by the degree orientation, never a "
+        "cartesian."
+    ),
+    "kmv_distinct": (
+        "Sketch build = one `HashAggregate` dedup of (group, hash) with "
+        "partial aggregation map-side, then two bounded `WindowGroupLimit`-"
+        "class windows (salted stage caps candidates at salts*k per group). "
+        "No data-proportional state reaches any single task."
+    ),
+    "dsir_weights": (
+        "The exploded bigram table persists once (skinny id/flag/bucket "
+        "rows); bucket scores aggregate over <= n_buckets keys and come "
+        "back as a `BroadcastHashJoin` — the corpus-side pass is "
+        "embarrassingly parallel, and nothing shuffles more than the "
+        "1024-row score table plus per-doc partial sums."
+    ),
+    "funnel": (
+        "Each funnel step is a conditional-min `HashAggregate` over the "
+        "events scan joined to the previous step's per-user frame — k "
+        "user-keyed shuffles for k steps, all partial-aggregated; no "
+        "per-user window over raw events anywhere."
+    ),
+    "scd2": (
+        "One full-outer `SortMergeJoin` on the dimension key between the "
+        "current slice and the snapshot; closed history rows bypass the "
+        "join entirely through the union. Column pruning cuts both scans "
+        "to key+tracked columns."
+    ),
+    "collocations": (
+        "Two vocabulary-keyed `HashAggregate`s (pair counts, unigram "
+        "counts) with map-side combine, then unigram and total-count "
+        "tables return as `BroadcastHashJoin`s — the corpus explodes once "
+        "per side and nothing vocabulary-sized shuffles twice."
+    ),
 }
 
 

@@ -392,3 +392,21 @@ def test_collocation_scores_ranks_fixed_phrase_top(spark):
     assert all(ny >= s for s in scores.values())
     # discount kills pairs at or below the threshold
     assert all(r["n_pair"] > 5 for r in out)
+
+
+def test_pagerank_inedge_shortcut_equivalent_on_symmetric_graph(spark):
+    edges = symmetric_edges(
+        spark.createDataFrame(
+            [(i, (i * 11) % 17) for i in range(50)], "src long, dst long"
+        ).filter("src != dst"),
+        "src",
+        "dst",
+    )
+    full = {r["node"]: r["rank"] for r in pagerank(edges, iterations=4).collect()}
+    fast = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, iterations=4, all_nodes_have_inedges=True
+        ).collect()
+    }
+    assert full == fast
