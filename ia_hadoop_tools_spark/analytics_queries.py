@@ -453,6 +453,102 @@ UNION ALL SELECT * FROM reopened
 """
 
 
+# ---------------------------------------------------------------------------
+# interval_join — bucketized band join: lineitem ship events inside
+# 14-day promo windows derived from a sparse orders subset
+
+IJ_WINDOW_DAYS = 14
+IJ_ORDER_MOD = 1000
+
+
+def q_interval_join(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.rangejoin import interval_join
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    windows = t["orders"].filter(
+        F.col("o_orderkey") % IJ_ORDER_MOD == 0
+    ).select(
+        F.col("o_orderkey").alias("window_id"),
+        F.col("o_orderdate").alias("w_start"),
+        (
+            F.col("o_orderdate") + F.make_interval(days=F.lit(IJ_WINDOW_DAYS))
+        ).alias("w_end"),
+    )
+    hits = interval_join(
+        t["lineitem"].select("l_orderkey", "l_linenumber", "l_shipdate"),
+        windows,
+        point_ts="l_shipdate",
+        start_col="w_start",
+        end_col="w_end",
+    )
+    return hits.groupBy("window_id").agg(F.count("*").alias("n_hits"))
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH windows AS (
+  SELECT o_orderkey AS window_id, o_orderdate AS w_start,
+         o_orderdate + INTERVAL {IJ_WINDOW_DAYS} DAY AS w_end
+  FROM orders WHERE o_orderkey % {IJ_ORDER_MOD} = 0)
+SELECT window_id, count(*) AS n_hits
+FROM lineitem JOIN windows
+  ON l_shipdate >= w_start AND l_shipdate <= w_end
+GROUP BY window_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# expectations — one-pass declarative data-quality gate over customer
+# (mixed clean and violated rules so both outcomes are oracle-pinned)
+
+EXPECT_SEGMENTS = (
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+)
+
+
+def q_expectations(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.expectations import expectations
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return expectations(
+        cust,
+        [
+            ("not_null", "c_name"),
+            ("range", "c_acctbal", 0, 10000),  # negatives violate
+            ("accepted_values", "c_mktsegment", EXPECT_SEGMENTS),
+            ("regex", "c_name", "Customer#[0-9]+"),
+            ("unique", "c_custkey"),
+            ("unique", "c_nationkey"),  # heavily duplicated
+        ],
+    )
+
+
+SQL_EXPECTATIONS = f"""
+SELECT 'not_null:c_name' AS rule,
+       count(*) FILTER (WHERE c_name IS NULL) AS n_violations FROM customer
+UNION ALL
+SELECT 'range:c_acctbal',
+       count(*) FILTER (WHERE c_acctbal IS NOT NULL
+                          AND (c_acctbal < 0 OR c_acctbal > 10000))
+FROM customer
+UNION ALL
+SELECT 'accepted_values:c_mktsegment',
+       count(*) FILTER (WHERE c_mktsegment IS NULL
+                          OR c_mktsegment NOT IN {EXPECT_SEGMENTS!r})
+FROM customer
+UNION ALL
+SELECT 'regex:c_name',
+       count(*) FILTER (WHERE c_name IS NULL
+                          OR NOT regexp_full_match(c_name, 'Customer#[0-9]+'))
+FROM customer
+UNION ALL
+SELECT 'unique:c_custkey', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey)
+UNION ALL
+SELECT 'unique:c_nationkey', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS n FROM customer GROUP BY c_nationkey)
+"""
+
+
 ANALYTICS_QUERIES = {
     "pagerank": q_pagerank,
     "kmv_distinct": q_kmv_distinct,
@@ -463,6 +559,8 @@ ANALYTICS_QUERIES = {
     "triangles": q_triangles,
     "collocations": q_collocations,
     "scd2": q_scd2,
+    "interval_join": q_interval_join,
+    "expectations": q_expectations,
 }
 
 ANALYTICS_ORACLES = {
@@ -475,4 +573,6 @@ ANALYTICS_ORACLES = {
     "triangles": SQL_TRIANGLES,
     "collocations": SQL_COLLOCATIONS,
     "scd2": SQL_SCD2,
+    "interval_join": SQL_INTERVAL_JOIN,
+    "expectations": SQL_EXPECTATIONS,
 }

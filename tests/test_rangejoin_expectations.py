@@ -1,0 +1,118 @@
+"""Bucketized interval join + declarative expectations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.operators.expectations import expectations, rule_name
+from ia_hadoop_tools_spark.operators.rangejoin import interval_join
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "pid long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def _ivs(spark, rows):
+    return (
+        spark.createDataFrame(rows, "iid long, s string, e string")
+        .withColumn("s", F.col("s").cast("timestamp"))
+        .withColumn("e", F.col("e").cast("timestamp"))
+    )
+
+
+def test_interval_join_inclusive_bounds(spark):
+    pts = _pts(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00"),  # == start: in
+            (2, "2024-01-03 00:00:00"),  # == end: in
+            (3, "2024-01-03 00:00:01"),  # past end: out
+            (4, "2023-12-31 23:59:59"),  # before start: out
+        ],
+    )
+    ivs = _ivs(spark, [(10, "2024-01-01 00:00:00", "2024-01-03 00:00:00")])
+    got = sorted(
+        r["pid"] for r in interval_join(pts, ivs, "ts", "s", "e").collect()
+    )
+    assert got == [1, 2]
+
+
+def test_interval_join_matches_naive_cross(spark):
+    pts = _pts(
+        spark, [(i, f"2024-01-{(i % 27) + 1:02d} 12:00:00") for i in range(200)]
+    )
+    ivs = _ivs(
+        spark,
+        [
+            (1, "2024-01-05 00:00:00", "2024-01-10 00:00:00"),
+            (2, "2024-01-09 00:00:00", "2024-01-09 23:59:59"),  # overlaps 1
+            (3, "2024-02-01 00:00:00", "2024-02-05 00:00:00"),  # empty
+        ],
+    )
+    for width in (3600, 86400, 7 * 86400):
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in interval_join(
+                pts, ivs, "ts", "s", "e", bucket_width=width
+            ).collect()
+        )
+        naive = sorted(
+            (r["pid"], r["iid"])
+            for r in pts.crossJoin(ivs)
+            .filter((F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e")))
+            .collect()
+        )
+        assert got == naive, width
+
+
+def test_interval_join_rejects_outer(spark):
+    pts = _pts(spark, [(1, "2024-01-01 00:00:00")])
+    ivs = _ivs(spark, [(1, "2024-01-01 00:00:00", "2024-01-02 00:00:00")])
+    with pytest.raises(ValueError):
+        interval_join(pts, ivs, "ts", "s", "e", how="left")
+
+
+def test_expectations_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "ok", 5.0),
+            (1, "ok", 50.0),  # dup key 1; 50 out of range
+            (2, None, -1.0),  # null name; -1 out of range
+            (3, "bad value", 7.0),  # fails regex + accepted_values
+        ],
+        "k long, name string, v double",
+    )
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in expectations(
+            df,
+            [
+                ("not_null", "name"),
+                ("range", "v", 0, 10),
+                ("accepted_values", "name", ("ok",)),
+                ("regex", "name", "[a-z]+"),
+                ("unique", "k"),
+            ],
+        ).collect()
+    }
+    assert out == {
+        "not_null:name": 1,
+        "range:v": 2,
+        "accepted_values:name": 2,  # null + "bad value"
+        "regex:name": 2,  # null + "bad value" (space fails [a-z]+)
+        "unique:k": 1,
+    }
+
+
+def test_expectations_clean_table_and_errors(spark):
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    out = expectations(df, [("not_null", "k"), ("unique", "k")]).collect()
+    assert all(r["n_violations"] == 0 for r in out)
+    with pytest.raises(ValueError):
+        expectations(df, [])
+    with pytest.raises(ValueError):
+        expectations(df, [("bogus", "k")])
+    assert rule_name(("unique", "a", "b")) == "unique:a,b"
