@@ -549,6 +549,41 @@ FROM (SELECT count(*) AS n FROM customer GROUP BY c_nationkey)
 """
 
 
+# ---------------------------------------------------------------------------
+# transitions — user-journey Markov transition counts: for each user's
+# event stream in (ts, event_id) order, count consecutive type pairs.
+# One user-keyed lag window (bounded by a user's own history) + one
+# vocabulary-sized groupBy — the sessionize/day_limit plan family.
+
+
+def q_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("__prev", F.lag("event_type").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events)
+SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 ANALYTICS_QUERIES = {
     "pagerank": q_pagerank,
     "kmv_distinct": q_kmv_distinct,
@@ -561,6 +596,7 @@ ANALYTICS_QUERIES = {
     "scd2": q_scd2,
     "interval_join": q_interval_join,
     "expectations": q_expectations,
+    "transitions": q_transitions,
 }
 
 ANALYTICS_ORACLES = {
@@ -575,4 +611,5 @@ ANALYTICS_ORACLES = {
     "scd2": SQL_SCD2,
     "interval_join": SQL_INTERVAL_JOIN,
     "expectations": SQL_EXPECTATIONS,
+    "transitions": SQL_TRANSITIONS,
 }
