@@ -33,3 +33,34 @@ from ia_hadoop_tools_spark.operators.extract import (  # noqa: F401
     warc_metadata_generate,
     wat_generate,
 )
+from ia_hadoop_tools_spark.operators.graph import (  # noqa: F401
+    degree_stats,
+    pagerank,
+    symmetric_edges,
+    triangle_count,
+)
+from ia_hadoop_tools_spark.operators.sketches import (  # noqa: F401
+    kmv_distinct,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+from ia_hadoop_tools_spark.operators.analytics import (  # noqa: F401
+    cohort_retention,
+    exact_group_quantiles,
+)
+from ia_hadoop_tools_spark.operators.importance import (  # noqa: F401
+    dsir_scores,
+    dsir_select,
+)
+from ia_hadoop_tools_spark.operators.funnel import (  # noqa: F401
+    funnel_counts,
+    funnel_times,
+)
+from ia_hadoop_tools_spark.operators.scd import (  # noqa: F401
+    scd2_as_of,
+    scd2_current,
+    scd2_merge,
+)
+from ia_hadoop_tools_spark.operators.rangejoin import interval_join  # noqa: F401
+from ia_hadoop_tools_spark.operators.expectations import expectations  # noqa: F401
