@@ -114,6 +114,12 @@ def lm_score(
     from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
 
     docs = ensure_min_partitions(docs)
+    # the model plan is consumed three times below (pairs join, floors
+    # projection, nocontext probe); since train_char_lm went lazy its
+    # vocabulary aggregate re-runs on EVERY consumption — persist so the
+    # charset-bounded table materializes once (lazy: the .first() probe
+    # below is the single action that fills the cache)
+    model = model.persist()
     t = F.lower(F.col(text_col))
     grams = docs.filter(F.length(t) >= 2).select(
         F.col(id_col),
