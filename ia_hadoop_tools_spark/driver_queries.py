@@ -2981,6 +2981,9 @@ def q_lm_buckets(spark, sf_dir):
     from pyspark.sql import Window
 
     scored = q_lm_score(spark, sf_dir).filter(F.col("lm_score").isNotNull())
+    # consumed twice (calibration slice + final bucketing) — no persist:
+    # Catalyst's ReusedExchange already dedups the shared scoring
+    # pipeline inside the single action (persisting measured SLOWER)
     cal = scored.filter(F.col("doc_id") < LM_CAL_DOCS)
     w = Window.orderBy(F.col("lm_score").desc(), F.col("doc_id").asc())
     ranked = cal.withColumn("__b", F.ntile(3).over(w))

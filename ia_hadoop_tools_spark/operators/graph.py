@@ -55,7 +55,7 @@ def pagerank(
     iterations: int = 5,
     scale: int = PR_SCALE,
     materialize_every: int | None = None,
-    cache_edges: bool = True,
+    cache_edges: bool | None = None,
     all_nodes_have_inedges: bool = False,
 ) -> DataFrame:
     """Integer-exact PageRank over a directed edge list (``src``, ``dst``).
@@ -83,6 +83,13 @@ def pagerank(
     against the node list — the join only exists to hand in-edge-less
     nodes their teleport floor, so when none exist it is one shuffle per
     superstep of pure overhead.
+
+    ``cache_edges`` defaults to ``materialize_every is not None``: within
+    a SINGLE action, Catalyst's ReusedExchange already dedups the edge
+    pipeline across supersteps (persisting measured ~20% SLOWER — the
+    InMemoryRelation materialization is pure overhead); checkpoints
+    split the run into multiple actions, where exchange reuse stops and
+    the cache starts paying.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -93,9 +100,8 @@ def pagerank(
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    # Every iteration rescans edges/outdeg/nodes, so persist (LAZY — no
-    # job yet; the first action materializes them once instead of
-    # `iterations` times).
+    if cache_edges is None:
+        cache_edges = materialize_every is not None
     if cache_edges:
         edges = edges.persist()
         outdeg = outdeg.persist()

@@ -76,9 +76,10 @@ def dsir_scores(
     ).select(
         id_col, "__t", (hash32("__bg", salt="dsir:") % n_buckets).alias("__b")
     )
-    # consumed twice (bucket counts + per-doc sums): persist the skinny
-    # (id, flag, bucket) rows so text parsing + hashing runs once. Lazy —
-    # no job until the caller acts.
+    # consumed twice (bucket counts + per-doc sums — the counts side is a
+    # broadcast subquery, which Catalyst does NOT exchange-reuse with the
+    # main scan): persist the skinny rows so parsing + hashing runs once.
+    # Lazy — no job until the caller acts. Measured 3.1 vs 4.9 s at sf0.1.
     bg = bg.persist()
     scores = bg.groupBy("__b").agg(
         F.count("*").alias("__cr"),
