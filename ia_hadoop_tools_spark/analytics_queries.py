@@ -1,6 +1,8 @@
 """Registry entries for the round-4 analytics additions: iterative
-PageRank, KMV distinct sketches, exact group quantiles, DSIR importance
-scoring, and cohort retention.
+PageRank, triangle counting, KMV distinct sketches, exact group
+quantiles, DSIR importance scoring, cohort retention, conversion
+funnels, collocation mining, SCD2 dimension merge, bucketized interval
+join, declarative expectations, and transition matrices.
 
 Every query here is INTEGER-DETERMINISTIC by construction (scaled
 fixed-point arithmetic, floor division, portable md5-prefix hashing), so

@@ -1,0 +1,75 @@
+"""Incremental sketch maintenance: streamed-in batches must yield the
+EXACT sketch of the full corpus (the min-k merge identity, end-to-end)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ia_hadoop_tools_spark.operators.sketches import kmv_sketch
+from ia_hadoop_tools_spark.streaming.sketch_stream import (
+    current_estimates,
+    kmv_sketch_stream,
+    load_current_sketch,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("g", StringType()),
+        StructField("v", LongType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_streamed_sketch_equals_direct_sketch(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    root = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    all_rows = []
+
+    def run_cycle(rows):
+        all_rows.extend(rows)
+        _write_batch(spark, inp, rows)
+        q = kmv_sketch_stream(
+            spark, inp, root, ckpt, SCHEMA, ["g"], F.col("v").cast("string"), k=32
+        )
+        q.awaitTermination(60)
+        time.sleep(0.2)
+
+    run_cycle([("a", i) for i in range(200)])
+    run_cycle([("a", i) for i in range(100, 400)] + [("b", i) for i in range(50)])
+    run_cycle([("b", i) for i in range(40, 90)])
+
+    streamed = load_current_sketch(spark, root)
+    direct = kmv_sketch(
+        spark.createDataFrame(all_rows, SCHEMA),
+        ["g"],
+        F.col("v").cast("string"),
+        k=32,
+    )
+    assert sorted(map(tuple, streamed.select("g", "__h").collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est = {
+        r["g"]: r["est_distinct"]
+        for r in current_estimates(spark, root, ["g"], k=32).collect()
+    }
+    # group b has 90 distinct (< ... k=32 full) -> estimate, a has 400
+    assert set(est) == {"a", "b"}
+    assert abs(est["a"] - 400) / 400 < 0.6
+    assert abs(est["b"] - 90) / 90 < 0.6
+
+
+def test_empty_root_raises(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        current_estimates(spark, str(tmp_path / "nope"), ["g"])
