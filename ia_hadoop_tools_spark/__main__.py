@@ -457,11 +457,39 @@ def cmd_cdx_server(args):
     serve(args.cluster, args.port, args.page_size)
 
 
+def cmd_zorder_write(args):
+    """zorder-write: re-cluster a parquet table on the Morton curve of two
+    or more integer columns, so row-group min/max stats prune scans
+    filtering on ANY of them (plans/zorder.py)."""
+    from ia_hadoop_tools_spark.plans.zorder import write_zordered
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    write_zordered(
+        df, args.output, args.columns, bits=args.bits, num_files=args.num_files
+    )
+    print(
+        f"zorder-write: {args.input} -> {args.output} "
+        f"(cols={','.join(args.columns)}, {args.num_files} files)"
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="ia_hadoop_tools_spark", description=__doc__
     )
     sub = p.add_subparsers(dest="tool", required=True)
+
+    s = sub.add_parser(
+        "zorder-write",
+        help="re-cluster parquet on a Morton key for multi-column pruning",
+    )
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("columns", nargs="+", help="two or more integer columns")
+    s.add_argument("--bits", type=int, default=16)
+    s.add_argument("--num-files", type=int, default=8)
+    s.set_defaults(fn=cmd_zorder_write)
 
     s = sub.add_parser(
         "gzrange-server",

@@ -130,3 +130,17 @@ def test_zordered_scan_prunes_with_predicate(spark, tmp_path):
     )
     expect = df.filter((F.col("a") < 20) & (F.col("b") < 20)).count()
     assert out == expect
+
+
+def test_zorder_cli(spark, tmp_path):
+    from ia_hadoop_tools_spark.__main__ import main
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spark.range(1000).selectExpr(
+        "id % 50 as a", "(id * 7) % 50 as b"
+    ).write.parquet(src)
+    main(["zorder-write", src, dst, "a", "b", "--bits", "6", "--num-files", "4"])
+    out = spark.read.parquet(dst)
+    assert out.count() == 1000
+    assert set(out.columns) == {"a", "b"}
