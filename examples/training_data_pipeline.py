@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""End-to-end training-data curation pipeline over the documents table:
+
+    quality rules -> language filter -> exact + MinHash near-dup dedup ->
+    benchmark decontamination -> DSIR target-likeness selection ->
+    quality-score percentiles + distinct-source sketch -> packed sequences.
+
+Run: python examples/training_data_pipeline.py [sf_dir]
+(default sf_dir: /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.components import dedup_groups
+    from ia_hadoop_tools_spark.operators.importance import dsir_select
+    from ia_hadoop_tools_spark.operators.quality import quality_filter
+    from ia_hadoop_tools_spark.operators.sketches import kmv_distinct
+    from ia_hadoop_tools_spark.operators.analytics import exact_group_quantiles
+    from ia_hadoop_tools_spark.operators.sampling import pack_sequences
+    from ia_hadoop_tools_spark.operators.textops import (
+        dedup_exact_text,
+        minhash_lsh_pairs,
+    )
+    from ia_hadoop_tools_spark.session import get_spark, load_tables
+
+    spark = get_spark("example-training-data")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n0 = docs.count()
+
+    # 1. shape-based quality rules (Gopher-style)
+    docs = docs.join(
+        quality_filter(docs).filter("passes").select("doc_id"), "doc_id"
+    )
+
+    # 2. exact dedup (projects to id+text, so re-join the metadata), then
+    # MinHash near-dup groups (keep one per cluster)
+    meta = docs.drop("text")
+    docs = dedup_exact_text(docs).join(meta, "doc_id")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    docs = docs.join(
+        dedup_groups(docs, pairs).filter("keep").select("doc_id"), "doc_id"
+    )
+
+    # 3. DSIR: keep the most English-target-like half
+    docs = docs.join(
+        dsir_select(docs, F.col("lang") == "en", 1, 2).select("doc_id"),
+        "doc_id",
+    )
+    n1 = docs.count()
+
+    # 4. corpus stats: length percentiles per language + distinct sources
+    print(f"docs: {n0} -> {n1} after quality/dedup/selection")
+    for r in exact_group_quantiles(
+        docs, ["lang"], "n_chars", tiebreak=("doc_id",)
+    ).collect():
+        print(f"  {r['lang']}: p50={r['p50']} p90={r['p90']} p99={r['p99']}")
+    for r in kmv_distinct(docs, ["lang"], F.col("source"), k=64).collect():
+        print(f"  {r['lang']}: ~{r['est_distinct']} distinct sources")
+
+    # 5. pack into fixed token-budget training sequences (n_chars as the
+    # token proxy — swap in a real tokenizer count upstream)
+    packed = pack_sequences(docs, budget=2048, token_col="n_chars")
+    print(
+        f"packed training bins: {packed.select('bin').distinct().count()}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
