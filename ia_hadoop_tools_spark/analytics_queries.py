@@ -38,8 +38,10 @@ from ia_hadoop_tools_spark.session import load_tables
 # ---------------------------------------------------------------------------
 # shared constants
 
-#: supplier node ids live at partkey-space + this offset (max partkey << 1e6)
-PR_SUPPLIER_OFFSET = 1_000_000
+#: supplier node ids live above partkey space. 1e12 clears TPC-H partkeys
+#: at any realistic SF (200k * SF ids — collision would need SF 5e6);
+#: the old 1e6 offset silently merged nodes past SF 5.
+PR_SUPPLIER_OFFSET = 1_000_000_000_000
 PR_ITERATIONS = 5
 PR_BASE = (PR_SCALE * 15) // 100  # teleport floor at damping 0.85
 
@@ -112,9 +114,12 @@ SQL_PAGERANK = _sql_pagerank()
 
 def q_kmv_distinct(spark, sf_dir):
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    user_day = F.concat_ws(
-        ":",
+    # F.concat (NOT concat_ws): a NULL user_id/ts must make the whole
+    # value NULL — kmv_sketch drops NULL hashes, and SQL '||' propagates
+    # NULL the same way, keeping sketches engine-identical on dirty data
+    user_day = F.concat(
         F.col("user_id").cast("string"),
+        F.lit(":"),
         F.date_format(F.to_date("ts"), "yyyy-MM-dd"),
     )
     return kmv_distinct(ev, ["event_type"], user_day, k=KMV_K)
@@ -126,7 +131,8 @@ WITH vals AS (
     CAST('0x' || substr(md5(
       'kmv:' || CAST(user_id AS VARCHAR) || ':' ||
       strftime(CAST(ts AS DATE), '%Y-%m-%d')), 1, 8) AS BIGINT) AS h
-  FROM events),
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 kept AS (
   SELECT event_type, h
   FROM (SELECT event_type, h,

@@ -64,19 +64,22 @@ def expectations(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
     uniq_rules = [r for r in rules if r[0] == "unique"]
     parts = []
     if row_rules:
+        # positional internal aliases: two rules may share kind+column
+        # (e.g. a strict and a loose range on one field), and rule_name
+        # collisions would make the F.col references ambiguous
         agg = df.agg(
             *[
-                F.count_if(_row_violation(r)).alias(rule_name(r))
-                for r in row_rules
+                F.count_if(_row_violation(r)).alias(f"__r{i}")
+                for i, r in enumerate(row_rules)
             ]
         )
         pairs = F.array(
             *[
                 F.struct(
                     F.lit(rule_name(r)).alias("rule"),
-                    F.col(rule_name(r)).alias("n_violations"),
+                    F.col(f"__r{i}").alias("n_violations"),
                 )
-                for r in row_rules
+                for i, r in enumerate(row_rules)
             ]
         )
         parts.append(

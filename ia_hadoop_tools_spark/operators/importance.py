@@ -123,7 +123,10 @@ def dsir_select(
     """
     from pyspark.sql import Window
 
-    scored = dsir_scores(docs, target, id_col, text_col, n_buckets)
+    # scored is consumed three times (histogram, above-threshold branch,
+    # boundary branch) and its bounds side is a broadcast subquery, which
+    # Catalyst does not exchange-reuse — persist the doc-sized rows (lazy)
+    scored = dsir_scores(docs, target, id_col, text_col, n_buckets).persist()
     hist = scored.groupBy("dsir_score").agg(F.count("*").alias("__cnt"))
     wcum = Window.orderBy(F.col("dsir_score").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -27,18 +27,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _key_equal(keys: Sequence[str]) -> Column:
+def _cols_equal(cols: Sequence[str]) -> Column:
+    """AND of null-safe equality between the c.-side and s.-side columns."""
     cond = None
-    for k in keys:
-        c = F.col(f"c.{k}").eqNullSafe(F.col(f"s.{k}"))
-        cond = c if cond is None else (cond & c)
-    return cond
-
-
-def _all_equal(tracked: Sequence[str]) -> Column:
-    cond = None
-    for t in tracked:
-        c = F.col(f"c.{t}").eqNullSafe(F.col(f"s.{t}"))
+    for name in cols:
+        c = F.col(f"c.{name}").eqNullSafe(F.col(f"s.{name}"))
         cond = c if cond is None else (cond & c)
     return cond
 
@@ -78,13 +71,13 @@ def scd2_merge(
         .alias("c")
         .join(
             snap.withColumn("__s", F.lit(1)).alias("s"),
-            _key_equal(keys),
+            _cols_equal(keys),
             "full",
         )
     )
     in_both = F.col("__c").isNotNull() & F.col("__s").isNotNull()
-    unchanged = in_both & _all_equal(tracked)
-    changed = in_both & ~_all_equal(tracked)
+    unchanged = in_both & _cols_equal(tracked)
+    changed = in_both & ~_cols_equal(tracked)
     only_current = F.col("__s").isNull()
     only_snap = F.col("__c").isNull()
 

@@ -83,7 +83,14 @@ def kmv_sketch(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     hashed = df.select(*group_cols, hash32(value, salt="kmv:").alias("__h"))
-    return _min_k(hashed.distinct(), group_cols, k, salted)
+    # NULL values hash to NULL, which would sort FIRST in the min-k window
+    # (displacing a real minimum and skewing the estimate) while SQL
+    # engines order it last — distinct-count semantics ignore NULL, both
+    # for correctness and for cross-engine sketch parity
+    hashed = hashed.filter(F.col("__h").isNotNull())
+    sketch = _min_k(hashed.distinct(), group_cols, k, salted)
+    # carry the build k so estimation can never silently use a different one
+    return sketch.withColumn("__k", F.lit(k).cast("int"))
 
 
 def kmv_merge(
@@ -92,23 +99,48 @@ def kmv_merge(
     """Merge two sketch tables into the sketch of the UNION of their inputs.
 
     Exact identity: min-k(S_A ∪ S_B) = min-k(min-k(S_A) ∪ min-k(S_B));
-    sketches are tiny, so the unsalted single window suffices.
+    sketches are tiny, so the unsalted single window suffices. ``k`` must
+    not exceed either input's build k (a merge cannot invent minima the
+    inputs already discarded); the carried ``__k`` column enforces it at
+    evaluation time via a codegen'd assertion.
     """
-    return _min_k(a.unionByName(b).distinct(), group_cols, k, salted=False)
+    u = a.unionByName(b).withColumn(
+        "__k",
+        F.when(
+            F.col("__k") >= k, F.lit(k).cast("int")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"kmv_merge: requested k={k} exceeds an input sketch's "
+                    f"build k — merged minima would be incomplete"
+                )
+            ).cast("int")
+        ),
+    )
+    return _min_k(u.distinct(), group_cols, k, salted=False)
 
 
 def kmv_estimate(
     sketch: DataFrame, group_cols: Sequence[str], k: int = 64
 ) -> DataFrame:
     """Sketch rows -> (``group_cols...``, ``n_kept``, ``kth_hash``,
-    ``est_distinct``) — exact count when the sketch isn't full."""
-    agg = sketch.groupBy(*group_cols).agg(
-        F.count("*").alias("n_kept"), F.max("__h").alias("kth_hash")
+    ``est_distinct``) — exact count when the sketch isn't full.
+
+    The k used in the estimator is the sketch's own carried ``__k``
+    (estimating with a different k than the build silently mis-scales);
+    the ``k`` parameter is only the fallback for pre-``__k`` sketch
+    files.
+    """
+    has_k = "__k" in sketch.columns
+    aggs = [F.count("*").alias("n_kept"), F.max("__h").alias("kth_hash")]
+    if has_k:
+        aggs.append(F.max("__k").alias("__k"))
+    agg = sketch.groupBy(*group_cols).agg(*aggs)
+    kcol = F.col("__k") if has_k else F.lit(k)
+    est = F.when(F.col("n_kept") < kcol, F.col("n_kept")).otherwise(
+        F.expr(f"(({'__k' if has_k else k} - 1) * {KMV_SPACE}L) div kth_hash")
     )
-    est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
-        F.expr(f"({k - 1} * {KMV_SPACE}L) div kth_hash")
-    )
-    return agg.withColumn("est_distinct", est.cast("long"))
+    return agg.withColumn("est_distinct", est.cast("long")).drop("__k")
 
 
 def kmv_distinct(

@@ -43,6 +43,12 @@ def _quantize(col: Column, lo: int, hi: int, bits: int) -> Column:
     bits <= 16 — no precision cliff.
     """
     span = max(hi - lo, 1)
+    if span * ((1 << bits) - 1) >= (1 << 53):
+        raise ValueError(
+            f"z-order span {span} x {bits} bits exceeds exact double "
+            f"arithmetic (2^53) — reduce bits, or pre-scale the column "
+            f"(e.g. epoch-micros -> minutes) and pass ranges= explicitly"
+        )
     clamped = F.greatest(F.least(col.cast("long"), F.lit(hi)), F.lit(lo))
     scaled = (clamped - F.lit(lo)) * F.lit((1 << bits) - 1)
     return F.floor(scaled / F.lit(span)).cast("long")
@@ -86,7 +92,13 @@ def zorder_code(
             *[F.max(c).alias(f"hi_{c}") for c in missing],
         ).collect()[0]
         for c in missing:
-            ranges[c] = (int(row[f"lo_{c}"]), int(row[f"hi_{c}"]))
+            lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+            if lo is None or hi is None:
+                raise ValueError(
+                    f"cannot infer z-order range for {c!r}: table is empty "
+                    f"or the column is all-NULL (pass ranges= explicitly)"
+                )
+            ranges[c] = (int(lo), int(hi))
     codes = [
         _quantize(F.col(c), ranges[c][0], ranges[c][1], bits) for c in cols
     ]

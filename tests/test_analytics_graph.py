@@ -410,3 +410,48 @@ def test_pagerank_inedge_shortcut_equivalent_on_symmetric_graph(spark):
         ).collect()
     }
     assert full == fast
+
+
+def test_kmv_null_values_ignored(spark):
+    df = spark.createDataFrame(
+        [("g", str(i)) for i in range(10)] + [("g", None)] * 3,
+        "g string, v string",
+    )
+    out = kmv_distinct(df, ["g"], F.col("v"), k=8).collect()[0]
+    # 10 distinct real values; NULLs must not occupy min-k slots
+    assert out["n_kept"] == 8
+    small = kmv_distinct(df, ["g"], F.col("v"), k=64).collect()[0]
+    assert small["n_kept"] == 10 and small["est_distinct"] == 10
+
+
+def test_kmv_merge_rejects_larger_k(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame([("g", i) for i in range(100)], "g string, v long")
+    s = kmv_sketch(df, ["g"], F.col("v").cast("string"), k=8)
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        kmv_merge(s, s, ["g"], k=16).collect()
+
+
+def test_expectations_duplicate_rule_kinds(spark):
+    from ia_hadoop_tools_spark.operators.expectations import expectations
+
+    df = spark.createDataFrame([(5.0,), (50.0,), (500.0,)], "v double")
+    out = [
+        r["n_violations"]
+        for r in expectations(
+            df, [("range", "v", 0, 10), ("range", "v", 0, 100)]
+        ).collect()
+    ]
+    assert out == [2, 1]
+
+
+def test_zorder_span_guard():
+    import pytest
+
+    from ia_hadoop_tools_spark.plans.zorder import _quantize
+
+    with pytest.raises(ValueError, match="2\\^53"):
+        _quantize(F.lit(0), 0, 1 << 45, 16)

@@ -56,7 +56,7 @@ def test_streamed_sketch_equals_direct_sketch(spark, tmp_path):
         k=32,
     )
     assert sorted(map(tuple, streamed.select("g", "__h").collect())) == sorted(
-        map(tuple, direct.collect())
+        map(tuple, direct.select("g", "__h").collect())
     )
     est = {
         r["g"]: r["est_distinct"]
