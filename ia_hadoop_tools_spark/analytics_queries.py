@@ -592,6 +592,72 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# bloom_join — explicit Bloom-filter join pruning (plans/bloom.py): lineitem
+# semi-joined to urgent orders with a fixed 1 MiB membership mask applied
+# BEFORE the join shuffle; the exact verify join removes false positives, so
+# the result equals the plain semi-join (the oracle). The 100 TB shape:
+# build side too big to broadcast raw, mask constant-size, probe rows that
+# miss never leave their input partition.
+
+BLOOM_PRIORITY = "1-URGENT"
+
+
+def q_bloom_join(spark, sf_dir):
+    from ia_hadoop_tools_spark.plans.bloom import bloom_semi_join
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    build = t["orders"].filter(F.col("o_orderpriority") == BLOOM_PRIORITY)
+    res = bloom_semi_join(t["lineitem"], build, "l_orderkey", "o_orderkey")
+    return res.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(38,4)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+SQL_BLOOM_JOIN = f"""
+SELECT l_returnflag, count(*) AS n,
+  CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,4))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '{BLOOM_PRIORITY}')
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# bpe_pairs — BPE tokenizer-training prep (operators/bpe.py): adjacent
+# character-pair counts weighted by word frequency, computed on the
+# vocabulary (corpus -> vocab is the only corpus-sized shuffle; pair work is
+# bounded by |vocab| * word length). The top pair is BPE's first merge.
+
+BPE_MIN_COUNT = 1
+
+
+def q_bpe_pairs(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.bpe import bpe_pair_counts
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return bpe_pair_counts(docs, "text", min_count=BPE_MIN_COUNT)
+
+
+SQL_BPE_PAIRS = f"""
+WITH words AS (
+  SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents
+), vocab AS (
+  SELECT w, count(*) AS wc FROM words WHERE length(w) > 0 GROUP BY w
+), pairs AS (
+  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, wc
+  FROM vocab, unnest(generate_series(1, length(w) - 1)) AS t(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM pairs GROUP BY pair
+HAVING SUM(wc) >= {BPE_MIN_COUNT}
+"""
+
+
 ANALYTICS_QUERIES = {
     "pagerank": q_pagerank,
     "kmv_distinct": q_kmv_distinct,
@@ -605,6 +671,8 @@ ANALYTICS_QUERIES = {
     "interval_join": q_interval_join,
     "expectations": q_expectations,
     "transitions": q_transitions,
+    "bloom_join": q_bloom_join,
+    "bpe_pairs": q_bpe_pairs,
 }
 
 ANALYTICS_ORACLES = {
@@ -620,4 +688,6 @@ ANALYTICS_ORACLES = {
     "interval_join": SQL_INTERVAL_JOIN,
     "expectations": SQL_EXPECTATIONS,
     "transitions": SQL_TRANSITIONS,
+    "bloom_join": SQL_BLOOM_JOIN,
+    "bpe_pairs": SQL_BPE_PAIRS,
 }

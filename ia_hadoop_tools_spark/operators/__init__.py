@@ -64,3 +64,8 @@ from ia_hadoop_tools_spark.operators.scd import (  # noqa: F401
 )
 from ia_hadoop_tools_spark.operators.rangejoin import interval_join  # noqa: F401
 from ia_hadoop_tools_spark.operators.expectations import expectations  # noqa: F401
+from ia_hadoop_tools_spark.operators.bpe import (  # noqa: F401
+    bpe_pair_counts,
+    bpe_train,
+    word_vocab,
+)

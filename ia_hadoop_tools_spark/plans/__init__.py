@@ -15,3 +15,8 @@ from ia_hadoop_tools_spark.plans.bucketing import (  # noqa: F401
     bucketed_tables_join,
     write_bucketed,
 )
+from ia_hadoop_tools_spark.plans.bloom import (  # noqa: F401
+    bloom_build,
+    bloom_prune,
+    bloom_semi_join,
+)
