@@ -34,9 +34,14 @@ WORD_SPLIT = r"\s+"
 
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus -> (w, wc) word-frequency vocabulary. One shuffle, output
-    bounded by |distinct words|."""
+    bounded by |distinct words|.  The corpus explode is CPU-bound, so a
+    small single-row-group input is spread across all slots first
+    (no-op at scale — see textops.ensure_min_partitions)."""
+    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
+
     return (
-        df.select(F.explode(F.split(F.col(text_col), WORD_SPLIT)).alias("w"))
+        ensure_min_partitions(df.select(F.col(text_col).alias("__t")))
+        .select(F.explode(F.split(F.col("__t"), WORD_SPLIT)).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").alias("wc"))
