@@ -189,6 +189,23 @@ COMMENTARY = {
         "tables return as `BroadcastHashJoin`s — the corpus explodes once "
         "per side and nothing vocabulary-sized shuffles twice."
     ),
+    "bloom_join": (
+        "The probe scan carries the Arrow bit-test `Filter` (ArrowEvalPython "
+        "over two JVM-side xxhash64 columns) BELOW the join: only the ~20% "
+        "of rows that pass the 1 MiB broadcast mask reach the semi-join. "
+        "The verify join itself broadcasts here (small build); at the "
+        "too-big-to-broadcast scale it becomes an SMJ whose shuffle volume "
+        "the mask has already cut 5x. (Constraint propagation mirrors the "
+        "bit-test onto the build side too — semantically a no-op, since "
+        "every build key is in its own mask, and one extra vectorized pass.)"
+    ),
+    "bpe_pairs": (
+        "Two `HashAggregate` pairs with map-side combine: corpus->vocab "
+        "(the only corpus-sized shuffle) then vocab->pair counts. The "
+        "char-pair `Generate` sits between them, so its input is "
+        "vocabulary-bounded — replicating the corpus 10x leaves the "
+        "explode's row count unchanged."
+    ),
 }
 
 
