@@ -643,9 +643,11 @@ def q_bpe_pairs(spark, sf_dir):
     return bpe_pair_counts(docs, "text", min_count=BPE_MIN_COUNT)
 
 
+# the explicit whitespace class matches operators/bpe.WORD_SPLIT: engines
+# disagree on \s (Java adds \x0B, Python's str.split() adds Unicode spaces)
 SQL_BPE_PAIRS = f"""
 WITH words AS (
-  SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents
+  SELECT unnest(string_split_regex(text, '[ \\t\\n\\f\\r]+')) AS w FROM documents
 ), vocab AS (
   SELECT w, count(*) AS wc FROM words WHERE length(w) > 0 GROUP BY w
 ), pairs AS (

@@ -13,13 +13,17 @@ only the vocab — millions of rows, not billions.
 pairs weighted by word frequency) and is fully SQL-expressible — it
 carries the registry oracle.  ``bpe_train`` runs the driver-side merge
 loop (pick argmax pair, merge it inside every affected word's symbol
-sequence, recount) with the same persist + lineage-cut discipline as
-``operators/graph.pagerank``; it is pinned by a differential test
-against a pure-Python reference trainer rather than a SQL oracle
-(iterative, data-dependent control flow).
+sequence, recount) with persist + periodic eager lineage cuts; old
+checkpoint blocks are released explicitly (``DataFrame.unpersist`` does
+not free localCheckpoint storage, and the ContextCleaner is too lazy
+for a 30k-iteration loop).  It is pinned by a differential test against
+a pure-Python reference trainer rather than a SQL oracle (iterative,
+data-dependent control flow).
 
-Ties in the argmax are broken lexicographically on the pair string so
-training is deterministic under any partitioning.
+Ties in the argmax are broken lexicographically on the pair so training
+is deterministic under any partitioning.  All merge-pair literals enter
+the plan as bound ``lit`` values, never interpolated SQL text — symbols
+containing quotes or backslashes train correctly.
 """
 
 from __future__ import annotations
@@ -27,9 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: split pattern for the corpus -> word pass; matches the oracle's
-#: string_split_regex.
-WORD_SPLIT = r"\s+"
+#: split pattern for the corpus -> word pass. Pinned to the explicit
+#: ASCII class because \\s differs across engines (Java includes \\x0B,
+#: RE2/DuckDB does not, Python's str.split() adds Unicode spaces); the
+#: oracle and the test reference use this same class.
+WORD_SPLIT = "[ \\t\\n\\f\\r]+"
 
 
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -66,9 +72,9 @@ def bpe_pair_counts(
         vocab.filter(F.length("w") >= 2)
         .select(
             F.explode(
-                F.expr(
-                    "transform(sequence(1, length(w) - 1),"
-                    " i -> substring(w, i, 2))"
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
                 )
             ).alias("pair"),
             "wc",
@@ -80,14 +86,17 @@ def bpe_pair_counts(
 
 
 def _pair_stats(vocab: DataFrame) -> DataFrame:
-    """(pair=[a,b] symbols, n) over a (syms array<string>, wc) vocab."""
+    """(a, b, n) over a (syms array<string>, wc) vocab."""
     return (
         vocab.filter(F.size("syms") >= 2)
         .select(
             F.explode(
-                F.expr(
-                    "transform(sequence(0, size(syms) - 2),"
-                    " i -> struct(syms[i] as a, syms[i+1] as b))"
+                F.transform(
+                    F.sequence(F.lit(0), F.size("syms") - 2),
+                    lambda i: F.struct(
+                        F.get(F.col("syms"), i).alias("a"),
+                        F.get(F.col("syms"), i + 1).alias("b"),
+                    ),
                 )
             ).alias("p"),
             "wc",
@@ -102,36 +111,53 @@ def _merge_pair(vocab: DataFrame, a: str, b: str) -> DataFrame:
     the merged symbol a+b — left-to-right, non-overlapping, matching the
     standard BPE merge rule.
 
-    Pure Spark SQL: an aggregate() fold over the symbol array.  The fold
-    state is (out array, pending symbol); the finish step flushes the
-    pending symbol.  Left-to-right non-overlap falls out of the fold
-    order: once (a,b) merges, the merged token is appended to `out` and
-    pending resets, so the second b of "a b b" cannot merge again.
+    Pure Column-level ``aggregate`` fold over the symbol array (the
+    merge literals are bound ``lit`` values — no SQL text interpolation,
+    so quotes/backslashes in symbols are safe).  The fold state is
+    (out array, pending symbol); the finish step flushes the pending
+    symbol.  Left-to-right non-overlap falls out of the fold order: once
+    (a, b) merges, pending resets, so the second b of "a b b" cannot
+    merge again.
     """
-    expr = F.expr(
-        """
-        aggregate(
-          syms,
-          struct(cast(array() as array<string>) as out,
-                 cast(null as string) as pend),
-          (acc, s) -> if(acc.pend = {a} and s = {b},
-                         struct(concat(acc.out, array({ab})) as out,
-                                cast(null as string) as pend),
-                         struct(if(acc.pend is null, acc.out,
-                                   concat(acc.out, array(acc.pend))) as out,
-                                s as pend)),
-          acc -> if(acc.pend is null, acc.out,
-                    concat(acc.out, array(acc.pend)))
+    lit_a, lit_b, lit_ab = F.lit(a), F.lit(b), F.lit(a + b)
+
+    def step(acc, s):
+        hit = acc["pend"].eqNullSafe(lit_a) & s.eqNullSafe(lit_b)
+        return F.when(
+            hit,
+            F.struct(
+                F.concat(acc["out"], F.array(lit_ab)).alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(acc["pend"].isNull(), acc["out"])
+                .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+                .alias("out"),
+                s.alias("pend"),
+            )
         )
-        """.format(
-            a=_sql_str(a), b=_sql_str(b), ab=_sql_str(a + b)
+
+    def finish(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
         )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
     )
-    return vocab.withColumn("syms", expr)
+    return vocab.withColumn(
+        "syms", F.aggregate(F.col("syms"), init, step, finish)
+    )
 
 
-def _sql_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+def _release_checkpoint(df: DataFrame) -> None:
+    from ia_hadoop_tools_spark.operators.components import (
+        release_local_checkpoint,
+    )
+
+    release_local_checkpoint(df)
 
 
 def bpe_train(
@@ -141,21 +167,26 @@ def bpe_train(
     materialize_every: int = 8,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges; returns [(a, b, count), ...] in
-    merge order.  ACTION: runs 1 corpus job + 1 small vocab job per
-    merge (plus periodic vocab materialization for lineage cuts).
+    merge order.  ACTION: runs 1 corpus job + jobs per merge that touch
+    only the vocabulary (corpus-independent size).
 
-    The per-merge job touches only the vocabulary (corpus-independent
-    size); `materialize_every` persists+localCheckpoints the vocab so
-    the fold-expression lineage never deepens past a bound — the
-    pagerank discipline (operators/graph.py) applied to a text loop.
+    Every step persists the new vocab and materializes it BEFORE
+    unpersisting its parent (so no step recomputes from the corpus);
+    every ``materialize_every`` steps the logical plan is cut with an
+    eager localCheckpoint whose predecessor's blocks are explicitly
+    released — bounded executor storage at any merge count.
     """
-    vocab = word_vocab(df, text_col).withColumn(
-        "syms", F.expr("filter(split(w, ''), s -> s <> '')")
-    ).select("syms", "wc")
-    vocab = vocab.persist()
+    vocab = (
+        word_vocab(df, text_col)
+        .withColumn("syms", F.filter(F.split("w", ""), lambda s: s != F.lit("")))
+        .select("syms", "wc")
+        .persist()
+    )
     merges: list[tuple[str, str, int]] = []
     prev = vocab
-    for step in range(num_merges):
+    prev_is_checkpoint = False
+    last_checkpoint: DataFrame | None = None
+    for step_i in range(num_merges):
         top = (
             _pair_stats(vocab)
             .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
@@ -167,14 +198,27 @@ def bpe_train(
         a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
         merges.append((a, b, n))
         vocab = _merge_pair(vocab, a, b)
-        if (step + 1) % materialize_every == 0:
-            # eager cut: materializes BEFORE the parent is unpersisted,
-            # and truncates the stacked fold-expression lineage
+        if (step_i + 1) % materialize_every == 0:
+            # eager cut: materializes BEFORE the parent is dropped, and
+            # truncates the stacked fold-expression lineage
             vocab = vocab.localCheckpoint(eager=True)
+            if last_checkpoint is not None:
+                _release_checkpoint(last_checkpoint)
+            last_checkpoint = vocab
+            if not prev_is_checkpoint:
+                prev.unpersist()
+            prev_is_checkpoint = True
         else:
             vocab = vocab.persist()
             vocab.count()  # materialize (vocab-sized) before dropping parent
-        prev.unpersist()
+            if not prev_is_checkpoint:
+                prev.unpersist()
+            prev_is_checkpoint = False
         prev = vocab
-    prev.unpersist()
+    if not prev_is_checkpoint:
+        prev.unpersist()
+    if last_checkpoint is not None and last_checkpoint is not prev:
+        _release_checkpoint(last_checkpoint)
+    elif prev_is_checkpoint:
+        _release_checkpoint(prev)
     return merges

@@ -33,6 +33,23 @@ from pyspark.sql import functions as F
 logger = logging.getLogger(__name__)
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint'ed DataFrame's storage blocks.
+
+    ``DataFrame.unpersist`` only uncaches CacheManager entries; the
+    checkpoint's blocks belong to the RDD inside the LogicalRDD leaf and
+    otherwise wait for the ContextCleaner — which in a long iterative
+    loop means executor storage fills with stale checkpoint blocks.
+    Best-effort: reaches through the private plan handle, and a failure
+    just defers to the cleaner.  Only call once nothing can recompute
+    THROUGH the checkpoint (i.e. a newer checkpoint is materialized).
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _truncate_lineage(df: DataFrame) -> DataFrame:
     """Materialize ``df`` and cut its logical plan to a leaf.
 

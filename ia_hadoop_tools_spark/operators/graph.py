@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ia_hadoop_tools_spark.operators.components import release_local_checkpoint
+
 #: fixed-point scale: rank 1.0 == 1_000_000_000
 PR_SCALE = 1_000_000_000
 #: damping factor 0.85 as an exact rational
@@ -107,6 +109,7 @@ def pagerank(
         outdeg = outdeg.persist()
         nodes = nodes.persist()
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    _last_cp = None
     for i in range(iterations):
         # per-SOURCE contribution first: a node-sized join (rank vector
         # x out-degrees), so the big edge table is touched exactly once
@@ -138,6 +141,13 @@ def pagerank(
             )
         if materialize_every and (i + 1) % materialize_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+            if _last_cp is not None:
+                # free the superseded checkpoint's blocks now — the
+                # ContextCleaner is too lazy for deep iteration counts.
+                # The FINAL checkpoint stays live: the returned lazy plan
+                # computes through it.
+                release_local_checkpoint(_last_cp)
+            _last_cp = ranks
     return ranks
 
 

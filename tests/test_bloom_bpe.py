@@ -3,7 +3,10 @@
 
 from __future__ import annotations
 
+import re
 from collections import Counter
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -49,7 +52,8 @@ def test_bloom_mask_constant_size_and_superset(spark, sf_dir):
     build = orders.filter(F.col("o_orderpriority") == "1-URGENT")
     num_bits = 1 << 16  # deliberately small so false positives exist
     mask = bloom_build(build, "o_orderkey", num_bits=num_bits)
-    assert len(mask) == num_bits // 8  # driver state constant in row count
+    # 8-byte self-describing header + constant-size bit array
+    assert len(mask) == num_bits // 8 + 8
 
     pruned = bloom_prune(li, "l_orderkey", mask)
     exact = li.join(
@@ -100,15 +104,45 @@ def test_bloom_null_probe_keys_dropped(spark):
     assert got == [1]  # null never equi-joins, matching plain semi-join
 
 
+def test_bloom_mask_header_pins_params_and_key_type(spark):
+    """The cross-job mask is self-describing: probing with a different
+    num_hashes is impossible (header wins), a non-mask blob and a key
+    TYPE mismatch raise, and int-vs-bigint keys canonicalize to the
+    same hashes (matching the equi-join's implicit coercion)."""
+    build = spark.createDataFrame([(i,) for i in range(1000)], "k2 bigint")
+    probe = spark.createDataFrame(
+        [(i,) for i in range(0, 3000, 3)], "k int"
+    )
+    # build under non-default num_hashes; prune reads it from the header
+    mask = bloom_build(build, "k2", num_bits=1 << 16, num_hashes=2)
+    got = bloom_semi_join(probe, build, "k", "k2", mask=mask).count()
+    want = probe.join(
+        build.select(F.col("k2").alias("k")), "k", "left_semi"
+    ).count()
+    assert got == want > 0  # int probe vs bigint build: no silent drop
+
+    with pytest.raises(ValueError, match="not a bloom mask"):
+        bloom_prune(probe, "k", b"\x00" * 1024)
+
+    str_probe = probe.select(F.col("k").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="does not match the key type"):
+        bloom_prune(str_probe, "k", mask)
+
+
 # ---------------------------------------------------------------------------
 # bpe
+
+
+#: mirror of operators/bpe.WORD_SPLIT (engines disagree on \s)
+_WS = re.compile("[ \t\n\f\r]+")
 
 
 def _py_vocab(texts):
     c = Counter()
     for t in texts:
-        for w in t.split():
-            c[w] += 1
+        for w in _WS.split(t):
+            if w:
+                c[w] += 1
     return c
 
 
@@ -183,6 +217,47 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
     want = _py_bpe_train(texts, 6)
     assert got == want
     assert len(got) == 6
+
+
+def test_bpe_train_special_characters_in_symbols(spark):
+    """Symbols containing backslashes and quotes must train correctly:
+    merge literals are bound lit values, never interpolated SQL text
+    (a '\\' symbol used to raise a ParseException)."""
+    texts = ["a\\b a\\b a\\b c'd c'd"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_train(docs, "text", num_merges=3)
+    want = _py_bpe_train(texts, 3)
+    assert got == want
+    assert any("\\" in a or "\\" in b for a, b, _ in got)
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_bpe_train_releases_all_storage(spark, sf_dir):
+    """The merge loop frees every persist AND every localCheckpoint it
+    creates (checkpoint blocks are not released by DataFrame.unpersist;
+    release_local_checkpoint reaches the backing RDD)."""
+    docs = _load(spark, sf_dir, "documents").limit(20)
+    before = _n_persistent(spark)
+    merges = bpe_train(docs, "text", num_merges=7, materialize_every=2)
+    assert len(merges) == 7
+    assert _n_persistent(spark) == before
+
+
+def test_pagerank_releases_superseded_checkpoints(spark):
+    from ia_hadoop_tools_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 40) for i in range(40)], "src long, dst long"
+    )
+    before = _n_persistent(spark)
+    ranks = pagerank(edges, iterations=6, materialize_every=2)
+    ranks.count()
+    # 3 internal persists (edges/outdeg/nodes) + at most ONE live
+    # checkpoint; superseded checkpoints are released inside the loop
+    assert _n_persistent(spark) - before <= 4
 
 
 def test_bpe_merge_left_to_right_non_overlapping(spark):
