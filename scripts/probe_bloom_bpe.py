@@ -90,6 +90,23 @@ def main():
         )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    # merge-loop depth: per-merge cost must stay flat (vocab-bounded,
+    # lineage cut + storage released every materialize_every steps)
+    from ia_hadoop_tools_spark.operators.bpe import bpe_train
+
+    for n_merges in (10, 30):
+        t0 = time.monotonic()
+        merges = bpe_train(docs, "text", num_merges=n_merges)
+        wall = time.monotonic() - t0
+        n_persist = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        print(
+            f"bpe_train {n_merges} merges: {wall:.2f}s "
+            f"({wall / len(merges):.2f}s/merge), "
+            f"persistent RDDs after: {n_persist}",
+            flush=True,
+        )
+
     for tag, reps in (("1x", 1), (f"{REPS}x", REPS)):
         rep = docs
         for _ in range(reps - 1):
