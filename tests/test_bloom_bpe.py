@@ -231,6 +231,76 @@ def test_bpe_train_special_characters_in_symbols(spark):
     assert any("\\" in a or "\\" in b for a, b, _ in got)
 
 
+def test_bloom_semi_join_random_key_sets(spark):
+    """Randomized differential: bloom_semi_join == plain semi-join on
+    random bigint and string key sets, with a tiny mask forcing real
+    false positives through the verify join."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        probe_keys = [rng.randrange(5000) for _ in range(800)]
+        build_keys = list({rng.randrange(5000) for _ in range(300)})
+        for as_str in (False, True):
+            typ = "string" if as_str else "bigint"
+            conv = str if as_str else int
+            probe = spark.createDataFrame(
+                [(conv(k),) for k in probe_keys], f"k {typ}"
+            )
+            build = spark.createDataFrame(
+                [(conv(k),) for k in build_keys], f"k2 {typ}"
+            )
+            got = sorted(
+                r["k"]
+                for r in bloom_semi_join(
+                    probe, build, "k", "k2", num_bits=1 << 10, num_hashes=3
+                ).collect()
+            )
+            want = sorted(
+                r["k"]
+                for r in probe.join(
+                    build.select(F.col("k2").alias("k")), "k", "left_semi"
+                ).collect()
+            )
+            assert got == want, f"trial {trial} {typ}"
+
+
+def test_word_split_parity_spark_duckdb_python(spark):
+    """The pinned whitespace class behaves identically in Spark (Java
+    regex), DuckDB (RE2 — the oracle engine), and the Python test
+    reference, on text where the engines' \\s classes DISAGREE:
+    vertical tab \\x0B (Java-only \\s) and Unicode spaces \\u00a0 /
+    \\u2028 (Python-only) must stay INSIDE words everywhere."""
+    import duckdb
+
+    texts = [
+        "a\x0bb c d e f",
+        "  lead trail  ",
+        "tab\tsep\nnl\fff\rcr",
+        "multi   space",
+        "",
+    ]
+    vocab_spark = {
+        r["w"]: r["wc"]
+        for r in word_vocab(
+            spark.createDataFrame([(t,) for t in texts], "text string"),
+            "text",
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?)", [(t,) for t in texts])
+    vocab_duck = dict(
+        con.execute(
+            "SELECT w, count(*) FROM (SELECT unnest(string_split_regex("
+            "text, '[ \\t\\n\\f\\r]+')) AS w FROM docs) WHERE length(w) > 0 "
+            "GROUP BY w"
+        ).fetchall()
+    )
+    assert vocab_spark == dict(_py_vocab(texts)) == vocab_duck
+    assert "a\x0bb" in vocab_spark and "c d" in vocab_spark
+
+
 def _n_persistent(spark) -> int:
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
