@@ -17,6 +17,7 @@ from ia_hadoop_tools_spark.plans.bucketing import (  # noqa: F401
 )
 from ia_hadoop_tools_spark.plans.bloom import (  # noqa: F401
     bloom_build,
+    bloom_extend,
     bloom_prune,
     bloom_semi_join,
 )

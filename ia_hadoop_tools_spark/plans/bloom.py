@@ -194,6 +194,35 @@ def bloom_build(
     return _pack_header(type_class, num_hashes) + out.tobytes()
 
 
+def bloom_extend(
+    mask: bytes,
+    df: DataFrame,
+    key_col: str,
+) -> bytes:
+    """Fold a new batch of keys into an existing mask (rolling-ingestion
+    economics, like ``dedup_index.extend_corpus_index``: the daily job
+    scans only the delta, never the historical build side).
+    ACTION: one job over ``df``.
+
+    Bit-OR is associative and idempotent, so extend-then-prune equals
+    rebuild-from-union exactly; parameters come from the mask's header,
+    and the delta's key type must match the original build's.
+    """
+    type_class, num_hashes = _unpack_header(mask)
+    _, delta_class = _canon_key(df, key_col)
+    if delta_class != type_class:
+        raise ValueError(
+            f"delta key {key_col!r} ({_key_dtype(df, key_col)}) does not "
+            "match the key type the mask was built from"
+        )
+    bits = mask[_HEADER_LEN:]
+    delta = bloom_build(df, key_col, num_bits=len(bits) * 8, num_hashes=num_hashes)
+    merged = np.frombuffer(bits, dtype=np.uint8) | np.frombuffer(
+        delta[_HEADER_LEN:], dtype=np.uint8
+    )
+    return mask[:_HEADER_LEN] + merged.tobytes()
+
+
 def bloom_prune(
     df: DataFrame,
     key_col: str,

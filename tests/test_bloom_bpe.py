@@ -17,6 +17,7 @@ from ia_hadoop_tools_spark.operators.bpe import (
 )
 from ia_hadoop_tools_spark.plans.bloom import (
     bloom_build,
+    bloom_extend,
     bloom_prune,
     bloom_semi_join,
 )
@@ -229,6 +230,30 @@ def test_bpe_train_special_characters_in_symbols(spark):
     want = _py_bpe_train(texts, 3)
     assert got == want
     assert any("\\" in a or "\\" in b for a, b, _ in got)
+
+
+def test_bloom_extend_equals_rebuild_from_union(spark):
+    """Rolling ingestion: extending day-1's mask with day-2's keys must
+    behave exactly like rebuilding over the union (bit-OR associativity),
+    scanning only the delta; type mismatches raise."""
+    day1 = spark.createDataFrame([(i,) for i in range(0, 500)], "k2 bigint")
+    day2 = spark.createDataFrame([(i,) for i in range(400, 900)], "k2 bigint")
+    both = day1.unionByName(day2)
+    probe = spark.createDataFrame(
+        [(i,) for i in range(0, 2000, 7)], "k bigint"
+    )
+    extended = bloom_extend(bloom_build(day1, "k2"), day2, "k2")
+    rebuilt = bloom_build(both, "k2")
+    assert extended == rebuilt
+    got = bloom_semi_join(probe, both, "k", "k2", mask=extended).count()
+    want = probe.join(
+        both.select(F.col("k2").alias("k")), "k", "left_semi"
+    ).count()
+    assert got == want > 0
+
+    str_delta = day2.select(F.col("k2").cast("string").alias("k2"))
+    with pytest.raises(ValueError, match="does not match the key type"):
+        bloom_extend(bloom_build(day1, "k2"), str_delta, "k2")
 
 
 def test_bloom_semi_join_random_key_sets(spark):
