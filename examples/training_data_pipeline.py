@@ -3,7 +3,8 @@
 
     quality rules -> language filter -> exact + MinHash near-dup dedup ->
     benchmark decontamination -> DSIR target-likeness selection ->
-    quality-score percentiles + distinct-source sketch -> packed sequences.
+    quality-score percentiles + distinct-source sketch -> packed sequences
+    -> BPE tokenizer prep on the curated corpus.
 
 Run: python examples/training_data_pipeline.py [sf_dir]
 (default sf_dir: /root/testdata/sf0.01)
@@ -74,6 +75,14 @@ def main() -> None:
     print(
         f"packed training bins: {packed.select('bin').distinct().count()}"
     )
+
+    # 6. tokenizer prep: learn the first BPE merges from the CURATED
+    # corpus (pair work is vocabulary-bounded, so this costs the same at
+    # any corpus size past the vocab shuffle)
+    from ia_hadoop_tools_spark.operators.bpe import bpe_train
+
+    merges = bpe_train(docs, "text", num_merges=5)
+    print("first BPE merges:", [(a + b, n) for a, b, n in merges])
     spark.stop()
 
 
