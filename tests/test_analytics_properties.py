@@ -191,3 +191,100 @@ def test_symmetric_edges_no_self_loops_needed(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
     e = {(r["src"], r["dst"]) for r in symmetric_edges(pairs, "a", "b").collect()}
     assert e == {(1, 2), (2, 1), (2, 3), (3, 2)}
+
+
+# ---------------------------------------------------------------------------
+# funnel vs pure-python reference (strict-after chaining + window deadline)
+
+
+def _py_funnel_times(events, steps, window_s):
+    """events: [(user, type, ts_epoch_seconds)]. Returns {user: [t1..tk]}
+    with None for uncompleted steps — independent re-derivation of the
+    conservative funnel convention (strict >, deadline t1 + window)."""
+    out = {}
+    users = {u for u, _, _ in events}
+    for u in sorted(users):
+        ts_of = lambda s: sorted(t for uu, e, t in events if uu == u and e == s)
+        firsts = ts_of(steps[0])
+        if not firsts:
+            continue
+        times = [firsts[0]]
+        deadline = firsts[0] + window_s
+        for step in steps[1:]:
+            prev = times[-1]
+            if prev is None:
+                times.append(None)
+                continue
+            cand = [t for t in ts_of(step) if t > prev and t <= deadline]
+            times.append(cand[0] if cand else None)
+        out[u] = times
+    return out
+
+
+def test_funnel_matches_python_reference_random_streams(spark):
+    from ia_hadoop_tools_spark.operators.funnel import funnel_times
+
+    rng = random.Random(23)
+    steps = ["A", "B", "C"]
+    base = 1_700_000_000
+    for trial in range(3):
+        events = [
+            (
+                rng.randrange(12),
+                rng.choice(["A", "B", "C", "X"]),
+                base + rng.randrange(0, 7200),
+            )
+            for _ in range(250)
+        ]
+        df = spark.createDataFrame(
+            [
+                (u, e, __import__("datetime").datetime.fromtimestamp(
+                    t, __import__("datetime").timezone.utc
+                ))
+                for u, e, t in events
+            ],
+            "user_id long, event_type string, ts timestamp",
+        )
+        got = {
+            r["user_id"]: [
+                None if r[f"t{i}"] is None else int(r[f"t{i}"].timestamp())
+                for i in range(1, 4)
+            ]
+            for r in funnel_times(df, steps, window_seconds=1800).collect()
+        }
+        assert got == _py_funnel_times(events, steps, 1800), f"trial {trial}"
+
+
+# ---------------------------------------------------------------------------
+# cohort retention vs pure-python reference
+
+
+def test_retention_matches_python_reference_random_activity(spark):
+    import datetime as dt
+
+    from ia_hadoop_tools_spark.operators.analytics import cohort_retention
+
+    rng = random.Random(31)
+    rows = []
+    for _ in range(300):
+        u = rng.randrange(25)
+        day = dt.date(2024, 1, 1) + dt.timedelta(days=rng.randrange(20))
+        sec = rng.randrange(86400)
+        rows.append((u, dt.datetime.combine(day, dt.time()) + dt.timedelta(seconds=sec)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    first = {}
+    for u, ts in rows:
+        d = ts.date()
+        if u not in first or d < first[u]:
+            first[u] = d
+    expect = {}
+    for u, d in {(u, ts.date()) for u, ts in rows}:
+        key = (first[u].isoformat(), (d - first[u]).days)
+        expect[key] = expect.get(key, 0) + 1
+
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    assert got == expect
