@@ -40,11 +40,16 @@ def exact_group_quantiles(
     """Per-group discrete quantiles: value at row ceil(q*n) of the sorted group.
 
     ``quantiles`` are (label, numerator, denominator) rationals so the
-    index ceil(n*num/den) = (n*num + den - 1) div den stays in integer
-    arithmetic. ``tiebreak`` columns complete the sort order when
-    ``value_col`` has duplicates (determinism, not semantics — any row
-    at the index carries the same value).
+    index ceil(q*n) = (n*num + den - 1) div den stays in integer
+    arithmetic, clamped to >= 1 so q=0 returns the group minimum
+    (``percentile_disc(0)`` semantics). NULL values are excluded before
+    ranking — ``percentile_disc`` ignores them; leaving them in would
+    both inflate n and shift every index (NULLs sort first in Spark).
+    ``tiebreak`` columns complete the sort order when ``value_col`` has
+    duplicates (determinism, not semantics — any row at the index
+    carries the same value).
     """
+    df = df.filter(F.col(value_col).isNotNull())
     order = [F.col(value_col).asc()] + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(*group_cols).orderBy(*order)
     wn = Window.partitionBy(*group_cols)
@@ -54,7 +59,7 @@ def exact_group_quantiles(
     aggs = []
     keep: Column | None = None
     for label, num, den in quantiles:
-        idx = F.expr(f"(__n * {num} + {den - 1}) div {den}")
+        idx = F.expr(f"greatest((__n * {num} + {den - 1}) div {den}, 1)")
         hit = F.col("__rn") == idx
         keep = hit if keep is None else (keep | hit)
         aggs.append(

@@ -2,20 +2,31 @@
 
 The product-analytics companion to ``streaming/sessions.py``: how many
 users complete step 1, then step 2 AFTER step 1, ... within a conversion
-window — the ClickHouse ``windowFunnel`` / Amplitude funnel shape,
-expressed as chained per-user MIN aggregations so everything stays in
-exact timestamp arithmetic (no floats, no ordering sensitivity):
+window, expressed as chained per-user MIN aggregations so everything
+stays in exact timestamp arithmetic (no floats, no ordering
+sensitivity):
 
     t_1(u) = min ts of step-1 events of u
     t_k(u) = min ts of step-k events of u with t_{k-1} < ts <= t_1 + W
 
-Scale shape: one pass per step — a groupBy(user) conditional-min over
-the (already user-keyed) event table joined to the previous step's
-per-user frame. All shuffles are user-keyed and partially aggregated;
-k steps = k scans, never a per-user window over raw events. For very
-long funnels a single ``applyInPandas`` per user would trade scans for
-state; at the typical 3-6 steps the chained-agg plan wins (each stage is
-map-side combinable and whole-stage codegen).
+ANCHOR SEMANTICS — two variants:
+
+- :func:`funnel_times` / :func:`funnel_counts` anchor the window at the
+  user's EARLIEST step-1 event (the SQL-expressible convention the
+  registry oracle pins). A user whose first attempt stalls but who later
+  completes a fresh chain counts as non-converted here.
+- :func:`window_funnel_levels` is the ClickHouse ``windowFunnel`` /
+  Amplitude semantics: ANY step-1 event may anchor the chain, so it
+  reports the deepest level reachable by any anchor. Level counts are
+  >= the anchored variant's by construction.
+
+Scale shape (anchored variant): one pass per step — a groupBy(user)
+conditional-min over the (already user-keyed) event table joined to the
+previous step's per-user frame. All shuffles are user-keyed and
+partially aggregated; k steps = k scans, never a per-user window over
+raw events. The any-anchor variant is one ``applyInPandas`` over each
+user's own (sorted) step events — state bounded by a user's history,
+the sessionize_stateful shape.
 """
 
 from __future__ import annotations
@@ -38,10 +49,12 @@ def funnel_times(
 
     ``t<i>`` is NULL when the user never completed step i inside the
     funnel's constraints (strictly after step i-1, within
-    ``window_seconds`` of step 1). Step-1 time is the user's earliest
-    step-1 event; ties inside one timestamp resolve to the same instant,
-    so simultaneous step events at the exact same ts do NOT chain
-    (strict ``>`` — the conservative funnel convention).
+    ``window_seconds`` of step 1). Step-1 time is the user's EARLIEST
+    step-1 event — see the module docstring for how this anchored
+    convention differs from ClickHouse's any-anchor ``windowFunnel``
+    (:func:`window_funnel_levels`). Ties inside one timestamp resolve to
+    the same instant, so simultaneous step events at the exact same ts
+    do NOT chain (strict ``>`` — the conservative funnel convention).
     """
     if len(steps) < 2:
         raise ValueError(f"need >= 2 steps, got {list(steps)!r}")
@@ -56,9 +69,10 @@ def funnel_times(
     deadline = F.col("t1") + F.make_interval(secs=F.lit(window_seconds))
     for i, step in enumerate(steps[1:], start=2):
         prev = f"t{i - 1}"
+        prev_cols = ["__u", "t1"] + ([prev] if i > 2 else [])
         stepped = (
             ev.filter(F.col("__e") == step)
-            .join(cur.select("__u", "t1", F.col(prev)), "__u")
+            .join(cur.select(*prev_cols), "__u")
             .filter(
                 (F.col("__ts") > F.col(prev)) & (F.col("__ts") <= deadline)
             )
@@ -67,6 +81,78 @@ def funnel_times(
         )
         cur = cur.join(stepped, "__u", "left")
     return cur.withColumnRenamed("__u", user_col)
+
+
+def window_funnel_levels(
+    events: DataFrame,
+    steps: Sequence[str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user deepest funnel level, ClickHouse ``windowFunnel``
+    semantics: (user, ``level``) where level = the largest k such that
+    SOME step-1 event anchors a chain step1 < step2 < ... < stepk with
+    step_k <= anchor + window (strict ``<`` between steps, matching
+    :func:`funnel_times`'s convention). Users with no step-1 event are
+    absent.
+
+    One ``applyInPandas`` over each user's own step events (non-step
+    events are filtered before the shuffle); state is bounded by a
+    user's history. Per anchor the greedy earliest-next-step scan is
+    optimal (taking the earliest valid occurrence never shrinks later
+    choices) and is bounded by the events inside that anchor's window,
+    so cost is O(#step-1 anchors x window-events) per user, with an
+    early exit once the full depth is reached.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"need >= 2 steps, got {list(steps)!r}")
+    step_list = list(steps)
+    win = int(window_seconds) * 1_000_000_000  # ns
+
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__e"),
+        F.col(ts_col).alias("__ts"),
+    ).filter(F.col("__e").isin(step_list))
+
+    def levels(pdf):
+        import pandas as pd
+
+        out_users, out_levels = [], []
+        for u, g in pdf.groupby("__u", sort=False):
+            g = g.sort_values("__ts", kind="mergesort")
+            # full ns resolution: second-truncation would blur the
+            # strict ordering between sub-second step events
+            ts = g["__ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+            es = g["__e"].tolist()
+            best = 0
+            for a in range(len(es)):
+                if es[a] != step_list[0]:
+                    continue
+                deadline = ts[a] + win
+                level, cur_ts = 1, ts[a]
+                for j in range(a + 1, len(es)):
+                    if ts[j] > deadline:
+                        break
+                    if level < len(step_list) and es[j] == step_list[level] and ts[j] > cur_ts:
+                        level += 1
+                        cur_ts = ts[j]
+                        if level == len(step_list):
+                            break
+                best = max(best, level)
+                if best == len(step_list):
+                    break
+            if best:
+                out_users.append(u)
+                out_levels.append(best)
+        return pd.DataFrame({"__u": out_users, "level": out_levels})
+
+    out = ev.groupBy("__u").applyInPandas(
+        levels, f"__u {dict(ev.dtypes)['__u']}, level int"
+    )
+    return out.withColumnRenamed("__u", user_col)
 
 
 def funnel_counts(

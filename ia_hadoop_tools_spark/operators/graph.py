@@ -37,6 +37,35 @@ PR_SCALE = 1_000_000_000
 #: damping factor 0.85 as an exact rational
 DAMP_NUM, DAMP_DEN = 85, 100
 
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _node_col(df: DataFrame, name: str):
+    """Validated bigint node-id column. Non-integral ids (e.g. host
+    strings from a WAT link graph) must be pre-mapped by the caller —
+    a silent cast('long') would turn them all NULL and return an empty
+    (or single-NULL-node) graph with no error."""
+    dtype = dict(df.dtypes).get(name)
+    if dtype not in _INTEGRAL:
+        raise ValueError(
+            f"node id column {name!r} has type {dtype!r}; graph operators "
+            "need integral ids — pre-map strings, e.g. "
+            "F.xxhash64(col) or a dense-id join"
+        )
+    return F.col(name).cast("long")
+
+
+def _damp_expr(c: str) -> str:
+    """Exact overflow-free rewrite of ``(DAMP_NUM * c) div DAMP_DEN``
+    for non-negative c: with c = DAMP_DEN*q + r this equals
+    DAMP_NUM*q + (DAMP_NUM*r) div DAMP_DEN — same value, but the
+    intermediate never exceeds the result (85 * a mega-hub's summed
+    contributions could overflow bigint at web scale)."""
+    return (
+        f"({DAMP_NUM} * (({c}) div {DAMP_DEN}) "
+        f"+ ({DAMP_NUM} * (({c}) % {DAMP_DEN})) div {DAMP_DEN})"
+    )
+
 
 def symmetric_edges(pairs: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     """Distinct directed edges both ways from a (src, dst) pair table.
@@ -45,8 +74,8 @@ def symmetric_edges(pairs: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     mass dangles (the undirected-PageRank convention).
     """
     fwd = pairs.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
+        _node_col(pairs, src_col).alias("src"),
+        _node_col(pairs, dst_col).alias("dst"),
     )
     rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return fwd.unionByName(rev).distinct()
@@ -128,7 +157,7 @@ def pagerank(
             ranks = sums.select(
                 "node",
                 (
-                    F.lit(base) + F.expr(f"({DAMP_NUM} * __c) div {DAMP_DEN}")
+                    F.lit(base) + F.expr(_damp_expr("__c"))
                 ).alias("rank"),
             )
         else:
@@ -136,7 +165,7 @@ def pagerank(
                 "node",
                 (
                     F.lit(base)
-                    + F.expr(f"({DAMP_NUM} * coalesce(__c, 0L)) div {DAMP_DEN}")
+                    + F.expr(_damp_expr("coalesce(__c, 0L)"))
                 ).alias("rank"),
             )
         if materialize_every and (i + 1) % materialize_every == 0 and i + 1 < iterations:
@@ -166,9 +195,10 @@ def triangle_count(pairs: DataFrame, src_col: str = "src", dst_col: str = "dst")
     Returns a single row (``n_triangles`` long). All joins are
     node-keyed shuffles; nothing touches the driver.
     """
+    sa, sb = _node_col(pairs, src_col), _node_col(pairs, dst_col)
     e = pairs.select(
-        F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("a"),
-        F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("b"),
+        F.least(sa, sb).alias("a"),
+        F.greatest(sa, sb).alias("b"),
     ).filter(F.col("a") != F.col("b")).distinct()
     deg = (
         e.select(F.col("a").alias("node"))

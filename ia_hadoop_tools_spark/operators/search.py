@@ -75,19 +75,41 @@ def bm25_topk(
     """Top-k documents by BM25 (Robertson-Sparck Jones idf, the standard
     `ln(1 + (N-df+0.5)/(df+0.5))` form) for a bag of query terms.
 
+    Query terms pass through the SAME tokenizer as the corpus (lowercase
+    + TOKEN_SPLIT), so ``"New York"`` or ``"e-mail"`` match the tokens
+    the postings actually hold; a term repeated in the bag weights its
+    per-term summand by its multiplicity (bag-of-words BM25).
+
     Returns (id_col, bm25) with bm25 rounded to 6 decimals, ordered
     score-desc then id-asc (deterministic k boundary)."""
+    import re
+
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    weights: dict[str, int] = {}
+    for q in query_terms:
+        for t in re.split(TOKEN_SPLIT, str(q).lower()):
+            if t:
+                weights[t] = weights.get(t, 0) + 1
+    if not weights:
+        raise ValueError(
+            f"query_terms {list(query_terms)!r} contain no tokens after "
+            "tokenizer normalization"
+        )
+    qterms = F.broadcast(
+        df.sparkSession.createDataFrame(
+            sorted(weights.items()), "token string, __qw long"
+        )
+    )
     toks = tokenize(df, id_col, text_col)
     doclens = toks.groupBy(id_col).agg(F.count("*").alias("__dl"))
     stats = doclens.agg(
         F.count("*").alias("__n"), F.sum("__dl").alias("__sumdl")
     )
     tf = (
-        toks.filter(F.col("token").isin(*[t.lower() for t in query_terms]))
+        toks.join(qterms, "token")
         .groupBy(id_col, "token")
-        .agg(F.count("*").alias("__tf"))
+        .agg(F.count("*").alias("__tf"), F.first("__qw").alias("__qw"))
     )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("__df"))
     avgdl = F.col("__sumdl").cast("double") / F.col("__n")
@@ -104,7 +126,7 @@ def bm25_topk(
         .join(doclens, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
-        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+        .agg(F.round(F.sum(F.col("__qw") * idf * tf_part), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -455,3 +455,67 @@ def test_zorder_span_guard():
 
     with pytest.raises(ValueError, match="2\\^53"):
         _quantize(F.lit(0), 0, 1 << 45, 16)
+
+
+def test_group_quantiles_ignore_nulls_and_p0_is_min(spark):
+    df = spark.createDataFrame(
+        [("g", None), ("g", 1), ("g", 2), ("g", 3), ("h", None)],
+        "g string, v long",
+    )
+    from ia_hadoop_tools_spark.operators.analytics import exact_group_quantiles
+
+    rows = exact_group_quantiles(
+        df, ["g"], "v", quantiles=[("p0", 0, 1), ("p50", 1, 2), ("p100", 1, 1)]
+    ).collect()
+    got = {r["g"]: (r["p0"], r["p50"], r["p100"]) for r in rows}
+    # percentile_disc semantics over NON-NULL values: [1,2,3] -> 1/2/3;
+    # the all-NULL group has no quantiles and is absent
+    assert got == {"g": (1, 2, 3)}
+
+
+def test_bm25_query_terms_pass_through_tokenizer(spark):
+    from ia_hadoop_tools_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "dogs bark loud"), (3, "cat and dog")],
+        "doc_id long, text string",
+    )
+    # punctuation/multi-word terms normalize like the corpus tokens
+    assert {r["doc_id"] for r in bm25_topk(docs, ["Cat,"], k=5).collect()} == {1, 3}
+    both = bm25_topk(docs, ["cat sat"], k=5).collect()
+    assert both[0]["doc_id"] == 1  # matches both terms, ranks first
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no tokens"):
+        bm25_topk(docs, ["!!!"], k=5)
+
+
+def test_bm25_duplicate_terms_weight_the_summand(spark):
+    from ia_hadoop_tools_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog dog bird")],
+        "doc_id long, text string",
+    )
+    single = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, ["cat"], k=5).collect()}
+    double = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, ["cat", "cat"], k=5).collect()}
+    # scores are rounded to 6 decimals AFTER summing, so compare within
+    # one rounding step of the doubled single-term score
+    assert abs(double[1] - 2 * single[1]) <= 2e-6
+
+
+def test_graph_rejects_non_integral_node_ids(spark):
+    import pytest as _pytest
+
+    from ia_hadoop_tools_spark.operators.graph import (
+        symmetric_edges,
+        triangle_count,
+    )
+
+    hosts = spark.createDataFrame(
+        [("a.com", "b.com")], "s string, d string"
+    )
+    with _pytest.raises(ValueError, match="integral ids"):
+        symmetric_edges(hosts, "s", "d")
+    with _pytest.raises(ValueError, match="integral ids"):
+        triangle_count(hosts, "s", "d")

@@ -288,3 +288,94 @@ def test_retention_matches_python_reference_random_activity(spark):
         for r in cohort_retention(df).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# window_funnel_levels (any-anchor ClickHouse semantics) vs an
+# independent DP reference
+
+
+def _py_window_funnel(events, steps, window_s):
+    """events: [(user, type, ts_int_seconds)] -> {user: level}.
+    Independent formulation: per anchor, a patience-style DP keeping the
+    earliest time each level is reachable (NOT the operator's greedy)."""
+    import math
+
+    out = {}
+    users = {u for u, _, _ in events}
+    k = len(steps)
+    for u in sorted(users):
+        evs = sorted(
+            [(t, e) for uu, e, t in events if uu == u], key=lambda x: x[0]
+        )
+        best = 0
+        for a, (ta, ea) in enumerate(evs):
+            if ea != steps[0]:
+                continue
+            reach = [math.inf] * (k + 1)
+            reach[1] = ta
+            for t, e in evs[a + 1 :]:
+                if t > ta + window_s:
+                    break
+                for lvl in range(k, 1, -1):
+                    if e == steps[lvl - 1] and t > reach[lvl - 1]:
+                        reach[lvl] = min(reach[lvl], t)
+            depth = max(lvl for lvl in range(1, k + 1) if reach[lvl] < math.inf)
+            best = max(best, depth)
+        if best:
+            out[u] = best
+    return out
+
+
+def test_window_funnel_any_anchor_beats_earliest_anchor(spark):
+    """The review repro: first step-1 attempt stalls, a later anchor
+    completes — any-anchor reports level 2, the anchored variant NULL."""
+    import datetime as dt
+
+    from ia_hadoop_tools_spark.operators.funnel import (
+        funnel_times,
+        window_funnel_levels,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "A", base),
+        (1, "A", base + dt.timedelta(seconds=30)),
+        (1, "B", base + dt.timedelta(seconds=32)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    lv = {r["user_id"]: r["level"] for r in window_funnel_levels(df, ["A", "B"], 5).collect()}
+    assert lv == {1: 2}
+    t = funnel_times(df, ["A", "B"], 5).collect()[0]
+    assert t["t2"] is None  # documented anchored-convention difference
+
+
+def test_window_funnel_matches_dp_reference_random_streams(spark):
+    import datetime as dt
+
+    from ia_hadoop_tools_spark.operators.funnel import window_funnel_levels
+
+    rng = random.Random(41)
+    steps = ["A", "B", "C"]
+    for trial in range(3):
+        events = [
+            (
+                rng.randrange(10),
+                rng.choice(["A", "B", "C", "X"]),
+                rng.randrange(0, 3600),
+            )
+            for _ in range(200)
+        ]
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                (u, e, base + dt.timedelta(seconds=t))
+                for u, e, t in events
+            ],
+            "user_id long, event_type string, ts timestamp",
+        )
+        got = {
+            r["user_id"]: r["level"]
+            for r in window_funnel_levels(df, steps, 600).collect()
+        }
+        assert got == _py_window_funnel(events, steps, 600), f"trial {trial}"
