@@ -56,6 +56,7 @@ from ia_hadoop_tools_spark.operators.importance import (  # noqa: F401
 from ia_hadoop_tools_spark.operators.funnel import (  # noqa: F401
     funnel_counts,
     funnel_times,
+    window_funnel_levels,
 )
 from ia_hadoop_tools_spark.operators.scd import (  # noqa: F401
     scd2_as_of,
