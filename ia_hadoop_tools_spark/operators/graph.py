@@ -88,6 +88,7 @@ def pagerank(
     materialize_every: int | None = None,
     cache_edges: bool | None = None,
     all_nodes_have_inedges: bool = False,
+    eager: bool = False,
 ) -> DataFrame:
     """Integer-exact PageRank over a directed edge list (``src``, ``dst``).
 
@@ -107,7 +108,10 @@ def pagerank(
     iterations``-join plan; pass ``materialize_every=k`` to
     localCheckpoint the rank vector every k iterations (runs jobs
     eagerly — only worth it past ~10 iterations, where plan depth itself
-    becomes the cost).
+    becomes the cost). ``eager=True`` (ACTION) materializes the final
+    vector and releases every internal persist and superseded
+    checkpoint — long-lived-session mode; only the returned frame's own
+    checkpoint blocks stay live.
 
     ``all_nodes_have_inedges=True`` (safe on symmetric graphs, where
     every node is some edge's dst) drops the per-iteration left join
@@ -177,10 +181,26 @@ def pagerank(
                 # computes through it.
                 release_local_checkpoint(_last_cp)
             _last_cp = ranks
+    if eager:
+        # materialize the final vector, then release every internal
+        # persist/checkpoint — long-lived-session mode (lazy default
+        # keeps them pinned so the caller's action can reuse them)
+        ranks = ranks.localCheckpoint(eager=True)
+        if _last_cp is not None:
+            release_local_checkpoint(_last_cp)
+        if cache_edges:
+            edges.unpersist()
+            outdeg.unpersist()
+            nodes.unpersist()
     return ranks
 
 
-def triangle_count(pairs: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+def triangle_count(
+    pairs: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    eager: bool = False,
+) -> DataFrame:
     """Global triangle count of an undirected graph, degree-ordered.
 
     Input is any (src, dst) pair table; it is normalized to canonical
@@ -194,6 +214,12 @@ def triangle_count(pairs: DataFrame, src_col: str = "src", dst_col: str = "dst")
 
     Returns a single row (``n_triangles`` long). All joins are
     node-keyed shuffles; nothing touches the driver.
+
+    The oriented edge table persists internally (read three times); the
+    default lazy return keeps it pinned until the session ends or the
+    cache is cleared. ``eager=True`` runs the count now (ACTION — one
+    scalar crosses to the driver), releases the persist, and returns a
+    local 1-row frame — the right mode for long-lived sessions.
     """
     sa, sb = _node_col(pairs, src_col), _node_col(pairs, dst_col)
     e = pairs.select(
@@ -229,7 +255,14 @@ def triangle_count(pairs: DataFrame, src_col: str = "src", dst_col: str = "dst")
     tri = wedges.join(
         e3, (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v"))
     )
-    return tri.agg(F.count("*").alias("n_triangles"))
+    out = tri.agg(F.count("*").alias("n_triangles"))
+    if eager:
+        n = out.collect()[0]["n_triangles"]
+        oriented.unpersist()
+        return pairs.sparkSession.createDataFrame(
+            [(n,)], "n_triangles long"
+        )
+    return out
 
 
 def degree_stats(edges: DataFrame) -> DataFrame:

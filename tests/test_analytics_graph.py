@@ -519,3 +519,30 @@ def test_graph_rejects_non_integral_node_ids(spark):
         symmetric_edges(hosts, "s", "d")
     with _pytest.raises(ValueError, match="integral ids"):
         triangle_count(hosts, "s", "d")
+
+
+def test_graph_eager_mode_releases_internal_storage(spark):
+    from ia_hadoop_tools_spark.operators.graph import pagerank, triangle_count
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 30) for i in range(30)]
+        + [((i + 1) % 30, i) for i in range(30)],
+        "src long, dst long",
+    )
+
+    def n_persist():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persist()
+    lazy = {r["node"]: r["rank"] for r in pagerank(edges, iterations=4).collect()}
+    eager_df = pagerank(edges, iterations=4, materialize_every=2, eager=True)
+    got = {r["node"]: r["rank"] for r in eager_df.collect()}
+    assert got == lazy
+    # only the returned frame's own checkpoint may remain
+    assert n_persist() - before <= 1
+
+    before = n_persist()
+    n_lazy = triangle_count(edges).collect()[0]["n_triangles"]
+    n_eager = triangle_count(edges, eager=True).collect()[0]["n_triangles"]
+    assert n_eager == n_lazy
+    assert n_persist() - before <= 1  # lazy call's persist; eager's released
