@@ -28,6 +28,28 @@ from pyspark.sql import functions as F
 DEFAULT_SMOOTH_K = 0.1
 
 
+def _char_bigrams(df: DataFrame, keep_cols: list, text_col: str) -> DataFrame:
+    """(keep_cols..., ctx, nxt) character-bigram rows — the ONE tokenizer
+    shared by training and scoring, so the two can never drift apart."""
+    t = F.lower(F.col(text_col))
+    return (
+        df.filter(F.length(t) >= 2)
+        .select(
+            *keep_cols,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - 1),
+                    lambda i: F.struct(
+                        F.substring(t, i, 1).alias("ctx"),
+                        F.substring(t, i + 1, 1).alias("nxt"),
+                    ),
+                )
+            ).alias("__s"),
+        )
+        .select(*keep_cols, "__s.ctx", "__s.nxt")
+    )
+
+
 def train_char_lm(
     reference: DataFrame,
     text_col: str = "text",
@@ -50,21 +72,14 @@ def train_char_lm(
 
     reference = ensure_min_partitions(reference)
     t = F.lower(F.col(text_col))
+    # split('', '(?!$)') returns [''] — filter it so an empty doc in the
+    # reference cannot inflate V by a phantom character (the SQL oracle
+    # enumerates per-position chars, where empty docs contribute none)
     chars = reference.select(
         F.explode(F.split(t, "(?!$)")).alias("__c")
-    )
+    ).filter(F.col("__c") != "")
     vdf = chars.agg(F.count_distinct("__c").alias("__v"))
-    bigrams = reference.filter(F.length(t) >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length(t) - 1),
-                lambda i: F.struct(
-                    F.substring(t, i, 1).alias("ctx"),
-                    F.substring(t, i + 1, 1).cast("string").alias("nxt"),
-                ),
-            )
-        ).alias("__s")
-    ).select("__s.ctx", "__s.nxt")
+    bigrams = _char_bigrams(reference, [], text_col)
     ctx_counts = bigrams.groupBy("ctx").agg(F.count("*").alias("__cn"))
     pair_counts = bigrams.groupBy("ctx", "nxt").agg(
         F.count("*").alias("__pn")
@@ -117,22 +132,14 @@ def lm_score(
     # the model plan is consumed three times below (pairs join, floors
     # projection, nocontext probe); since train_char_lm went lazy its
     # vocabulary aggregate re-runs on EVERY consumption — persist so the
-    # charset-bounded table materializes once (lazy: the .first() probe
-    # below is the single action that fills the cache)
-    model = model.persist()
-    t = F.lower(F.col(text_col))
-    grams = docs.filter(F.length(t) >= 2).select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length(t) - 1),
-                lambda i: F.struct(
-                    F.substring(t, i, 1).alias("ctx"),
-                    F.substring(t, i + 1, 1).cast("string").alias("nxt"),
-                ),
-            )
-        ).alias("__s"),
-    ).select(id_col, "__s.ctx", "__s.nxt")
+    # charset-bounded table materializes once. Skip if the caller already
+    # persisted (loops should persist the model once themselves — the
+    # internal persist has no release handle since the returned lazy
+    # frame computes through it; CacheManager dedups identical plans, so
+    # repeated calls on the SAME model frame don't stack entries).
+    if not model.is_cached:
+        model = model.persist()
+    grams = _char_bigrams(docs, [F.col(id_col)], text_col)
     floors = model.select("ctx", "logp_unseen").distinct()
     nocontext = model.select("logp_nocontext").first()
     if nocontext is None:

@@ -35,8 +35,11 @@ from pyspark.sql import functions as F
 
 
 def _quantize(col: Column, lo: int, hi: int, bits: int) -> Column:
-    """Map [lo, hi] integers onto [0, 2^bits) uniformly; out-of-range values
-    clamp to the ends.
+    """Map [lo, hi] integers onto [0, 2^bits) uniformly; out-of-range
+    values clamp to the ends, and NULLs go to cell 0 (the lo corner) —
+    explicitly, because Spark's least/greatest SKIP nulls, which would
+    otherwise silently fold every NULL row into the hi corner, widening
+    that corner's row groups on every other dimension.
 
     floor(scaled / span) stays EXACT in double arithmetic because
     scaled <= span * 2^bits < 2^52 for 32-bit value spans and
@@ -49,7 +52,8 @@ def _quantize(col: Column, lo: int, hi: int, bits: int) -> Column:
             f"arithmetic (2^53) — reduce bits, or pre-scale the column "
             f"(e.g. epoch-micros -> minutes) and pass ranges= explicitly"
         )
-    clamped = F.greatest(F.least(col.cast("long"), F.lit(hi)), F.lit(lo))
+    filled = F.coalesce(col.cast("long"), F.lit(lo))
+    clamped = F.greatest(F.least(filled, F.lit(hi)), F.lit(lo))
     scaled = (clamped - F.lit(lo)) * F.lit((1 << bits) - 1)
     return F.floor(scaled / F.lit(span)).cast("long")
 

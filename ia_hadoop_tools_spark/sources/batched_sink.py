@@ -59,6 +59,7 @@ def write_batched_async(
     retries: int = 3,
     backoff: float = 0.2,
     batch_id_prefix: str = "",
+    collect_stats: bool = True,
 ) -> dict[str, int]:
     """Write ``df`` to an external store in bounded-async batches.
 
@@ -71,14 +72,22 @@ def write_batched_async(
 
     Returns ``{"rows": n, "batches": n, "retries": n}`` (accumulator
     totals; task retries can overcount rows/batches — the endpoint's
-    idempotency, not the counters, is the correctness story).
+    idempotency, not the counters, is the correctness story). Pass
+    ``collect_stats=False`` to skip accumulator creation and get zeros —
+    REQUIRED for long-lived per-micro-batch callers (streaming/export):
+    pyspark accumulators register in a process-global registry that is
+    never cleaned, so three new ones per micro-batch leak driver memory
+    for the stream's lifetime.
     """
     if batch_size < 1 or max_in_flight < 1 or retries < 0:
         raise ValueError("batch_size/max_in_flight >= 1, retries >= 0")
     sc = df.sparkSession.sparkContext
-    rows_acc = sc.accumulator(0)
-    batches_acc = sc.accumulator(0)
-    retries_acc = sc.accumulator(0)
+    if collect_stats:
+        rows_acc = sc.accumulator(0)
+        batches_acc = sc.accumulator(0)
+        retries_acc = sc.accumulator(0)
+    else:
+        rows_acc = batches_acc = retries_acc = None
 
     def run_partition(it: Iterator[Any]) -> None:
         import threading
@@ -144,11 +153,14 @@ def write_batched_async(
             closer = getattr(send, "close", None)
             if callable(closer):
                 closer()
-            rows_acc.add(local["rows"])
-            batches_acc.add(local["batches"])
-            retries_acc.add(local["retries"])
+            if rows_acc is not None:
+                rows_acc.add(local["rows"])
+                batches_acc.add(local["batches"])
+                retries_acc.add(local["retries"])
 
     df.rdd.foreachPartition(run_partition)
+    if rows_acc is None:
+        return {"rows": 0, "batches": 0, "retries": 0}
     return {
         "rows": rows_acc.value,
         "batches": batches_acc.value,

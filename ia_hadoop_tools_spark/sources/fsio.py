@@ -120,6 +120,12 @@ def remove(path: str, filesystem=None) -> None:
     fs.delete_file(p)
 
 
+def remove_dir(path: str, filesystem=None) -> None:
+    """Delete a directory tree (retention pruning of versioned publishes)."""
+    fs, p = resolve(path, filesystem)
+    fs.delete_dir(p)
+
+
 def exists(path: str, filesystem=None) -> bool:
     from pyarrow import fs as pafs
 

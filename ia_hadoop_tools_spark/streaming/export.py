@@ -8,10 +8,15 @@ pipeline exports as data lands): ``readStream`` sources feed
 with the importer's batching/backpressure constants.
 
 Effectively-once: the file-source checkpoint delivers each input file
-at-least-once, every HTTP batch carries the idempotency key
-``b<streamBatchId>-<partition>-<seq>`` (deterministic across replays of
-the same micro-batch), so an upsert endpoint converges to exactly-once
-content even across restarts mid-batch.
+at-least-once, and every HTTP batch carries the idempotency key
+``b<streamBatchId>-<partition>-<seq>``. The key is deterministic across
+a replay ONLY while split planning is stable — partition/seq assignment
+depends on ``spark.sql.files.maxPartitionBytes`` and cluster
+parallelism, so a restart on a resized cluster can replay batch N's rows
+under different keys. Batch-key dedup therefore upgrades at-least-once
+to effectively-once under same-config restarts (the common crash-loop
+case); an endpoint needing exactly-once under config drift must
+deduplicate on row content/ids, which the JSON sender ships in full.
 """
 
 from __future__ import annotations
@@ -43,6 +48,9 @@ def stream_to_endpoint(
     incremental-batch operating mode (SURVEY §2.11)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # collect_stats=False: per-micro-batch accumulators would leak in
+        # the process-global registry for the stream's lifetime, and the
+        # stats dict is unused here anyway
         write_batched_async(
             batch_df,
             make_sender,
@@ -50,6 +58,7 @@ def stream_to_endpoint(
             max_in_flight=max_in_flight,
             retries=retries,
             batch_id_prefix=f"b{batch_id}-",
+            collect_stats=False,
         )
 
     writer = stream_df.writeStream.foreachBatch(sink).option(

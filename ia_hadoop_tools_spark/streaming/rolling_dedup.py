@@ -39,55 +39,40 @@ from ia_hadoop_tools_spark.operators.dedup_index import (
     novel_docs_indexed,
 )
 from ia_hadoop_tools_spark.sources import fsio
+from ia_hadoop_tools_spark.streaming.versioned import (
+    PUBLISHED_MARKER,  # noqa: F401 — re-export (pre-refactor import site)
+    commit_version,
+    existing_versions,
+    latest_published_dir,
+    next_version,
+    prune_versions,
+    version_dir,
+)
 
 CURRENT = "CURRENT"
-PUBLISHED_MARKER = "_PUBLISHED"
+
+#: back-compat alias (sketch_stream historically imported the private name)
+_existing_versions = existing_versions
 
 
-def _existing_versions(
-    index_root: str, published_only: bool = False
-) -> list[int]:
-    from pyarrow import fs as pafs
-
-    fs, p = fsio.resolve(index_root)
-    try:
-        infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
-    except OSError:
-        return []
-    out = []
-    for i in infos:
-        name = i.base_name
-        if name.startswith("v") and name[1:].isdigit():
-            if published_only:
-                marker = fs.get_file_info(
-                    f"{i.path}/{PUBLISHED_MARKER}"
-                )
-                if marker.type == pafs.FileType.NotFound:
-                    continue  # crashed mid-save: ignore the partial dir
-            out.append(int(name[1:]))
-    return sorted(out)
-
-
-def publish_index(index: CorpusDedupIndex, index_root: str) -> str:
-    """Save ``index`` as the next version and mark it published.
-
-    The next version comes from scanning ALL existing ``vNNN`` dirs
-    (published or partial), so a crash mid-save never reuses a dir and a
-    lost pointer never restarts at v000 over data a stale reader may
-    still hold. The commit point is the ``_PUBLISHED`` marker written
-    LAST inside the version dir — a plain create, atomic on every
-    filesystem (local/HDFS/object stores), unlike rename-with-overwrite
-    which pyarrow's HDFS move rejects and object stores emulate as
-    copy+delete. CURRENT is refreshed best-effort for ops visibility;
-    readers resolve versions from markers, never from CURRENT.
+def publish_index(
+    index: CorpusDedupIndex,
+    index_root: str,
+    keep_versions: int | None = None,
+) -> str:
+    """Save ``index`` as the next version and mark it published
+    (streaming/versioned.py protocol: numbers never reused, marker
+    committed last, readers resolve markers — never CURRENT, which is
+    refreshed best-effort for ops visibility only). ``keep_versions``
+    prunes older published versions after the commit (a long-lived
+    stream otherwise accumulates one full index copy per batch).
     """
-    vers = _existing_versions(index_root)
-    vdir = f"v{(vers[-1] + 1) if vers else 0:03d}"
-    index.save(fsio.join(index_root, vdir))
-    with fsio.open_write_text(
-        fsio.join(index_root, vdir, PUBLISHED_MARKER)
-    ) as fh:
-        fh.write("ok")
+    v = next_version(index_root)
+    index.save(version_dir(index_root, v))
+    commit_version(index_root, v)
+    vdir = f"v{v:03d}"
+    if keep_versions is not None:
+        prune_versions(index_root, keep_versions)
     cur = fsio.join(index_root, CURRENT)
     tmp = fsio.join(index_root, f"_tmp.{CURRENT}")
     with fsio.open_write_text(tmp) as fh:
@@ -108,13 +93,11 @@ def publish_index(index: CorpusDedupIndex, index_root: str) -> str:
 def load_current_index(spark: SparkSession, index_root: str) -> CorpusDedupIndex:
     """Load the highest PUBLISHED version (marker-resolved; falls back to
     the CURRENT pointer only for pre-marker layouts)."""
-    vers = _existing_versions(index_root, published_only=True)
-    if vers:
-        vdir = f"v{vers[-1]:03d}"
-    else:
+    latest = latest_published_dir(index_root)
+    if latest is None:
         with fsio.open_read_text(fsio.join(index_root, CURRENT)) as fh:
-            vdir = fh.read().strip()
-    return CorpusDedupIndex.load(spark, fsio.join(index_root, vdir))
+            latest = fsio.join(index_root, fh.read().strip())
+    return CorpusDedupIndex.load(spark, latest)
 
 
 def rolling_dedup_stream(
@@ -130,13 +113,17 @@ def rolling_dedup_stream(
     shingle_words: int = 3,
     num_perm: int = 16,
     bands: int = 4,
+    keep_versions: int = 8,
 ):
     """``availableNow`` stream: dedup each batch against the live index.
 
     Novel docs append to ``corpus_path`` (Parquet); the index grows by
-    exactly those docs and republishes per batch. First batch bootstraps an
-    empty-corpus index. Returns the streaming query (caller awaits
-    termination); restarts resume exactly-once from the checkpoint.
+    exactly those docs and republishes per batch, pruning to the newest
+    ``keep_versions`` published index versions (one full copy per batch
+    otherwise — unbounded storage and O(versions) listing on a stream).
+    First batch bootstraps an empty-corpus index. Returns the streaming
+    query (caller awaits termination); restarts resume exactly-once from
+    the checkpoint.
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -181,7 +168,7 @@ def rolling_dedup_stream(
                         shingle_words, num_perm, bands,
                     )
                 )
-                publish_index(grown, index_root)
+                publish_index(grown, index_root, keep_versions=keep_versions)
             novel.unpersist()
         finally:
             batch_df.unpersist()

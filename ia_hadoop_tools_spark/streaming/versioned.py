@@ -1,0 +1,104 @@
+"""Versioned-directory commit protocol shared by the streaming sinks.
+
+One publisher, many readers, any filesystem: each publish writes a fresh
+``vNNN`` directory and creates a ``_PUBLISHED`` marker file LAST — a
+plain create, atomic everywhere (local/HDFS/object stores), unlike
+rename-with-overwrite which pyarrow's HDFS move rejects and object
+stores emulate as copy+delete. Readers resolve the highest MARKED
+version and never observe a half-written publish; a crash mid-save
+leaves an unmarked dir that the next publish skips past (version
+numbers come from ALL dirs, marked or not, so numbers are never
+reused). The TMP+rename commit idea of jobs/CDXGenerator.java:123-136
+applied to directory trees.
+
+``prune_versions`` bounds a long-lived stream's storage and the
+O(versions) listing cost per publish: keep the newest ``keep`` marked
+versions, delete everything older (marker FIRST, so a reader that races
+the delete sees a cleanly unpublished dir, not a marked dir with
+missing data files). Retention assumes readers re-resolve versions per
+query — a reader pinned to an old version for longer than ``keep``
+publishes can lose it, the standard retention trade.
+"""
+
+from __future__ import annotations
+
+from ia_hadoop_tools_spark.sources import fsio
+
+PUBLISHED_MARKER = "_PUBLISHED"
+
+
+def existing_versions(root: str, published_only: bool = False) -> list[int]:
+    """Sorted version numbers under ``root`` (``vNNN`` dirs); with
+    ``published_only`` skip dirs whose marker is missing (crashed saves)."""
+    from pyarrow import fs as pafs
+
+    fs, p = fsio.resolve(root)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
+    except OSError:
+        return []
+    out = []
+    for i in infos:
+        name = i.base_name
+        if name.startswith("v") and name[1:].isdigit():
+            if published_only:
+                marker = fs.get_file_info(f"{i.path}/{PUBLISHED_MARKER}")
+                if marker.type == pafs.FileType.NotFound:
+                    continue
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def version_dir(root: str, version: int) -> str:
+    return fsio.join(root, f"v{version:03d}")
+
+
+def next_version(root: str) -> int:
+    """Next unused version number — counts UNMARKED dirs too, so a crash
+    mid-save never reuses a number a stale reader may still hold."""
+    vers = existing_versions(root)
+    return (vers[-1] + 1) if vers else 0
+
+
+def commit_version(root: str, version: int) -> str:
+    """Write the ``_PUBLISHED`` marker — the commit point. Call AFTER all
+    payload files under the version dir are fully written."""
+    vdir = version_dir(root, version)
+    with fsio.open_write_text(fsio.join(vdir, PUBLISHED_MARKER)) as fh:
+        fh.write("ok\n")
+    return vdir
+
+
+def latest_published_dir(root: str) -> str | None:
+    vers = existing_versions(root, published_only=True)
+    return version_dir(root, vers[-1]) if vers else None
+
+
+def prune_versions(root: str, keep: int) -> int:
+    """Delete all but the newest ``keep`` PUBLISHED versions (and any
+    unmarked dirs older than the newest published one — crashed saves).
+    Returns the number of directories removed. Marker deleted first so a
+    racing reader sees an unpublished dir rather than a torn one."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    published = existing_versions(root, published_only=True)
+    if not published:
+        return 0
+    cutoff = published[-1]
+    drop_published = published[:-keep] if len(published) > keep else []
+    stale_unmarked = [
+        v
+        for v in existing_versions(root)
+        if v < cutoff and v not in published
+    ]
+    removed = 0
+    for v in sorted(set(drop_published + stale_unmarked)):
+        vdir = version_dir(root, v)
+        try:
+            if v in published:
+                fsio.remove(fsio.join(vdir, PUBLISHED_MARKER))
+            fsio.remove_dir(vdir)
+            removed += 1
+        except OSError:
+            continue  # best-effort: the next publish retries
+    return removed

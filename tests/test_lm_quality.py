@@ -97,3 +97,19 @@ def test_train_launches_no_jobs_at_construction(spark):
     finally:
         sc.setJobGroup("", "")
     assert list(jobs or []) == []
+
+
+def test_empty_doc_does_not_inflate_vocabulary(spark):
+    """An empty reference doc must not add a phantom '' character to V:
+    model probabilities with and without the empty doc are identical."""
+    from ia_hadoop_tools_spark.operators.lm_quality import train_char_lm
+
+    clean = spark.createDataFrame([("ab",)], "text string")
+    with_empty = spark.createDataFrame([("ab",), ("",)], "text string")
+    a = sorted(map(tuple, train_char_lm(clean).collect()))
+    b = sorted(map(tuple, train_char_lm(with_empty).collect()))
+    assert a == b
+    # V=2 ({'a','b'}): logp(a->b) = ln((1+0.1)/(1+0.1*2))
+    import math
+
+    assert a[0][2] == round(math.log(1.1 / 1.2), 6)

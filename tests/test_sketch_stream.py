@@ -73,3 +73,39 @@ def test_empty_root_raises(spark, tmp_path):
 
     with pytest.raises(ValueError):
         current_estimates(spark, str(tmp_path / "nope"), ["g"])
+
+
+def test_versioned_prune_keeps_newest_and_latest_loadable(spark, tmp_path):
+    from ia_hadoop_tools_spark.streaming.sketch_stream import (
+        load_current_sketch,
+        publish_sketch,
+    )
+    from ia_hadoop_tools_spark.streaming.versioned import existing_versions
+
+    root = str(tmp_path / "sketches")
+    for i in range(5):
+        df = spark.createDataFrame([(f"g{i}", f"h{i}", i)],
+                                   "g string, h string, v long")
+        publish_sketch(df, root, keep_versions=2)
+    vers = existing_versions(root, published_only=True)
+    assert vers == [3, 4]  # newest 2 kept, older pruned
+    cur = load_current_sketch(spark, root)
+    assert cur.collect()[0]["g"] == "g4"
+
+
+def test_versioned_prune_drops_stale_unmarked_dirs(spark, tmp_path):
+    import os
+
+    from ia_hadoop_tools_spark.streaming.sketch_stream import publish_sketch
+    from ia_hadoop_tools_spark.streaming.versioned import (
+        existing_versions,
+        prune_versions,
+    )
+
+    root = str(tmp_path / "s2")
+    df = spark.createDataFrame([("g", "h", 1)], "g string, h string, v long")
+    publish_sketch(df, root)          # v000 published
+    os.makedirs(os.path.join(root, "v001"))  # crashed save, no marker
+    publish_sketch(df, root)          # v002 (numbers never reused)
+    prune_versions(root, keep=1)
+    assert existing_versions(root) == [2]  # stale unmarked + old published gone

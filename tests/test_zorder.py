@@ -144,3 +144,18 @@ def test_zorder_cli(spark, tmp_path):
     out = spark.read.parquet(dst)
     assert out.count() == 1000
     assert set(out.columns) == {"a", "b"}
+
+
+def test_zorder_nulls_map_to_lo_corner(spark):
+    """NULL values quantize to cell 0 explicitly — least/greatest skip
+    NULLs, which would otherwise fold NULL rows into the hi corner."""
+    from ia_hadoop_tools_spark.plans.zorder import _quantize
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(None,), (0,), (100,)], "v long")
+    codes = [
+        r["c"] for r in df.select(_quantize(F.col("v"), 0, 100, 4).alias("c"))
+        .collect()
+    ]
+    assert codes == [0, 0, 15]
