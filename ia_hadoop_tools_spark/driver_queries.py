@@ -2054,12 +2054,20 @@ def q_span_stats(spark, sf_dir):
     return span_dedup_stats(_t(spark, sf_dir, "documents"), n=SPAN_N)
 
 
+# span tokens keep ORIGINAL case (the rewrite must not lowercase the
+# corpus); duplicate detection lowercases the window KEY only — mirrors
+# operators/spans.py exactly
+_SPAN_TOKS_SQL = (
+    r"list_filter(string_split_regex(coalesce(text, ''), '\s+'),"
+    r" t -> t != '')"
+)
+
 _SPAN_DUP_SQL = f"""
-tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+tok AS (SELECT doc_id, {_SPAN_TOKS_SQL} AS ts FROM documents),
 grams AS (
   SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-         array_to_string(list_slice(
-           ts, CAST(i AS INT), CAST(i + {SPAN_N - 1} AS INT)), ' ') AS g
+         lower(array_to_string(list_slice(
+           ts, CAST(i AS INT), CAST(i + {SPAN_N - 1} AS INT)), ' ')) AS g
   FROM tok, UNNEST(range(1, len(ts) - {SPAN_N} + 2)) AS u(i)
   WHERE len(ts) >= {SPAN_N}
 ),

@@ -98,7 +98,19 @@ def connected_components(
         sym.groupBy(F.col("src").alias("node"))
         .agg(F.least(F.min("dst"), F.min("src")).alias("comp"))
     )
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+
+    def _probe(df):
+        # type-safe one-scalar fingerprint of the label assignment:
+        # xxhash64 works for string/long ids alike (F.sum("comp") is NULL
+        # for string comps — silent one-round false convergence — and can
+        # overflow long for 64-bit hash ids under ANSI); decimal(38,0)
+        # keeps the sum exact. Stable iff no label changed, up to 64-bit
+        # hash-sum collision (the star probe's accepted risk).
+        return df.agg(
+            F.sum(F.xxhash64("node", "comp").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_probe = _probe(labels)
     converged = False
     for _ in range(max_iter):
         # one hop: each node offers its current comp to every neighbor
@@ -111,12 +123,15 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
-        new_sum = new_labels.agg(F.sum("comp")).first()[0]
+        new_probe = _probe(new_labels)
+        # new_labels is materialized: the superseded round's checkpoint
+        # blocks can go now (the cleaner is too lazy for long loops)
+        release_local_checkpoint(labels)
         labels = new_labels
-        if new_sum == prev_sum:  # labels are monotone non-increasing
+        if new_probe == prev_probe:  # labels are monotone non-increasing
             converged = True
             break
-        prev_sum = new_sum
+        prev_probe = new_probe
     sym.unpersist()
     if not converged:
         # deep/chained graphs can exhaust the round budget; silent exit
@@ -157,18 +172,18 @@ def connected_components_star(
     order-independent, one scalar aggregation per round, stable iff the
     edge set stopped changing (up to 64-bit hash-sum collision).
     """
-    from pyspark import StorageLevel
-
     e = _truncate_lineage(
         edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    nodes = (
+    # checkpointed (not persisted): nodes must stay computable after the
+    # loop releases the initial edge checkpoint it derives from, and the
+    # final labels join consumes it lazily after the loop
+    nodes = _truncate_lineage(
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     def _probe(df):
         # decimal(38,0) sum: ANSI-safe (a long sum of 64-bit hashes overflows)
@@ -211,6 +226,8 @@ def connected_components_star(
             .distinct()
         )
         new_probe = _probe(small)
+        # small is materialized: release the superseded edge checkpoint
+        release_local_checkpoint(e)
         e = small
         if new_probe == probe:
             converged = True
@@ -222,8 +239,9 @@ def connected_components_star(
             "rounds — components may be split", max_iter,
         )
     # at the fixpoint the edge set is a star forest: (non-min node -> its
-    # component minimum); minima label themselves
-    labels = (
+    # component minimum); minima label themselves. Materialize the labels
+    # BEFORE releasing the node/edge checkpoints they compute through.
+    labels = _truncate_lineage(
         nodes.join(
             e.select(F.col("u").alias("node"), F.col("v").alias("comp")),
             "node",
@@ -232,7 +250,8 @@ def connected_components_star(
         .groupBy("node")
         .agg(F.min(F.coalesce("comp", "node")).alias("comp"))
     )
-    nodes.unpersist()
+    release_local_checkpoint(e)
+    release_local_checkpoint(nodes)
     return labels
 
 

@@ -39,12 +39,41 @@ def _window_hashes(df: DataFrame, id_col: str, text_col: str, n: int):
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(0), F.col("__nt") - n),
+                    # lower() at window-KEY time: contamination matching is
+                    # case-insensitive (spans._tokens keeps original case)
                     lambda i: F.xxhash64(
-                        F.concat_ws(" ", F.slice("__toks", i + 1, n))
+                        F.lower(F.concat_ws(" ", F.slice("__toks", i + 1, n)))
                     ),
                 )
             )
         ).alias("__h"),
+    )
+
+
+def _overlap_counts(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None,
+) -> DataFrame:
+    """(id, overlap_ngrams >= 1) for corpus docs sharing any window with
+    the benchmark — the small table both public entry points derive from."""
+    bcol = bench_text_col or text_col
+    bench_w = (
+        _window_hashes(
+            benchmark.select(F.lit(0).alias("__bid"), F.col(bcol)),
+            "__bid", bcol, n,
+        )
+        .select("__h")
+        .distinct()
+    )
+    corpus_w = _window_hashes(corpus, id_col, text_col, n)
+    return (
+        corpus_w.join(F.broadcast(bench_w), "__h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("overlap_ngrams"))
     )
 
 
@@ -64,20 +93,8 @@ def contamination_stats(
     formulation); ``contaminated`` is ``overlap_ngrams >= 1`` — callers
     with a laxer policy threshold on ``overlap_ngrams`` themselves.
     """
-    bcol = bench_text_col or text_col
-    bench_w = (
-        _window_hashes(
-            benchmark.select(F.lit(0).alias("__bid"), F.col(bcol)),
-            "__bid", bcol, n,
-        )
-        .select("__h")
-        .distinct()
-    )
-    corpus_w = _window_hashes(corpus, id_col, text_col, n)
-    hits = (
-        corpus_w.join(F.broadcast(bench_w), "__h")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("overlap_ngrams"))
+    hits = _overlap_counts(
+        corpus, benchmark, n, id_col, text_col, bench_text_col
     )
     return (
         corpus.select(id_col)
@@ -104,14 +121,18 @@ def decontaminate(
     """Corpus rows whose benchmark overlap is under ``min_overlap``.
 
     ``min_overlap=1`` drops any doc sharing a single n-gram window (the
-    strict GPT-3 policy). The contaminated-id set is small (benchmark-
-    bounded), so the removal is a broadcast left-anti join — the corpus
-    streams through without a shuffle.
+    strict GPT-3 policy); 0 is rejected (it would broadcast EVERY corpus
+    id and anti-join the whole corpus away). The dirty set comes straight
+    from the hits aggregate — not from ``contamination_stats``, whose
+    every-doc-gets-a-row left join would drag a full corpus id scan into
+    the broadcast subtree just to re-filter the zero rows back out.
+    The contaminated-id set is small (benchmark-bounded), so the removal
+    is a broadcast left-anti join — the corpus streams through one stage.
     """
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
     dirty = (
-        contamination_stats(
-            corpus, benchmark, n, id_col, text_col, bench_text_col
-        )
+        _overlap_counts(corpus, benchmark, n, id_col, text_col, bench_text_col)
         .filter(F.col("overlap_ngrams") >= min_overlap)
         .select(id_col)
     )

@@ -70,6 +70,27 @@ class CorpusDedupIndex:
         self.shingle_words = shingle_words
         self.num_perm = num_perm
         self.bands = bands
+        #: memoized hot-bucket-capped views keyed by max_bucket — the
+        #: corpus-wide cap window runs ONCE per index lifetime, not per
+        #: probe (see :meth:`capped_buckets`)
+        self._capped: dict[int, DataFrame] = {}
+
+    def capped_buckets(self, max_bucket: int | None) -> DataFrame:
+        """``buckets`` with hot buckets dropped, computed once per
+        ``max_bucket`` and persisted: the cap needs a corpus-wide count
+        window, which belongs to the INDEX lifetime — a rolling pipeline
+        probing hourly must not re-shuffle the whole corpus bucket table
+        per batch. Lazy: the first probe's action materializes it."""
+        if max_bucket is None:
+            return self.buckets
+        key = int(max_bucket)
+        if key not in self._capped:
+            from pyspark import StorageLevel
+
+            self._capped[key] = _drop_hot_buckets(
+                self.buckets, key, "novel_docs_indexed"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        return self._capped[key]
 
     def persist(self) -> "CorpusDedupIndex":
         from pyspark import StorageLevel
@@ -81,18 +102,38 @@ class CorpusDedupIndex:
     def unpersist(self) -> None:
         for df in (self.exact, self.buckets, self.shingles):
             df.unpersist()
+        for df in self._capped.values():
+            df.unpersist()
+        self._capped.clear()
 
     def save(self, path: str) -> None:
-        """Write the three tables + params under ``path`` (Parquet)."""
+        """Write the three tables + params under ``path`` (Parquet).
+
+        The shingle table is persisted around the writes when the caller
+        has not already done so: ``buckets`` derives from the SAME
+        shingle plan, so an unpersisted save would run the corpus
+        shingle/signature derivation twice (once per write job).
+        """
+        from pyspark import StorageLevel
+
         params_row = [(self.shingle_words, self.num_perm, self.bands)]
         spark = self.exact.sparkSession
-        self.exact.write.mode("overwrite").parquet(os.path.join(path, "exact"))
-        self.buckets.write.mode("overwrite").parquet(
-            os.path.join(path, "buckets")
-        )
-        self.shingles.write.mode("overwrite").parquet(
-            os.path.join(path, "shingles")
-        )
+        already = self.shingles.is_cached
+        if not already:
+            self.shingles.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            self.exact.write.mode("overwrite").parquet(
+                os.path.join(path, "exact")
+            )
+            self.shingles.write.mode("overwrite").parquet(
+                os.path.join(path, "shingles")
+            )
+            self.buckets.write.mode("overwrite").parquet(
+                os.path.join(path, "buckets")
+            )
+        finally:
+            if not already:
+                self.shingles.unpersist()
         spark.createDataFrame(
             params_row, "shingle_words: int, num_perm: int, bands: int"
         ).coalesce(1).write.mode("overwrite").parquet(
@@ -222,7 +263,9 @@ def novel_docs_indexed(
         F.col(id_col).alias("id"),
         F.explode(band_key_array(index.num_perm, index.bands)).alias("bucket"),
     )
-    cb = _drop_hot_buckets(index.buckets, max_bucket, "novel_docs_indexed")
+    # capped view memoized + persisted on the index: the corpus-wide cap
+    # window runs once per index lifetime, every later probe just joins
+    cb = index.capped_buckets(max_bucket)
     cand = nb.join(cb, "bucket").select("id", "cid").dropDuplicates()
     verified = (
         cand.join(new_sh, "id")

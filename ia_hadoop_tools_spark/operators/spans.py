@@ -41,8 +41,14 @@ from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
 
 
 def _tokens(text_col: str):
+    """ORIGINAL-case whitespace tokens; NULL text tokenizes as empty (a
+    null array would otherwise propagate NULL n_tokens/removed_tokens
+    through every stat). Case-folding happens at window-KEY time only —
+    matching is case-insensitive, but the rewrite must not lowercase the
+    surviving corpus."""
     return F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != "",
     )
 
 
@@ -63,7 +69,11 @@ def _dup_windows(
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), F.col("__nt") - n),
-                    lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
+                    # lower() HERE (window key only): duplicate detection
+                    # is case-insensitive, the kept tokens keep their case
+                    lambda i: F.lower(
+                        F.concat_ws(" ", F.slice("__toks", i + 1, n))
+                    ),
                 )
             ).alias("pos", "__g"),
         )
@@ -73,6 +83,13 @@ def _dup_windows(
             (F.xxhash64("__g") if use_hash else F.col("__g")).alias("__h"),
         )
     )
+    # grams feeds BOTH the count aggregate and the join below — without a
+    # persist the corpus-wide tokenize + window-hash projection runs twice
+    # (different exchange children, Catalyst does not reuse them); same
+    # discipline as novel_docs' shingle persist (textops.py)
+    from pyspark import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         grams.groupBy("__h")
         .agg(F.count("*").alias("__c"))
@@ -96,11 +113,14 @@ def span_dedup_stats(
 
     Every input doc gets a row (zeroes when nothing is duplicated).
     """
+    from pyspark import StorageLevel
+
     base = (
         # spread the CPU-bound window-hash projection across executor slots
         # (a one-row-group input would otherwise hash on a single core)
         ensure_min_partitions(df.select(F.col(id_col), _tokens(text_col).alias("__toks")))
         .withColumn("__nt", F.size("__toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # grams side + stats join
     )
     dw = _dup_windows(base, id_col, n, min_count, use_hash)
     per_doc = dw.groupBy(id_col).agg(F.count("*").alias("dup_ngrams"))
@@ -165,11 +185,14 @@ def span_dedup(
     Both branches compute identical output (the split is purely physical);
     each doc takes exactly one branch of the union.
     """
+    from pyspark import StorageLevel
+
     base = (
         # spread the CPU-bound window-hash projection across executor slots
         # (a one-row-group input would otherwise hash on a single core)
         ensure_min_partitions(df.select(F.col(id_col), _tokens(text_col).alias("__toks")))
         .withColumn("__nt", F.size("__toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # grams side + rewrite join
     )
     dw = _dup_windows(base, id_col, n, min_count, use_hash)
     # one skinny array of covered indices per affected doc

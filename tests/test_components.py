@@ -134,3 +134,24 @@ def test_star_variant_long_chain(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_string_ids_converge(spark):
+    """String doc ids (URLs/digests): the old F.sum('comp') probe was
+    NULL on strings -> silent one-round false convergence on chains."""
+    from ia_hadoop_tools_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")]
+    edges = spark.createDataFrame(chain, "id_a string, id_b string")
+    got = {
+        r["node"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    assert got == {n: "a" for n in "abcdef"}
+    star = {
+        r["node"]: r["comp"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert star == got

@@ -81,3 +81,28 @@ def test_distinct_windows_counted_once(spark):
     got = contamination_stats(corpus, bench, n=8).collect()[0]
     # repeated occurrences of the same window count once (distinct windows)
     assert got.overlap_ngrams < 24
+
+
+def test_decontaminate_rejects_min_overlap_zero(spark):
+    import pytest
+
+    from ia_hadoop_tools_spark.operators.decontam import decontaminate
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_overlap"):
+        decontaminate(docs, docs, min_overlap=0)
+
+
+def test_contamination_matching_is_case_insensitive(spark):
+    from ia_hadoop_tools_spark.operators.decontam import contamination_stats
+
+    corpus = spark.createDataFrame(
+        [(1, "The Quick Brown Fox Jumps Over Lazy Dogs")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over lazy dogs")],
+        "doc_id long, text string",
+    )
+    row = contamination_stats(corpus, bench, n=8).collect()[0]
+    assert row["contaminated"] is True

@@ -107,3 +107,17 @@ def test_extend_corpus_index_incremental(spark):
     assert got == want
     # doc 3 was novel against the old corpus; the extension makes it a dup
     assert got[3] == (True, 1, False)
+
+
+def test_capped_buckets_memoized_per_index(spark, sf_dir):
+    """The hot-bucket cap window runs once per index lifetime: repeated
+    probes reuse the same persisted capped view."""
+    from ia_hadoop_tools_spark.operators.dedup_index import build_corpus_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    idx = build_corpus_index(docs).persist()
+    a = idx.capped_buckets(100)
+    b = idx.capped_buckets(100)
+    assert a is b and a.storageLevel.useMemory
+    assert idx.capped_buckets(None) is idx.buckets
+    idx.unpersist()

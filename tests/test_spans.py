@@ -122,3 +122,41 @@ def test_span_dedup_heavy_branch_equals_light(spark):
     assert clean3.startswith("unique lead lead")
     assert rem3 >= 400
     assert heavy[4][2] == 0
+
+
+def test_span_dedup_preserves_case_and_whitespace_tokens(spark):
+    """The rewrite must not lowercase the surviving corpus: matching is
+    case-insensitive (window keys fold), kept tokens keep their case."""
+    from ia_hadoop_tools_spark.operators.spans import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The President Said Something Unique Today About Peace"),
+            (2, "the president said something unique today about war"),
+            (3, "Completely Different Text With No Overlap At All"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup(docs, n=6).collect()}
+    # docs 1 and 2 share a 6-token window case-insensitively -> covered
+    assert out[1]["removed_tokens"] > 0 and out[2]["removed_tokens"] > 0
+    # doc 3 untouched, case preserved verbatim
+    assert out[3]["clean_text"] == "Completely Different Text With No Overlap At All"
+    # surviving tokens of doc 1 keep original case
+    assert all(t[0].isupper() for t in out[1]["clean_text"].split())
+
+
+def test_span_stats_null_text_scores_zero(spark):
+    from ia_hadoop_tools_spark.operators.spans import (
+        span_dedup,
+        span_dedup_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f g h a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in span_dedup_stats(docs, n=8).collect()}
+    assert stats[1]["n_tokens"] == 0 and stats[1]["coverage"] == 0.0
+    clean = {r["doc_id"]: r for r in span_dedup(docs, n=8).collect()}
+    assert clean[1]["n_tokens"] == 0 and clean[1]["removed_tokens"] == 0
