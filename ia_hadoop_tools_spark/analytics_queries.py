@@ -366,8 +366,8 @@ pairs AS (
   GROUP BY 1, 2
   HAVING count(*) >= {COLL_MIN_COUNT} AND count(*) > {COLL_DISCOUNT})
 SELECT w1, w2, n_pair,
-  CAST(((n_pair - {COLL_DISCOUNT}) * n * {COLL_SCALE})
-       // (u1.c * u2.c) AS BIGINT) AS score
+  CAST(((CAST(n_pair AS HUGEINT) - {COLL_DISCOUNT}) * n * {COLL_SCALE})
+       // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS score
 FROM pairs
 JOIN uni u1 ON u1.w = pairs.w1
 JOIN uni u2 ON u2.w = pairs.w2

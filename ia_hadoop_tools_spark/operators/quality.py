@@ -35,9 +35,9 @@ DEFAULT_RULES = {
 
 
 def _words(text_col: str):
-    return F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
+    from ia_hadoop_tools_spark.functions.textfns import tokens
+
+    return tokens(F.col(text_col))  # ONE tokenizer across the engine
 
 
 def repetition_stats(
@@ -168,6 +168,11 @@ def dedup_lines(
     reassembled in original line order, and docs whose lines all lose are
     dropped.
 
+    EMPTY lines are exempt (always kept): treating them as dedupable
+    content would delete every blank line in the corpus except one global
+    first occurrence — destroying paragraph structure everywhere, which
+    is why reference line-dedup implementations exempt them.
+
     Shape: posexplode lines -> one window min over the line value (the rank
     decides the winner; ties cannot happen on (doc, pos)) -> re-aggregate
     kept lines sorted by position. The full line text shuffles once — the
@@ -177,13 +182,21 @@ def dedup_lines(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
     )
+    # empty lines bypass the window entirely — besides the semantics,
+    # the "" partition would be the corpus-wide skew hotspot
     w = Window.partitionBy("__line")
-    ranked = lines.withColumn(
-        "__winner",
-        F.min(F.struct(F.col(id_col), F.col("__pos"))).over(w),
-    ).filter(
-        (F.col(f"__winner.{id_col}") == F.col(id_col))
-        & (F.col("__winner.__pos") == F.col("__pos"))
+    ranked = (
+        lines.filter(F.col("__line") != "")
+        .withColumn(
+            "__winner",
+            F.min(F.struct(F.col(id_col), F.col("__pos"))).over(w),
+        )
+        .filter(
+            (F.col(f"__winner.{id_col}") == F.col(id_col))
+            & (F.col("__winner.__pos") == F.col("__pos"))
+        )
+        .drop("__winner")
+        .unionByName(lines.filter(F.col("__line") == ""))
     )
     return (
         ranked.groupBy(id_col)
@@ -213,10 +226,15 @@ PII_PATTERNS = {
 def scrub_pii(
     df: DataFrame,
     text_col: str = "text",
-    kinds: tuple = ("email", "phone", "ipv4"),
+    kinds: tuple = ("email", "ipv4", "phone"),
     replacement: str = "[REDACTED-{kind}]",
 ) -> DataFrame:
-    """Replace PII-looking spans in ``text_col`` (pure codegen projection)."""
+    """Replace PII-looking spans in ``text_col`` (pure codegen projection).
+
+    Rules apply in ``kinds`` order, and the default puts ipv4 BEFORE
+    phone: the loose phone pattern also matches 9+-char dotted quads, so
+    the reverse order would redact most IP addresses as PHONE and leave
+    redaction-kind audits wrong."""
     c = F.col(text_col)
     for kind in kinds:
         c = F.regexp_replace(

@@ -34,7 +34,14 @@ def hyperplanes(num: int, dim: int, seed: int = 42) -> list[list[float]]:
 
 
 def _lsh_code_bits(vec_col, planes: list[list[float]]):
-    """One sign bit per hyperplane: 1 iff <v, plane> >= 0."""
+    """One sign bit per hyperplane: 1 iff <v, plane> >= 0.
+
+    A vector whose length differs from the plane dimension RAISES:
+    zip_with null-pads the shorter side, the dot goes null, and every
+    bit would silently come out 0 — identical codes for all vectors,
+    turning the "approximate" search into a full cross join.
+    """
+    dim = len(planes[0])
     bits = []
     for pl in planes:
         arr = F.array(*[F.lit(x) for x in pl])
@@ -43,7 +50,21 @@ def _lsh_code_bits(vec_col, planes: list[list[float]]):
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bits.append(F.when(dot >= 0.0, F.lit(1)).otherwise(F.lit(0)))
+        bits.append(
+            F.when(dot >= 0.0, F.lit(1))
+            .when(dot < 0.0, F.lit(0))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"LSH vector length != plane dim {dim} "
+                            "(pass dim= matching the embeddings): got "
+                        ),
+                        F.size(vec_col).cast("string"),
+                    )
+                ).cast("int")
+            )
+        )
     return bits
 
 
@@ -311,9 +332,16 @@ def ann_ivf_topk(
         if centroids is None
         else centroids
     )
+    # zero-norm guards on all three cosines (the hazard
+    # train_ivf_centroids documents: NaN sorts ABOVE every double, so one
+    # zero vector/centroid would win every max_by and every ranking);
+    # null instead loses max_by and sorts last under `desc`
+    den_c = F.col("__norm") * F.col("__cnorm")
     cos_c = F.round(
-        dot_product(F.col("__vec"), F.col("__cvec"))
-        / (F.col("__norm") * F.col("__cnorm")),
+        F.when(
+            den_c != 0.0,
+            dot_product(F.col("__vec"), F.col("__cvec")) / den_c,
+        ),
         6,
     )
     # nearest centroid per corpus vector: broadcast NL join + max_by aggregate
@@ -345,9 +373,12 @@ def ann_ivf_topk(
         F.col(vec_col).alias("__qvec"),
         l2_norm(F.col(vec_col)).alias("__qnorm"),
     )
+    den_q = F.col("__qnorm") * F.col("__cnorm")
     qcos = F.round(
-        dot_product(F.col("__qvec"), F.col("__cvec"))
-        / (F.col("__qnorm") * F.col("__cnorm")),
+        F.when(
+            den_q != 0.0,
+            dot_product(F.col("__qvec"), F.col("__cvec")) / den_q,
+        ),
         6,
     )
     wprobe = Window.partitionBy(query_id_col).orderBy(
@@ -360,9 +391,12 @@ def ann_ivf_topk(
         .filter(F.col("__pr") <= nprobe)
         .select(query_id_col, "__qvec", "__qnorm", F.col("__cid").alias("__cell"))
     )
+    den_vq = F.col("__norm") * F.col("__qnorm")
     cos_q = F.round(
-        dot_product(F.col("__vec"), F.col("__qvec"))
-        / (F.col("__norm") * F.col("__qnorm")),
+        F.when(
+            den_vq != 0.0,
+            dot_product(F.col("__vec"), F.col("__qvec")) / den_vq,
+        ),
         6,
     )
     scored = (
@@ -445,12 +479,17 @@ def embedding_neardup_pairs(
     )
     denom = F.col("__na") * F.col("__nb")
     cos = F.when(denom != 0.0, dot_product(F.col("__va"), F.col("__vb")) / denom)
-    return (
+    out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+    # release handle (the shingle_cache convention in textops.py): the
+    # returned lazy plan computes through the persisted band table, so
+    # loop callers unpersist it themselves once done
+    out.band_cache = banded
+    return out
 
 
 def assign_clusters(
@@ -557,9 +596,15 @@ def semdedup(
         F.col(vec_col).alias("__vb"),
         F.col("__n").alias("__nb"),
     )
+    # zero-norm guard: Spark treats NaN as LARGER than any double, so an
+    # unguarded 0/0 here would pass `>= threshold` and mark a zero vector
+    # a duplicate of everything in its cluster; null compares false
+    denom_ab = F.col("__na") * F.col("__nb")
     cos = F.round(
-        dot_product(F.col("__va"), F.col("__vb"))
-        / (F.col("__na") * F.col("__nb")),
+        F.when(
+            denom_ab != 0.0,
+            dot_product(F.col("__va"), F.col("__vb")) / denom_ab,
+        ),
         6,
     )
     dup_ids = (
@@ -568,7 +613,7 @@ def semdedup(
         .select(F.col("__idb").alias("__dup_id"))
         .distinct()
     )
-    return (
+    out = (
         assigned.join(
             dup_ids, F.col(id_col) == F.col("__dup_id"), "left_outer"
         )
@@ -578,3 +623,6 @@ def semdedup(
             F.col("__dup_id").isNotNull().alias("is_dup"),
         )
     )
+    # release handle (the shingle_cache convention in textops.py)
+    out.assign_cache = assigned
+    return out

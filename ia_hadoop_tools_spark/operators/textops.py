@@ -193,6 +193,13 @@ def band_key_array(num_perm: int, bands: int):
     (``operators/dedup_index.py``) so both sides of a cross-corpus probe
     derive byte-identical bucket keys.
     """
+    if bands < 1 or bands > num_perm or num_perm % bands != 0:
+        # bands > num_perm silently yields rows=0: every key collapses to
+        # "b", ALL docs share every bucket, and the self-join goes O(n^2)
+        raise ValueError(
+            f"bands must divide num_perm (got num_perm={num_perm}, "
+            f"bands={bands})"
+        )
     rows = num_perm // bands
     return F.array(
         *[
@@ -324,7 +331,9 @@ def simhash(
     instead of ``bits`` per-row array traversals that each re-inline the
     hash computation under projection collapse.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    from ia_hadoop_tools_spark.functions.textfns import tokens
+
+    toks = tokens(F.col(text_col))  # the engine-wide shared tokenizer
     hashed = (
         ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), F.explode(toks).alias("__t"))
@@ -515,9 +524,12 @@ def novel_docs(
         F.col(text_col).alias("__t"),
         F.xxhash64(text_col).alias("__h"),
     )
+    # dedup on (hash, text) — hash alone would discard one of a colliding
+    # pair and silently miss exact duplicates of it, re-introducing the
+    # hash-identity reliance the text-equality verify exists to remove
     ch = corpus_df.select(
         F.xxhash64(text_col).alias("__h"), F.col(text_col).alias("__ct")
-    ).dropDuplicates(["__h"])
+    ).dropDuplicates(["__h", "__ct"])
     exact = (
         nh.join(ch, "__h")
         .filter(F.col("__t") == F.col("__ct"))
@@ -647,16 +659,25 @@ def collocation_scores(
     )
     u1 = uni.select(F.col("w").alias("w1"), F.col("__c").alias("__c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("__c").alias("__c2"))
+    # no broadcast HINT on the unigram tables: a hint overrides
+    # autoBroadcastJoinThreshold unconditionally, so a web-scale vocab
+    # would OOM the driver instead of degrading to the shuffle join the
+    # docstring promises — let AQE pick (it broadcasts when small).
+    # decimal(38,0) arithmetic: (n_pair * N * scale) overflows int64 at
+    # ~1e9-word corpora; the decimal `div` floor matches DuckDB HUGEINT
+    # `//` exactly and the final score fits bigint.
     return (
-        pairs.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(n_total))
         .select(
             "w1",
             "w2",
             "n_pair",
             F.expr(
-                f"((n_pair - {discount}) * __n * {scale}L) div (__c1 * __c2)"
+                f"cast(((cast(n_pair as decimal(38,0)) - {discount})"
+                f" * __n * {scale})"
+                f" div (cast(__c1 as decimal(38,0)) * __c2) as bigint)"
             ).alias("score"),
         )
     )

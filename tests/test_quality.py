@@ -69,3 +69,29 @@ def test_scrub_pii(spark):
     assert "555" not in out
     assert "10.0.0.1" not in out
     assert "[REDACTED-EMAIL]" in out and "[REDACTED-PHONE]" in out
+
+
+def test_dedup_lines_keeps_empty_lines_everywhere(spark):
+    from ia_hadoop_tools_spark.operators.quality import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "para one\n\nunique tail one"), (2, "para two\n\nunique tail two")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(docs).collect()}
+    # the blank separator survives in BOTH docs (exempt from dedup)
+    assert out[1] == "para one\n\nunique tail one"
+    assert out[2] == "para two\n\nunique tail two"
+
+
+def test_scrub_pii_ipv4_not_eaten_by_phone_rule(spark):
+    from ia_hadoop_tools_spark.operators.quality import scrub_pii
+
+    docs = spark.createDataFrame(
+        [(1, "server at 192.168.1.100 or call +1 415-555-0199")],
+        "doc_id long, text string",
+    )
+    text = scrub_pii(docs).collect()[0]["text"]
+    assert "[REDACTED-IPV4]" in text
+    assert "192.168" not in text
+    assert "[REDACTED-PHONE]" in text

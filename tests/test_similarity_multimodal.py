@@ -208,3 +208,54 @@ def test_semdedup_keep_rule_and_clusters(spark, sf_dir):
             if cos(vecs[a], vecs[b]) >= 0.35:
                 expect.add(b)
         assert marked == expect
+
+
+def test_ann_ivf_zero_vector_never_poisons_ranking(spark):
+    from ia_hadoop_tools_spark.operators.similarity import ann_ivf_topk
+
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(4)]) for i in range(30)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))  # zero-norm vector
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id in (1, 2)")
+    out = ann_ivf_topk(corpus, queries, k=3, num_centroids=4, nprobe=4)
+    rows_out = out.collect()
+    assert rows_out, "ivf returned nothing"
+    for r in rows_out:
+        # NaN would rank the zero vector #1 everywhere; guarded -> null
+        # cosine sorts last, so it never appears in the top-k
+        assert r["neighbor_id"] != 99
+        assert r["cosine"] == r["cosine"]  # not NaN
+
+
+def test_lsh_dim_mismatch_raises_not_silent_cross_join(spark):
+    import pytest
+
+    from ia_hadoop_tools_spark.operators.similarity import ann_lsh_topk
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="plane dim"):
+        ann_lsh_topk(df, df.limit(2), k=2, dim=8).collect()
+
+
+def test_semdedup_zero_vector_not_marked_duplicate(spark):
+    from ia_hadoop_tools_spark.operators.similarity import (
+        hyperplanes,
+        semdedup,
+    )
+
+    rows = [(i, [float(j + i % 3) for j in range(4)]) for i in range(12)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 1.0]), (1, [-1.0, 2.0, 0.5, 1.5])],
+        "centroid_id long, centroid array<double>",
+    )
+    out = {r["vec_id"]: r["is_dup"] for r in semdedup(df, cent, threshold=0.99).collect()}
+    # zero-norm vectors are excluded at assignment (documented: no
+    # direction to cluster by) -> never spuriously marked duplicates,
+    # and the guarded cosine keeps NaN out of every other verdict
+    assert 99 not in out
+    assert set(out) == {i for i in range(12)}

@@ -223,3 +223,14 @@ def test_novel_docs_max_df_drops_boilerplate_overlap(spark):
     assert loose.n_near > 0
     pruned = novel_docs(batch, corpus, threshold=0.2, max_df=3).first()
     assert pruned.n_near == 0 and bool(pruned.is_novel)
+
+
+def test_band_key_array_rejects_bad_band_split(spark):
+    import pytest
+
+    from ia_hadoop_tools_spark.operators.textops import band_key_array
+
+    with pytest.raises(ValueError, match="divide num_perm"):
+        band_key_array(16, 32)
+    with pytest.raises(ValueError, match="divide num_perm"):
+        band_key_array(16, 3)
