@@ -98,6 +98,7 @@ def _iter_warc_records_any(path: str):
                 (h, p, off, None) for h, p, off in _iter_warc_records_minimal(fh)
             )
         return
+    max_member = 1 << 28  # 256 MiB decompressed per member
     with open(path, "rb") as fh:
         pos = 0
         fh.seek(0, 2)
@@ -107,11 +108,27 @@ def _iter_warc_records_any(path: str):
             d = zlib.decompressobj(31)
             chunks = []
             consumed = 0
+            total = 0
             while True:
                 chunk = fh.read(1 << 16)
                 if not chunk:
                     break
-                chunks.append(d.decompress(chunk))
+                piece = d.decompress(chunk)
+                chunks.append(piece)
+                total += len(piece)
+                if total > max_member:
+                    # a member must materialize to carry its compressed
+                    # byte range (the CDX S/V contract) — a WHOLE-FILE
+                    # gzip is one giant member and would OOM the task, so
+                    # fail loudly with the remedy instead
+                    raise IOError(
+                        f"gzip member at offset {pos} exceeds "
+                        f"{max_member} bytes decompressed — this looks "
+                        "like a whole-file-gzipped WARC; recompress "
+                        "member-per-record (the WARC convention) or "
+                        "gunzip it, since per-member offsets cannot be "
+                        "derived from a single-member file anyway"
+                    )
                 consumed += len(chunk) - len(d.unused_data)
                 if d.eof:
                     break
@@ -138,122 +155,135 @@ def cdx_generate(paths_df: DataFrame, surt_fn=None, use_warcio: bool | None = No
     want_warcio = HAVE_WARCIO if use_warcio is None else use_warcio
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def err_row(fname: str, e: Exception) -> dict:
+            return dict.fromkeys(
+                [
+                    "urlkey", "timestamp", "original_url", "mimetype",
+                    "statuscode", "digest", "redirect", "meta_flags",
+                    "compressed_length", "compressed_offset",
+                ]
+            ) | {"filename": fname, "error": f"{type(e).__name__}: {e}"}
+
+        def row_from_warcio(rec, it, fname: str) -> dict | None:
+            if rec.rec_type not in ("response", "revisit"):
+                return None
+            url = rec.rec_headers.get_header("WARC-Target-URI")
+            ts = (rec.rec_headers.get_header("WARC-Date") or "").replace(
+                "-", ""
+            ).replace(":", "").replace("T", "").rstrip("Z")
+            # raw_stream = body bytes after the HTTP header block, WITHOUT
+            # transfer decoding — the same bytes the minimal reader hashes,
+            # so digests agree between the two paths.
+            payload = rec.raw_stream.read()
+            http = rec.http_headers
+            # member byte range: warcio finalizes member_info only after
+            # the record — including the gzip trailer — is fully consumed,
+            # so read_to_end BEFORE fetching offset/length (cdxj-indexer's
+            # usage). The reference CDXGenerator always writes the S/V
+            # fields — Wayback range-fetch and archive_file_extractor
+            # depend on them.
+            it.read_to_end(rec)
+            try:
+                off = it.get_record_offset()
+            except Exception:
+                off = None
+            try:
+                mlen = it.get_record_length()
+            except Exception:
+                mlen = None
+            return dict(
+                urlkey=surt(url),
+                timestamp=ts[:14],
+                original_url=url,
+                mimetype=(
+                    http.get_header("Content-Type", "-").split(";")[0]
+                    if http
+                    else "-"
+                ),
+                statuscode=int(http.get_statuscode()) if http else None,
+                digest=_b32_sha1(payload),
+                redirect=http.get_header("Location") if http else None,
+                meta_flags=None,
+                compressed_length=mlen,
+                compressed_offset=off,
+                filename=fname,
+                error=None,
+            )
+
+        def row_from_minimal(headers, payload, off, mlen, fname) -> dict | None:
+            if headers.get("warc-type") not in ("response", "revisit"):
+                return None
+            url = headers.get("warc-target-uri")
+            ts = (
+                (headers.get("warc-date") or "")
+                .replace("-", "")
+                .replace(":", "")
+                .replace("T", "")
+                .rstrip("Z")
+            )
+            status, mimetype, location = None, None, None
+            body = payload
+            if payload.startswith(b"HTTP/"):
+                head, _, body = payload.partition(b"\r\n\r\n")
+                lines = head.decode(errors="replace").split("\r\n")
+                try:
+                    status = int(lines[0].split()[1])
+                except (IndexError, ValueError):
+                    status = None
+                for hl in lines[1:]:
+                    hk, _, hv = hl.partition(":")
+                    lk = hk.strip().lower()
+                    if lk == "content-type":
+                        mimetype = hv.strip().split(";")[0]
+                    elif lk == "location":
+                        location = hv.strip()
+            return dict(
+                urlkey=surt(url),
+                timestamp=ts[:14],
+                original_url=url,
+                mimetype=mimetype,
+                statuscode=status,
+                digest=_b32_sha1(body),
+                redirect=location,
+                meta_flags=None,
+                compressed_length=mlen,
+                compressed_offset=off,
+                filename=fname,
+                error=None,
+            )
+
         for pdf in batches:
             out = []
             for path in pdf["path"]:
                 fname = os.path.basename(path)
+                # -soft is PER RECORD: one malformed record adds one error
+                # row and the rest of the file survives; the outer try
+                # covers open/container-level failures (check_fail_pct sees
+                # honest error counts either way)
                 try:
-                    raw = open(path, "rb")
-                    stream = (
-                        gzip.open(raw) if path.endswith(".gz") else raw
-                    )
                     if want_warcio and HAVE_WARCIO:
-                        it = ArchiveIterator(raw if path.endswith(".gz") else stream)
-                        for rec in it:
-                            if rec.rec_type not in ("response", "revisit"):
-                                continue
-                            url = rec.rec_headers.get_header("WARC-Target-URI")
-                            ts = (rec.rec_headers.get_header("WARC-Date") or "").replace(
-                                "-", ""
-                            ).replace(":", "").replace("T", "").rstrip("Z")
-                            # raw_stream = body bytes after the HTTP header
-                            # block, WITHOUT transfer decoding — the same
-                            # bytes the minimal reader hashes, so digests
-                            # agree between the two paths.
-                            payload = rec.raw_stream.read()
-                            http = rec.http_headers
-                            # member byte range: warcio finalizes member_info
-                            # only after the record — including the gzip
-                            # trailer — is fully consumed, so read_to_end
-                            # BEFORE fetching offset/length (cdxj-indexer's
-                            # usage). The reference CDXGenerator always
-                            # writes the S/V fields — Wayback range-fetch
-                            # and archive_file_extractor depend on them.
-                            it.read_to_end(rec)
-                            try:
-                                off = it.get_record_offset()
-                            except Exception:
-                                off = None
-                            try:
-                                mlen = it.get_record_length()
-                            except Exception:
-                                mlen = None
-                            out.append(
-                                dict(
-                                    urlkey=surt(url),
-                                    timestamp=ts[:14],
-                                    original_url=url,
-                                    mimetype=(
-                                        http.get_header("Content-Type", "-").split(";")[0]
-                                        if http
-                                        else "-"
-                                    ),
-                                    statuscode=int(http.get_statuscode()) if http else None,
-                                    digest=_b32_sha1(payload),
-                                    redirect=http.get_header("Location") if http else None,
-                                    meta_flags=None,
-                                    compressed_length=mlen,
-                                    compressed_offset=off,
-                                    filename=fname,
-                                    error=None,
-                                )
-                            )
+                        # warcio consumes the RAW stream (ungzips itself)
+                        with open(path, "rb") as raw:
+                            it = ArchiveIterator(raw)
+                            for rec in it:
+                                try:
+                                    row = row_from_warcio(rec, it, fname)
+                                except Exception as e:
+                                    row = err_row(fname, e)
+                                if row is not None:
+                                    out.append(row)
                     else:
                         for headers, payload, off, mlen in _iter_warc_records_any(path):
-                            if headers.get("warc-type") not in ("response", "revisit"):
-                                continue
-                            url = headers.get("warc-target-uri")
-                            ts = (
-                                (headers.get("warc-date") or "")
-                                .replace("-", "")
-                                .replace(":", "")
-                                .replace("T", "")
-                                .rstrip("Z")
-                            )
-                            status, mimetype, location = None, None, None
-                            body = payload
-                            if payload.startswith(b"HTTP/"):
-                                head, _, body = payload.partition(b"\r\n\r\n")
-                                lines = head.decode(errors="replace").split("\r\n")
-                                try:
-                                    status = int(lines[0].split()[1])
-                                except (IndexError, ValueError):
-                                    status = None
-                                for hl in lines[1:]:
-                                    hk, _, hv = hl.partition(":")
-                                    lk = hk.strip().lower()
-                                    if lk == "content-type":
-                                        mimetype = hv.strip().split(";")[0]
-                                    elif lk == "location":
-                                        location = hv.strip()
-                            out.append(
-                                dict(
-                                    urlkey=surt(url),
-                                    timestamp=ts[:14],
-                                    original_url=url,
-                                    mimetype=mimetype,
-                                    statuscode=status,
-                                    digest=_b32_sha1(body),
-                                    redirect=location,
-                                    meta_flags=None,
-                                    compressed_length=mlen,
-                                    compressed_offset=off,
-                                    filename=fname,
-                                    error=None,
+                            try:
+                                row = row_from_minimal(
+                                    headers, payload, off, mlen, fname
                                 )
-                            )
-                    stream.close()
-                except Exception as e:  # -soft: record, don't fail the task
-                    out.append(
-                        dict.fromkeys(
-                            [
-                                "urlkey", "timestamp", "original_url", "mimetype",
-                                "statuscode", "digest", "redirect", "meta_flags",
-                                "compressed_length", "compressed_offset",
-                            ]
-                        )
-                        | {"filename": fname, "error": f"{type(e).__name__}: {e}"}
-                    )
+                            except Exception as e:
+                                row = err_row(fname, e)
+                            if row is not None:
+                                out.append(row)
+                except Exception as e:  # container-level: one error row
+                    out.append(err_row(fname, e))
             yield pd.DataFrame(
                 out
                 or {
@@ -369,59 +399,63 @@ def wat_generate(paths_df: DataFrame) -> DataFrame:
     import json
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def err_row(fname: str, e: Exception) -> dict:
+            return dict.fromkeys(
+                ["target_uri", "timestamp", "rec_type", "wat", "offset"]
+            ) | {"filename": fname, "error": f"{type(e).__name__}: {e}"}
+
+        def wat_row(headers, payload, off, mlen, fname) -> dict:
+            rec_type = headers.get("warc-type", "-")
+            envelope: dict = {
+                "Format": "WARC",
+                "WARC-Header-Metadata": {
+                    k: v for k, v in sorted(headers.items())
+                },
+                # compressed member range for .gz containers —
+                # the byte range a Wayback-style range fetch uses
+                "Container": {"Filename": fname, "Offset": off},
+            }
+            if mlen is not None:
+                envelope["Container"]["Compressed-Length"] = mlen
+            if rec_type in ("response", "revisit"):
+                http, body = _http_meta(payload)
+                pm: dict = {"HTTP-Response-Metadata": http}
+                ctype = (http.get("Headers") or {}).get("Content-Type", "")
+                if "html" in ctype.lower():
+                    html = _html_meta(body)
+                    if html:
+                        pm["HTTP-Response-Metadata"]["HTML-Metadata"] = html
+                envelope["Payload-Metadata"] = pm
+            return dict(
+                target_uri=headers.get("warc-target-uri"),
+                timestamp=(headers.get("warc-date") or "")
+                .replace("-", "")
+                .replace(":", "")
+                .replace("T", "")
+                .rstrip("Z")[:14],
+                rec_type=rec_type,
+                wat=json.dumps({"Envelope": envelope}, sort_keys=True),
+                filename=fname,
+                offset=off,
+                error=None,
+            )
+
         for pdf in batches:
             out = []
             for path in pdf["path"]:
                 fname = os.path.basename(path)
                 try:
                     for headers, payload, off, mlen in _iter_warc_records_any(path):
-                        rec_type = headers.get("warc-type", "-")
-                        envelope: dict = {
-                            "Format": "WARC",
-                            "WARC-Header-Metadata": {
-                                k: v for k, v in sorted(headers.items())
-                            },
-                            # compressed member range for .gz containers —
-                            # the byte range a Wayback-style range fetch uses
-                            "Container": {"Filename": fname, "Offset": off},
-                        }
-                        if mlen is not None:
-                            envelope["Container"]["Compressed-Length"] = mlen
-                        if rec_type in ("response", "revisit"):
-                            http, body = _http_meta(payload)
-                            pm: dict = {"HTTP-Response-Metadata": http}
-                            ctype = (http.get("Headers") or {}).get("Content-Type", "")
-                            if "html" in ctype.lower():
-                                html = _html_meta(body)
-                                if html:
-                                    pm["HTTP-Response-Metadata"][
-                                        "HTML-Metadata"
-                                    ] = html
-                            envelope["Payload-Metadata"] = pm
-                        out.append(
-                            dict(
-                                target_uri=headers.get("warc-target-uri"),
-                                timestamp=(headers.get("warc-date") or "")
-                                .replace("-", "")
-                                .replace(":", "")
-                                .replace("T", "")
-                                .rstrip("Z")[:14],
-                                rec_type=rec_type,
-                                wat=json.dumps(
-                                    {"Envelope": envelope}, sort_keys=True
-                                ),
-                                filename=fname,
-                                offset=off,
-                                error=None,
+                        # -soft per RECORD (docstring contract): one bad
+                        # record = one error row, the file's tail survives
+                        try:
+                            out.append(
+                                wat_row(headers, payload, off, mlen, fname)
                             )
-                        )
-                except Exception as e:  # -soft
-                    out.append(
-                        dict.fromkeys(
-                            ["target_uri", "timestamp", "rec_type", "wat", "offset"]
-                        )
-                        | {"filename": fname, "error": f"{type(e).__name__}: {e}"}
-                    )
+                        except Exception as e:
+                            out.append(err_row(fname, e))
+                except Exception as e:  # container-level -soft
+                    out.append(err_row(fname, e))
             yield pd.DataFrame(
                 out
                 or {
@@ -467,43 +501,50 @@ def wet_generate(paths_df: DataFrame) -> DataFrame:
             out = []
             for path in pdf["path"]:
                 fname = os.path.basename(path)
+                def wet_err(e: Exception) -> dict:
+                    return dict.fromkeys(
+                        ["target_uri", "timestamp", "rec_type", "text",
+                         "n_chars", "offset"]
+                    ) | {"filename": fname, "error": f"{type(e).__name__}: {e}"}
+
+                def wet_row(headers, payload, off) -> dict | None:
+                    if headers.get("warc-type") != "response":
+                        return None
+                    http, body = _http_meta(payload)
+                    ctype = (http.get("Headers") or {}).get(
+                        "Content-Type", ""
+                    )
+                    if "html" not in ctype.lower():
+                        return None
+                    text = strip(body.decode("utf-8", "replace"))
+                    return dict(
+                        target_uri=headers.get("warc-target-uri"),
+                        timestamp=(headers.get("warc-date") or "")
+                        .replace("-", "")
+                        .replace(":", "")
+                        .replace("T", "")
+                        .rstrip("Z")[:14],
+                        rec_type="conversion",
+                        text=text,
+                        n_chars=len(text),
+                        filename=fname,
+                        offset=off,
+                        error=None,
+                    )
+
                 try:
                     for headers, payload, off, _mlen in _iter_warc_records_any(
                         path
                     ):
-                        if headers.get("warc-type") != "response":
-                            continue
-                        http, body = _http_meta(payload)
-                        ctype = (http.get("Headers") or {}).get(
-                            "Content-Type", ""
-                        )
-                        if "html" not in ctype.lower():
-                            continue
-                        text = strip(body.decode("utf-8", "replace"))
-                        out.append(
-                            dict(
-                                target_uri=headers.get("warc-target-uri"),
-                                timestamp=(headers.get("warc-date") or "")
-                                .replace("-", "")
-                                .replace(":", "")
-                                .replace("T", "")
-                                .rstrip("Z")[:14],
-                                rec_type="conversion",
-                                text=text,
-                                n_chars=len(text),
-                                filename=fname,
-                                offset=off,
-                                error=None,
-                            )
-                        )
-                except Exception as e:  # -soft
-                    out.append(
-                        dict.fromkeys(
-                            ["target_uri", "timestamp", "rec_type", "text",
-                             "n_chars", "offset"]
-                        )
-                        | {"filename": fname, "error": f"{type(e).__name__}: {e}"}
-                    )
+                        # -soft per RECORD: the file's tail survives
+                        try:
+                            row = wet_row(headers, payload, off)
+                        except Exception as e:
+                            row = wet_err(e)
+                        if row is not None:
+                            out.append(row)
+                except Exception as e:  # container-level -soft
+                    out.append(wet_err(e))
             yield pd.DataFrame(
                 out
                 or {
@@ -525,34 +566,50 @@ def warc_metadata_generate(paths_df: DataFrame) -> DataFrame:
             out = []
             for path in pdf["path"]:
                 fname = os.path.basename(path)
-                try:
-                    raw = open(path, "rb")
-                    stream = gzip.open(raw) if path.endswith(".gz") else raw
-                    for headers, payload, _ in _iter_warc_records_minimal(stream):
-                        if headers.get("warc-type") != "metadata":
-                            continue
-                        out.append(
-                            dict(
-                                target_uri=headers.get("warc-target-uri"),
-                                timestamp=(headers.get("warc-date") or "")
-                                .replace("-", "")
-                                .replace(":", "")
-                                .replace("T", "")
-                                .rstrip("Z")[:14],
-                                concurrent_to=headers.get("warc-concurrent-to"),
-                                content=payload.decode(errors="replace"),
-                                filename=fname,
-                                error=None,
-                            )
-                        )
-                    stream.close()
-                except Exception as e:  # -soft
-                    out.append(
-                        dict.fromkeys(
-                            ["target_uri", "timestamp", "concurrent_to", "content"]
-                        )
-                        | {"filename": fname, "error": f"{type(e).__name__}: {e}"}
+                def meta_err(e: Exception) -> dict:
+                    return dict.fromkeys(
+                        ["target_uri", "timestamp", "concurrent_to", "content"]
+                    ) | {"filename": fname, "error": f"{type(e).__name__}: {e}"}
+
+                def meta_row(headers, payload) -> dict | None:
+                    if headers.get("warc-type") != "metadata":
+                        return None
+                    return dict(
+                        target_uri=headers.get("warc-target-uri"),
+                        timestamp=(headers.get("warc-date") or "")
+                        .replace("-", "")
+                        .replace(":", "")
+                        .replace("T", "")
+                        .rstrip("Z")[:14],
+                        concurrent_to=headers.get("warc-concurrent-to"),
+                        content=payload.decode(errors="replace"),
+                        filename=fname,
+                        error=None,
                     )
+
+                try:
+                    # with-block: the old bare open() leaked the raw fd on
+                    # error paths (gzip wrapper close does not close it)
+                    with open(path, "rb") as raw:
+                        stream = (
+                            gzip.open(raw) if path.endswith(".gz") else raw
+                        )
+                        try:
+                            for headers, payload, _ in (
+                                _iter_warc_records_minimal(stream)
+                            ):
+                                # -soft per RECORD: the file's tail survives
+                                try:
+                                    row = meta_row(headers, payload)
+                                except Exception as e:
+                                    row = meta_err(e)
+                                if row is not None:
+                                    out.append(row)
+                        finally:
+                            if stream is not raw:
+                                stream.close()
+                except Exception as e:  # container-level -soft
+                    out.append(meta_err(e))
             yield pd.DataFrame(
                 out
                 or {
@@ -634,7 +691,10 @@ def archive_file_extractor(
             f"WARC-Filename: {name}\r\n"
             f"WARC-Record-ID: <{rec_id}>\r\n"
             "Content-Type: application/warc-fields\r\n"
-            f"Content-Length: {len(body) + 4}\r\n\r\n"
+            # WARC/1.0: Content-Length covers the BLOCK only; the trailing
+            # CRLFCRLF is the record separator outside it (counting it made
+            # strict readers consume the separator as warc-fields content)
+            f"Content-Length: {len(body)}\r\n\r\n"
         ).encode()
         return gzip.compress(head + body + b"\r\n\r\n")
 
@@ -734,10 +794,18 @@ def http_import(
                 if remote_len >= 0 and copied != remote_len:
                     raise IOError(f"length mismatch: {copied} != {remote_len}")
                 os.replace(tmp, final)
-            except Exception:
+            except Exception as e:
                 if os.path.exists(tmp):
                     os.remove(tmp)
                 if not soft:
                     raise
+                # the docstring's promised log line — without it a run
+                # where every URL fails is indistinguishable from success
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "http_import soft-skip %s -> %s: %s: %s",
+                    url, name, type(e).__name__, e,
+                )
 
     urls_df.foreachPartition(work)

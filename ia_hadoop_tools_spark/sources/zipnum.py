@@ -189,15 +189,28 @@ def summary_generator(
     ~1/3000 of the data, and this runs as the post-job finalization step
     (§3.1 step 4), not inside the dataflow.
     """
+    def stem_key(stem: str):
+        # numeric-aware: plain string sort puts part-100000 before
+        # part-99999, silently breaking ALL.summary's global key order
+        # past 100k shards (the 100 TB sizing)
+        import re
+
+        m = re.match(r"^(.*?)(\d+)$", stem)
+        return (m.group(1), int(m.group(2))) if m else (stem, -1)
+
     if shards is None:
         stems = sorted(
-            f[: -len(".summary")]
-            for f in fsio.listdir(cluster_dir, filesystem)
-            if f.endswith(".summary") and f != "ALL.summary"
+            (
+                f[: -len(".summary")]
+                for f in fsio.listdir(cluster_dir, filesystem)
+                if f.endswith(".summary") and f != "ALL.summary"
+            ),
+            key=stem_key,
         )
     else:
         stems = sorted(
-            s[: -len(".gz")] if s.endswith(".gz") else s for s in shards
+            (s[: -len(".gz")] if s.endswith(".gz") else s for s in shards),
+            key=stem_key,
         )
     for s in stems:
         if not fsio.exists(fsio.join(cluster_dir, s + ".gz"), filesystem):
@@ -228,6 +241,37 @@ def manifest_aggregator(
             fh.write(b + "\n")
     fsio.rename(out + ".TMP", out, filesystem)
     return out
+
+
+def block_lines(text: str) -> list[str]:
+    """Split a decompressed block into record lines.
+
+    Records are framed by ``\\n`` ONLY (the writer's contract in
+    ``_write_shard``); ``str.splitlines()`` would also split on
+    ``\\x0b``/``\\x0c``/``\\x85``/U+2028/U+2029 INSIDE a value, so a line
+    carrying one of those bytes would read back as two corrupt rows.
+    Shared by ``_read_blocks`` and the ``zipnum`` DataSource reader.
+    """
+    lines = text.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()  # writer terminates the block with a trailing \n
+    return lines
+
+
+def read_summary_rows(
+    cluster_dir: str, filesystem=None
+) -> list[tuple[str, str, int, int]]:
+    """ALL.summary parsed driver-side as (key, shard, offset, length)
+    tuples — the one TSV parse shared by ``load_summary``'s fsio branch
+    and the ``zipnum`` DataSource planner."""
+    rows = []
+    with fsio.open_read_text(
+        fsio.join(cluster_dir, "ALL.summary"), filesystem
+    ) as fh:
+        for line in fh:
+            key, shard, off, length = line.rstrip("\n").split("\t")
+            rows.append((key, shard, int(off), int(length)))
+    return rows
 
 
 def _gunzip_salvage(payload: bytes) -> tuple[str, bool]:
@@ -312,7 +356,7 @@ def _read_blocks(
             )
             if bad_acc is not None:
                 bad_acc += 1
-        for line in text.splitlines():
+        for line in block_lines(text):
             if start is not None or end is not None:
                 key = line.split(" ", 2)
                 k = " ".join(key[:2])
@@ -344,13 +388,19 @@ def load_summary(
     the data — is read driver-side through fsio and parallelized."""
     path = fsio.join(cluster_dir, "ALL.summary")
     if filesystem is None and fsio.spark_can_read(path):
-        return spark.read.schema(ZIPNUM_IDX_SCHEMA).option("sep", "\t").csv(path)
-    rows = []
-    with fsio.open_read_text(path, filesystem) as fh:
-        for line in fh:
-            key, shard, off, length = line.rstrip("\n").split("\t")
-            rows.append((key, shard, int(off), int(length)))
-    return spark.createDataFrame(rows, ZIPNUM_IDX_SCHEMA)
+        # quote disabled: the file is RAW tab-separated text; the CSV
+        # default quote='"' would strip/merge around a double quote in a
+        # SURT key (real in archived query strings), silently corrupting
+        # summary keys on this fast path only
+        return (
+            spark.read.schema(ZIPNUM_IDX_SCHEMA)
+            .option("sep", "\t")
+            .option("quote", "")
+            .csv(path)
+        )
+    return spark.createDataFrame(
+        read_summary_rows(cluster_dir, filesystem), ZIPNUM_IDX_SCHEMA
+    )
 
 
 def zipnum_range(

@@ -46,16 +46,9 @@ class ZipNumBlocks(InputPartition):
 def _load_summary(
     cluster_dir: str, filesystem=None
 ) -> list[tuple[str, str, int, int]]:
-    from ia_hadoop_tools_spark.sources import fsio
+    from ia_hadoop_tools_spark.sources.zipnum import read_summary_rows
 
-    rows = []
-    with fsio.open_read_text(
-        fsio.join(cluster_dir, "ALL.summary"), filesystem
-    ) as fh:
-        for line in fh:
-            key, shard, off, length = line.rstrip("\n").split("\t")
-            rows.append((key, shard, int(off), int(length)))
-    return rows
+    return read_summary_rows(cluster_dir, filesystem)
 
 
 def plan_blocks(
@@ -134,16 +127,22 @@ class ZipNumReader(DataSourceReader):
                         if self.start is None or v > self.start:
                             self.start = v
                     elif isinstance(f, (LessThan, LessThanOrEqual)):
-                        # block pruning needs exclusive end; <= v still
-                        # cannot skip a block whose range contains v
-                        bound = v + "\x00" if isinstance(f, LessThanOrEqual) else v
+                        # block pruning needs an exclusive end. Summary keys
+                        # are COMPOSITE ("urlkey<space>timestamp"), so the
+                        # bound for <= v must sort above every "v <ts>" key:
+                        # v+"\x00" sorted BELOW them (' ' > '\x00') and
+                        # pruned blocks whose first line exactly matched v —
+                        # silent row loss the row-level re-filter cannot
+                        # repair. v+"￿" keeps every such block (and a
+                        # superset is always safe here).
+                        bound = v + "\uffff" if isinstance(f, LessThanOrEqual) else v
                         if self.end is None or bound < self.end:
                             self.end = bound
                     elif isinstance(f, EqualTo):
                         if self.start is None or v > self.start:
                             self.start = v
-                        if self.end is None or v + "\x00" < self.end:
-                            self.end = v + "\x00"
+                        if self.end is None or v + "\uffff" < self.end:
+                            self.end = v + "\uffff"
             yield f  # Spark re-applies everything exactly
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -169,7 +168,10 @@ class ZipNumReader(DataSourceReader):
         import pyarrow as pa
 
         from ia_hadoop_tools_spark.sources import fsio
-        from ia_hadoop_tools_spark.sources.zipnum import _gunzip_salvage
+        from ia_hadoop_tools_spark.sources.zipnum import (
+            _gunzip_salvage,
+            block_lines,
+        )
 
         log = logging.getLogger(__name__)
         fs = self._filesystem()
@@ -193,7 +195,7 @@ class ZipNumReader(DataSourceReader):
                     "skip-bad: corrupt member %s@%s, salvaged %d lines",
                     shard, off, text.count("\n"),
                 )
-            lines = text.splitlines()
+            lines = block_lines(text)
             if not lines:
                 continue
             keys, tss = [], []

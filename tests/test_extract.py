@@ -230,3 +230,37 @@ def test_check_fail_pct(spark):
         check_fail_pct(df)  # default 0: any error fails the job
     clean = df.filter("error IS NULL")
     assert check_fail_pct(clean).count() == 3
+
+
+def test_cdx_generate_soft_is_per_record_not_per_file(spark, tmp_path):
+    """One poison record must yield one error row while the REST of the
+    file's records survive (the -soft docstring contract; the old per-file
+    try abandoned every record after the first bad one)."""
+    p = tmp_path / "multi.warc"
+    recs = [
+        _warc_record(
+            "response", f"http://site{i}.com/", "2020-01-02T03:04:05Z",
+            _http_payload(200, "text/html", b"<html>x</html>"),
+        )
+        for i in range(5)
+    ]
+    p.write_bytes(b"".join(recs))
+    paths = spark.createDataFrame([(str(p),)], "path string")
+
+    def poison_surt(url):
+        if url and "site2" in url:
+            raise ValueError("poison record")
+        from ia_hadoop_tools_spark.functions.surt import _surt_one
+
+        return _surt_one(url)
+
+    from ia_hadoop_tools_spark.operators.extract import cdx_generate
+
+    rows = cdx_generate(paths, surt_fn=poison_surt, use_warcio=False).collect()
+    ok = [r for r in rows if r["error"] is None]
+    bad = [r for r in rows if r["error"] is not None]
+    assert len(ok) == 4 and len(bad) == 1
+    assert "poison record" in bad[0]["error"]
+    assert {r["original_url"] for r in ok} == {
+        f"http://site{i}.com/" for i in (0, 1, 3, 4)
+    }

@@ -84,3 +84,37 @@ def test_datasource_skip_bad_option(spark, tmp_path):
         spark.read.format("zipnum").option("skip_bad", "true").load(out)
     )
     assert 50 <= tolerant.count() < 100
+
+
+def test_datasource_le_and_eq_filters_on_block_boundary(spark, tmp_path):
+    """Regression: <=/== pruning with a v+"\\x00" end bound pruned blocks
+    whose FIRST line matched the filter (summary keys are composite
+    "urlkey<space>ts", and ' ' > '\\x00') — silent row loss the row-level
+    re-filter could not repair."""
+    out = _cluster(spark, tmp_path, n=300, lpb=30, shards=2)
+    register_zipnum(spark)
+    base = spark.read.format("zipnum").load(out)
+    # every key is the FIRST line of some block for lpb=30 boundaries;
+    # sweep keys including exact block starts
+    for probe in ("k0000", "k0030", "k0060", "k0150", "k0299"):
+        eq = base.filter(F.col("urlkey") == probe).count()
+        assert eq == 1, f"== {probe} lost rows"
+        le = base.filter(F.col("urlkey") <= probe).count()
+        want = sum(1 for l in _lines(300) if l.split(" ", 1)[0] <= probe)
+        assert le == want, f"<= {probe}: {le} != {want}"
+
+
+def test_block_lines_does_not_split_on_unicode_line_breaks(spark, tmp_path):
+    """A value containing \\x0b / U+2028 must round-trip as ONE row
+    (records are framed by \\n only; splitlines() over-split them)."""
+    out = str(tmp_path / "weird")
+    vals = ["ka 20200101 a\x0bb", "kb 20200101 c d", "kc 20200101 e"]
+    df = spark.createDataFrame([(v,) for v in vals], "value: string")
+    write_zipnum(df, out, lines_per_block=10, num_shards=1)
+    register_zipnum(spark)
+    got = sorted(r.value for r in spark.read.format("zipnum").load(out).collect())
+    assert got == sorted(vals)
+    direct = sorted(
+        r.value for r in zipnum_range(spark, out, None, None).collect()
+    )
+    assert direct == sorted(vals)
