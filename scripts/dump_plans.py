@@ -185,9 +185,11 @@ COMMENTARY = {
     ),
     "collocations": (
         "Two vocabulary-keyed `HashAggregate`s (pair counts, unigram "
-        "counts) with map-side combine, then unigram and total-count "
-        "tables return as `BroadcastHashJoin`s — the corpus explodes once "
-        "per side and nothing vocabulary-sized shuffles twice."
+        "counts) with map-side combine; the unigram joins come back as "
+        "`BroadcastHashJoin`s CHOSEN BY AQE at this scale (no forced "
+        "hint — a web-scale vocabulary degrades to a shuffle join "
+        "instead of OOMing the driver), and the score arithmetic runs "
+        "in decimal(38,0), overflow-free at any corpus size."
     ),
     "bloom_join": (
         "The probe scan carries the Arrow bit-test `Filter` (ArrowEvalPython "
