@@ -76,16 +76,27 @@ def cluster_range(
     key_col: str = "urlkey",
     spark: SparkSession | None = None,
     sorted_output: bool = True,
+    ts_col: str = "timestamp",
 ) -> DataFrame:
     """Bounded range scan: rows with ``start <= key < end`` (either bound open).
 
     On a sorted cluster this reads only the covering row groups (min/max
     pruning == the reference's summary binary search). Start is inclusive and
     end exclusive, matching ClusterRange's StartBounded/Bounded iterators.
+
+    ``sorted_output`` sorts by (key, ``ts_col``) — the cluster's full sort
+    order, matching the reference range dump's line order; key alone would
+    leave same-key rows in nondeterministic timestamp order (Spark's
+    shuffle sort is not stable).
     """
     if isinstance(source, str):
         if spark is None:
             spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                "cluster_range(path, ...) needs an active SparkSession — "
+                "pass spark= explicitly"
+            )
         df = spark.read.parquet(source)
     else:
         df = source
@@ -94,4 +105,7 @@ def cluster_range(
         df = df.filter(c >= start)
     if end is not None:
         df = df.filter(c < end)
-    return df.sort(key_col) if sorted_output else df
+    if not sorted_output:
+        return df
+    order = [key_col] + ([ts_col] if ts_col in df.columns else [])
+    return df.sort(*order)

@@ -38,6 +38,13 @@ def day_limit(
     ``day_expr`` defaults to ``substring(ts_col, 1, 8)`` (the 14-digit CDX
     timestamp's yyyyMMdd prefix); pass e.g. ``F.to_date('ts')`` for timestamp
     columns.
+
+    INTENTIONAL NORMALIZATION vs the reference: GlobalWaybackMergeMapper/
+    GlobalWaybackCDXReducer check ``lastDayCount > dayLimit`` BEFORE
+    incrementing, so at cdx.daily.limit=111 they actually emit 112
+    captures per day — an off-by-one this operator does not reproduce
+    (``n`` here means exactly n). Callers needing byte-parity with a
+    Java-produced index must pass n = dayLimit + 1.
     """
     if day_expr is None:
         day_expr = F.substring(F.col(ts_col), 1, 8)

@@ -45,7 +45,10 @@ def global_wayback_filter(
       2. drop rows without a numeric statuscode unless mimetype is warc/*
          (revisit records legitimately carry '-');
       3. drop rows without a numeric compressed_offset;
-      4. drop live-web proxy errors — statuscode 502/504 from live-20*.arc.gz;
+      4. drop live-web proxy errors — statuscode 502/504 from
+         live-20*.arc.gz, EXCEPT warc/* mimetypes (the reference's whole
+         502/504 block sits inside the non-warc branch,
+         GlobalWaybackMergeMapper.java:107-109 — warc rows "ride");
       5. truncate digest to its first 3 chars (the global index stores only a
          collision-check prefix).
     """
@@ -56,9 +59,15 @@ def global_wayback_filter(
         F.col("statuscode").isNotNull() | F.col("mimetype").startswith("warc/")
     )
     out = out.filter(F.col("compressed_offset").isNotNull())
+    # null-safe: a NULL statuscode (legit for warc/* rows that passed rule
+    # 2) must coalesce to "not a proxy error", not to NULL — an unguarded
+    # NULL here propagated through the AND and ~NULL dropped the row
     out = out.filter(
         ~(
-            F.col("statuscode").isin(502, 504)
+            F.coalesce(F.col("statuscode").isin(502, 504), F.lit(False))
+            & ~F.coalesce(
+                F.col("mimetype").startswith("warc/"), F.lit(False)
+            )
             & F.coalesce(F.col("filename").startswith("live-20"), F.lit(False))
             & F.coalesce(F.col("filename").endswith(".arc.gz"), F.lit(False))
         )

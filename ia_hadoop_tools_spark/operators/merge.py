@@ -49,7 +49,11 @@ def merge_clusters(
         merged = merged.transform(f)
     if dedup:
         merged = dedup_exact(merged)
-    if daily_limit is not None:
+    # `if daily_limit` (not `is not None`): the reference's
+    # cdx.daily.limit=0 means UNLIMITED (GlobalWaybackMergeMapper gates
+    # the whole block with `if (dayLimit != 0)`) — treating 0 as "keep
+    # zero rows" would silently empty a ported job's output
+    if daily_limit:
         merged = day_limit(
             merged,
             n=daily_limit,

@@ -218,7 +218,16 @@ def parse_crawllog(df: DataFrame, value_col: str = "value") -> DataFrame:
     yields nulls for both. A non-numeric size becomes -1
     (pig/CrawlLogLoader.java:60-99). Lines with <12 fields are dropped.
     """
-    df = df.withColumn("__toks", F.split(F.trim(F.col(value_col)), r"\s+"))
+    # strip a trailing \r first (CrawlLogLoader.java:44-46): CRLF input
+    # read with lineSep="\n" would otherwise leave \r glued to the last
+    # token (trim strips spaces only, and \s+ split KEEPS a trailing
+    # empty token, corrupting the annotations field)
+    df = df.withColumn(
+        "__toks",
+        F.split(
+            F.trim(F.regexp_replace(F.col(value_col), "\r$", "")), r"\s+"
+        ),
+    )
     t = F.col("__toks")
     df = df.filter(F.size(t) >= 12)
 
@@ -269,10 +278,19 @@ def recanonicalize(
     ``use_udf=True`` routes through the full pandas canonicalizer (IP-literal
     and session-param edge cases); ``False`` uses the pure-codegen
     ``surt_expr`` hot path. ``skip_on_fail`` drops rows whose URL cannot be
-    canonicalized (CDXMapper.java:111-119 skipOnCanonFail).
+    canonicalized (CDXMapper.java:111-119 skipOnCanonFail) — UDF path only:
+    ``surt_expr`` is best-effort string mangling that never yields null for
+    a non-null URL, so the combination would be a silent no-op that writes
+    garbage keys into the cluster; it raises instead.
     """
     from ia_hadoop_tools_spark.functions.surt import surt_expr, surt_udf
 
+    if skip_on_fail and not use_udf:
+        raise ValueError(
+            "skip_on_fail requires use_udf=True: the codegen surt_expr "
+            "path cannot signal canonicalization failure (it never "
+            "returns null for a non-null URL)"
+        )
     key = surt_udf(F.col(url_col)) if use_udf else surt_expr(F.col(url_col))
     out = df.withColumn(key_col, key)
     if skip_on_fail:

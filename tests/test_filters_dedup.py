@@ -109,3 +109,34 @@ def test_day_limit(spark):
         r.timestamp for r in out.filter("urlkey='u1'").collect() if r.timestamp.startswith("20200101")
     )
     assert kept == ["20200101000000", "20200101000100", "20200101000200"]  # earliest kept
+
+
+def test_global_wayback_rule4_warc_exemption_and_null_safety(spark):
+    """Reference parity (GlobalWaybackMergeMapper.java:107-109): the
+    502/504 live-web drop sits inside the NON-warc branch, so warc/*
+    rows ride — including a warc row with a real 502, and a warc row
+    with a NULL statuscode from a live- file (the old unguarded isin
+    made the whole predicate NULL and ~NULL dropped it)."""
+    rows = [
+        ("w)/warc502", "20200101000000", "http://x/", "warc/revisit", 502,
+         "DIGEST", None, None, 100, 5, "live-20200101-x.arc.gz"),
+        ("x)/warcnull-live", "20200101000000", "http://x/", "warc/revisit",
+         None, "DIGEST", None, None, 100, 5, "live-20200101-x.arc.gz"),
+        ("y)/html502-live", "20200101000000", "http://x/", "text/html", 502,
+         "DIGEST", None, None, 100, 5, "live-20200101-x.arc.gz"),
+    ]
+    df = spark.createDataFrame(rows, CDX_DDL)
+    keys = sorted(r.urlkey for r in global_wayback_filter(df).collect())
+    assert keys == ["w)/warc502", "x)/warcnull-live"]
+
+
+def test_merge_clusters_daily_limit_zero_means_unlimited(spark, tmp_path):
+    """cdx.daily.limit=0 disables the cap in the reference — a ported
+    config must not silently empty the output."""
+    from ia_hadoop_tools_spark.operators.merge import merge_clusters
+
+    rows = [("k)/u", f"202001010000{i:02d}", "http://u/", "text/html", 200,
+             "DIG", None, None, 10, 1, "f.arc.gz") for i in range(5)]
+    df = spark.createDataFrame(rows, CDX_DDL)
+    out = merge_clusters([df], num_ranges=1, daily_limit=0)
+    assert out.count() == 5
