@@ -52,9 +52,18 @@ def asof_join(
     required for ``tolerance`` (max |left_ts - right_ts| for a match, in the
     ts column's own units), which the single-pass native form doesn't carry.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     if method == "native":
         if tolerance is not None:
             raise ValueError("tolerance requires method='pandas'")
+        if direction not in ("backward", "forward"):
+            # pd.merge_asof's 'nearest' (or a typo) would silently run as
+            # 'forward' in the window formulation
+            raise ValueError(
+                f"direction {direction!r} requires method='pandas' "
+                "(native supports 'backward'/'forward')"
+            )
         return _asof_native(
             left, right, key_cols, left_ts, right_ts,
             direction, allow_exact_matches, how,
@@ -187,23 +196,30 @@ def _asof_native(
         .orderBy(ts_ord, side)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # carry the matched right row as ONE struct: per-column last(...,
+    # ignorenulls) treated a genuinely-NULL right value as "no
+    # observation" (carrying an older row's value forward) and filled each
+    # column independently — which could assemble a row that never
+    # existed. A struct of all-null fields is still non-null, so NULL
+    # values ride correctly and the match is atomic.
+    row_struct = (
+        F.struct(*[F.col(n).alias(n) for n, _ in appended])
+        if appended
+        else F.struct(F.lit(1).alias("__m"))
+    )
     filled = unioned.select(
         "*",
-        *[
-            F.last(F.when(F.col("__is_left") == 0, F.col(n)), ignorenulls=True)
-            .over(w)
-            .alias(f"__f_{n}")
-            for n, _ in appended
-        ],
-        F.last(F.when(F.col("__is_left") == 0, F.lit(1)), ignorenulls=True)
+        F.last(
+            F.when(F.col("__is_left") == 0, row_struct), ignorenulls=True
+        )
         .over(w)
-        .alias("__matched"),
+        .alias("__frow"),
     ).filter(F.col("__is_left") == 1)
     out_cols = [F.col(c) for c in left.columns] + [
-        F.col(f"__f_{n}").alias(n) for n, _ in appended
+        F.col(f"__frow.{n}").alias(n) for n, _ in appended
     ]
     if how == "inner":
-        filled = filled.filter(F.col("__matched").isNotNull())
+        filled = filled.filter(F.col("__frow").isNotNull())
     out = filled.select(*out_cols)
     if how == "left":
         null_left = left.filter(F.col(left_ts).isNull()).select(

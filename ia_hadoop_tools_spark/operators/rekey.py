@@ -32,9 +32,12 @@ MULTI_PART_SUFFIXES = (
     "com.br", "com.cn", "com.mx", "co.in", "co.nz", "co.za",
 )
 
-_SCHEME_RE = r"^([a-z][a-z0-9+.-]*)://"
-_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
-_PATHQUERY_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]*([/?][^#]*)"
+# (?i): schemes are case-insensitive (RFC 3986 §3.1) and mixed-case
+# schemes occur in real crawl data — a lowercase-only anchor silently
+# dropped those rows at the size(labels) >= 2 filter
+_SCHEME_RE = r"(?i)^([a-z][a-z0-9+.-]*)://"
+_HOST_RE = r"(?i)^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+_PATHQUERY_RE = r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]*([/?][^#]*)"
 
 
 def _host_labels(url: Column) -> Column:

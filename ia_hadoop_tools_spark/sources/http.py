@@ -28,11 +28,20 @@ CLUSTER_URI_HEADER = "X-CDX-Cluster-Uri"  # HttpTextLoader.java:61
 
 
 def _with_params(url: str, extra: dict[str, str]) -> str:
+    """Append/replace query params PRESERVING duplicates and blanks:
+    CDX APIs use repeated ``filter=`` params, which a dict() round-trip
+    silently collapsed (rewriting the caller's query on every fetch)."""
     parts = urllib.parse.urlsplit(url)
-    q = dict(urllib.parse.parse_qsl(parts.query))
-    q.update(extra)
+    pairs = [
+        (k, v)
+        for k, v in urllib.parse.parse_qsl(
+            parts.query, keep_blank_values=True
+        )
+        if k not in extra  # replaced keys drop all their old values
+    ]
+    pairs.extend(extra.items())
     return urllib.parse.urlunsplit(
-        parts._replace(query=urllib.parse.urlencode(q))
+        parts._replace(query=urllib.parse.urlencode(pairs, doseq=False))
     )
 
 
@@ -93,7 +102,7 @@ def read_http_paged(
         # already carries start/end when queryLineCount appends
         # showNumPages (HttpTextLoader.java:189-196), so a pruned range
         # costs proportionally fewer pages
-        num_pages = discover_num_pages(base, cookie)
+        num_pages = discover_num_pages(base, cookie, timeout=timeout)
     if num_pages == 0:
         return spark.createDataFrame([], "page long, value string")
     ck = cookie
@@ -107,7 +116,12 @@ def read_http_paged(
                     req.add_header("Cookie", ck)
                 with urllib.request.urlopen(req, timeout=timeout) as resp:
                     text = resp.read().decode("utf-8", errors="replace")
-                lines = [l for l in text.split("\n") if l != ""]
+                # rstrip \r: a CRLF-normalizing proxy would otherwise glue
+                # \r onto every value (the reference's LineRecordReader
+                # strips it)
+                lines = [
+                    l.rstrip("\r") for l in text.split("\n") if l not in ("", "\r")
+                ]
                 yield pd.DataFrame({"page": int(page), "value": lines})
 
     pages = spark.range(num_pages)

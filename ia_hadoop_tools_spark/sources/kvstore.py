@@ -106,8 +106,13 @@ def write_kvstore(
     def _write_region(it):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
+        # ATTEMPT-unique tmp name (the OutputCommitter pattern): with
+        # speculative execution two attempts of one partition would
+        # otherwise interleave writes into the same tmp file and commit
+        # a corrupt region; rename-to-final stays the commit point
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
         name = f"region-{pid:05d}.kvz"
-        tmp = fsio.join(path, f"_tmp.{name}")
+        tmp = fsio.join(path, f"_tmp.{attempt}.{name}")
         first = last = None
         n = 0
         out = None
@@ -117,6 +122,11 @@ def write_kvstore(
                 if out is None:  # open lazily: empty partitions write nothing
                     out = fsio.open_write(tmp)
                     gz = gzip.GzipFile(fileobj=out, mode="wb", mtime=0)
+                if row.rowkey is None or row.column is None:
+                    raise ValueError(
+                        "write_kvstore: rowkey/column must be non-null "
+                        f"(got rowkey={row.rowkey!r}, column={row.column!r})"
+                    )
                 if first is None:
                     first = row.rowkey
                 last = row.rowkey
@@ -303,6 +313,14 @@ def read_kv_columns(
     deterministic value tiebreak (HBase returns the max-ts cell version).
     """
     register_sortedkv(spark)
+    bad = [c for c in columns if "," in c]
+    if bad:
+        # the DataSource option is comma-joined; a comma qualifier would
+        # silently split into bogus qualifiers and return all-null cells
+        raise ValueError(
+            f"column qualifiers may not contain ',': {bad!r} — read the "
+            "full table and filter on the column cell instead"
+        )
     r = spark.read.format("sortedkv").option("columns", ",".join(columns))
     if limit_per_region is not None:
         r = r.option("limit", str(limit_per_region))

@@ -47,20 +47,11 @@ _SQL_FUNCTIONS = {
         END
         """,
     ),
+    # defined THROUGH ts14_to_ts (registered first) so the 14/17-digit
+    # parse lives in exactly one body and cannot drift
     "ts14_to_ms": (
         "(s STRING) RETURNS BIGINT",
-        """
-        unix_millis(CASE
-          WHEN length(s) = 14 THEN
-            try_to_timestamp(substring(s, 1, 14), 'yyyyMMddHHmmss')
-          WHEN length(s) = 17 THEN
-            timestamp_millis(
-              unix_millis(
-                try_to_timestamp(substring(s, 1, 14), 'yyyyMMddHHmmss'))
-              + try_cast(substring(s, 15, 3) AS BIGINT))
-          ELSE CAST(NULL AS TIMESTAMP)
-        END)
-        """,
+        "unix_millis(ts14_to_ts(s))",
     ),
     "ts_to_ts14": (
         "(t TIMESTAMP) RETURNS STRING",

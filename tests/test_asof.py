@@ -137,3 +137,35 @@ def test_asof_null_timestamps_agree_across_methods(spark):
             assert by_key[(1, None)] == (None, None)
             assert by_key[(2, 100)] == (None, None)
             assert by_key[(1, 100)] == (90, 0.9)
+
+
+def test_asof_native_null_right_value_is_the_match(spark):
+    """A genuinely-NULL right value at the matching timestamp must come
+    back NULL (the old per-column ignorenulls fill carried an OLDER row's
+    value forward), and multi-column matches must be atomic."""
+    from ia_hadoop_tools_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 3)], "key string, ts long")
+    right = spark.createDataFrame(
+        [("k", 1, 100, None), ("k", 2, None, 200)],
+        "key string, ts long, a int, b int",
+    )
+    for method in ("native", "pandas"):
+        row = asof_join(
+            left, right, "key", "ts", method=method
+        ).collect()[0]
+        # the ts=2 row is the as-of match: a=None, b=200 — NOT the
+        # never-existed mix (a=100, b=200)
+        assert (row["a"], row["b"]) == (None, 200), method
+
+
+def test_asof_native_rejects_unsupported_direction_and_how(spark):
+    import pytest
+
+    from ia_hadoop_tools_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 1)], "key string, ts long")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, left, "key", "ts", direction="nearest")
+    with pytest.raises(ValueError, match="how"):
+        asof_join(left, left, "key", "ts", how="outer")

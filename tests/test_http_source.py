@@ -79,3 +79,18 @@ def test_cookie_and_range_pushdown(spark, server):
     assert all(c == "auth=tok123" for c in _Handler.seen_cookies)
     assert _Handler.seen_cookies  # cookie actually reached the server
     assert all(r == ("key00010", "key00020") for r in _Handler.seen_ranges)
+
+
+def test_with_params_preserves_duplicate_and_blank_params():
+    from ia_hadoop_tools_spark.sources.http import _with_params
+
+    url = "http://x/cdx?filter=statuscode:200&filter=mimetype:text%2Fhtml&foo="
+    out = _with_params(url, {"page": "3"})
+    import urllib.parse
+
+    q = urllib.parse.parse_qsl(
+        urllib.parse.urlsplit(out).query, keep_blank_values=True
+    )
+    assert q.count(("filter", "statuscode:200")) == 1
+    assert q.count(("filter", "mimetype:text/html")) == 1
+    assert ("foo", "") in q and ("page", "3") in q

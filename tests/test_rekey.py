@@ -97,3 +97,12 @@ def test_ann_ivf_centroid_count_is_corpus_independent(spark):
         assert out.count() > 0
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "GlobalLimit 8" in plan or "limit=8" in plan or "Limit 8" in plan
+
+
+def test_rekey_mixed_case_scheme_not_dropped(spark):
+    df = _cdx_df(
+        spark, [("HTTP://Sub.Example.COM/page", "20200101000000", None, 10)]
+    )
+    out = cdx_transform(df).collect()
+    assert len(out) == 1  # lowercase-only scheme anchor used to drop it
+    assert out[0]["pub_suffix_surt"] == "(com,example"
