@@ -110,6 +110,8 @@ SURT_FIXTURES = [
     "http://example.com:8080/A?PHPSESSID=abc123&B=2&b=1",
     "https://Host.NET:8443/x?jsessionid=deadbeef",
     "http://a.b/p?Foo=1&bar=2",
+    # fragment containing a '?': query extraction must not read past '#'
+    "http://e.com/app#/route?tab=1",
 ]
 
 CRAWLLOG_FIXTURE_LINES = [
@@ -714,8 +716,10 @@ FROM (
            regexp_extract(hostport, ':(\d+)$', 1) AS port,
            regexp_replace(regexp_replace(regexp_replace(hostport,
              ':\d+$', ''), '^www\d*\.', ''), '^\[|\]$', '') AS host,
-           lower(regexp_extract(pathq, '^([^?#]*)', 1)) AS path0,
-           lower(regexp_extract(pathq, '\?([^#]*)', 1)) AS query
+           lower(regexp_extract(regexp_extract(pathq, '^([^#]*)', 1),
+             '^([^?]*)', 1)) AS path0,
+           lower(regexp_extract(regexp_extract(pathq, '^([^#]*)', 1),
+             '\?(.*)$', 1)) AS query
     FROM (
       SELECT url,
              lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,

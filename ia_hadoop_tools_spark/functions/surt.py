@@ -70,10 +70,14 @@ def surt_expr(url: Column | str) -> Column:
     rev_host = F.when(port.isin("", "80", "443"), rev_host).otherwise(
         F.concat(rev_host, F.lit(":"), port)
     )
-    path = F.lower(F.regexp_extract(pathq, r"^([^?#]*)", 1))
+    # strip the FRAGMENT first: an unanchored \?([^#]*) matched a '?'
+    # appearing inside the fragment (SPA-style '#/route?tab=1' URLs),
+    # leaking fragment content into the key and diverging from surt_udf
+    pathq_nf = F.regexp_extract(pathq, r"^([^#]*)", 1)
+    path = F.lower(F.regexp_extract(pathq_nf, r"^([^?]*)", 1))
     path = F.when(path == "", F.lit("/")).otherwise(path)
     # lowercase BEFORE filter+sort so ordering matches surt_udf exactly
-    query = F.lower(F.regexp_extract(pathq, r"\?([^#]*)", 1))
+    query = F.lower(F.regexp_extract(pathq_nf, r"\?(.*)$", 1))
     qargs = F.filter(
         F.split(query, "&"),
         lambda a: (a != "") & ~a.rlike(_SESSION_PARAM_PAT),

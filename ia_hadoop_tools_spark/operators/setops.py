@@ -32,8 +32,26 @@ def work_queue(
 
 
 def merge_manifests(manifests: list[DataFrame], key_col: str = "basename") -> DataFrame:
-    """Union per-shard manifests into one sorted, distinct manifest."""
+    """Union per-shard manifests into one sorted, distinct manifest.
+
+    When the same key appears in several manifests with different
+    non-key columns, the row kept is the MINIMUM over the remaining
+    columns (as one struct) — deterministic under any partitioning,
+    unlike ``dropDuplicates`` which keeps an arbitrary scheduling-
+    dependent row.
+    """
+    if not manifests:
+        raise ValueError("merge_manifests: need at least one manifest")
     out = manifests[0]
     for m in manifests[1:]:
         out = out.unionByName(m)
-    return out.dropDuplicates([key_col]).orderBy(key_col)
+    others = [c for c in out.columns if c != key_col]
+    if not others:
+        return out.dropDuplicates([key_col]).orderBy(key_col)
+    rest = (
+        out.groupBy(key_col)
+        .agg(F.min(F.struct(*[F.col(c) for c in others])).alias("__rest"))
+    )
+    return rest.select(
+        key_col, *[F.col(f"__rest.{c}").alias(c) for c in others]
+    ).orderBy(key_col)

@@ -34,6 +34,11 @@ def parse_splitfile(spark: SparkSession, path_or_lines) -> list[tuple[str, str, 
         recs = [(r["name"], r["start"], r["end"]) for r in rows.collect()]
     else:
         recs = [tuple(line.split()) for line in path_or_lines]
+    bad = [r for r in recs if len(r) != 3 or any(v is None for v in r)]
+    if bad:
+        # a short/null line would crash the sort (or worse: a null end
+        # flows into `key < NULL` downstream and silently drops a shard)
+        raise ValueError(f"malformed split-file lines (need name start end): {bad!r}")
     return sorted(recs, key=lambda r: r[1])
 
 
@@ -75,7 +80,17 @@ def assign_range_ids(
     bnd_arr = np.array(bnds, dtype=object)
 
     def _bucket(keys):
-        ids = np.searchsorted(bnd_arr, keys.to_numpy(dtype=object), side="right")
+        arr = keys.to_numpy(dtype=object)
+        # null keys: searchsorted cannot compare None; route them to range
+        # 0 explicitly, matching the codegen path's behavior exactly
+        mask = pd.isna(arr)
+        if mask.any():
+            safe = arr.copy()
+            safe[mask] = bnd_arr[0]
+            ids = np.searchsorted(bnd_arr, safe, side="right")
+            ids[mask] = 1  # -> max(1-1, 0) == range 0
+        else:
+            ids = np.searchsorted(bnd_arr, arr, side="right")
         return pd.Series(np.maximum(ids - 1, 0).astype("int32"))
 
     _bucket.__annotations__ = {"keys": pd.Series, "return": pd.Series}
@@ -102,10 +117,13 @@ def sample_boundaries(
     ZipNumPartitioner's sampling mode (mapreduce/ZipNumPartitioner.java:92-135
     samples an existing cluster's summary; here a seeded sample of the table
     itself, so it works for STRING sort keys where ``approxQuantile`` doesn't).
-    Feed the result to ``assign_range_ids``/``write_named_shards`` to re-shard
-    new data congruently with an existing cluster. Deterministic for a fixed
-    (data, partitioning, seed); driver memory is bounded by ``sample_size``
-    keys.
+    The result is the n_ranges-1 INTERIOR cut points. ``assign_range_ids``
+    treats its boundary list as range-START keys, so prepend range 0's
+    start (the global minimum, or ``""``) before passing these cuts —
+    feeding the interior cuts directly would merge the first two intended
+    ranges into one double-weight shard. Deterministic for a fixed
+    (data, partitioning, seed); driver memory is bounded by
+    ``sample_size`` keys.
 
     ONE Spark job, no pre-count: a uniform ``sample_size``-row sample is the
     global top-k by a seeded random priority (``TakeOrdered`` — per-partition
@@ -170,10 +188,22 @@ def write_named_shards(
     including rows falling in a GAP between one split's end and the next
     split's start: each row is checked against its assigned split's own
     ``end``, so every shard holds exactly its [start, end).
+
+    ``splits`` may arrive in ANY order: they are sorted by start here —
+    assign_range_ids sorts its boundary array internally, so an unsorted
+    caller list would index the wrong names/ends (silently misrouting or
+    dropping whole shards' rows).
     """
+    splits = sorted(splits, key=lambda s: s[1])
     names = [s[0] for s in splits]
     starts = [s[1] for s in splits]
     ends = [s[2] for s in splits]
+    if any(s[1] is None or s[2] is None for s in splits):
+        raise ValueError(
+            "write_named_shards: every split needs non-null start AND end "
+            "(a null end would silently drop that shard's rows via "
+            "`key < NULL`)"
+        )
     with_ids = assign_range_ids(df, starts, key_col, "__rid")
     name_map = F.array(*[F.lit(n) for n in names])
     end_map = F.array(*[F.lit(e) for e in ends])

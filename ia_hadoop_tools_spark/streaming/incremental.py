@@ -40,7 +40,13 @@ def incremental_merge_cycle(
     """
     todo = work_queue(staged, included).select("basename", "path").collect()
     if not todo:
-        return existing_cluster, included
+        # basename-only, like the work path returns: a full-schema
+        # passthrough here made the returned bookkeeping schema depend on
+        # whether the cycle happened to have work. Identity is preserved
+        # when already normalized (the no-op-cycle contract).
+        if included.columns == ["basename"]:
+            return existing_cluster, included
+        return existing_cluster, included.select("basename").dropDuplicates()
     new_parts = [read_source(spark, r["path"]) for r in todo]
     sources = new_parts if existing_cluster is None else [existing_cluster, *new_parts]
     merged = merge_clusters(
@@ -65,23 +71,28 @@ def stream_ingest_available_now(
 ):
     """Incremental file ingestion as an ``availableNow`` stream.
 
-    Each micro-batch is range-sorted and appended to the Parquet cluster via
-    ``foreachBatch`` (sorting isn't a streaming op, so it runs on the batch
-    DataFrame — same plan as the batch path). Restarts resume from the
-    checkpoint's file log: exactly-once per input file, which is precisely the
-    STAGED/INCLUDED contract.
+    Each micro-batch is range-sorted and written to its OWN
+    ``batch_id=N`` partition with overwrite via ``foreachBatch``:
+    foreachBatch is at-least-once, so a crash between a completed write
+    and the checkpoint commit replays the batch — the per-batch
+    overwrite makes the replay rewrite its own partition instead of
+    appending duplicates (a blind append was only at-least-once despite
+    the file-log's exactly-once delivery). Readers see ``batch_id`` as a
+    partition column (the rolling_dedup corpus layout).
     """
     stream = spark.readStream.format(fmt).schema(schema).load(input_path)
     if transform is not None:
         stream = transform(stream)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         cols = [F.col(c) for c in sort_cols]
         (
             batch_df.repartitionByRange(*cols)
             .sortWithinPartitions(*cols)
-            .write.mode("append")
-            .parquet(output_path)
+            .write.mode("overwrite")
+            .parquet(os.path.join(output_path, f"batch_id={batch_id}"))
         )
 
     return (
