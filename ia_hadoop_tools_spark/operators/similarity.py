@@ -540,12 +540,118 @@ def assign_clusters(
     )
 
 
+def _semdedup_oversized_dups(
+    lsh_src: DataFrame,
+    *,
+    threshold: float,
+    cap: int,
+    num_planes: int,
+    bands: int,
+    dim: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Dup ids inside oversized clusters, quadratic bounded by ``cap``.
+
+    Input is (id, cluster_id, vec, __n) rows of clusters whose size exceeds
+    the cap. Candidates come from banded sign-LSH sub-buckets keyed on
+    ``(cluster_id, bucket)``; a sub-bucket still over the cap (all-identical
+    boilerplate) switches to a linear pass against its min-id representative
+    instead of the pairwise join. The census window and the pairwise
+    self-join shuffle on the SAME key, so Catalyst reuses the exchange.
+    Returns (dup_ids_df with one ``__dup_id`` column, Observation).
+    """
+    from pyspark.sql import Observation
+
+    if num_planes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_planes (got num_planes={num_planes}, "
+            f"bands={bands})"
+        )
+    planes = hyperplanes(num_planes, dim, seed)
+    width = num_planes // bands
+    bits = _lsh_code_bits(F.col(vec_col), planes)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[bits[b * width + i].cast("string") for i in range(width)],
+            )
+            for b in range(bands)
+        ]
+    )
+    # skinny band rows: (cluster_id, bucket, id) — vectors join back only
+    # for the per-distinct-pair verify (candidates-then-verify, as in
+    # embedding_neardup_pairs)
+    exploded = lsh_src.select(
+        F.col("cluster_id"), F.explode(band_keys).alias("__bucket"), F.col(id_col)
+    )
+    obs = Observation("semdedup.oversized")
+    exploded = exploded.observe(
+        obs, F.count(F.lit(1)).alias("oversized_rows")
+    )
+    w = Window.partitionBy("cluster_id", "__bucket")
+    marked = exploded.withColumn("__bn", F.count("*").over(w)).withColumn(
+        "__rep", F.min(id_col).over(w)
+    )
+    small = marked.filter(F.col("__bn") <= cap)
+    l = small.select(
+        "cluster_id", "__bucket", F.col(id_col).alias("__ida")
+    )
+    r = small.select(
+        "cluster_id", "__bucket", F.col(id_col).alias("__idb")
+    )
+    cand_small = (
+        l.join(r, on=["cluster_id", "__bucket"])
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select("__ida", "__idb")
+    )
+    # hot sub-bucket: O(B) representative pass — __rep is the bucket min,
+    # so __rep < id holds for every emitted pair by construction
+    cand_hot = (
+        marked.filter((F.col("__bn") > cap) & (F.col(id_col) != F.col("__rep")))
+        .select(F.col("__rep").alias("__ida"), F.col(id_col).alias("__idb"))
+    )
+    cand = cand_small.unionByName(cand_hot).dropDuplicates(["__ida", "__idb"])
+    from ia_hadoop_tools_spark.functions.vectorfns import dot_product
+
+    va = lsh_src.select(
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = lsh_src.select(
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    cos = F.round(
+        F.when(denom != 0.0, dot_product(F.col("__va"), F.col("__vb")) / denom),
+        6,
+    )
+    dups = (
+        cand.join(va, "__ida")
+        .join(vb, "__idb")
+        .filter(cos >= threshold)
+        .select(F.col("__idb").alias("__dup_id"))
+    )
+    return dups, obs
+
+
 def semdedup(
     df: DataFrame,
     centroids: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     clustering the embedding space and dropping near-identical vectors
@@ -563,6 +669,24 @@ def semdedup(
     the lowest-id member of every near-dup neighborhood survives. (The
     paper keeps the member with lowest cosine-to-centroid; the id rule is
     the deterministic, oracle-checkable variant of the same policy.)
+
+    ``max_cluster_size`` bounds the quadratic when centroids are badly
+    placed (boilerplate embeddings collapsing onto one centroid — nothing
+    else bounds the LARGEST cluster). Clusters over the cap are routed
+    through banded sign-LSH sub-buckets (the ``embedding_neardup_pairs``
+    scheme, keyed on ``(cluster_id, band_bucket)``): near-identical
+    vectors agree on almost all sign bits, so they still collide in >=1
+    band w.h.p. Sub-buckets that THEMSELVES exceed the cap (all-identical
+    boilerplate — the exact mass the guard exists for) are NOT dropped:
+    they fall back to a linear representative pass, comparing each member
+    only to the bucket's min-id vector, which marks the boilerplate mass
+    dup in O(B) instead of O(B^2). Recall inside oversized clusters is
+    approximate (a pair colliding in no band, or in only hot buckets while
+    dissimilar to the hot rep, is missed) — documented, same contract as
+    ``textops._drop_hot_buckets``. With the default ``None`` the exact
+    path runs for every cluster and results are unchanged (the oracle
+    pins this path). Routed-row metrics ride the first action on the
+    ``out.oversized_obs`` Observation (``oversized_rows`` band rows).
 
     Returns (id_col, cluster_id, is_dup).
     """
@@ -584,13 +708,25 @@ def semdedup(
         F.col(vec_col),
         l2_norm(F.col(vec_col)).alias("__n"),
     )
-    a = withvec.select(
+    oversized_obs = None
+    if max_cluster_size is None:
+        exact_src, lsh_src = withvec, None
+    else:
+        if max_cluster_size < 2:
+            raise ValueError("max_cluster_size must be >= 2")
+        # cluster census is <= k rows (one per centroid) — broadcast the
+        # routing join so the corpus is scanned, never shuffled, to route
+        sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("__csz"))
+        routed = withvec.join(F.broadcast(sizes), "cluster_id")
+        exact_src = routed.filter(F.col("__csz") <= max_cluster_size).drop("__csz")
+        lsh_src = routed.filter(F.col("__csz") > max_cluster_size).drop("__csz")
+    a = exact_src.select(
         F.col(id_col).alias("__ida"),
         F.col("cluster_id").alias("__ca"),
         F.col(vec_col).alias("__va"),
         F.col("__n").alias("__na"),
     )
-    b = withvec.select(
+    b = exact_src.select(
         F.col(id_col).alias("__idb"),
         F.col("cluster_id").alias("__cb"),
         F.col(vec_col).alias("__vb"),
@@ -611,8 +747,21 @@ def semdedup(
         a.join(b, (F.col("__ca") == F.col("__cb")) & (F.col("__ida") < F.col("__idb")))
         .filter(cos >= threshold)
         .select(F.col("__idb").alias("__dup_id"))
-        .distinct()
     )
+    if lsh_src is not None:
+        dup_lsh, oversized_obs = _semdedup_oversized_dups(
+            lsh_src,
+            threshold=threshold,
+            cap=max_cluster_size,
+            num_planes=num_planes,
+            bands=bands,
+            dim=dim,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        dup_ids = dup_ids.unionByName(dup_lsh)
+    dup_ids = dup_ids.distinct()
     out = (
         assigned.join(
             dup_ids, F.col(id_col) == F.col("__dup_id"), "left_outer"
@@ -625,4 +774,5 @@ def semdedup(
     )
     # release handle (the shingle_cache convention in textops.py)
     out.assign_cache = assigned
+    out.oversized_obs = oversized_obs
     return out

@@ -240,6 +240,77 @@ def test_lsh_dim_mismatch_raises_not_silent_cross_join(spark):
         ann_lsh_topk(df, df.limit(2), k=2, dim=8).collect()
 
 
+def _skewed_semdedup_corpus(spark):
+    """80% boilerplate collapsing onto one centroid + two small near-dup
+    families in the other — the badly-placed-centroid failure the
+    oversized-cluster guard exists for."""
+    rows = []
+    # 40 near-identical "boilerplate" vectors: pairwise cosine ~= 1
+    for i in range(40):
+        rows.append((i, [1.0 + i * 1e-5, 1.0, 1.0, 1.0]))
+    # two tight families of 3 near the second centroid; families are
+    # mutually dissimilar (cross-family cosine well below 0.99)
+    for j in range(3):
+        rows.append((100 + j, [-1.0 + j * 1e-5, 2.0, 0.5, 1.5]))
+        rows.append((200 + j, [-1.0 + j * 1e-5, 0.5, 2.0, -1.5]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 1.0]), (1, [-1.0, 1.5, 1.5, 0.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    return df, cent
+
+
+def test_semdedup_oversized_guard_matches_exact_on_boilerplate(spark):
+    """With max_cluster_size set, oversized clusters go through the banded
+    LSH + hot-bucket-representative path; on near-identical boilerplate
+    (which collides in every band) the dup set must equal the exact path's,
+    and the Observation must report the routed band rows."""
+    from ia_hadoop_tools_spark.operators.similarity import semdedup
+
+    df, cent = _skewed_semdedup_corpus(spark)
+    exact = {
+        (r.vec_id, r.cluster_id, r.is_dup)
+        for r in semdedup(df, cent, threshold=0.99).collect()
+    }
+    capped_df = semdedup(df, cent, threshold=0.99, max_cluster_size=8, dim=4)
+    capped = {(r.vec_id, r.cluster_id, r.is_dup) for r in capped_df.collect()}
+    assert capped == exact
+    # the boilerplate cluster (40 rows > cap 8) was routed: 40 rows x 4
+    # bands; the 6-row cluster stayed on the exact path
+    assert capped_df.oversized_obs.get["oversized_rows"] == 40 * 4
+    capped_df.assign_cache.unpersist()
+
+
+def test_semdedup_oversized_guard_small_subbuckets_pairwise(spark):
+    """Families small enough to fit a sub-bucket (cap=4 > family of 3) take
+    the pairwise cand_small branch and must match the exact dup set; the
+    40-strong boilerplate bucket (> cap) takes the representative branch."""
+    from ia_hadoop_tools_spark.operators.similarity import semdedup
+
+    df, cent = _skewed_semdedup_corpus(spark)
+    exact = {
+        (r.vec_id, r.is_dup)
+        for r in semdedup(df, cent, threshold=0.99).collect()
+    }
+    out = semdedup(df, cent, threshold=0.99, max_cluster_size=4, dim=4)
+    capped = {(r.vec_id, r.is_dup) for r in out.collect()}
+    assert capped == exact
+    out.assign_cache.unpersist()
+
+
+def test_semdedup_guard_rejects_bad_params(spark):
+    import pytest
+
+    from ia_hadoop_tools_spark.operators.similarity import semdedup
+
+    df, cent = _skewed_semdedup_corpus(spark)
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        semdedup(df, cent, max_cluster_size=1)
+    with pytest.raises(ValueError, match="bands must divide"):
+        semdedup(df, cent, max_cluster_size=8, num_planes=10, bands=4, dim=4)
+
+
 def test_semdedup_zero_vector_not_marked_duplicate(spark):
     from ia_hadoop_tools_spark.operators.similarity import (
         hyperplanes,
