@@ -57,6 +57,7 @@ from ia_hadoop_tools_spark.operators.funnel import (  # noqa: F401
     funnel_counts,
     funnel_times,
     window_funnel_levels,
+    window_funnel_levels_pandas,
 )
 from ia_hadoop_tools_spark.operators.scd import (  # noqa: F401
     scd2_as_of,

@@ -24,9 +24,11 @@ Scale shape (anchored variant): one pass per step — a groupBy(user)
 conditional-min over the (already user-keyed) event table joined to the
 previous step's per-user frame. All shuffles are user-keyed and
 partially aggregated; k steps = k scans, never a per-user window over
-raw events. The any-anchor variant is one ``applyInPandas`` over each
-user's own (sorted) step events — state bounded by a user's history,
-the sessionize_stateful shape.
+raw events. The any-anchor variant is a pure SQL ``aggregate()`` fold
+over each user's sorted step-event array (state bounded by a user's
+history, all JVM codegen — zero Python in the analytics layer); the
+original ``applyInPandas`` DP is kept as
+:func:`window_funnel_levels_pandas`, the differential reference.
 """
 
 from __future__ import annotations
@@ -98,13 +100,114 @@ def window_funnel_levels(
     :func:`funnel_times`'s convention). Users with no step-1 event are
     absent.
 
-    One ``applyInPandas`` over each user's own step events (non-step
-    events are filtered before the shuffle); state is bounded by a
-    user's history. Per anchor the greedy earliest-next-step scan is
-    optimal (taking the earliest valid occurrence never shrinks later
-    choices) and is bounded by the events inside that anchor's window,
-    so cost is O(#step-1 anchors x window-events) per user, with an
-    early exit once the full depth is reached.
+    Pure SQL ``aggregate()`` fold over the user's ts-sorted step-event
+    array (the ``bpe.py`` merge-fold idiom) — all JVM codegen, no Python
+    stage. DP state per level k: the MAXIMUM anchor timestamp over all
+    chains reaching level k so far. That single value suffices because
+    (a) a chain's deadline depends only on its anchor, so feasibility of
+    extending with a later event is monotone in the anchor — if the
+    max-anchor chain fails the window every other chain fails too; and
+    (b) strict ``<`` between steps is enforced structurally: updates for
+    events at timestamp t read the state COMMITTED before t (the
+    ``cur``/``olda``/``newa`` two-phase below), so a level-k chain can
+    never chain off a same-timestamp event. Linear in the user's event
+    count (vs the reference DP's anchors x window-events), and levels
+    are prefix-contiguous, so the final level is just the count of set
+    anchor slots. Differential reference:
+    :func:`window_funnel_levels_pandas`.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"need >= 2 steps, got {list(steps)!r}")
+    step_list = list(steps)
+    k = len(step_list)
+    win_us = int(window_seconds) * 1_000_000
+
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__e"),
+        F.col(ts_col).alias("__ts"),
+    ).filter(F.col("__e").isin(step_list))
+
+    # 1-based step index; Spark timestamps are microsecond-resolution, so
+    # unix_micros loses nothing vs the pandas reference's ns ints
+    sidx = F.array_position(
+        F.array(*[F.lit(s) for s in step_list]), F.col("__e")
+    )
+    per_user = ev.groupBy("__u").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("__ts").alias("t"), sidx.cast("int").alias("s")
+                )
+            )
+        ).alias("__evs")
+    )
+
+    null_long = F.lit(None).cast("long")
+    init = F.struct(
+        null_long.alias("cur"),
+        F.array_repeat(null_long, k).alias("olda"),
+        F.array_repeat(null_long, k).alias("newa"),
+    )
+
+    def merge(acc, e):
+        # two-phase commit: when the fold crosses into a new timestamp,
+        # newa (which only ever grows, so newa >= olda elementwise)
+        # becomes the committed pre-t state; events AT t update newa but
+        # read olda — same-ts events can never chain off each other
+        committed = F.when(
+            acc["cur"].isNull() | (e["t"] == acc["cur"]), acc["olda"]
+        ).otherwise(acc["newa"])
+
+        def upd(v, i):
+            # element_at is 1-based; greatest(i,1) keeps the index legal
+            # for the i==0 slot (whose branch never reads prev)
+            prev = F.element_at(committed, F.greatest(i, F.lit(1)))
+            cand = F.when(
+                (i == F.lit(0)) & (e["s"] == F.lit(1)), e["t"]
+            ).otherwise(
+                F.when(
+                    (i > F.lit(0))
+                    & (e["s"] == i + F.lit(1))
+                    & prev.isNotNull()
+                    & (e["t"] <= prev + F.lit(win_us)),
+                    prev,
+                )
+            )
+            return F.greatest(v, cand)
+
+        return F.struct(
+            e["t"].alias("cur"),
+            committed.alias("olda"),
+            F.transform(acc["newa"], upd).alias("newa"),
+        )
+
+    levels = F.aggregate(
+        F.col("__evs"),
+        init,
+        merge,
+        lambda acc: F.size(F.filter(acc["newa"], lambda v: v.isNotNull())),
+    )
+    return (
+        per_user.select(F.col("__u"), levels.cast("int").alias("level"))
+        .filter(F.col("level") > 0)
+        .withColumnRenamed("__u", user_col)
+    )
+
+
+def window_funnel_levels_pandas(
+    events: DataFrame,
+    steps: Sequence[str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Differential reference for :func:`window_funnel_levels`: the same
+    any-anchor semantics as an ``applyInPandas`` greedy DP (per anchor,
+    earliest-valid-next-step — optimal because taking the earliest
+    occurrence never shrinks later choices). Kept OFF the production
+    path; tests pin the SQL fold bit-identical to this.
     """
     if len(steps) < 2:
         raise ValueError(f"need >= 2 steps, got {list(steps)!r}")

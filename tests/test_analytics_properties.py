@@ -379,3 +379,64 @@ def test_window_funnel_matches_dp_reference_random_streams(spark):
             for r in window_funnel_levels(df, steps, 600).collect()
         }
         assert got == _py_window_funnel(events, steps, 600), f"trial {trial}"
+
+
+def test_window_funnel_sql_fold_matches_pandas_dp(spark):
+    """The SQL aggregate() fold must be bit-identical to the retained
+    applyInPandas greedy DP on adversarial streams: duplicate timestamps
+    (same-ts events must not chain), repeated anchors, off-funnel noise,
+    and 4-step chains."""
+    import datetime as dt
+
+    from ia_hadoop_tools_spark.operators.funnel import (
+        window_funnel_levels,
+        window_funnel_levels_pandas,
+    )
+
+    rng = random.Random(43)
+    steps = ["A", "B", "C", "D"]
+    base = dt.datetime(2024, 1, 1)
+    for trial in range(4):
+        # coarse ts grid forces many exact ties
+        events = [
+            (
+                rng.randrange(8),
+                rng.choice(["A", "A", "B", "C", "D", "X"]),
+                rng.randrange(0, 40),
+            )
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(
+            [(u, e, base + dt.timedelta(seconds=t)) for u, e, t in events],
+            "user_id long, event_type string, ts timestamp",
+        )
+        sql_lv = {
+            r["user_id"]: r["level"]
+            for r in window_funnel_levels(df, steps, 15).collect()
+        }
+        pd_lv = {
+            r["user_id"]: r["level"]
+            for r in window_funnel_levels_pandas(df, steps, 15).collect()
+        }
+        assert sql_lv == pd_lv, f"trial {trial}"
+
+
+def test_window_funnel_is_pure_codegen(spark):
+    """No Python stage: the executed plan must contain no
+    FlatMapGroupsInPandas / ArrowEvalPython / BatchEvalPython node."""
+    import datetime as dt
+
+    from ia_hadoop_tools_spark.operators.funnel import window_funnel_levels
+
+    df = spark.createDataFrame(
+        [(1, "A", dt.datetime(2024, 1, 1))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    plan = (
+        window_funnel_levels(df, ["A", "B"], 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("FlatMapGroupsInPandas", "EvalPython"):
+        assert node not in plan, plan
