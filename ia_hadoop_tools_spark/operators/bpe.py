@@ -160,6 +160,15 @@ def _release_checkpoint(df: DataFrame) -> None:
     release_local_checkpoint(df)
 
 
+def _initial_symbol_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    return (
+        word_vocab(df, text_col)
+        .withColumn("syms", F.filter(F.split("w", ""), lambda s: s != F.lit("")))
+        .select("syms", "wc")
+        .persist()
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -176,12 +185,7 @@ def bpe_train(
     eager localCheckpoint whose predecessor's blocks are explicitly
     released — bounded executor storage at any merge count.
     """
-    vocab = (
-        word_vocab(df, text_col)
-        .withColumn("syms", F.filter(F.split("w", ""), lambda s: s != F.lit("")))
-        .select("syms", "wc")
-        .persist()
-    )
+    vocab = _initial_symbol_vocab(df, text_col)
     merges: list[tuple[str, str, int]] = []
     prev = vocab
     prev_is_checkpoint = False
@@ -211,6 +215,181 @@ def bpe_train(
         else:
             vocab = vocab.persist()
             vocab.count()  # materialize (vocab-sized) before dropping parent
+            if not prev_is_checkpoint:
+                prev.unpersist()
+            prev_is_checkpoint = False
+        prev = vocab
+    if not prev_is_checkpoint:
+        prev.unpersist()
+    if last_checkpoint is not None and last_checkpoint is not prev:
+        _release_checkpoint(last_checkpoint)
+    elif prev_is_checkpoint:
+        _release_checkpoint(prev)
+    return merges
+
+
+def _select_batch(
+    top: list,
+    remaining: int,
+    batch_size: int,
+    strict: bool,
+) -> tuple[list[tuple[str, str, int]], set[str], set[str]]:
+    """Greedy symbol-disjoint batch from the (n desc, a, b)-ordered top.
+
+    strict=True takes the longest DISJOINT PREFIX (stops at the first
+    conflicting pair) — required for the sequential-equivalence proof in
+    :func:`bpe_train_batched`; strict=False skips conflicting pairs and
+    keeps admitting disjoint ones (bigger batches, approximate order).
+    """
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for row in top:
+        if len(batch) >= min(batch_size, remaining):
+            break
+        a, b, n = row["a"], row["b"], row["n"]
+        if n < 2:
+            break
+        # the FIRST pair is always admitted (it is the sequential argmax,
+        # a==b included); later pairs conflict on any shared symbol
+        if batch and (a in used or b in used or a == b):
+            if strict:
+                break
+            continue
+        batch.append((a, b, n))
+        used.add(a)
+        used.add(b)
+    lefts = {a for a, _, _ in batch}
+    rights = {b for _, b, _ in batch}
+    return batch, lefts, rights
+
+
+def _created_pair_caps(
+    stats: DataFrame, lefts: set[str], rights: set[str]
+) -> tuple[dict[str, int], dict[str, int]]:
+    """Per-symbol bounds on pairs a batch merge can CREATE.
+
+    Merging (a, b) -> ab creates pairs (x, ab) and (ab, y); every
+    occurrence of (x, ab) was an occurrence of old pair (x, a), and every
+    (ab, y) an occurrence of (b, y). So max-over-x n(x, a) and
+    max-over-y n(b, y) bound every created-pair count. One filtered
+    aggregation over the (already computed, persisted) stats frame.
+    """
+    lmax: dict[str, int] = {}
+    rmax: dict[str, int] = {}
+    if not lefts and not rights:
+        return lmax, rmax
+    rows = (
+        stats.filter(
+            F.col("b").isin(list(lefts)) | F.col("a").isin(list(rights))
+        )
+        .select(
+            F.when(F.col("b").isin(list(lefts)), F.col("b")).alias("ls"),
+            F.when(F.col("a").isin(list(rights)), F.col("a")).alias("rs"),
+            "n",
+        )
+        .groupBy("ls", "rs")
+        .agg(F.max("n").alias("m"))
+        .collect()
+    )
+    for r in rows:
+        if r["ls"] is not None:
+            lmax[r["ls"]] = max(lmax.get(r["ls"], 0), r["m"])
+        if r["rs"] is not None:
+            rmax[r["rs"]] = max(rmax.get(r["rs"], 0), r["m"])
+    return lmax, rmax
+
+
+def bpe_train_batched(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    batch_size: int = 16,
+    materialize_every: int = 8,
+    strict: bool = True,
+    rounds_out: list[int] | None = None,
+) -> list[tuple[str, str, int]]:
+    """:func:`bpe_train` with MULTIPLE compatible merges per driver
+    round — the fix for the one-driver-round-trip-per-merge cost (a 32k
+    vocab is 32k sequential Spark jobs on the sequential path).
+
+    A batch is a set of symbol-disjoint pairs applied in one plan before
+    the next recount.  ``strict=True`` (default) is provably identical to
+    :func:`bpe_train` on EVERY corpus; the argument, for the admitted
+    prefix p_1..p_k of the (n desc, a, b)-ordered pair list:
+
+    - applying a symbol-disjoint merge never changes another admitted
+      pair's count, and drives the applied pair's own count to 0;
+    - counts of old pairs never INCREASE under any merge, and the list is
+      a prefix (stop at the FIRST conflict), so at sequential step j
+      every un-applied old pair still counts <= n_j, with equal-count
+      pairs lex-greater (sort order);
+    - pairs CREATED by earlier batch merges stay strictly below n_j:
+      every occurrence of a created (x, ab) was an occurrence of old
+      (x, a), and of (ab, y) an occurrence of (b, y), so their counts are
+      bounded by per-symbol maxima read from the same stats frame — a
+      pair is only admitted while its count strictly exceeds the running
+      bound (the ``cap`` truncation below).
+
+    Hence the sequential argmax at step j is exactly p_j, tie-break
+    included.  ``strict=False`` skips conflicting pairs instead of
+    stopping (bigger batches — the usual fast-trainer approximation) and
+    drops the equivalence guarantee; merge COUNTS it reports are still
+    the true counts at round start.
+
+    Driver rounds: ceil(num_merges / achieved_batch) with ~3 small jobs
+    per round (top-K, created-pair caps, materialize) vs 2 per merge
+    sequentially.
+    """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    vocab = _initial_symbol_vocab(df, text_col)
+    merges: list[tuple[str, str, int]] = []
+    prev = vocab
+    prev_is_checkpoint = False
+    last_checkpoint: DataFrame | None = None
+    applied_since_cut = 0
+    while len(merges) < num_merges:
+        stats = _pair_stats(vocab).persist()
+        top = (
+            stats.orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(max(64, 4 * batch_size))
+            .collect()
+        )
+        batch, lefts, rights = _select_batch(
+            top, num_merges - len(merges), batch_size, strict
+        )
+        if strict and len(batch) > 1:
+            lmax, rmax = _created_pair_caps(stats, lefts, rights)
+            kept = [batch[0]]
+            cap = 0
+            for a, b, n in batch[1:]:
+                pa, pb, _ = kept[-1]
+                cap = max(cap, lmax.get(pa, 0), rmax.get(pb, 0))
+                if n <= cap:
+                    break
+                kept.append((a, b, n))
+            batch = kept
+        stats.unpersist()
+        if not batch:
+            break
+        if rounds_out is not None:
+            rounds_out.append(len(batch))
+        for a, b, n in batch:
+            merges.append((a, b, n))
+            vocab = _merge_pair(vocab, a, b)
+        applied_since_cut += len(batch)
+        if applied_since_cut >= materialize_every:
+            vocab = vocab.localCheckpoint(eager=True)
+            if last_checkpoint is not None:
+                _release_checkpoint(last_checkpoint)
+            last_checkpoint = vocab
+            if not prev_is_checkpoint:
+                prev.unpersist()
+            prev_is_checkpoint = True
+            applied_since_cut = 0
+        else:
+            vocab = vocab.persist()
+            vocab.count()
             if not prev_is_checkpoint:
                 prev.unpersist()
             prev_is_checkpoint = False

@@ -3,14 +3,20 @@
 Training-data-pipeline extension (BASELINE.json): media travels as an opaque
 ``binary`` payload column plus typed metadata (schemas.MEDIA_SCHEMA). The
 Spark-side plumbing — schema, Arrow batching, ``mapInPandas`` fan-out,
-partition sizing — is real and tested; the codec step itself is stubbed
-because no image/audio libraries exist in this container:
+partition sizing — is identical for both decoders:
 
-- with ``decoder='fake'`` (default) a DETERMINISTIC fake decoder derives
+- ``decoder='fake'`` (default): a DETERMINISTIC fake decoder derives
   features from the payload bytes (md5-seeded) — stable across runs, so tests
   and oracles can pin results;
-- with ``decoder='real'`` the functions raise NotImplementedError at the
-  decode site, marking exactly where Pillow/torchaudio/PyAV plug in.
+- ``decoder='real'``: actual codecs, gated behind optional imports (the
+  warcio pattern — tests skip when a lib is absent):
+  image -> Pillow (grayscale thumbnail intensities), audio -> stdlib
+  ``wave`` + numpy (bucketed RMS over PCM; no third-party dependency),
+  video -> PyAV (first-frame strip intensities / per-frame digests).
+  A MISSING LIBRARY raises ImportError at the decode site (the job should
+  fail loudly, not silently emit nulls); a CORRUPT PAYLOAD is recorded
+  per-record in ``decode_error`` with a null feature (one bad asset must
+  not kill a 100 TB decode pass).
 
 Scale notes: payloads dominate row size, so operators project metadata-only
 where possible (Parquet column pruning keeps payload I/O at zero until a
@@ -21,6 +27,8 @@ batches stream through Arrow without materializing a partition in memory.
 from __future__ import annotations
 
 import hashlib
+import importlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
@@ -33,6 +41,24 @@ DECODE_SCHEMA = (
 )
 FRAME_SAMPLE_SCHEMA = "asset_id long, frame_index int, frame_digest string"
 
+_DECODERS = ("fake", "real")
+
+
+def _check_decoder(decoder: str) -> None:
+    if decoder not in _DECODERS:
+        raise ValueError(f"decoder must be one of {_DECODERS}, got {decoder!r}")
+
+
+def _optional(module: str, what: str):
+    """Import an optional codec library or fail loudly with the remedy."""
+    try:
+        return importlib.import_module(module)
+    except ImportError as e:  # pragma: no cover - depends on environment
+        raise ImportError(
+            f"decoder='real' for {what} requires {module.split('.')[0]}; "
+            f"install it or use decoder='fake'"
+        ) from e
+
 
 def _fake_feature(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic pseudo-feature: dim floats in [0,1) from md5(payload)."""
@@ -42,11 +68,70 @@ def _fake_feature(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
     return [h[i % 16] / 256.0 for i in range(dim)]
 
 
+def _image_feature(data: bytes, dim: int) -> list[float]:
+    """Pillow: grayscale, thumbnail to dim x 1, normalized intensities."""
+    image_mod = _optional("PIL.Image", "image decode")
+    img = image_mod.open(io.BytesIO(data))
+    small = img.convert("L").resize((dim, 1))
+    return [p / 255.0 for p in small.getdata()]
+
+
+def _wav_feature(data: bytes, dim: int) -> list[float]:
+    """stdlib wave + numpy: bucketed RMS over PCM16 samples, in [0, 1]."""
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        sw, ch = w.getsampwidth(), w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    if sw != 2:
+        raise ValueError(f"unsupported WAV sample width {sw} (PCM16 only)")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    if ch > 1:
+        x = x[: len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
+    if len(x) == 0:
+        return [0.0] * dim
+    return [
+        float(np.sqrt((b * b).mean()) / 32768.0) if len(b) else 0.0
+        for b in np.array_split(x, dim)
+    ]
+
+
+def _video_feature(data: bytes, dim: int) -> list[float]:
+    """PyAV: first decoded frame, grayscale, dim vertical-strip means."""
+    av = _optional("av", "video decode")
+    import numpy as np
+
+    with av.open(io.BytesIO(data)) as container:
+        for frame in container.decode(video=0):
+            arr = frame.to_ndarray(format="gray").astype(np.float64)
+            return [
+                float(s.mean()) / 255.0 for s in np.array_split(arr, dim, axis=1)
+            ]
+    raise ValueError("no video frames decoded")
+
+
+def _real_feature(
+    payload: bytes | None, media_type: str, dim: int = FEATURE_DIM
+) -> list[float]:
+    data = bytes(payload or b"")
+    if media_type == "image":
+        return _image_feature(data, dim)
+    if media_type == "audio":
+        return _wav_feature(data, dim)
+    if media_type == "video":
+        return _video_feature(data, dim)
+    raise ValueError(f"unknown media_type {media_type!r}")
+
+
 def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     """payload -> fixed-dim feature vector (the decode/feature-extract stage).
 
     Input needs (asset_id, media_type, payload); output row per asset with a
-    ``feature`` array<float> and a per-record ``decode_error``.
+    ``feature`` array<float> and a per-record ``decode_error`` (null feature
+    + message for corrupt payloads on the real path; missing codec libraries
+    raise instead — see module docstring).
 
     The decode stage is CPU-bound Python: it inherits the scan's
     partitioning, and a small input in one parquet row group would decode
@@ -56,19 +141,25 @@ def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     """
     from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
 
+    _check_decoder(decoder)
     df = ensure_min_partitions(df)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, errs = [], []
-            for payload in pdf["payload"]:
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
                 if decoder == "real":
-                    raise NotImplementedError(
-                        "real media decoding requires Pillow/torchaudio/PyAV; "
-                        "not available in this environment"
-                    )
-                feats.append(_fake_feature(payload))
-                errs.append(None)
+                    try:
+                        feats.append(_real_feature(payload, mtype))
+                        errs.append(None)
+                    except ImportError:
+                        raise  # missing codec lib: fail the job loudly
+                    except Exception as e:
+                        feats.append(None)
+                        errs.append(f"{type(e).__name__}: {e}")
+                else:
+                    feats.append(_fake_feature(payload))
+                    errs.append(None)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -86,24 +177,40 @@ def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
 def frame_sample(df: DataFrame, every_n: int = 10, decoder: str = "fake") -> DataFrame:
     """Video frame sampling: emit one row per sampled frame (UDTF shape).
 
-    With the fake decoder, 'frames' are every_n-th 1 KiB payload slice and the
-    digest is its md5 — deterministic plumbing for the real PyAV implementation.
+    Fake decoder: 'frames' are every_n-th 1 KiB payload slice, digest =
+    its md5. Real decoder (PyAV): every_n-th decoded frame, digest = md5
+    of the grayscale pixel buffer; a corrupt payload contributes zero
+    rows (per-record errors belong to :func:`decode_features`).
     """
+    _check_decoder(decoder)
+
+    def fake_frames(data: bytes):
+        n_frames = max(1, len(data) // 1024)
+        for i in range(0, n_frames, every_n):
+            yield i, hashlib.md5(data[i * 1024 : (i + 1) * 1024]).hexdigest()
+
+    def real_frames(data: bytes):
+        av = _optional("av", "frame sampling")
+        try:
+            with av.open(io.BytesIO(data)) as container:
+                for i, frame in enumerate(container.decode(video=0)):
+                    if i % every_n == 0:
+                        gray = frame.to_ndarray(format="gray")
+                        yield i, hashlib.md5(gray.tobytes()).hexdigest()
+        except ImportError:
+            raise
+        except Exception:
+            return  # corrupt container: contribute no frames
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = real_frames if decoder == "real" else fake_frames
         for pdf in batches:
             ids, idxs, digests = [], [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                if decoder == "real":
-                    raise NotImplementedError("real frame decode requires PyAV")
-                data = bytes(payload or b"")
-                n_frames = max(1, len(data) // 1024)
-                for i in range(0, n_frames, every_n):
+                for i, digest in frames(bytes(payload or b"")):
                     ids.append(aid)
                     idxs.append(i)
-                    digests.append(
-                        hashlib.md5(data[i * 1024 : (i + 1) * 1024]).hexdigest()
-                    )
+                    digests.append(digest)
             yield pd.DataFrame(
                 {"asset_id": ids, "frame_index": idxs, "frame_digest": digests}
             )
@@ -114,16 +221,48 @@ def frame_sample(df: DataFrame, every_n: int = 10, decoder: str = "fake") -> Dat
 
 
 def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake") -> DataFrame:
-    """Image resize stage; fake decoder passes payload through and stamps the
-    new dimensions (real: Pillow thumbnail + re-encode)."""
+    """Image resize stage.
+
+    Fake decoder passes payload through and stamps the new dimensions;
+    real decoder (Pillow) decodes, resizes to exactly (width, height) and
+    re-encodes as PNG. Corrupt payloads keep their original bytes and
+    dimensions (detectable: width/height unchanged) rather than failing
+    the pass.
+    """
+    _check_decoder(decoder)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError("real image resize requires Pillow")
-            out = pdf.copy()
-            out["width"] = width
-            out["height"] = height
+                image_mod = _optional("PIL.Image", "image resize")
+                payloads, widths, heights = [], [], []
+                for payload, w0, h0 in zip(
+                    pdf["payload"], pdf["width"], pdf["height"]
+                ):
+                    try:
+                        img = image_mod.open(io.BytesIO(bytes(payload or b"")))
+                        buf = io.BytesIO()
+                        img.resize((width, height)).save(buf, format="PNG")
+                        payloads.append(buf.getvalue())
+                        widths.append(width)
+                        heights.append(height)
+                    except Exception:
+                        payloads.append(payload)
+                        widths.append(w0)
+                        heights.append(h0)
+                out = pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "media_type": pdf["media_type"],
+                        "payload": payloads,
+                        "width": widths,
+                        "height": heights,
+                    }
+                )
+            else:
+                out = pdf.copy()
+                out["width"] = width
+                out["height"] = height
             yield out
 
     return (

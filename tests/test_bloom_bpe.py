@@ -355,6 +355,62 @@ def test_pagerank_releases_superseded_checkpoints(spark):
     assert _n_persistent(spark) - before <= 4
 
 
+def test_bpe_train_batched_strict_matches_sequential(spark, sf_dir):
+    """strict=True is PROVABLY sequential-equivalent on any corpus — pin
+    it against both the Spark sequential trainer's reference semantics
+    (_py_bpe_train) on real fixture text and on adversarial synthetics
+    with heavy symbol overlap, while using fewer driver rounds."""
+    from ia_hadoop_tools_spark.operators.bpe import bpe_train_batched
+
+    docs = _load(spark, sf_dir, "documents").limit(30)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    rounds: list[int] = []
+    got = bpe_train_batched(
+        docs, "text", num_merges=12, batch_size=8, materialize_every=5,
+        rounds_out=rounds,
+    )
+    assert got == _py_bpe_train(texts, 12)
+    assert sum(rounds) == len(got) == 12
+    assert len(rounds) < 12  # at least one round batched >1 merge
+
+    # overlap-heavy synthetic: shared symbols force conflicts + created
+    # pairs (ab then abc chains) — equivalence must still hold exactly
+    texts2 = ["abc abc ab bc ca cab " * 3, "xyz xy yz zx " * 4, "aaa aa a"]
+    docs2 = spark.createDataFrame([(t,) for t in texts2], "text string")
+    got2 = bpe_train_batched(docs2, "text", num_merges=8, batch_size=8)
+    assert got2 == _py_bpe_train(texts2, 8)
+
+
+def test_bpe_train_batched_loose_on_disjoint_corpus(spark):
+    """strict=False (skip conflicts, bigger batches): on a corpus whose
+    top pairs live in disjoint alphabets, it still equals the sequential
+    trainer — and batches everything into far fewer rounds."""
+    from ia_hadoop_tools_spark.operators.bpe import bpe_train_batched
+
+    # four disjoint two-symbol families with strictly separated counts
+    texts = ["ab " * 50 + "cd " * 40 + "ef " * 30 + "gh " * 20]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    rounds: list[int] = []
+    got = bpe_train_batched(
+        docs, "text", num_merges=4, batch_size=8, strict=False,
+        rounds_out=rounds,
+    )
+    assert got == _py_bpe_train(texts, 4)
+    assert len(rounds) == 1  # all four merges in ONE driver round
+
+
+def test_bpe_train_batched_releases_all_storage(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.bpe import bpe_train_batched
+
+    docs = _load(spark, sf_dir, "documents").limit(20)
+    before = _n_persistent(spark)
+    merges = bpe_train_batched(
+        docs, "text", num_merges=7, batch_size=3, materialize_every=2
+    )
+    assert len(merges) == 7
+    assert _n_persistent(spark) == before
+
+
 def test_bpe_merge_left_to_right_non_overlapping(spark):
     # "bbb" under merge (b,b): leftmost wins -> [bb, b], not [b, bb]
     docs = spark.createDataFrame([("bbb bbb bb",)], "text string")

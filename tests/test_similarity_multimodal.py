@@ -77,9 +77,119 @@ def test_decode_features_deterministic(spark):
     assert all(len(v) == 8 for v in out1.values())
 
 
-def test_decode_real_raises(spark):
-    with pytest.raises(Exception, match="NotImplementedError|real media"):
-        decode_features(_media(spark), decoder="real").collect()
+def _has(mod):
+    try:
+        __import__(mod)
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has("PIL"), reason="only meaningful when Pillow absent")
+def test_decode_real_missing_codec_raises_importerror(spark):
+    """A missing codec library must fail the job loudly with the remedy,
+    never silently emit nulls."""
+    with pytest.raises(Exception, match="requires PIL"):
+        decode_features(
+            _media(spark).filter("media_type = 'image'"), decoder="real"
+        ).collect()
+
+
+def _wav_bytes(samples, framerate=8000, channels=1):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_decode_real_wav_audio(spark):
+    """The real audio decoder (stdlib wave + numpy, no third-party dep)
+    must produce bucketed-RMS features matching an in-test reference, and
+    record corrupt payloads per-record instead of failing the pass."""
+    import numpy as np
+
+    samples = [int(10000 * math.sin(i / 10.0)) for i in range(800)]
+    rows = [
+        (0, "audio", bytearray(_wav_bytes(samples)), None, None, 100, "wav"),
+        (1, "audio", bytearray(b"not-a-riff-header"), None, None, 100, "wav"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id: long, media_type: string, payload: binary, width: int, "
+        "height: int, duration_ms: long, codec: string",
+    )
+    out = {r.asset_id: r for r in decode_features(df, decoder="real").collect()}
+    x = np.array(samples, dtype=np.float64)
+    want = [
+        float(np.sqrt((b * b).mean()) / 32768.0) for b in np.array_split(x, 8)
+    ]
+    got = out[0].feature
+    assert out[0].decode_error is None
+    assert len(got) == 8
+    for g, w in zip(got, want):
+        assert math.isclose(g, w, rel_tol=1e-6)
+    assert out[1].feature is None
+    assert out[1].decode_error and "Error" in out[1].decode_error
+
+
+def test_decode_real_wav_stereo_downmix(spark):
+    """Stereo PCM downmixes by channel mean: (L+R)/2 with R = -L gives
+    all-zero RMS, pinning that channels are separated, not interleaved."""
+    samples = []
+    for i in range(400):
+        v = int(8000 * math.sin(i / 7.0))
+        samples += [v, -v]
+    df = spark.createDataFrame(
+        [(0, "audio", bytearray(_wav_bytes(samples, channels=2)), None, None,
+          100, "wav")],
+        "asset_id: long, media_type: string, payload: binary, width: int, "
+        "height: int, duration_ms: long, codec: string",
+    )
+    row = decode_features(df, decoder="real").collect()[0]
+    assert row.decode_error is None
+    assert all(abs(v) < 1e-4 for v in row.feature)
+
+
+def test_decode_real_image_with_pillow(spark):
+    """Real image decode + resize (runs only where Pillow is installed)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    img = PIL_Image.new("L", (16, 4), color=128)
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(buf.getvalue()), 16, 4, None, "png")],
+        "asset_id: long, media_type: string, payload: binary, width: int, "
+        "height: int, duration_ms: long, codec: string",
+    )
+    row = decode_features(df, decoder="real").collect()[0]
+    assert row.decode_error is None
+    assert all(math.isclose(v, 128 / 255.0, rel_tol=1e-6) for v in row.feature)
+    resized = resize_images(df, 8, 8, decoder="real").collect()[0]
+    assert (resized.width, resized.height) == (8, 8)
+    back = PIL_Image.open(_io.BytesIO(bytes(resized.payload)))
+    assert back.size == (8, 8)
+
+
+def test_frame_sample_real_with_pyav(spark):
+    """Real frame sampling (runs only where PyAV is installed)."""
+    pytest.importorskip("av")
+    df = _media(spark)
+    # corrupt video bytes contribute zero rows rather than failing
+    assert frame_sample(df, every_n=2, decoder="real").collect() == []
+
+
+def test_decoder_name_validated(spark):
+    with pytest.raises(ValueError, match="decoder must be one of"):
+        decode_features(_media(spark), decoder="reall")
 
 
 def test_frame_sample_and_resize(spark):
