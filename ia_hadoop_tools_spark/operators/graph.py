@@ -89,6 +89,8 @@ def pagerank(
     cache_edges: bool | None = None,
     all_nodes_have_inedges: bool = False,
     eager: bool = False,
+    epsilon: int | None = None,
+    check_every: int = 1,
 ) -> DataFrame:
     """Integer-exact PageRank over a directed edge list (``src``, ``dst``).
 
@@ -125,9 +127,25 @@ def pagerank(
     InMemoryRelation materialization is pure overhead); checkpoints
     split the run into multiple actions, where exchange reuse stops and
     the cache starts paying.
+
+    ``epsilon`` (scaled-integer units, e.g. ``scale // 10**6`` for 1e-3
+    rank units) switches to CONVERGENCE MODE: ``iterations`` becomes the
+    cap, and every ``check_every`` supersteps the rank vector is
+    materialized (eager localCheckpoint, node-sized) and compared with
+    the previously-checked vector; the loop stops when
+    ``max |Δrank| < epsilon``. Because the arithmetic is integral, a
+    converged graph reaches an EXACT fixed point (Δ = 0), so the early
+    stop returns a vector bit-identical to any larger fixed iteration
+    count. Superseded checkpoints are released as in the fixed-count
+    path. The result carries ``pr_supersteps`` (supersteps actually
+    run), ``pr_converged`` and ``pr_delta`` attributes.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if epsilon is not None and epsilon < 1:
+        raise ValueError(f"epsilon must be >= 1 scaled unit, got {epsilon}")
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     base = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
     outdeg = edges.groupBy("src").agg(F.count("*").alias("__od"))
     nodes = (
@@ -136,14 +154,13 @@ def pagerank(
         .distinct()
     )
     if cache_edges is None:
-        cache_edges = materialize_every is not None
+        cache_edges = materialize_every is not None or epsilon is not None
     if cache_edges:
         edges = edges.persist()
         outdeg = outdeg.persist()
         nodes = nodes.persist()
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
-    _last_cp = None
-    for i in range(iterations):
+
+    def superstep(ranks: DataFrame) -> DataFrame:
         # per-SOURCE contribution first: a node-sized join (rank vector
         # x out-degrees), so the big edge table is touched exactly once
         # per iteration, joined against the skinny contrib side (AQE
@@ -158,40 +175,80 @@ def pagerank(
             .agg(F.sum("__contrib").alias("__c"))
         )
         if all_nodes_have_inedges:
-            ranks = sums.select(
+            return sums.select(
                 "node",
-                (
-                    F.lit(base) + F.expr(_damp_expr("__c"))
-                ).alias("rank"),
+                (F.lit(base) + F.expr(_damp_expr("__c"))).alias("rank"),
             )
-        else:
-            ranks = nodes.join(sums, "node", "left").select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(_damp_expr("coalesce(__c, 0L)"))
-                ).alias("rank"),
-            )
-        if materialize_every and (i + 1) % materialize_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
-            if _last_cp is not None:
-                # free the superseded checkpoint's blocks now — the
-                # ContextCleaner is too lazy for deep iteration counts.
-                # The FINAL checkpoint stays live: the returned lazy plan
-                # computes through it.
-                release_local_checkpoint(_last_cp)
-            _last_cp = ranks
+        return nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(base) + F.expr(_damp_expr("coalesce(__c, 0L)"))
+            ).alias("rank"),
+        )
+
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    supersteps, converged, delta = 0, False, None
+    _last_cp = None
+    if epsilon is not None:
+        # convergence mode: checkpoint at every check so the delta action
+        # reads two cached node-sized vectors, never the edge pipeline
+        prev_checked = ranks.localCheckpoint(eager=True)
+        _last_cp = prev_checked
+        ranks = prev_checked
+        for i in range(iterations):
+            ranks = superstep(ranks)
+            supersteps += 1
+            if (i + 1) % check_every == 0 or i + 1 == iterations:
+                ranks = ranks.localCheckpoint(eager=True)
+                delta = (
+                    ranks.select("node", F.col("rank").alias("__rn"))
+                    .join(
+                        prev_checked.select(
+                            "node", F.col("rank").alias("__rp")
+                        ),
+                        "node",
+                    )
+                    .agg(F.max(F.abs(F.col("__rn") - F.col("__rp"))).alias("d"))
+                    .first()["d"]
+                )
+                release_local_checkpoint(prev_checked)
+                prev_checked = ranks
+                _last_cp = ranks
+                if delta is not None and delta < epsilon:
+                    converged = True
+                    break
+    else:
+        supersteps = iterations
+        for i in range(iterations):
+            ranks = superstep(ranks)
+            if (
+                materialize_every
+                and (i + 1) % materialize_every == 0
+                and i + 1 < iterations
+            ):
+                ranks = ranks.localCheckpoint(eager=True)
+                if _last_cp is not None:
+                    # free the superseded checkpoint's blocks now — the
+                    # ContextCleaner is too lazy for deep iteration
+                    # counts. The FINAL checkpoint stays live: the
+                    # returned lazy plan computes through it.
+                    release_local_checkpoint(_last_cp)
+                _last_cp = ranks
     if eager:
         # materialize the final vector, then release every internal
         # persist/checkpoint — long-lived-session mode (lazy default
         # keeps them pinned so the caller's action can reuse them)
+        was_cp = epsilon is not None and ranks is _last_cp
         ranks = ranks.localCheckpoint(eager=True)
-        if _last_cp is not None:
+        if _last_cp is not None and not (was_cp and _last_cp is ranks):
             release_local_checkpoint(_last_cp)
         if cache_edges:
             edges.unpersist()
             outdeg.unpersist()
             nodes.unpersist()
+    ranks.pr_supersteps = supersteps
+    ranks.pr_converged = converged
+    ranks.pr_delta = delta
     return ranks
 
 

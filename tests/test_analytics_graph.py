@@ -95,6 +95,76 @@ def test_pagerank_materialize_every_same_result(spark):
     assert lazy == ckpt
 
 
+def test_pagerank_epsilon_converges_to_fixed_count_result(spark):
+    """Convergence mode on an integer-fixed-point graph: the early-stopped
+    vector must be bit-identical to a much larger fixed iteration count,
+    with supersteps actually saved."""
+    edges = symmetric_edges(
+        spark.createDataFrame(
+            [(i, (i * 7) % 23) for i in range(40)], "src long, dst long"
+        ).filter("src != dst"),
+        "src",
+        "dst",
+    )
+    fixed = {r["node"]: r["rank"] for r in pagerank(edges, iterations=60).collect()}
+    conv = pagerank(edges, iterations=60, epsilon=1)
+    got = {r["node"]: r["rank"] for r in conv.collect()}
+    assert got == fixed
+    assert conv.pr_converged
+    assert conv.pr_delta == 0  # exact integer fixed point
+    assert conv.pr_supersteps < 60
+
+
+def test_pagerank_epsilon_check_every_same_result(spark):
+    edges = symmetric_edges(
+        spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "src long, dst long"
+        ),
+        "src",
+        "dst",
+    )
+    a = pagerank(edges, iterations=50, epsilon=1, check_every=1)
+    b = pagerank(edges, iterations=50, epsilon=1, check_every=4)
+    ra = {r["node"]: r["rank"] for r in a.collect()}
+    rb = {r["node"]: r["rank"] for r in b.collect()}
+    assert ra == rb
+    assert a.pr_converged and b.pr_converged
+    # coarser checks may overshoot past the fixed point but never change it
+    assert b.pr_supersteps >= a.pr_supersteps
+
+
+def test_pagerank_epsilon_cap_reached_not_converged(spark):
+    edges = symmetric_edges(
+        spark.createDataFrame(
+            [(i, (i * 5) % 31) for i in range(60)], "src long, dst long"
+        ).filter("src != dst"),
+        "src",
+        "dst",
+    )
+    out = pagerank(edges, iterations=2, epsilon=1)
+    assert out.pr_supersteps == 2
+    assert not out.pr_converged
+    fixed = {r["node"]: r["rank"] for r in pagerank(edges, iterations=2).collect()}
+    assert {r["node"]: r["rank"] for r in out.collect()} == fixed
+
+
+def test_pagerank_epsilon_eager_releases_storage(spark):
+    from tests.test_bloom_bpe import _n_persistent
+
+    edges = symmetric_edges(
+        spark.createDataFrame(
+            [(i, i + 1) for i in range(20)], "src long, dst long"
+        ),
+        "src",
+        "dst",
+    )
+    before = _n_persistent(spark)
+    out = pagerank(edges, iterations=40, epsilon=1, eager=True)
+    out.count()
+    # only the returned frame's own checkpoint may stay live
+    assert _n_persistent(spark) - before <= 1
+
+
 def test_degree_stats(spark):
     edges = spark.createDataFrame(
         [(1, 2), (1, 3), (2, 3)], "src long, dst long"
