@@ -130,13 +130,19 @@ def pagerank(
 
     ``epsilon`` (scaled-integer units, e.g. ``scale // 10**6`` for 1e-3
     rank units) switches to CONVERGENCE MODE: ``iterations`` becomes the
-    cap, and every ``check_every`` supersteps the rank vector is
-    materialized (eager localCheckpoint, node-sized) and compared with
-    the previously-checked vector; the loop stops when
-    ``max |Δrank| < epsilon``. Because the arithmetic is integral, a
-    converged graph reaches an EXACT fixed point (Δ = 0), so the early
-    stop returns a vector bit-identical to any larger fixed iteration
-    count. Superseded checkpoints are released as in the fixed-count
+    cap, and every ``check_every`` supersteps the loop materializes the
+    rank vector (eager localCheckpoint, node-sized), runs ONE more
+    superstep, and compares the two CONSECUTIVE vectors; it stops when
+    ``max |Δrank| < epsilon``. The delta is always between adjacent
+    supersteps — comparing across a gap would report a periodic limit
+    cycle whose period divides the gap as "converged". On graphs where
+    the integral arithmetic reaches an EXACT fixed point (Δ = 0 — floor
+    rounding lands there on some graphs), the early stop returns a
+    vector bit-identical to any larger fixed iteration count; other
+    graphs settle into a tiny limit cycle (observed amplitudes: single-
+    digit units ≈ 1e-8 of scale), so pick epsilon above that — any
+    practical tolerance (say ``scale // 10**6``) is orders of magnitude
+    above it. Superseded checkpoints are released as in the fixed-count
     path. The result carries ``pr_supersteps`` (supersteps actually
     run), ``pr_converged`` and ``pr_delta`` attributes.
     """
@@ -190,30 +196,30 @@ def pagerank(
     supersteps, converged, delta = 0, False, None
     _last_cp = None
     if epsilon is not None:
-        # convergence mode: checkpoint at every check so the delta action
-        # reads two cached node-sized vectors, never the edge pipeline
-        prev_checked = ranks.localCheckpoint(eager=True)
-        _last_cp = prev_checked
-        ranks = prev_checked
-        for i in range(iterations):
+        # convergence mode: each check checkpoints two CONSECUTIVE
+        # vectors so the delta action reads two cached node-sized frames,
+        # never the edge pipeline, and periodic limit cycles can't hide
+        def consec_delta(a: DataFrame, b: DataFrame):
+            return (
+                b.select("node", F.col("rank").alias("__rn"))
+                .join(a.select("node", F.col("rank").alias("__rp")), "node")
+                .agg(F.max(F.abs(F.col("__rn") - F.col("__rp"))).alias("d"))
+                .first()["d"]
+            )
+
+        while supersteps < iterations:
             ranks = superstep(ranks)
             supersteps += 1
-            if (i + 1) % check_every == 0 or i + 1 == iterations:
-                ranks = ranks.localCheckpoint(eager=True)
-                delta = (
-                    ranks.select("node", F.col("rank").alias("__rn"))
-                    .join(
-                        prev_checked.select(
-                            "node", F.col("rank").alias("__rp")
-                        ),
-                        "node",
-                    )
-                    .agg(F.max(F.abs(F.col("__rn") - F.col("__rp"))).alias("d"))
-                    .first()["d"]
-                )
-                release_local_checkpoint(prev_checked)
-                prev_checked = ranks
-                _last_cp = ranks
+            if supersteps % check_every == 0 and supersteps < iterations:
+                a = ranks.localCheckpoint(eager=True)
+                if _last_cp is not None:
+                    release_local_checkpoint(_last_cp)
+                b = superstep(a).localCheckpoint(eager=True)
+                supersteps += 1
+                delta = consec_delta(a, b)
+                release_local_checkpoint(a)
+                ranks = b
+                _last_cp = b
                 if delta is not None and delta < epsilon:
                     converged = True
                     break
@@ -238,9 +244,10 @@ def pagerank(
         # materialize the final vector, then release every internal
         # persist/checkpoint — long-lived-session mode (lazy default
         # keeps them pinned so the caller's action can reuse them)
-        was_cp = epsilon is not None and ranks is _last_cp
         ranks = ranks.localCheckpoint(eager=True)
-        if _last_cp is not None and not (was_cp and _last_cp is ranks):
+        if _last_cp is not None:
+            # the new checkpoint has materialized, so the superseded one's
+            # blocks are safe to free even when ranks WAS that checkpoint
             release_local_checkpoint(_last_cp)
         if cache_edges:
             edges.unpersist()
