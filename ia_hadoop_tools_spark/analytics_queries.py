@@ -180,6 +180,28 @@ FROM ranked GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# approx_quantiles_bound — the SCALE path beside group_quantiles:
+# percentile_approx sketches (map-side combinable, no per-group window) with
+# the rank-error CONTRACT oracled instead of the sketch-dependent values:
+# every (group, label) must verify within_bound = true against the data
+
+
+def q_approx_quantiles_bound(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.analytics import quantile_bound_check
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return quantile_bound_check(li, ["l_returnflag"], "l_extendedprice")
+
+
+SQL_APPROX_QUANTILES_BOUND = """
+SELECT g.l_returnflag, q.label, TRUE AS within_bound
+FROM (SELECT DISTINCT l_returnflag FROM lineitem
+      WHERE l_extendedprice IS NOT NULL) g
+CROSS JOIN (VALUES ('p50'), ('p90'), ('p99')) AS q(label)
+"""
+
+
+# ---------------------------------------------------------------------------
 # dsir_weights — DSIR importance scores (hashed-bigram target/raw ratio)
 # against the English slice of the documents corpus
 
@@ -664,6 +686,7 @@ ANALYTICS_QUERIES = {
     "pagerank": q_pagerank,
     "kmv_distinct": q_kmv_distinct,
     "group_quantiles": q_group_quantiles,
+    "approx_quantiles_bound": q_approx_quantiles_bound,
     "dsir_weights": q_dsir_weights,
     "retention": q_retention,
     "funnel": q_funnel,
@@ -681,6 +704,7 @@ ANALYTICS_ORACLES = {
     "pagerank": SQL_PAGERANK,
     "kmv_distinct": SQL_KMV_DISTINCT,
     "group_quantiles": SQL_GROUP_QUANTILES,
+    "approx_quantiles_bound": SQL_APPROX_QUANTILES_BOUND,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "retention": SQL_RETENTION,
     "funnel": SQL_FUNNEL,

@@ -68,6 +68,120 @@ def exact_group_quantiles(
     return ranked.filter(keep).groupBy(*group_cols).agg(*aggs)
 
 
+def approx_group_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[tuple[str, int, int]] = (
+        ("p50", 1, 2),
+        ("p90", 9, 10),
+        ("p99", 99, 100),
+    ),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group approximate quantiles via ``percentile_approx`` —
+    the 100 TB path beside :func:`exact_group_quantiles`.
+
+    Crossover rule (documented contract): the EXACT operator ranks each
+    group in one window, i.e. ONE task sorts the whole group — right
+    whenever groups are small/medium and the oracle must value-match;
+    a single billion-row group funnels that task. This operator builds a
+    bounded Greenwald-Khanna sketch per partition and MERGES sketches
+    (map-side combinable HashAggregate, no per-group sort, no window), so
+    a hot group costs the same as any other. Guarantee: rank error
+    <= n/accuracy per group (plus discreteness), NOT value equality —
+    results are sketch-dependent, so the registry oracle for this
+    operator pins the rank-error CONTRACT via
+    :func:`quantile_bound_check`, not the values.
+
+    Output schema matches :func:`exact_group_quantiles`:
+    (group_cols..., label...) with one column per quantile label.
+    """
+    df = df.filter(F.col(value_col).isNotNull())
+    probs = [num / den for _, num, den in quantiles]
+    agg = df.groupBy(*group_cols).agg(
+        F.percentile_approx(
+            F.col(value_col), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+        ).alias("__qs")
+    )
+    return agg.select(
+        *group_cols,
+        *[
+            F.col("__qs").getItem(i).alias(label)
+            for i, (label, _, _) in enumerate(quantiles)
+        ],
+    )
+
+
+def quantile_bound_check(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[tuple[str, int, int]] = (
+        ("p50", 1, 2),
+        ("p90", 9, 10),
+        ("p99", 99, 100),
+    ),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """(group_cols..., label, within_bound) — verifies the approx
+    sketch's rank-error contract against the data itself.
+
+    For each approx value v in group g with n rows: the count of rows
+    strictly below v must not overshoot the target rank ceil(q*n) by
+    more than n/accuracy, and the count at-or-below v must reach it
+    minus n/accuracy. Every row is ``true`` iff the sketch honors its
+    bound — a deterministic, engine-independent assertion the driver
+    oracle can pin even though the approx VALUES are sketch-dependent.
+
+    Cost: the approx aggregation plus ONE more scan joined against the
+    (groups x quantiles)-sized approx table — both map-side combinable.
+    The source is deliberately NOT persisted: two pruned parquet scans
+    beat caching a fact table at scale.
+    """
+    df = df.filter(F.col(value_col).isNotNull())
+    approx = approx_group_quantiles(
+        df, group_cols, value_col, quantiles, accuracy
+    )
+    pairs = approx.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(label).alias("label"),
+                        F.col(label).cast("double").alias("__qv"),
+                        F.lit(num).alias("__num"),
+                        F.lit(den).alias("__den"),
+                    )
+                    for label, num, den in quantiles
+                ]
+            )
+        ).alias("__q"),
+    ).select(*group_cols, "__q.label", "__q.__qv", "__q.__num", "__q.__den")
+    joined = df.join(pairs, list(group_cols))
+    stats = joined.groupBy(*group_cols, "label", "__qv", "__num", "__den").agg(
+        F.count("*").alias("__n"),
+        F.sum(
+            (F.col(value_col).cast("double") < F.col("__qv")).cast("long")
+        ).alias("__lt"),
+        F.sum(
+            (F.col(value_col).cast("double") <= F.col("__qv")).cast("long")
+        ).alias("__le"),
+    )
+    target = F.expr("greatest((__n * __num + __den - 1) div __den, 1L)")
+    slack = (F.col("__n") / accuracy) + 1
+    out = stats.select(
+        *group_cols,
+        "label",
+        (
+            (F.col("__lt") <= target + slack)
+            & (F.col("__le") >= target - slack)
+        ).alias("within_bound"),
+    )
+    return out
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

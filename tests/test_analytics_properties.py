@@ -290,6 +290,64 @@ def test_retention_matches_python_reference_random_activity(spark):
     assert got == expect
 
 
+def test_approx_group_quantiles_rank_error_bound(spark):
+    """The sketch's answers must honor rank error <= n/accuracy + 1 per
+    group, verified against an in-test Python ranking — plus the
+    quantile_bound_check operator must agree (all within_bound)."""
+    from ia_hadoop_tools_spark.operators.analytics import (
+        approx_group_quantiles,
+        quantile_bound_check,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (g, float(rng.randrange(0, 10_000)))
+        for g in ("a", "b")
+        for _ in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    acc = 100  # coarse accuracy so the bound actually bites
+    got = approx_group_quantiles(df, ["g"], "v", accuracy=acc).collect()
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for r in got:
+        vals = sorted(by_g[r["g"]])
+        n = len(vals)
+        for label, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+            v = r[label]
+            target = max((n * num + den - 1) // den, 1)
+            lt = sum(1 for x in vals if x < v)
+            le = sum(1 for x in vals if x <= v)
+            slack = n / acc + 1
+            assert lt <= target + slack and le >= target - slack, (
+                r["g"], label, v, lt, le, target)
+
+    checked = quantile_bound_check(df, ["g"], "v", accuracy=acc).collect()
+    assert len(checked) == 6
+    assert all(r["within_bound"] for r in checked)
+
+
+def test_approx_group_quantiles_no_window_in_plan(spark):
+    """Crossover contract: the approx path must plan as a map-side
+    combinable aggregate — no Window, no per-group Sort."""
+    from ia_hadoop_tools_spark.operators.analytics import (
+        approx_group_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)], "g string, v double"
+    )
+    plan = (
+        approx_group_quantiles(df, ["g"], "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "partial_percentile_approx" in plan  # partial agg before shuffle
+
+
 # ---------------------------------------------------------------------------
 # window_funnel_levels (any-anchor ClickHouse semantics) vs an
 # independent DP reference
