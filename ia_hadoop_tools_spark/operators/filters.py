@@ -42,8 +42,10 @@ def global_wayback_filter(
 
     Rules (GlobalWaybackMergeMapper.java:38-142):
       1. drop noarchive captures — meta_flags contains 'A';
-      2. drop rows without a numeric statuscode unless mimetype is warc/*
-         (revisit records legitimately carry '-');
+      2. drop rows without a numeric statuscode unless mimetype CONTAINS
+         'warc/' (revisit records legitimately carry '-'; the reference
+         gates on mime.contains("warc/"), GlobalWaybackMergeMapper.java:106
+         — contains, not startswith, matched exactly here);
       3. drop rows without a numeric compressed_offset;
       4. drop live-web proxy errors — statuscode 502/504 from
          live-20*.arc.gz, EXCEPT warc/* mimetypes (the reference's whole
@@ -56,7 +58,7 @@ def global_wayback_filter(
         ~F.coalesce(F.col("meta_flags").contains("A"), F.lit(False))
     )
     out = out.filter(
-        F.col("statuscode").isNotNull() | F.col("mimetype").startswith("warc/")
+        F.col("statuscode").isNotNull() | F.col("mimetype").contains("warc/")
     )
     out = out.filter(F.col("compressed_offset").isNotNull())
     # null-safe: a NULL statuscode (legit for warc/* rows that passed rule
@@ -66,7 +68,7 @@ def global_wayback_filter(
         ~(
             F.coalesce(F.col("statuscode").isin(502, 504), F.lit(False))
             & ~F.coalesce(
-                F.col("mimetype").startswith("warc/"), F.lit(False)
+                F.col("mimetype").contains("warc/"), F.lit(False)
             )
             & F.coalesce(F.col("filename").startswith("live-20"), F.lit(False))
             & F.coalesce(F.col("filename").endswith(".arc.gz"), F.lit(False))

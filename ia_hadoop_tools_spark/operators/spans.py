@@ -96,7 +96,11 @@ def _dup_windows(
         .filter(F.col("__c") >= min_count)
         .select("__h")
     )
-    return grams.join(dup, "__h").select(id_col, "pos")
+    out = grams.join(dup, "__h").select(id_col, "pos")
+    # release handle (the shingle_cache convention): loop callers
+    # unpersist via the consumer's span_caches tuple
+    out.gram_cache = grams
+    return out
 
 
 def span_dedup_stats(
@@ -135,7 +139,7 @@ def span_dedup_stats(
         .groupBy(id_col)
         .agg(F.count("*").alias("covered_tokens"))
     )
-    return (
+    out = (
         # long n_tokens: size() is int32, counts are int64 — keep the stat
         # columns uniformly 64-bit
         base.select(id_col, F.col("__nt").cast("long").alias("n_tokens"))
@@ -154,6 +158,10 @@ def span_dedup_stats(
             ).otherwise(F.lit(0.0)),
         )
     )
+    # release handles for per-batch loop callers (ADVICE r4): unpersist
+    # both frames once the result is consumed, like textops.shingle_cache
+    out.span_caches = (base, dw.gram_cache)
+    return out
 
 
 def span_dedup(
@@ -254,4 +262,7 @@ def span_dedup(
             ),
         )
     )
-    return light_out.unionByName(heavy_out)
+    out = light_out.unionByName(heavy_out)
+    # release handles for per-batch loop callers (ADVICE r4)
+    out.span_caches = (base, dw.gram_cache)
+    return out

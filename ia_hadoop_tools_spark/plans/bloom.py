@@ -78,10 +78,20 @@ def _key_dtype(df: DataFrame, key_col: str) -> str:
 def _type_class(dtype: str) -> int:
     """1-byte key-type tag stored in the mask header. Integral types all
     map to one class (they hash as bigint); others get a stable non-zero
-    byte so a build/probe type mismatch is detected, not silent."""
+    byte so a build/probe type mismatch is detected, not silent.
+
+    The tag is a sha1 byte (uniform over 255 values), not a byte-sum —
+    the old ``sum(bytes) % 254`` collided for any two dtypes with equal
+    byte sums (e.g. anagram struct field names), which would let a
+    mismatched probe silently drop true matches. One byte can still
+    collide across jobs (1/255); where BOTH frames are in hand
+    (:func:`bloom_semi_join`) the dtype strings are compared exactly.
+    """
     if dtype in _INTEGRAL_TYPES:
         return _TYPE_CLASS_INTEGRAL
-    return 1 + (sum(dtype.encode()) % 254)
+    import hashlib
+
+    return 1 + (hashlib.sha1(dtype.encode()).digest()[0] % 255)
 
 
 def _canon_key(df: DataFrame, key_col: str) -> tuple[Column, int]:
@@ -285,6 +295,18 @@ def bloom_semi_join(
     a prebuilt ``mask`` from :func:`bloom_build` is passed — the
     cross-job reuse path.
     """
+    # both frames are in hand here, so compare dtypes EXACTLY — the
+    # 1-byte header tag is only a screen for the cross-job mask path
+    probe_dtype = _key_dtype(probe, probe_key)
+    build_dtype = _key_dtype(build, build_key)
+    if (probe_dtype in _INTEGRAL_TYPES) != (build_dtype in _INTEGRAL_TYPES) or (
+        probe_dtype not in _INTEGRAL_TYPES and probe_dtype != build_dtype
+    ):
+        raise ValueError(
+            f"probe key {probe_key!r} ({probe_dtype}) and build key "
+            f"{build_key!r} ({build_dtype}) have incompatible types; the "
+            "Bloom prune would silently drop true matches"
+        )
     if mask is None:
         mask = bloom_build(build, build_key, num_bits, num_hashes)
     pruned = bloom_prune(probe, probe_key, mask)

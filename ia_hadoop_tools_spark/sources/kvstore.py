@@ -117,6 +117,7 @@ def write_kvstore(
         n = 0
         out = None
         gz = None
+        ok = False
         try:
             for row in it:
                 if out is None:  # open lazily: empty partitions write nothing
@@ -142,11 +143,20 @@ def write_kvstore(
                 # accumulates in executor memory
                 gz.write(line.encode("utf-8") + b"\n")
                 n += 1
+            ok = True
         finally:
             if gz is not None:
                 gz.close()
             if out is not None:
                 out.close()
+            if not ok and out is not None:
+                # task aborting: drop this attempt's tmp now (best-effort —
+                # a killed JVM can't run this, so the driver also sweeps
+                # survivors after the index commit)
+                try:
+                    fsio.remove(tmp)
+                except OSError:
+                    pass
         if n == 0:
             return
         fsio.rename(tmp, fsio.join(path, name))
@@ -160,6 +170,18 @@ def write_kvstore(
         for name, first, last, n in regions:
             fh.write(f"{name}\t{first}\t{last}\t{n}\n")
     fsio.rename(tmp_idx, fsio.join(path, REGIONS_FILE))
+    # sweep orphaned attempt tmp files (failed/killed speculative attempts
+    # whose finally-block never ran). Readers already ignore them via the
+    # regions index; this keeps the directory from accumulating partials.
+    # Safe AFTER the index commit: every live region was renamed away from
+    # its _tmp name before its metadata row was collected.
+    for leftover in fsio.listdir(path):
+        base = leftover.rsplit("/", 1)[-1]
+        if base.startswith("_tmp."):
+            try:
+                fsio.remove(fsio.join(path, base))
+            except OSError:
+                pass
 
 
 def read_regions_index(path: str) -> list[tuple[str, str, str, int]]:

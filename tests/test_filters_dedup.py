@@ -140,3 +140,28 @@ def test_merge_clusters_daily_limit_zero_means_unlimited(spark, tmp_path):
     df = spark.createDataFrame(rows, CDX_DDL)
     out = merge_clusters([df], num_ranges=1, daily_limit=0)
     assert out.count() == 5
+
+
+def test_global_wayback_filter_warc_gate_is_contains_not_startswith(spark):
+    """Reference parity (GlobalWaybackMergeMapper.java:106): the warc
+    exemption is mime.contains("warc/") — a mimetype carrying 'warc/'
+    NOT at the start must still ride through rules 2 and 4."""
+    rows = [
+        # null status, warc/ mid-string: rule 2 must keep it
+        ("a)/mid", "20200101000000", "http://x/", "x-old/warc/revisit", None,
+         "D1", None, 10, "f.arc.gz"),
+        # 502 from live-20*.arc.gz with warc/ mid-string: rule 4 exempts
+        ("b)/mid502", "20200101000000", "http://x/", "x-old/warc/revisit",
+         502, "D2", None, 11, "live-20120101.arc.gz"),
+        # 502 from live with a PLAIN mimetype: still dropped
+        ("c)/plain502", "20200101000000", "http://x/", "text/html", 502,
+         "D3", None, 12, "live-20120101.arc.gz"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "urlkey string, timestamp string, original string, mimetype string, "
+        "statuscode int, digest string, meta_flags string, "
+        "compressed_offset long, filename string",
+    )
+    keys = sorted(r.urlkey for r in global_wayback_filter(df).collect())
+    assert keys == ["a)/mid", "b)/mid502"]

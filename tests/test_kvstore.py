@@ -186,3 +186,27 @@ def test_fully_pruned_and_empty_scans(spark, store, tmp_path):
         num_regions=2,
     )
     assert spark.read.format("sortedkv").load(empty).count() == 0
+
+
+def test_write_kvstore_sweeps_orphaned_tmp_files(spark, tmp_path):
+    """Leftover _tmp.* attempt files (killed speculative attempts) must be
+    swept by the next successful write's post-commit pass."""
+    import os
+
+    from ia_hadoop_tools_spark.operators import __name__ as _  # noqa: F401
+    from ia_hadoop_tools_spark.sources.kvstore import write_kvstore
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    orphan = os.path.join(store, "_tmp.999.region-00042.kvz")
+    with open(orphan, "wb") as f:
+        f.write(b"partial")
+    df = spark.createDataFrame(
+        [("k1", "c", 1, "v1"), ("k2", "c", 1, "v2")],
+        "rowkey string, column string, ts long, value string",
+    )
+    write_kvstore(df, store, num_regions=2)
+    names = set(os.listdir(store))
+    assert orphan.rsplit("/", 1)[-1] not in names
+    assert "_REGIONS" in names
+    assert not any(n.startswith("_tmp.") for n in names)

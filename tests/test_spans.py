@@ -160,3 +160,28 @@ def test_span_stats_null_text_scores_zero(spark):
     assert stats[1]["n_tokens"] == 0 and stats[1]["coverage"] == 0.0
     clean = {r["doc_id"]: r for r in span_dedup(docs, n=8).collect()}
     assert clean[1]["n_tokens"] == 0 and clean[1]["removed_tokens"] == 0
+
+
+def test_span_ops_expose_release_handles(spark):
+    """Loop callers must be able to unpersist the internal caches
+    (span_caches = (base, grams)); after releasing, no persisted RDDs
+    from the call remain."""
+    from tests.test_bloom_bpe import _n_persistent
+
+    from ia_hadoop_tools_spark.operators.spans import (
+        span_dedup,
+        span_dedup_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h a b c d e f g h"), (2, "a b c d e f g h x y")],
+        "doc_id long, text string",
+    )
+    before = _n_persistent(spark)
+    for fn in (span_dedup_stats, span_dedup):
+        out = fn(df, n=4)
+        out.count()
+        assert len(out.span_caches) == 2
+        for cached in out.span_caches:
+            cached.unpersist(blocking=True)
+        assert _n_persistent(spark) == before
