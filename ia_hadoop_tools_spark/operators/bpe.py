@@ -201,6 +201,10 @@ def bpe_train(
             break
         a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
         merges.append((a, b, n))
+        if step_i + 1 == num_merges:
+            # the final merged vocab is never read again — materializing
+            # it would be one wasted vocab-sized job per training call
+            break
         vocab = _merge_pair(vocab, a, b)
         if (step_i + 1) % materialize_every == 0:
             # eager cut: materializes BEFORE the parent is dropped, and
@@ -377,6 +381,9 @@ def bpe_train_batched(
         for a, b, n in batch:
             merges.append((a, b, n))
             vocab = _merge_pair(vocab, a, b)
+        if len(merges) >= num_merges:
+            # final vocab is never recounted — skip the materialize
+            break
         applied_since_cut += len(batch)
         if applied_since_cut >= materialize_every:
             vocab = vocab.localCheckpoint(eager=True)

@@ -69,19 +69,31 @@ def funnel_times(
         F.min("__ts").alias("t1")
     )
     deadline = F.col("t1") + F.make_interval(secs=F.lit(window_seconds))
+    # each iteration references `cur` exactly ONCE (left join + re-agg with
+    # the carried t-columns, constant per user): referencing it twice — in
+    # the step subquery AND the assembly join — duplicates the whole prior
+    # chain per step, i.e. 2^(k-1) copies of the step-1 subtree in the
+    # analyzed plan (driver-side blowup long before any data moves)
     for i, step in enumerate(steps[1:], start=2):
         prev = f"t{i - 1}"
-        prev_cols = ["__u", "t1"] + ([prev] if i > 2 else [])
-        stepped = (
-            ev.filter(F.col("__e") == step)
-            .join(cur.select(*prev_cols), "__u")
-            .filter(
-                (F.col("__ts") > F.col(prev)) & (F.col("__ts") <= deadline)
-            )
-            .groupBy("__u")
-            .agg(F.min("__ts").alias(f"t{i}"))
+        carried = [f"t{j}" for j in range(1, i)]
+        ev_k = ev.filter(F.col("__e") == step).select(
+            "__u", F.col("__ts").alias("__ts_k")
         )
-        cur = cur.join(stepped, "__u", "left")
+        cur = (
+            cur.join(ev_k, "__u", "left")
+            .groupBy("__u")
+            .agg(
+                *[F.max(c).alias(c) for c in carried],
+                F.min(
+                    F.when(
+                        (F.col("__ts_k") > F.col(prev))
+                        & (F.col("__ts_k") <= deadline),
+                        F.col("__ts_k"),
+                    )
+                ).alias(f"t{i}"),
+            )
+        )
     return cur.withColumnRenamed("__u", user_col)
 
 
@@ -128,16 +140,17 @@ def window_funnel_levels(
         F.col(ts_col).alias("__ts"),
     ).filter(F.col("__e").isin(step_list))
 
-    # 1-based step index; Spark timestamps are microsecond-resolution, so
-    # unix_micros loses nothing vs the pandas reference's ns ints
-    sidx = F.array_position(
-        F.array(*[F.lit(s) for s in step_list]), F.col("__e")
-    )
+    # events carry their NAME, not a precomputed step index: a step name
+    # may legitimately repeat in `steps` (view -> click -> view), and an
+    # index via array_position would pin every event to its FIRST match,
+    # making deeper repeated levels unreachable. Spark timestamps are
+    # microsecond-resolution, so unix_micros loses nothing vs the pandas
+    # reference's ns ints.
     per_user = ev.groupBy("__u").agg(
         F.sort_array(
             F.collect_list(
                 F.struct(
-                    F.unix_micros("__ts").alias("t"), sidx.cast("int").alias("s")
+                    F.unix_micros("__ts").alias("t"), F.col("__e").alias("nm")
                 )
             )
         ).alias("__evs")
@@ -159,16 +172,19 @@ def window_funnel_levels(
             acc["cur"].isNull() | (e["t"] == acc["cur"]), acc["olda"]
         ).otherwise(acc["newa"])
 
+        step_arr = F.array(*[F.lit(s) for s in step_list])
+
         def upd(v, i):
             # element_at is 1-based; greatest(i,1) keeps the index legal
-            # for the i==0 slot (whose branch never reads prev)
+            # for the i==0 slot (whose branch never reads prev). The event
+            # name is compared against THIS level's step name, so an event
+            # can feed every level whose step repeats its name.
             prev = F.element_at(committed, F.greatest(i, F.lit(1)))
-            cand = F.when(
-                (i == F.lit(0)) & (e["s"] == F.lit(1)), e["t"]
-            ).otherwise(
+            here = e["nm"] == F.element_at(step_arr, i + F.lit(1))
+            cand = F.when((i == F.lit(0)) & here, e["t"]).otherwise(
                 F.when(
                     (i > F.lit(0))
-                    & (e["s"] == i + F.lit(1))
+                    & here
                     & prev.isNotNull()
                     & (e["t"] <= prev + F.lit(win_us)),
                     prev,

@@ -256,6 +256,12 @@ def pagerank(
     ranks.pr_supersteps = supersteps
     ranks.pr_converged = converged
     ranks.pr_delta = delta
+    # release handles (the assign_cache convention): in lazy mode the
+    # internal persists stay pinned for the caller's action — a long-lived
+    # session unpersists them through pr_caches once done
+    ranks.pr_caches = (
+        () if (eager or not cache_edges) else (edges, outdeg, nodes)
+    )
     return ranks
 
 
@@ -326,6 +332,8 @@ def triangle_count(
         return pairs.sparkSession.createDataFrame(
             [(n,)], "n_triangles long"
         )
+    # release handle for lazy-mode loop callers (pr_caches convention)
+    out.tri_caches = (oriented,)
     return out
 
 

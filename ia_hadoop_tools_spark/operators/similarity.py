@@ -50,6 +50,9 @@ def _lsh_code_bits(vec_col, planes: list[list[float]]):
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        # the otherwise-branch fires for a null dot: either a length
+        # mismatch (zip_with null-pads) or a NaN component (NaN fails
+        # both sign comparisons) — name both so the error is actionable
         bits.append(
             F.when(dot >= 0.0, F.lit(1))
             .when(dot < 0.0, F.lit(0))
@@ -57,8 +60,10 @@ def _lsh_code_bits(vec_col, planes: list[list[float]]):
                 F.raise_error(
                     F.concat(
                         F.lit(
-                            f"LSH vector length != plane dim {dim} "
-                            "(pass dim= matching the embeddings): got "
+                            f"LSH code undefined: vector length != plane "
+                            f"dim {dim} (pass dim= matching the "
+                            "embeddings) or a NaN/null component; got "
+                            "length "
                         ),
                         F.size(vec_col).cast("string"),
                     )
@@ -66,6 +71,36 @@ def _lsh_code_bits(vec_col, planes: list[list[float]]):
             )
         )
     return bits
+
+
+def _band_keys(vec_col, num_planes: int, bands: int, dim: int, seed: int):
+    """Banded LSH keys: array of ``bands`` strings ``"<b>_<bit>..<bit>"``.
+
+    THE shared band-key builder (ann_lsh_topk / embedding_neardup_pairs /
+    semdedup's oversized path all use it, and the SQL oracles mirror its
+    exact format) — and the single home of the divisibility check:
+    ``bands`` not dividing ``num_planes`` would silently drop planes
+    (lower recall), and width 0 would make every key just the band index,
+    degenerating the "approximate" search into a full cross join.
+    """
+    if bands < 1 or num_planes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_planes (got num_planes={num_planes}, "
+            f"bands={bands})"
+        )
+    planes = hyperplanes(num_planes, dim, seed)
+    width = num_planes // bands
+    bits = _lsh_code_bits(vec_col, planes)
+    return F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[bits[b * width + i].cast("string") for i in range(width)],
+            )
+            for b in range(bands)
+        ]
+    )
 
 
 def ann_bruteforce_topk(
@@ -102,6 +137,10 @@ def ann_bruteforce_topk(
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(query_id_col, "neighbor_id", F.round(cos, 6).alias("cosine"))
+        # zero-norm rows have no defined similarity (guarded null cosine):
+        # drop them rather than ranking them as "neighbors" — the same
+        # policy assign_clusters/semdedup document for zero vectors
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -126,51 +165,54 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows sharing >=1 LSH band with the
     query. Same output shape as :func:`ann_bruteforce_topk`; recall < 1 by
-    design (more planes/bands => higher recall, more candidates)."""
+    design (more planes/bands => higher recall, more candidates).
+
+    Candidates-then-verify shape (the ``embedding_neardup_pairs``
+    discipline): band rows carry ONLY (id, bucket) — the collision join
+    and the distinct-pair dedup shuffle skinny rows, never vectors — and
+    the cosine runs once per DISTINCT candidate after vectors join back.
+    """
     from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
 
-    planes = hyperplanes(num_planes, dim, seed)
-    width = num_planes // bands
-
-    def with_bands(df: DataFrame, ident: str) -> DataFrame:
-        bits = _lsh_code_bits(F.col(vec_col), planes)
-        band_keys = F.array(
-            *[
-                F.concat_ws(
-                    "_",
-                    F.lit(b),
-                    *[bits[b * width + i].cast("string") for i in range(width)],
-                )
-                for b in range(bands)
-            ]
-        )
-        # norm once per vector, BEFORE banding/joining — candidates then
-        # cost one dot product each (bit-identical cosine, same fold order)
-        return df.select(
-            F.col(id_col).alias(ident),
-            F.col(vec_col).alias(f"__vec_{ident}"),
-            l2_norm(F.col(vec_col)).alias(f"__n_{ident}"),
-            F.explode(band_keys).alias("bucket"),
-        )
-
-    qb = with_bands(queries, query_id_col)
-    cb = with_bands(corpus, "neighbor_id")
-    denom = F.col("__n_neighbor_id") * F.col(f"__n_{query_id_col}")
-    cos = F.when(
-        denom != 0.0,
-        dot_product(F.col("__vec_neighbor_id"), F.col(f"__vec_{query_id_col}"))
-        / denom,
+    band_keys = _band_keys(F.col(vec_col), num_planes, bands, dim, seed)
+    qb = queries.select(
+        F.col(id_col).alias(query_id_col), F.explode(band_keys).alias("bucket")
+    )
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.explode(band_keys).alias("bucket")
     )
     cand = (
         cb.join(F.broadcast(qb), on="bucket")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    # norm once per vector, not per pair — candidates then cost one dot
+    # product each (bit-identical cosine, same fold order)
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    denom = F.col("__cn") * F.col("__qn")
+    cos = F.when(
+        denom != 0.0, dot_product(F.col("__cvec"), F.col("__qvec")) / denom
+    )
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), query_id_col)
         .select(query_id_col, "neighbor_id", F.round(cos, 6).alias("cosine"))
+        # zero-norm rows: no defined similarity — drop, as in bruteforce
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def _hash_centroids(
@@ -429,17 +471,7 @@ def embedding_neardup_pairs(
     LSH-bucketed self-join: near-identical vectors agree on almost all sign
     bits, so they collide in >=1 band with high probability; each bucket's
     pairs are verified with the true cosine."""
-    planes = hyperplanes(num_planes, dim, seed)
-    width = num_planes // bands
-    bits = _lsh_code_bits(F.col(vec_col), planes)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_", F.lit(b), *[bits[b * width + i].cast("string") for i in range(width)]
-            )
-            for b in range(bands)
-        ]
-    )
+    band_keys = _band_keys(F.col(vec_col), num_planes, bands, dim, seed)
     from pyspark import StorageLevel
 
     # The band self-join emits one row per COLLISION (a pair colliding in k
@@ -564,24 +596,7 @@ def _semdedup_oversized_dups(
     """
     from pyspark.sql import Observation
 
-    if num_planes % bands != 0:
-        raise ValueError(
-            f"bands must divide num_planes (got num_planes={num_planes}, "
-            f"bands={bands})"
-        )
-    planes = hyperplanes(num_planes, dim, seed)
-    width = num_planes // bands
-    bits = _lsh_code_bits(F.col(vec_col), planes)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                F.lit(b),
-                *[bits[b * width + i].cast("string") for i in range(width)],
-            )
-            for b in range(bands)
-        ]
-    )
+    band_keys = _band_keys(F.col(vec_col), num_planes, bands, dim, seed)
     # skinny band rows: (cluster_id, bucket, id) — vectors join back only
     # for the per-distinct-pair verify (candidates-then-verify, as in
     # embedding_neardup_pairs)

@@ -479,6 +479,88 @@ def test_window_funnel_sql_fold_matches_pandas_dp(spark):
         assert sql_lv == pd_lv, f"trial {trial}"
 
 
+def test_window_funnel_repeated_step_names(spark):
+    """A step name may repeat in `steps` (view -> click -> view): the SQL
+    fold must match the pandas DP, which compares names per level — an
+    index-based mapping pins events to their first match and caps the
+    depth (the review repro)."""
+    import datetime as dt
+
+    from ia_hadoop_tools_spark.operators.funnel import (
+        window_funnel_levels,
+        window_funnel_levels_pandas,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "view", base),
+        (1, "click", base + dt.timedelta(seconds=1)),
+        (1, "view", base + dt.timedelta(seconds=2)),
+        (2, "view", base),
+        (2, "view", base + dt.timedelta(seconds=1)),  # no click between
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    steps = ["view", "click", "view"]
+    got = {
+        r["user_id"]: r["level"]
+        for r in window_funnel_levels(df, steps, 60).collect()
+    }
+    ref = {
+        r["user_id"]: r["level"]
+        for r in window_funnel_levels_pandas(df, steps, 60).collect()
+    }
+    assert got == ref == {1: 3, 2: 1}
+
+    # randomized repeats
+    rng = random.Random(47)
+    events = [
+        (rng.randrange(6), rng.choice(["A", "B", "A", "X"]), rng.randrange(0, 30))
+        for _ in range(200)
+    ]
+    df2 = spark.createDataFrame(
+        [(u, e, base + dt.timedelta(seconds=t)) for u, e, t in events],
+        "user_id long, event_type string, ts timestamp",
+    )
+    for steps2 in (["A", "B", "A"], ["A", "A"], ["B", "A", "B", "A"]):
+        got2 = {
+            r["user_id"]: r["level"]
+            for r in window_funnel_levels(df2, steps2, 10).collect()
+        }
+        ref2 = {
+            r["user_id"]: r["level"]
+            for r in window_funnel_levels_pandas(df2, steps2, 10).collect()
+        }
+        assert got2 == ref2, steps2
+
+
+def test_funnel_times_plan_growth_is_linear(spark):
+    """Each funnel step must reference the prior chain ONCE — a 10-step
+    funnel whose plan still analyzes in bounded time (the old shape held
+    2^(k-1) copies of the step-1 subtree)."""
+    import datetime as dt
+    import time
+
+    from ia_hadoop_tools_spark.operators.funnel import funnel_times
+
+    base = dt.datetime(2024, 1, 1)
+    steps = [f"s{i}" for i in range(10)]
+    rows = [
+        (u, f"s{i}", base + dt.timedelta(seconds=u + i))
+        for u in range(5)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    t0 = time.monotonic()
+    out = funnel_times(df, steps, 3600)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert time.monotonic() - t0 < 30
+    # step-1 filter appears exactly once in the analyzed tree
+    assert plan.count("s0") <= 4
+    rows_out = out.collect()
+    assert len(rows_out) == 5
+    assert all(r["t10"] is not None for r in rows_out)
+
+
 def test_window_funnel_is_pure_codegen(spark):
     """No Python stage: the executed plan must contain no
     FlatMapGroupsInPandas / ArrowEvalPython / BatchEvalPython node."""

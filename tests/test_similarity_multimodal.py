@@ -337,6 +337,60 @@ def test_ann_ivf_zero_vector_never_poisons_ranking(spark):
         assert r["cosine"] == r["cosine"]  # not NaN
 
 
+def test_lsh_bands_must_divide_num_planes_everywhere(spark):
+    """All three LSH entry points share _band_keys and its validation:
+    bands=20 over 16 planes would make every band key just the band index
+    (full cross join); bands=5 would silently drop a plane."""
+    import pytest
+
+    from ia_hadoop_tools_spark.operators.similarity import (
+        ann_lsh_topk,
+        embedding_neardup_pairs,
+    )
+
+    df = _vectors(spark)
+    for bad_bands in (20, 5, 0):
+        with pytest.raises(ValueError, match="bands must divide"):
+            ann_lsh_topk(df, df.limit(1), k=2, dim=4, num_planes=16, bands=bad_bands)
+        with pytest.raises(ValueError, match="bands must divide"):
+            embedding_neardup_pairs(df, dim=4, num_planes=16, bands=bad_bands)
+
+
+def test_ann_topk_drops_zero_norm_neighbors(spark):
+    """Zero-norm corpus vectors have no defined similarity: they must not
+    appear as ranked neighbors in either the brute-force or LSH path."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (9, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    brute = ann_bruteforce_topk(df, q, k=3).collect()
+    assert {r.neighbor_id for r in brute} == {1}
+    assert all(r.cosine is not None for r in brute)
+    lsh = ann_lsh_topk(df, q, k=3, dim=4, num_planes=8, bands=8).collect()
+    assert 9 not in {r.neighbor_id for r in lsh}
+    assert all(r.cosine is not None for r in lsh)
+
+
+def test_ann_lsh_candidate_shuffle_carries_no_vectors(spark):
+    """Candidates-then-verify: the band-collision dedup must shuffle only
+    (query_id, neighbor_id) — no embedding arrays ride the exchange."""
+    df = _vectors(spark)
+    plan = (
+        ann_lsh_topk(df, df.limit(2), k=2, dim=4, num_planes=8, bands=4)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the dedup aggregate groups exactly the two id columns
+    import re
+
+    m = re.search(r"Aggregate \[query_id[^\n]*", plan)
+    assert m and "embedding" not in m.group(0), plan
+
+
 def test_lsh_dim_mismatch_raises_not_silent_cross_join(spark):
     import pytest
 
