@@ -106,8 +106,11 @@ def _video_feature(data: bytes, dim: int) -> list[float]:
     with av.open(io.BytesIO(data)) as container:
         for frame in container.decode(video=0):
             arr = frame.to_ndarray(format="gray").astype(np.float64)
+            # frames narrower than dim yield EMPTY strips whose mean is
+            # NaN (silent, no exception) — guard like _wav_feature does
             return [
-                float(s.mean()) / 255.0 for s in np.array_split(arr, dim, axis=1)
+                float(s.mean()) / 255.0 if s.size else 0.0
+                for s in np.array_split(arr, dim, axis=1)
             ]
     raise ValueError("no video frames decoded")
 
@@ -142,7 +145,9 @@ def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
 
     _check_decoder(decoder)
-    df = ensure_min_partitions(df)
+    # project BEFORE spreading: the round-robin repartition would
+    # otherwise shuffle every metadata column just to drop it next line
+    df = ensure_min_partitions(df.select("asset_id", "media_type", "payload"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -182,7 +187,15 @@ def frame_sample(df: DataFrame, every_n: int = 10, decoder: str = "fake") -> Dat
     of the grayscale pixel buffer; a corrupt payload contributes zero
     rows (per-record errors belong to :func:`decode_features`).
     """
+    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
+
     _check_decoder(decoder)
+    if every_n < 1:
+        # validated on the DRIVER: every_n=0 on the real path would be a
+        # ZeroDivisionError swallowed by the corrupt-container catch
+        # (silently empty output), and an executor-side ValueError on the
+        # fake path
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     def fake_frames(data: bytes):
         n_frames = max(1, len(data) // 1024)
@@ -215,9 +228,11 @@ def frame_sample(df: DataFrame, every_n: int = 10, decoder: str = "fake") -> Dat
                 {"asset_id": ids, "frame_index": idxs, "frame_digest": digests}
             )
 
-    return df.filter("media_type = 'video'").select("asset_id", "payload").mapInPandas(
-        run, schema=FRAME_SAMPLE_SCHEMA
+    # same CPU-bound spread as decode_features (project first)
+    src = ensure_min_partitions(
+        df.filter("media_type = 'video'").select("asset_id", "payload")
     )
+    return src.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
 
 
 def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake") -> DataFrame:
@@ -229,7 +244,11 @@ def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake")
     dimensions (detectable: width/height unchanged) rather than failing
     the pass.
     """
+    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
+
     _check_decoder(decoder)
+    if width < 1 or height < 1:
+        raise ValueError(f"width/height must be >= 1, got {width}x{height}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -265,11 +284,12 @@ def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake")
                 out["height"] = height
             yield out
 
-    return (
-        df.filter("media_type = 'image'")
-        .select("asset_id", "media_type", "payload", "width", "height")
-        .mapInPandas(
-            run,
-            schema="asset_id long, media_type string, payload binary, width int, height int",
+    src = ensure_min_partitions(
+        df.filter("media_type = 'image'").select(
+            "asset_id", "media_type", "payload", "width", "height"
         )
+    )
+    return src.mapInPandas(
+        run,
+        schema="asset_id long, media_type string, payload binary, width int, height int",
     )

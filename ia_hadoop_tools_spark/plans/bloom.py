@@ -287,13 +287,18 @@ def bloom_semi_join(
     mask: bytes | None = None,
 ) -> DataFrame:
     """``probe LEFT SEMI JOIN build`` with a Bloom prune before the
-    shuffle.  Bit-identical to the plain semi-join (false positives are
-    removed by the exact join; false negatives are impossible — the
-    mask header pins the hash count and key type the probe must use).
+    shuffle.  When the mask is built HERE (``mask=None``), the result is
+    bit-identical to the plain semi-join: false positives are removed by
+    the exact join, and false negatives are impossible because the mask
+    header pins the hash count and key type the probe must use.
 
     ACTION on first use: builds the mask (one job over ``build``) unless
     a prebuilt ``mask`` from :func:`bloom_build` is passed — the
-    cross-job reuse path.
+    cross-job reuse path.  ON THAT PATH the caller owns mask freshness:
+    a stale mask missing keys that ``build`` has since gained WILL drop
+    matching probe rows (the verify join can only remove false
+    positives, never restore pruned rows).  Fold new build batches in
+    with :func:`bloom_extend` — that is exactly what it exists for.
     """
     # both frames are in hand here, so compare dtypes EXACTLY — the
     # 1-byte header tag is only a screen for the cross-job mask path

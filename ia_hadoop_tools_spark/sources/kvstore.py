@@ -54,7 +54,15 @@ REGIONS_FILE = "_REGIONS"
 
 
 def _esc(v: str) -> str:
-    return v.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+    # \r included: a raw carriage return in a VALUE would otherwise be
+    # treated as a line terminator by a universal-newline reader,
+    # truncating the value and crashing on the orphaned remainder
+    return (
+        v.replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
 
 
 def _unesc(v: str) -> str:
@@ -65,7 +73,7 @@ def _unesc(v: str) -> str:
             out.append(ch)
             continue
         nxt = next(it, "")
-        out.append({"t": "\t", "n": "\n", "\\": "\\"}.get(nxt, nxt))
+        out.append({"t": "\t", "n": "\n", "r": "\r", "\\": "\\"}.get(nxt, nxt))
     return "".join(out)
 
 
@@ -128,6 +136,16 @@ def write_kvstore(
                         "write_kvstore: rowkey/column must be non-null "
                         f"(got rowkey={row.rowkey!r}, column={row.column!r})"
                     )
+                # enforce the documented no-separator contract loudly: a
+                # tab/newline in a key would shift fields on read (binary
+                # keys must be base64-coded by the caller)
+                for bad in ("\t", "\n", "\r"):
+                    if bad in row.rowkey or bad in row.column:
+                        raise ValueError(
+                            "write_kvstore: rowkey/column must not contain "
+                            f"tab/newline (got rowkey={row.rowkey!r}, "
+                            f"column={row.column!r})"
+                        )
                 if first is None:
                     first = row.rowkey
                 last = row.rowkey
@@ -214,7 +232,11 @@ class SortedKVReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("sortedkv source requires .load(<store dir>)")
-        self.limit = int(options["limit"]) if options.get("limit") else None
+        # "is not None"-style presence check: the option arrives as a
+        # string, so a plain truthiness test would drop limit="0"
+        self.limit = (
+            int(options["limit"]) if options.get("limit") is not None else None
+        )
         # comma-separated qualifier projection (HBaseStorage's columnList):
         # non-matching cells are dropped DURING the region stream, before
         # any row reaches Spark
@@ -278,9 +300,13 @@ class SortedKVReader(DataSourceReader):
         with fs.open_input_stream(p) as raw:
             # stream-decode: the upper-bound early-break means a bounded
             # scan never decompresses the rest of the region
+            # newline="\n": the writer terminates records with \n only;
+            # universal-newline mode would additionally split on any raw
+            # \r that predates the _esc CR coverage
             text = io.TextIOWrapper(
                 io.BufferedReader(gzip.GzipFile(fileobj=raw)),
                 encoding="utf-8",
+                newline="\n",
             )
             for line in text:
                 rowkey, column, ts, value = line.rstrip("\n").split("\t", 3)
@@ -293,10 +319,11 @@ class SortedKVReader(DataSourceReader):
                         break  # sorted region: nothing later can match
                 if self.columns is not None and column not in self.columns:
                     continue
-                yield (rowkey, column, int(ts), _unesc(value))
-                n += 1
+                # limit checked BEFORE the yield so limit=0 scans empty
                 if self.limit is not None and n >= self.limit:
                     break
+                yield (rowkey, column, int(ts), _unesc(value))
+                n += 1
 
 
 class SortedKVDataSource(DataSource):

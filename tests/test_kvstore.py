@@ -210,3 +210,59 @@ def test_write_kvstore_sweeps_orphaned_tmp_files(spark, tmp_path):
     assert orphan.rsplit("/", 1)[-1] not in names
     assert "_REGIONS" in names
     assert not any(n.startswith("_tmp.") for n in names)
+
+
+def test_kvstore_carriage_return_in_value_roundtrips(spark, tmp_path):
+    """A raw \\r in a value must survive the store roundtrip — it used to
+    be read as a line terminator, truncating the value and crashing on
+    the orphaned remainder."""
+    from ia_hadoop_tools_spark.sources.kvstore import (
+        register_sortedkv,
+        write_kvstore,
+    )
+
+    store = str(tmp_path / "crstore")
+    df = spark.createDataFrame(
+        [("k1", "c", 1, "a\rb"), ("k2", "c", 1, "x\r\ny"), ("k3", "c", 1, "z")],
+        "rowkey string, column string, ts long, value string",
+    )
+    write_kvstore(df, store, num_regions=1)
+    register_sortedkv(spark)
+    got = {
+        r["rowkey"]: r["value"]
+        for r in spark.read.format("sortedkv").load(store).collect()
+    }
+    assert got == {"k1": "a\rb", "k2": "x\r\ny", "k3": "z"}
+
+
+def test_kvstore_rejects_separator_in_keys(spark, tmp_path):
+    import pytest
+
+    from ia_hadoop_tools_spark.sources.kvstore import write_kvstore
+
+    for badkey in ("a\tb", "a\nb", "a\rb"):
+        df = spark.createDataFrame(
+            [(badkey, "c", 1, "v")],
+            "rowkey string, column string, ts long, value string",
+        )
+        with pytest.raises(Exception, match="must not contain"):
+            write_kvstore(df, str(tmp_path / "bad"), num_regions=1)
+
+
+def test_kvstore_limit_zero_scans_empty(spark, tmp_path):
+    from ia_hadoop_tools_spark.sources.kvstore import (
+        register_sortedkv,
+        write_kvstore,
+    )
+
+    store = str(tmp_path / "lim0")
+    df = spark.createDataFrame(
+        [("k1", "c", 1, "v1"), ("k2", "c", 1, "v2")],
+        "rowkey string, column string, ts long, value string",
+    )
+    write_kvstore(df, store, num_regions=2)
+    register_sortedkv(spark)
+    out = (
+        spark.read.format("sortedkv").option("limit", "0").load(store).collect()
+    )
+    assert out == []

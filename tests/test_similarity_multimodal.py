@@ -494,3 +494,18 @@ def test_semdedup_zero_vector_not_marked_duplicate(spark):
     # and the guarded cosine keeps NaN out of every other verdict
     assert 99 not in out
     assert set(out) == {i for i in range(12)}
+
+
+def test_frame_sample_rejects_bad_every_n(spark):
+    import pytest
+
+    from ia_hadoop_tools_spark.operators.multimodal import (
+        frame_sample,
+        resize_images,
+    )
+
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="every_n"):
+            frame_sample(_media(spark), every_n=bad)
+    with pytest.raises(ValueError, match="width/height"):
+        resize_images(_media(spark), 0, 64)
