@@ -64,13 +64,15 @@ def build_postings(
 
 
 def bm25_topk(
-    df: DataFrame,
+    df: DataFrame | None,
     query_terms: Sequence[str],
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    postings: DataFrame | None = None,
+    doclens: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents by BM25 (Robertson-Sparck Jones idf, the standard
     `ln(1 + (N-df+0.5)/(df+0.5))` form) for a bag of query terms.
@@ -80,12 +82,24 @@ def bm25_topk(
     the postings actually hold; a term repeated in the bag weights its
     per-term summand by its multiplicity (bag-of-words BM25).
 
+    STANDING-INDEX PATH: pass ``postings``/``doclens`` (the two frames
+    :func:`build_postings` returns, typically read back from parquet
+    bucketed by token/id) and ``df`` as None — the query then touches
+    only the skinny tables instead of re-tokenizing the corpus twice per
+    query (the inline path's doclens and tf aggregations cannot share
+    one exchange). Scores are identical either way: both paths feed the
+    same exact-integer (tf, df, doclen) inputs into the ranking math.
+
     Returns (id_col, bm25) with bm25 rounded to 6 decimals, ordered
     score-desc then id-asc (deterministic k boundary)."""
     import re
 
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    if (postings is None) != (doclens is None):
+        raise ValueError("pass BOTH postings and doclens, or neither")
+    if postings is None and df is None:
+        raise ValueError("pass a corpus df, or postings+doclens")
     weights: dict[str, int] = {}
     for q in query_terms:
         for t in re.split(TOKEN_SPLIT, str(q).lower()):
@@ -96,20 +110,29 @@ def bm25_topk(
             f"query_terms {list(query_terms)!r} contain no tokens after "
             "tokenizer normalization"
         )
+    session = (df if df is not None else postings).sparkSession
     qterms = F.broadcast(
-        df.sparkSession.createDataFrame(
+        session.createDataFrame(
             sorted(weights.items()), "token string, __qw long"
         )
     )
-    toks = tokenize(df, id_col, text_col)
-    doclens = toks.groupBy(id_col).agg(F.count("*").alias("__dl"))
+    if postings is None:
+        toks = tokenize(df, id_col, text_col)
+        doclens = toks.groupBy(id_col).agg(F.count("*").alias("__dl"))
+        tf = (
+            toks.join(qterms, "token")
+            .groupBy(id_col, "token")
+            .agg(F.count("*").alias("__tf"), F.first("__qw").alias("__qw"))
+        )
+    else:
+        doclens = doclens.select(
+            F.col(id_col), F.col("doclen").alias("__dl")
+        )
+        tf = postings.join(qterms, "token").select(
+            F.col(id_col), "token", F.col("tf").alias("__tf"), "__qw"
+        )
     stats = doclens.agg(
         F.count("*").alias("__n"), F.sum("__dl").alias("__sumdl")
-    )
-    tf = (
-        toks.join(qterms, "token")
-        .groupBy(id_col, "token")
-        .agg(F.count("*").alias("__tf"), F.first("__qw").alias("__qw"))
     )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("__df"))
     avgdl = F.col("__sumdl").cast("double") / F.col("__n")

@@ -89,6 +89,17 @@ def zorder_code(
     one min/max aggregation (the bounded-metadata driver step).
     """
     ranges = dict(ranges or {})
+    # validate + coerce USER-supplied ranges like inferred ones: an
+    # inverted (hi < lo) range would silently collapse the dimension to a
+    # single Z-code (clamped = lo everywhere) and kill pruning with no
+    # error, and a float range would poison the integer index arithmetic
+    for c, (lo, hi) in list(ranges.items()):
+        lo, hi = int(lo), int(hi)
+        if hi < lo:
+            raise ValueError(
+                f"z-order range for {c!r} is inverted: ({lo}, {hi})"
+            )
+        ranges[c] = (lo, hi)
     missing = [c for c in cols if c not in ranges]
     if missing:
         row = df.agg(
@@ -124,11 +135,16 @@ def write_zordered(
     verify with the footer-stats audit in tests/test_zorder.py.
     """
     df, zkey = zorder_code(df, cols, bits, ranges)
+    # pick a scratch column name not colliding with input data — a user
+    # column named "__z" would be silently overwritten then dropped
+    zcol = "__z"
+    while zcol in df.columns:
+        zcol = "_" + zcol
     (
-        df.withColumn("__z", zkey)
-        .repartitionByRange(num_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
+        df.withColumn(zcol, zkey)
+        .repartitionByRange(num_files, zcol)
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -28,8 +28,6 @@ is still refreshed as an ops convenience, but nothing depends on it.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from ia_hadoop_tools_spark.operators.dedup_index import (
@@ -129,35 +127,72 @@ def rolling_dedup_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
+        from ia_hadoop_tools_spark.operators.textops import minhash_lsh_pairs
+
+        original = batch_df.persist()
         # in-batch exact self-dedup FIRST (keep the min id per text):
         # two copies arriving in one batch must not both survive — the
         # index only covers already-ingested docs, so without this the
         # steady-state path would admit intra-batch duplicates
-        batch_df = (
-            batch_df.select(id_col, text_col)
+        slim = (
+            original.select(id_col, text_col)
             .groupBy(text_col)
             .agg(F.min(id_col).alias(id_col))
             .select(id_col, text_col)
             .persist()
         )
+        novel = None
+        caches = []
         try:
-            if fsio.exists(fsio.join(index_root, CURRENT)):
+            # index existence gate = the PUBLISHED-marker protocol, never
+            # the best-effort CURRENT pointer: a missing pointer (crash
+            # between commit and pointer refresh, or an HDFS re-rename
+            # failure) must NOT silently reset the dedup corpus
+            latest = latest_published_dir(index_root)
+            has_legacy = latest is None and fsio.exists(
+                fsio.join(index_root, CURRENT)
+            )
+            if latest is not None or has_legacy:
                 idx = load_current_index(spark, index_root)
                 verdict = novel_docs_indexed(
-                    batch_df, idx, id_col, text_col, threshold
+                    slim, idx, id_col, text_col, threshold
                 )
                 novel_ids = verdict.filter("is_novel").select(id_col)
-                novel = batch_df.join(novel_ids, id_col)
+                novel = slim.join(novel_ids, id_col)
             else:
                 idx = None
-                novel = batch_df
-            novel = novel.persist()
+                novel = slim
+            # in-batch NEAR-dup self-probe (same parameters as the index):
+            # two near-identical docs arriving in ONE batch are invisible
+            # to the corpus index, which only covers prior batches. Keep
+            # rule = semdedup's: a doc is dropped iff some smaller-id
+            # same-batch doc is within threshold of it.
+            pairs = minhash_lsh_pairs(
+                novel,
+                id_col=id_col,
+                text_col=text_col,
+                num_perm=num_perm,
+                bands=bands,
+                shingle_words=shingle_words,
+                threshold=threshold,
+            )
+            if hasattr(pairs, "shingle_cache"):
+                caches.append(pairs.shingle_cache)
+            in_batch_dups = pairs.select(
+                F.col("id_b").alias(id_col)
+            ).distinct()
+            novel = novel.join(in_batch_dups, id_col, "left_anti").persist()
             if novel.take(1):
                 # per-batch subdir + overwrite = IDEMPOTENT append:
                 # foreachBatch is at-least-once, so a replayed batch (crash
                 # between this write and the index publish) overwrites its
-                # own partition instead of duplicating rows
-                novel.write.mode("overwrite").parquet(
+                # own partition instead of duplicating rows. The corpus
+                # keeps EVERY input column (surviving ids join back to the
+                # raw batch); the index needs only (id, text).
+                novel_full = original.join(
+                    novel.select(id_col), id_col
+                )
+                novel_full.write.mode("overwrite").parquet(
                     fsio.join(corpus_path, f"batch_id={batch_id}")
                 )
                 grown = (
@@ -169,11 +204,17 @@ def rolling_dedup_stream(
                     )
                 )
                 publish_index(grown, index_root, keep_versions=keep_versions)
-            novel.unpersist()
         finally:
-            batch_df.unpersist()
+            # unpersist in a finally: at-least-once replays after a
+            # transient write/publish failure must not leak cache entries
+            if novel is not None:
+                novel.unpersist()
+            for c in caches:
+                c.unpersist()
+            slim.unpersist()
+            original.unpersist()
 
-    os.makedirs(index_root, exist_ok=True)
+    fsio.makedirs(index_root)
     return (
         spark.readStream.schema(schema)
         .parquet(input_path)

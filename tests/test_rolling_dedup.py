@@ -98,3 +98,47 @@ def test_rolling_dedup_cycles(spark, tmp_path):
     assert publish_index(idx2, index_root) == "v003"
     idx3 = load_current_index(spark, index_root)
     assert idx3.buckets.select("cid").distinct().count() == 3
+
+
+def test_rolling_dedup_in_batch_near_dups_and_marker_gate(spark, tmp_path):
+    """Two review repros: (1) near-dup pairs arriving in ONE batch must
+    not both be ingested (min-id survives, the semdedup keep rule);
+    (2) the index-existence gate is the _PUBLISHED marker protocol — a
+    deleted CURRENT pointer must NOT reset the dedup corpus; (3) extra
+    input columns survive into the corpus."""
+    inp = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    index_root = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, url string"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    # batch 1: a near-dup PAIR inside the batch + one distinct doc
+    write(
+        [
+            (1, BASE, "u1"),
+            (2, BASE + " tail", "u2"),  # near-dup of 1, same batch
+            (3, "a completely different document body", "u3"),
+        ]
+    )
+    q = rolling_dedup_stream(
+        spark, inp, corpus, index_root, ckpt, schema
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r.url for r in spark.read.parquet(corpus).collect()}
+    assert set(got) == {1, 3}  # 2 dropped in-batch (near-dup of min id 1)
+    assert got[1] == "u1"  # extra columns carried into the corpus
+
+    # kill the ops pointer; the marker-resolved index must still gate
+    os.remove(os.path.join(index_root, "CURRENT"))
+    write([(10, BASE, "u10"), (11, "genuinely new material here", "u11")])
+    q = rolling_dedup_stream(
+        spark, inp, corpus, index_root, ckpt, schema
+    )
+    q.awaitTermination()
+    kept = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert kept == {1, 3, 11}  # 10 still recognized as a dup of 1

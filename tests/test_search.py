@@ -74,3 +74,41 @@ def test_bm25_plan_bounded_topk(docs):
 def test_bm25_empty_query_raises(docs):
     with pytest.raises(ValueError):
         bm25_topk(docs, [])
+
+
+def test_bm25_standing_index_path_matches_inline(spark, sf_dir):
+    """The postings/doclens standing-index path must score identically to
+    the inline corpus path, without re-tokenizing (no explode in plan)."""
+    import pytest
+
+    from ia_hadoop_tools_spark.operators.search import (
+        bm25_topk,
+        build_postings,
+    )
+    from ia_hadoop_tools_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].limit(200)
+    terms = ["spark batch", "sort"]
+    inline = [tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
+    postings, doclens = build_postings(docs)
+    # persist the index as a real standing table (parquet roundtrip) so
+    # the query plan below provably reads tables, not the tokenizer
+    import tempfile
+
+    tdir = tempfile.mkdtemp(prefix="bm25idx-")
+    postings.write.mode("overwrite").parquet(f"{tdir}/postings")
+    doclens.write.mode("overwrite").parquet(f"{tdir}/doclens")
+    postings = spark.read.parquet(f"{tdir}/postings")
+    doclens = spark.read.parquet(f"{tdir}/doclens")
+    standing_df = bm25_topk(
+        None, terms, k=10, postings=postings, doclens=doclens
+    )
+    standing = [tuple(r) for r in standing_df.collect()]
+    assert standing == inline
+    plan = standing_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "explode" not in plan.lower() or "Generate" not in plan
+
+    with pytest.raises(ValueError, match="BOTH postings"):
+        bm25_topk(docs, terms, postings=postings)
+    with pytest.raises(ValueError, match="corpus df"):
+        bm25_topk(None, terms)
