@@ -85,14 +85,16 @@ def stream_ingest_available_now(
         stream = transform(stream)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        import os
+        from ia_hadoop_tools_spark.sources import fsio
 
         cols = [F.col(c) for c in sort_cols]
         (
             batch_df.repartitionByRange(*cols)
             .sortWithinPartitions(*cols)
             .write.mode("overwrite")
-            .parquet(os.path.join(output_path, f"batch_id={batch_id}"))
+            # fsio.join: URI-aware ("/" separators on every scheme), like
+            # the sibling streaming sinks
+            .parquet(fsio.join(output_path, f"batch_id={batch_id}"))
         )
 
     return (

@@ -96,13 +96,32 @@ def sessionize_stateful(
 ):
     """Custom stateful sessionization over ``applyInPandasWithState``.
 
-    Input: a streaming (or batch-grouped) DataFrame with integer microsecond
-    timestamps. Per group and micro-batch: merge arriving events (sorted by
-    ``ts_us``) into the carried session; each in-batch gap > ``gap_us`` closes
-    the previous session (emitted with status='closed'); the still-open tail is
-    emitted as status='open' and kept in state for the next batch.
+    STREAMING-ONLY (``applyInPandasWithState`` has no batch mode — Spark
+    raises on a batch DataFrame; use :func:`sessionize_events` there).
+    Input: a streaming DataFrame (or pre-grouped data) with integer
+    microsecond timestamps. Per group and micro-batch: ALL arriving
+    chunks are concatenated and sorted by ``ts_us`` first (a group can
+    span multiple Arrow batches, and chunk-local sorting would corrupt
+    boundaries), then merged into the carried session; each in-batch gap
+    > ``gap_us`` closes the previous session (status='closed'); the
+    still-open tail is emitted as status='open' and kept in state.
+    A LATE event (ts <= carried session end) inside the gap extends the
+    session's count/total but never rewinds its end (``max(end, ts)``)
+    — there is no watermark on this path, so cross-batch late data is
+    expected and must not shrink sessions or fabricate closes.
+
+    ``timeout`` must be a valid ``GroupStateTimeout`` member name
+    (validated — a typo silently degrading to NoTimeout would disable
+    eviction); timeout-driven eviction handling itself is the caller's
+    extension point, per the module docstring's "template" contract.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not hasattr(GroupStateTimeout, timeout):
+        raise ValueError(
+            f"unknown timeout {timeout!r}; expected a GroupStateTimeout "
+            "member name like 'NoTimeout' or 'ProcessingTimeTimeout'"
+        )
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
@@ -115,9 +134,17 @@ def sessionize_stateful(
             end = n = 0
             total = 0.0
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_us_col)
-            for ts, val in zip(pdf[ts_us_col], pdf[value_col]):
+        # one GLOBAL sort across all of the group's Arrow chunks: a group
+        # bigger than maxRecordsPerBatch arrives as several pdfs, and
+        # sorting each alone interleaves out-of-order events
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values(ts_us_col, kind="mergesort")
+            for ts, val in zip(allpdf[ts_us_col], allpdf[value_col]):
                 ts = int(ts)
                 if start is None:
                     start, end, n, total = ts, ts, 1, float(val)
@@ -125,7 +152,13 @@ def sessionize_stateful(
                     out.append((user_id, start, end, n, round(total, 2), "closed"))
                     start, end, n, total = ts, ts, 1, float(val)
                 else:
-                    end, n, total = ts, n + 1, total + float(val)
+                    # late event (ts <= end): joins the session, never
+                    # rewinds it — an unconditional end=ts would let the
+                    # next on-time event measure its gap from the rewound
+                    # end and falsely close (or emit end_us < start_us);
+                    # an event before the carried start extends it backward
+                    start = min(start, ts)
+                    end, n, total = max(end, ts), n + 1, total + float(val)
         if start is not None:
             state.update((start, end, n, float(total)))
             out.append((user_id, start, end, n, round(total, 2), "open"))
@@ -140,11 +173,10 @@ def sessionize_stateful(
     src = grouped_or_df
     if isinstance(src, DataFrame):
         src = src.groupBy(user_col)
-    timeout_conf = getattr(GroupStateTimeout, timeout, GroupStateTimeout.NoTimeout)
     return src.applyInPandasWithState(
         fn,
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=timeout_conf,
+        timeoutConf=getattr(GroupStateTimeout, timeout),
     )

@@ -27,6 +27,30 @@ from ia_hadoop_tools_spark.sources import fsio
 PUBLISHED_MARKER = "_PUBLISHED"
 
 
+def _versions_with_markers(root: str) -> list[tuple[int, bool]]:
+    """ONE directory listing -> sorted (version, published) pairs.
+
+    Serves both the published and the stale-unmarked views so callers
+    needing both (prune_versions) pay a single remote listing instead of
+    two — each listing is a round-trip batch on an object store."""
+    from pyarrow import fs as pafs
+
+    fs, p = fsio.resolve(root)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
+    except OSError:
+        return []
+    out = []
+    for i in infos:
+        name = i.base_name
+        if name.startswith("v") and name[1:].isdigit():
+            marker = fs.get_file_info(f"{i.path}/{PUBLISHED_MARKER}")
+            out.append(
+                (int(name[1:]), marker.type != pafs.FileType.NotFound)
+            )
+    return sorted(out)
+
+
 def existing_versions(root: str, published_only: bool = False) -> list[int]:
     """Sorted version numbers under ``root`` (``vNNN`` dirs); with
     ``published_only`` skip dirs whose marker is missing (crashed saves)."""
@@ -81,15 +105,14 @@ def prune_versions(root: str, keep: int) -> int:
     racing reader sees an unpublished dir rather than a torn one."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
-    published = existing_versions(root, published_only=True)
+    pairs = _versions_with_markers(root)  # one listing for both views
+    published = [v for v, marked in pairs if marked]
     if not published:
         return 0
     cutoff = published[-1]
     drop_published = published[:-keep] if len(published) > keep else []
     stale_unmarked = [
-        v
-        for v in existing_versions(root)
-        if v < cutoff and v not in published
+        v for v, marked in pairs if not marked and v < cutoff
     ]
     removed = 0
     for v in sorted(set(drop_published + stale_unmarked)):

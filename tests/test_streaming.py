@@ -124,6 +124,107 @@ def test_stateful_state_carries_across_batches(spark, tmp_path):
     assert open7[0].total_value == 3.0
 
 
+def test_stateful_group_spanning_arrow_chunks_sorts_globally(spark, tmp_path):
+    """Review repro: a group bigger than maxRecordsPerBatch arrives as
+    several pandas chunks; chunk-local sorting corrupted session
+    boundaries. With the global sort, 6 shuffled events at 0..25 min are
+    ONE open session ending at 25 min."""
+    src = tmp_path / "chunks_in"
+    src.mkdir()
+    minute = 60 * 1_000_000
+    order = [15, 0, 25, 5, 20, 10]
+    rows = [(1, m * minute, 1.0) for m in order]
+    df = spark.createDataFrame(rows, "user_id: long, ts_us: long, value: double")
+    df.coalesce(1).write.parquet(str(src / "b1"))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, ts_us long, value double")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            sessionize_stateful(stream.groupBy("user_id"))
+            .writeStream.format("memory")
+            .queryName("sess_chunks")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_chunks"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = spark.sql("SELECT * FROM sess_chunks").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.status == "open"
+    assert (r.start_us, r.end_us, r.n_events) == (0, 25 * minute, 6)
+
+
+def test_stateful_late_event_never_rewinds_session(spark, tmp_path):
+    """Review repro: a late event (earlier ts arriving in a later batch)
+    joins the session but must not rewind its end — the next on-time
+    event used to measure its gap from the rewound end and falsely
+    close."""
+    src = tmp_path / "late_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_late")
+    schema = "user_id long, ts_us long, value double"
+    minute = 60 * 1_000_000
+    collected = []
+
+    def run_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        collected.clear()
+        q = (
+            sessionize_stateful(stream.groupBy("user_id"))
+            .writeStream.foreachBatch(
+                lambda bdf, bid: collected.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return list(collected)
+
+    run_batch([(9, 100 * minute, 1.0)], "b1")
+    # late event 50 min BEFORE the carried session start, within the gap?
+    # 100-50=50min > 30min gap -> actually closes; use 80min (20min gap)
+    rows = run_batch([(9, 80 * minute, 2.0)], "b2")
+    open9 = [r for r in rows if r.status == "open"][0]
+    assert (open9.start_us, open9.end_us, open9.n_events) == (
+        80 * minute, 100 * minute, 2)
+    # on-time event 25 min after the TRUE end (100): still same session —
+    # with the rewind bug the gap was measured from 80 and falsely closed
+    rows = run_batch([(9, 125 * minute, 4.0)], "b3")
+    assert [r.status for r in rows] == ["open"]
+    open9 = rows[0]
+    assert (open9.start_us, open9.end_us, open9.n_events) == (
+        80 * minute, 125 * minute, 3)
+
+
+def test_stateful_rejects_bad_timeout_name(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 0, 1.0)], "user_id long, ts_us long, value double")
+    with pytest.raises(ValueError, match="GroupStateTimeout"):
+        sessionize_stateful(df.groupBy("user_id"), timeout="processingTimeTimeout")
+
+
 def test_session_window_stream_with_watermark(spark, tmp_path):
     """sessionize_events on a real stream: watermarked session_window in
     append mode emits only FINALIZED sessions (close < watermark)."""
