@@ -120,6 +120,16 @@ def write_batched_async(
                     time.sleep(backoff * (2**attempt))
 
         pid = TaskContext.get().partitionId()
+        # probe before connecting: empty partitions (post-filter skew is
+        # full of them) must not open a sender connection + thread pool
+        _sentinel = object()
+        it = iter(it)
+        first = next(it, _sentinel)
+        if first is _sentinel:
+            return
+        import itertools
+
+        it = itertools.chain([first], it)
         send = make_sender(pid)
         pool = ThreadPoolExecutor(max_workers=max_in_flight)
         in_flight: deque = deque()
@@ -180,6 +190,21 @@ def http_json_sender(
         import urllib.error
         import urllib.request
 
+        # NO redirect following: urllib re-issues a redirected POST as a
+        # BODY-LESS GET whose 200 would count the batch as delivered —
+        # silent data loss on every batch behind an http->https upgrade.
+        # A 3xx from the sink is a misconfigured URL; fail loudly so the
+        # caller fixes the endpoint instead of losing data.
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, req, fp, code, msg, headers, newurl):
+                raise NonRetryableError(
+                    f"sink endpoint redirected ({code}) to {newurl}; "
+                    "redirects would drop the POST body — point the sink "
+                    "at the final URL"
+                )
+
+        opener = urllib.request.build_opener(_NoRedirect)
+
         def send(rows: list[Any], batch_id: str) -> None:
             payload = [
                 r.asDict(recursive=True) if hasattr(r, "asDict") else dict(r)
@@ -197,9 +222,9 @@ def http_json_sender(
             if cookie:
                 req.add_header("Cookie", cookie)
             try:
-                # urlopen raises HTTPError for >=400 and follows 3xx, so a
-                # returned response IS success — no status check needed
-                with urllib.request.urlopen(req, timeout=timeout):
+                # urlopen raises HTTPError for >=400 and 3xx raises above,
+                # so a returned response IS a 2xx success
+                with opener.open(req, timeout=timeout):
                     pass
             except urllib.error.HTTPError as e:
                 # permanent client errors don't heal on resend; 408/429

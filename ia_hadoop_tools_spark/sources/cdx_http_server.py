@@ -85,24 +85,26 @@ class ClusterPager:
     """
 
     def __init__(self, cluster_dir: str, filesystem=None):
+        from ia_hadoop_tools_spark.sources.zipnum import read_summary_rows
+
         self.cluster_dir = cluster_dir
         self.filesystem = filesystem
-        blocks: list[tuple[str, str, int, int]] = []
-        path = fsio.join(cluster_dir, "ALL.summary")
-        with fsio.open_read_text(path, filesystem) as fh:
-            for line in fh:
-                key, shard, off, length = line.rstrip("\n").split("\t")
-                blocks.append((key, shard, int(off), int(length)))
-        self.blocks = blocks
-        self._keys = [b[0] for b in blocks]
+        # the ONE shared summary TSV parse — hand-rolling it here would
+        # silently diverge from the planner if the format ever changes
+        self.blocks = read_summary_rows(cluster_dir, filesystem)
+        self._keys = [b[0] for b in self.blocks]
 
     def prune(self, start: str | None, end: str | None) -> tuple[int, int]:
         """[lo, hi) block-index window intersecting [start, end)."""
         lo = 0
         if start is not None:
             # keep the last block whose key <= start: it may still hold
-            # in-range lines (its key is a lower bound, not a first line)
-            lo = max(bisect.bisect_right(self._keys, start) - 1, 0)
+            # in-range lines (its key is a lower bound, not a first line).
+            # bisect_LEFT: when a block key EQUALS start, the preceding
+            # block's tail lines may also equal start (duplicate keys
+            # spanning a block boundary) — zipnum_range keeps that block
+            # via next_key >= start, and the server must match it
+            lo = max(bisect.bisect_left(self._keys, start) - 1, 0)
         hi = len(self.blocks)
         if end is not None:
             hi = bisect.bisect_left(self._keys, end, lo)
@@ -245,6 +247,13 @@ class CDXClusterHandler(BaseHTTPRequestHandler):
                 body = self.pager.closest_lines(key, ts, int(lim))
             except OSError as e:  # corrupt block on the deref path
                 return self._text(500, f"{e}\n", send_body=send_body)
+            except ValueError:
+                # digit-but-not-a-date targets (closest=0000 pads to year
+                # 0; month 13/31) must answer 400, not drop the socket
+                return self._text(
+                    400, f"closest={ts} is not a valid timestamp\n",
+                    send_body=send_body,
+                )
             return self._text(200, body, send_body=send_body)
 
         n = self.pager.num_pages(start, end, page_size)

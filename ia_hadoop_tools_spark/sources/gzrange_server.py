@@ -110,7 +110,12 @@ class GZRangeHandler(BaseHTTPRequestHandler):
             if not verify_hmac_cookie(cookie, self.hmac_secret):
                 return self._text(401, "invalid or expired cookie")
         u = urlparse(self.path)
-        target = u.path
+        # percent-decode: clients quote() paths with spaces/%/#/? — raw
+        # u.path would 404 any encoded name (and unencoded specials are
+        # unroutable through a URL at all)
+        from urllib.parse import unquote
+
+        target = unquote(u.path)
         if self.root_dir is not None:
             real = os.path.realpath(target)
             root = os.path.realpath(self.root_dir)
@@ -139,6 +144,11 @@ class GZRangeHandler(BaseHTTPRequestHandler):
         self.send_response(206)
         self.send_header("Content-Type", "application/octet-stream")
         self.send_header("Content-Length", str(gz_len))
+        # RFC 7233: 206 requires Content-Range; strict clients and
+        # intermediaries reject or mis-cache a 206 without it
+        self.send_header(
+            "Content-Range", f"bytes {offset}-{offset + gz_len - 1}/{size}"
+        )
         self.end_headers()
         self.wfile.write(payload)
 
@@ -174,12 +184,15 @@ def fetch_member(
 
     ``cookie`` is the authenticated-fetch seam (the reference signs these
     with an HMAC cookie — functions/authfns.py)."""
+    from urllib.parse import quote
     from urllib.request import Request, urlopen
 
     headers = {"Range": f"bytes={offset}-"}
     if cookie:
         headers["Cookie"] = cookie
-    req = Request(f"{base_url}{file_path}", headers=headers)
+    # quote the path (spaces, %, #, ? in archive filenames are real):
+    # unencoded they truncate at # or shift into the query string
+    req = Request(f"{base_url}{quote(file_path)}", headers=headers)
     with urlopen(req) as resp:
         if resp.status != 206:
             raise OSError(f"gzrange server returned {resp.status}")

@@ -168,7 +168,9 @@ def read_http_zipnum_deref(
         push["end"] = end
     base = _with_params(url, push)
     if num_pages is None or cluster_uri is None:
-        n, uri = discover_cluster_info(base, cookie)
+        # the caller's timeout budget applies to the probe too (a cold
+        # server's showNumPages can be the slowest request of the read)
+        n, uri = discover_cluster_info(base, cookie, timeout=timeout)
         num_pages = n if num_pages is None else num_pages
         cluster_uri = uri if cluster_uri is None else cluster_uri
     if cluster_uri is None:

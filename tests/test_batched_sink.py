@@ -176,3 +176,59 @@ def test_stream_to_endpoint_exactly_once_content(spark, endpoint, tmp_path):
     )
     q.awaitTermination()
     assert len(_Endpoint.batch_sizes) == n_batches  # nothing re-sent
+
+
+class _Redirector(BaseHTTPRequestHandler):
+    """Answers every POST with a 302 to /elsewhere (the http->https
+    upgrade shape)."""
+
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):  # noqa: N802
+        self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        self.send_response(302)
+        self.send_header("Location", "/elsewhere")
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def do_GET(self):  # noqa: N802  (the redirected body-less resend)
+        self.send_response(200)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+
+def test_redirected_post_fails_loudly_not_silently(spark):
+    """Review repro: urllib re-issues a redirected POST as a body-less
+    GET whose 200 counted the batch as delivered — silent data loss.
+    A 3xx must now fail the job as non-retryable."""
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Redirector)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/ingest"
+    try:
+        df = spark.range(10).selectExpr("id as k", "id as v").coalesce(1)
+        with pytest.raises(Exception, match="redirect"):
+            write_batched_async(
+                df, http_json_sender(url), batch_size=5, retries=0,
+            )
+    finally:
+        srv.shutdown()
+
+
+def test_empty_partitions_open_no_sender(spark, endpoint):
+    """Empty partitions must not construct a sender connection."""
+    opened = spark.sparkContext.accumulator(0)
+
+    def make_sender(pid):
+        opened.add(1)
+
+        def send(rows, batch_id):
+            pass
+
+        return send
+
+    # 64 partitions, 3 rows: at most 3 non-empty
+    df = spark.range(3).selectExpr("id as k").repartition(64)
+    write_batched_async(df, make_sender, batch_size=10)
+    assert opened.value <= 3

@@ -219,3 +219,56 @@ def test_hmac_auth(cluster_dir):
             assert int(resp.headers["X-CDX-Num-Pages"]) > 0
     finally:
         srv.shutdown()
+
+
+def test_closest_invalid_calendar_ts_is_400_not_crash(server):
+    """closest=0000 pads to year 0 — must answer 400, not drop the
+    socket with an unhandled ValueError."""
+    for bad in ("0000", "20991301"):
+        code, _, body = _get(f"{server}?key=com,site0)/p0&closest={bad}")
+        assert code == 400, (bad, code, body)
+        assert "not a valid timestamp" in body
+
+
+def test_start_equal_to_block_key_keeps_preceding_block(spark, tmp_path):
+    """Review repro: identical (urlkey ts) keys spanning a block boundary
+    — a start equal to the boundary key must keep the PRECEDING block's
+    tail lines, exactly like zipnum_range does."""
+    import threading as _threading
+
+    from ia_hadoop_tools_spark.sources.cdx_http_server import make_cdx_server
+    from ia_hadoop_tools_spark.sources.zipnum import (
+        read_summary_rows,
+        write_zipnum,
+        zipnum_range,
+    )
+
+    # many captures of ONE (urlkey, ts) so the key spans block boundaries
+    lines = sorted(
+        f"com,dup)/ 20200101000000 http://dup.com/ text/html 200 D{i:03d} "
+        "- - 10 0 f.warc.gz"
+        for i in range(40)
+    )
+    d = str(tmp_path / "dupcluster")
+    df = spark.createDataFrame([(l,) for l in lines], "value: string")
+    write_zipnum(df, d, lines_per_block=7, num_shards=1)
+    keys = [k for k, *_ in read_summary_rows(d)]
+    start = "com,dup)/ 20200101000000"
+    assert keys.count(start) > 1  # boundary-spanning duplicate keys exist
+
+    engine_rows = sorted(
+        r["value"] for r in zipnum_range(spark, d, start, None).collect()
+    )
+    srv = make_cdx_server(d, port=0, page_size=100)
+    t = _threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}/cdx"
+        import urllib.parse as up
+
+        code, _, body = _get(f"{base}?start={up.quote(start)}")
+        assert code == 200
+        served = sorted(l for l in body.split("\n") if l)
+        assert served == engine_rows  # all 40 lines, none pruned away
+    finally:
+        srv.shutdown()

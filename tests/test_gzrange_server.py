@@ -149,3 +149,35 @@ def test_root_confinement(gzfile, tmp_path):
         assert _status(f"{base}{esc}?offset=0") == 403
     finally:
         srv.shutdown()
+
+
+def test_quoted_path_with_spaces_roundtrips(tmp_path):
+    """Archive filenames with spaces/%/# must fetch: the client quotes
+    the path and the server percent-decodes it."""
+    from ia_hadoop_tools_spark.sources.gzrange_server import fetch_member
+
+    path = tmp_path / "my file 100%.warc.gz"
+    path.write_bytes(_member(b"spaced payload"))
+    srv = make_server(port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        got = fetch_member(base, str(path), 0)
+        assert gzip.decompress(got) == b"spaced payload"
+    finally:
+        srv.shutdown()
+
+
+def test_206_carries_content_range(server, gzfile):
+    import urllib.request
+
+    path, offsets, size = gzfile
+    req = urllib.request.Request(
+        f"{server}{path}", headers={"Range": f"bytes={offsets[1]}-"}
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 206
+        cr = resp.headers["Content-Range"]
+        gz_len = int(resp.headers["Content-Length"])
+        assert cr == f"bytes {offsets[1]}-{offsets[1] + gz_len - 1}/{size}"
