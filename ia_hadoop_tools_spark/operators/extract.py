@@ -200,7 +200,13 @@ def cdx_generate(paths_df: DataFrame, surt_fn=None, use_warcio: bool | None = No
                     if http
                     else "-"
                 ),
-                statuscode=int(http.get_statuscode()) if http else None,
+                # warcio returns '' for a malformed status line; the
+                # minimal reader nulls it — match, don't error the record
+                statuscode=(
+                    int(http.get_statuscode())
+                    if http and str(http.get_statuscode()).strip().isdigit()
+                    else None
+                ),
                 digest=_b32_sha1(payload),
                 redirect=http.get_header("Location") if http else None,
                 meta_flags=None,
@@ -307,7 +313,8 @@ METADATA_OUT_SCHEMA = (
 
 
 def check_fail_pct(
-    df: DataFrame, fail_pct: float = 0.0, error_col: str = "error"
+    df: DataFrame, fail_pct: float = 0.0, error_col: str = "error",
+    cache: bool = True,
 ) -> DataFrame:
     """``-failpct`` semantics (jobs/CDXGenerator.java:200-249): the
     extraction jobs tolerate per-record errors (``-soft``, the ``error``
@@ -315,14 +322,24 @@ def check_fail_pct(
     records errored — silent mass failure must not look like success.
 
     Runs one counting action; raises ``RuntimeError`` past the threshold,
-    else returns ``df`` unchanged for chaining. ``fail_pct`` is a
+    else returns ``df`` for chaining. The counting action would otherwise
+    run the whole (W)ARC parse a SECOND time when the caller writes the
+    result, so by default the frame is persisted (MEMORY_AND_DISK) before
+    counting and returned persisted — the caller's write reuses it and
+    should ``unpersist()`` after. Pass ``cache=False`` to opt out (e.g.
+    when the caller manages its own persistence). ``fail_pct`` is a
     percentage (0-100), matching the reference flag."""
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
+    if cache:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     total, errs = df.agg(
         F.count(F.lit(1)), F.count(F.col(error_col))
     ).first()
     if total and errs * 100.0 / total > fail_pct:
+        if cache:
+            df.unpersist()
         raise RuntimeError(
             f"extraction error rate {errs}/{total} "
             f"({errs * 100.0 / total:.1f}%) exceeds failpct={fail_pct}"
@@ -350,6 +367,19 @@ def _http_meta(payload: bytes) -> tuple[dict, bytes]:
         meta["Headers-Length"] = len(head) + 4
     meta["Entity-Length"] = len(body)
     return meta, body
+
+
+def _header_ci(headers: dict | None, name: str, default: str = "") -> str:
+    """Case-insensitive header lookup: _http_meta keeps ORIGINAL casing
+    (WAT output parity), but HTTP/2 capture headers are lowercase and
+    servers vary — a cased .get() silently missed them."""
+    if not headers:
+        return default
+    lname = name.lower()
+    for k, v in headers.items():
+        if k.lower() == lname:
+            return v
+    return default
 
 
 _LINK_RE = None
@@ -420,7 +450,7 @@ def wat_generate(paths_df: DataFrame) -> DataFrame:
             if rec_type in ("response", "revisit"):
                 http, body = _http_meta(payload)
                 pm: dict = {"HTTP-Response-Metadata": http}
-                ctype = (http.get("Headers") or {}).get("Content-Type", "")
+                ctype = _header_ci(http.get("Headers"), "Content-Type")
                 if "html" in ctype.lower():
                     html = _html_meta(body)
                     if html:
@@ -511,9 +541,7 @@ def wet_generate(paths_df: DataFrame) -> DataFrame:
                     if headers.get("warc-type") != "response":
                         return None
                     http, body = _http_meta(payload)
-                    ctype = (http.get("Headers") or {}).get(
-                        "Content-Type", ""
-                    )
+                    ctype = _header_ci(http.get("Headers"), "Content-Type")
                     if "html" not in ctype.lower():
                         return None
                     text = strip(body.decode("utf-8", "replace"))
@@ -707,10 +735,17 @@ def archive_file_extractor(
         return gzip.compress(body)
 
     def repack(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pyspark import TaskContext
+
         prefix = pdf["prefix"].iloc[0]
         name = f"{prefix}.{fmt}.gz"
         final = os.path.join(out_dir, name)
-        tmp = final + ".TMP"
+        # ATTEMPT-unique tmp (the write_kvstore pattern): a fixed name
+        # lets two speculative attempts interleave writes into one file
+        # and publish a corrupt archive; the rename stays the commit point
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        tmp = f"{final}.{attempt}.TMP"
         n = 0
         try:
             with open(tmp, "wb") as out:
@@ -770,10 +805,16 @@ def http_import(
     hdrs = {"Cookie": cookie} if cookie else {}
 
     def work(rows) -> None:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
         for r in rows:
             url, name = r["url"], r["name"]
             final = os.path.join(target_dir, name)
-            tmp = final + ".TMP"
+            # attempt-unique tmp: concurrent speculative attempts must not
+            # interleave into one file (see repack)
+            tmp = f"{final}.{attempt}.TMP"
             try:
                 req = urllib.request.Request(url, method="HEAD", headers=hdrs)
                 with urllib.request.urlopen(req) as h:

@@ -26,9 +26,21 @@ cache (PetaboxFileSystem caches ItemMetadata the same way) means a
 
 from __future__ import annotations
 
+
+def _utc_dt(ts: float):
+    """Timezone-AWARE UTC datetime: a naive utcfromtimestamp value
+    is reinterpreted in the Spark session timezone by
+    createDataFrame, shifting every mtime by the UTC offset on
+    non-UTC clusters; aware datetimes convert correctly."""
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(ts, timezone.utc)
+
+
 import io
 import json
 import urllib.request
+from urllib.parse import quote as _q
 from functools import lru_cache
 
 from pyarrow import fs as pafs
@@ -69,6 +81,10 @@ class _HttpRandomAccessFile(io.RawIOBase):
     def read(self, n: int = -1) -> bytes:
         if self._pos >= self._size:
             return b""
+        if n == 0:
+            # 'bytes=p-(p-1)' is an invalid range a compliant server
+            # IGNORES (returning the whole body) — short-circuit instead
+            return b""
         end = self._size - 1 if n is None or n < 0 else min(
             self._pos + n - 1, self._size - 1
         )
@@ -76,6 +92,15 @@ class _HttpRandomAccessFile(io.RawIOBase):
             self._url, headers={"Range": f"bytes={self._pos}-{end}"}
         )
         with urllib.request.urlopen(req) as resp:
+            if resp.status != 206:
+                # a server ignoring Range returns 200 + the WHOLE file:
+                # accepting it would hand the codec bytes from offset 0
+                # as if they were the requested block — corruption, not
+                # an error. Fail loudly instead.
+                raise OSError(
+                    f"server ignored Range (status {resp.status}) for "
+                    f"{self._url}; ranged reads are required"
+                )
             data = resp.read()
         self._pos += len(data)
         return data
@@ -112,13 +137,22 @@ class ItemFileSystemHandler(pafs.FileSystemHandler):
 
     # --- metadata ---------------------------------------------------------
     def _fetch_meta(self, itemid: str) -> dict:
+        from urllib.parse import quote
+
         with urllib.request.urlopen(
-            f"{self.api_base}/metadata/{itemid}"
+            f"{self.api_base}/metadata/{quote(itemid)}"
         ) as r:
             return json.loads(r.read().decode("utf-8"))
 
     def _file_entry(self, itemid: str, name: str):
-        for f in self._meta(itemid).get("files", ()):
+        # a MISSING ITEM answers like a missing file (None) — the pyarrow
+        # contract is FileType.NotFound / FileNotFoundError, never a raw
+        # HTTPError leaking out of get_file_info / open_input_file
+        try:
+            md = self._meta(itemid)
+        except Exception:
+            return None
+        for f in md.get("files", ()):
             if f["name"] == name:
                 return f
         return None
@@ -169,7 +203,11 @@ class ItemFileSystemHandler(pafs.FileSystemHandler):
         from datetime import datetime, timezone
 
         itemid = self.normalize_path(selector.base_dir)
-        if not itemid or "/" in itemid:
+        if not itemid:
+            # documented contract (PetaboxFileSystem:488-491): the ROOT
+            # lists nothing — answer empty, don't crash a recursive walk
+            return []
+        if "/" in itemid:
             if selector.allow_not_found:
                 return []
             raise FileNotFoundError(selector.base_dir)
@@ -204,7 +242,9 @@ class ItemFileSystemHandler(pafs.FileSystemHandler):
         if entry is None:
             raise FileNotFoundError(path)
         raw = _HttpRandomAccessFile(
-            f"{self.dl_base}/{parts[0]}/{parts[1]}", int(entry["size"])
+            # quote(): names with spaces/#/?/% are legal in item metadata
+            f"{self.dl_base}/{_q(parts[0])}/{_q(parts[1])}",
+            int(entry["size"]),
         )
         return PythonFile(raw, mode="r")
 
@@ -329,19 +369,35 @@ def list_collection_files_df(
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from datetime import datetime
 
+        import time as _time
+
         for pdf in batches:
             for itemid in pdf["itemid"]:
-                with urllib.request.urlopen(
-                    f"{api}/metadata/{itemid}", timeout=60
-                ) as resp:
-                    meta = json.loads(resp.read().decode("utf-8"))
+                # bounded transient-retry (the search_collection_items
+                # pattern): one 503/timeout must not kill the whole
+                # collection listing task
+                last: Exception | None = None
+                for attempt in range(5):
+                    try:
+                        with urllib.request.urlopen(
+                            f"{api}/metadata/{_q(itemid)}", timeout=60
+                        ) as resp:
+                            meta = json.loads(resp.read().decode("utf-8"))
+                        break
+                    except OSError as e:
+                        last = e
+                        _time.sleep(0.5 * (2**attempt))
+                else:
+                    raise OSError(
+                        f"metadata fetch for {itemid} failed after retries"
+                    ) from last
                 files = meta.get("files") or []
                 yield pd.DataFrame(
                     {
                         "path": [f"{itemid}/{f['name']}" for f in files],
                         "size": [int(f.get("size") or 0) for f in files],
                         "mtime": [
-                            datetime.utcfromtimestamp(
+                            _utc_dt(
                                 float(f.get("mtime") or 0)
                             )
                             for f in files

@@ -15,6 +15,17 @@ DataFrame of paths ready for ``mapInPandas``/``foreachPartition`` fan-out.
 
 from __future__ import annotations
 
+
+def _utc_dt(ts: float):
+    """Timezone-AWARE UTC datetime: a naive utcfromtimestamp value
+    is reinterpreted in the Spark session timezone by
+    createDataFrame, shifting every mtime by the UTC offset on
+    non-UTC clusters; aware datetimes convert correctly."""
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(ts, timezone.utc)
+
+
 import os
 from datetime import datetime
 
@@ -171,7 +182,7 @@ def list_files_df(
                 continue
             if pred is not None and not pred(st.st_mtime):
                 continue
-            rows.append((full, st.st_size, datetime.utcfromtimestamp(st.st_mtime)))
+            rows.append((full, st.st_size, _utc_dt(st.st_mtime)))
     df = spark.createDataFrame(rows, "path: string, size: long, mtime: timestamp")
     return df.repartition(num_partitions) if num_partitions else df
 
@@ -247,7 +258,7 @@ def _walk_subtree(
             yield (
                 uri_prefix + info.path,
                 int(info.size or 0),
-                datetime.utcfromtimestamp(mts),
+                _utc_dt(mts),
             )
 
 
@@ -327,7 +338,7 @@ def list_files_df_distributed(
                         continue
                     shallow_rows.append(
                         (uri_prefix + info.path, int(info.size or 0),
-                         datetime.utcfromtimestamp(mts))
+                         _utc_dt(mts))
                     )
         frontier = nxt
         if not frontier:

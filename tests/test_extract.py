@@ -264,3 +264,51 @@ def test_cdx_generate_soft_is_per_record_not_per_file(spark, tmp_path):
     assert {r["original_url"] for r in ok} == {
         f"http://site{i}.com/" for i in (0, 1, 3, 4)
     }
+
+
+def test_wet_wat_content_type_case_insensitive(spark, tmp_path):
+    """HTTP/2 captures carry lowercase 'content-type': the WET text row
+    and WAT HTML-Metadata must still be produced (a cased .get()
+    silently dropped them)."""
+    import gzip as _gzip
+
+    from ia_hadoop_tools_spark.operators.extract import (
+        wat_generate,
+        wet_generate,
+    )
+
+    def record(url, ctype_header):
+        http = (
+            f"HTTP/1.1 200 OK\r\n{ctype_header}: text/html\r\n\r\n"
+            "<html><head><title>T</title></head><body>hello page</body></html>"
+        ).encode()
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            "WARC-Date: 2020-01-01T00:00:00Z\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return _gzip.compress(head + http + b"\r\n\r\n")
+
+    path = tmp_path / "case.warc.gz"
+    path.write_bytes(
+        record("http://upper.example/", "Content-Type")
+        + record("http://lower.example/", "content-type")
+    )
+    paths_df = spark.createDataFrame([(str(path),)], "path: string")
+    wet = wet_generate(paths_df).collect()
+    assert {r.target_uri for r in wet if r.error is None} == {
+        "http://upper.example/", "http://lower.example/"
+    }
+    assert all("hello page" in (r.text or "") for r in wet if r.error is None)
+    wat = wat_generate(paths_df).collect()
+    ok = [r for r in wat if r.error is None and r.wat]
+    assert len(ok) == 2
+    import json as _json
+
+    for r in ok:
+        meta = _json.loads(r.wat)
+        pm = meta["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]
+        assert pm.get("HTML-Metadata"), r.target_uri

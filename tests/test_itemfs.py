@@ -34,10 +34,11 @@ def item_server(tmp_path_factory):
         search_fail_next = 0  # set >0 to 500 the next N search requests
 
         def do_GET(self):
-            from urllib.parse import parse_qs, urlsplit
+            from urllib.parse import parse_qs, unquote, urlsplit
 
             u = urlsplit(self.path)
-            parts = u.path.strip("/").split("/")
+            # real HTTP servers percent-decode path segments
+            parts = [unquote(x) for x in u.path.strip("/").split("/")]
             if parts[0] == "advancedsearch.php":
                 if H.search_fail_next > 0:
                     H.search_fail_next -= 1
@@ -222,7 +223,15 @@ def test_list_collection_files_df(spark, item_server):
     readable through the item filesystem by the listed path."""
     from ia_hadoop_tools_spark.sources.itemfs import list_collection_files_df
 
+    import os as _os
+
     root, base = item_server
+    # self-sufficient fixture data (running this test alone must pass)
+    for i in range(5):
+        d = _os.path.join(root, f"warcs-x-{i:02d}")
+        _os.makedirs(d, exist_ok=True)
+        with open(_os.path.join(d, f"f{i}.txt"), "wb") as fh:
+            fh.write(b"payload")
     df = list_collection_files_df(spark, base, base, "warcs-x")
     rows = {r.path: r.size for r in df.collect()}
     assert sorted(rows) == [f"warcs-x-{i:02d}/f{i}.txt" for i in range(5)]
@@ -233,3 +242,35 @@ def test_list_collection_files_df(spark, item_server):
         assert fh.read() == b"payload"
 
     assert list_collection_files_df(spark, base, base, "zzz").count() == 0
+
+
+def test_missing_item_is_notfound_not_httperror(item_server):
+    """Probing a file inside a missing item must answer NotFound /
+    FileNotFoundError (the pyarrow contract), not leak HTTPError."""
+    _, base = item_server
+    fs = make_item_filesystem(base, base)
+    (info,) = fs.get_file_info(["nosuchitem/file.warc.gz"])
+    assert info.type == pafs.FileType.NotFound
+    with pytest.raises(FileNotFoundError):
+        fs.open_input_file("nosuchitem/file.warc.gz")
+
+
+def test_root_selector_lists_empty(item_server):
+    """The root lists nothing (PetaboxFileSystem:488-491) — a recursive
+    walk starting at the filesystem root must get [], not crash."""
+    _, base = item_server
+    fs = make_item_filesystem(base, base)
+    assert fs.get_file_info(pafs.FileSelector("/")) == []
+    assert fs.get_file_info(pafs.FileSelector("")) == []
+
+
+def test_quoted_item_and_file_names(item_server):
+    """Names with spaces and % must fetch through percent-encoded URLs."""
+    root, base = item_server
+    d = os.path.join(root, "item with space")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "my file 100%.txt"), "wb") as f:
+        f.write(b"quoted bytes")
+    fs = make_item_filesystem(base, base)
+    with fs.open_input_file("item with space/my file 100%.txt") as fh:
+        assert fh.read() == b"quoted bytes"
