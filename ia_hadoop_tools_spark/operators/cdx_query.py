@@ -68,7 +68,18 @@ _CLOSEST_PAD = "01" "01" "000000"
 
 
 def pad_closest_ts(ts: str) -> str:
-    """Partial closest timestamp (>=4 digits) -> valid 14-digit target."""
+    """Partial closest timestamp (>=4 digits) -> valid 14-digit target.
+
+    Prefixes must end on a FIELD boundary (even length: yyyy, yyyymm,
+    ...): an odd-length prefix like '20205' would pad into month '51',
+    the target would parse NULL, and the closest ranking would silently
+    degrade to default order — raise instead.
+    """
+    if len(ts) < 4 or len(ts) % 2 != 0:
+        raise ValueError(
+            f"closest timestamp prefix must be 4-14 digits ending on a "
+            f"field boundary (even length), got {ts!r}"
+        )
     return ts + _CLOSEST_PAD[len(ts) - 4 :] if len(ts) < _TS_LEN else ts[:_TS_LEN]
 
 
@@ -84,12 +95,14 @@ def _ts14_seconds(ts: Column) -> Column:
     days = F.unix_date(
         F.call_function("try_to_date", F.substring(ts, 1, 8), F.lit("yyyyMMdd"))
     )
-    return (
-        days.cast("long") * 86400
-        + F.substring(ts, 9, 2).cast("long") * 3600
-        + F.substring(ts, 11, 2).cast("long") * 60
-        + F.substring(ts, 13, 2).cast("long")
-    )
+    hh = F.substring(ts, 9, 2).cast("long")
+    mm = F.substring(ts, 11, 2).cast("long")
+    ss = F.substring(ts, 13, 2).cast("long")
+    secs = days.cast("long") * 86400 + hh * 3600 + mm * 60 + ss
+    # time-of-day validated like the date part: hour 99 would otherwise
+    # produce a FINITE bogus distance that can out-rank real captures in
+    # a closest lookup (the malformed-ranks-farthest contract)
+    return F.when((hh <= 23) & (mm <= 59) & (ss <= 59), secs)
 
 
 def _key_predicate(url: str, match_type: str) -> Column:
@@ -202,13 +215,24 @@ def cdx_query(
         out = out.filter(_filter_predicate(spec))
     order = [F.col("timestamp").asc()] + [F.col(c).asc() for c in _TIEBREAK]
     if collapse:
+        # compare the RENDERED field ('-' for null, like the CDX line and
+        # _filter_predicate): raw nullable compares make `cval != prev`
+        # SQL NULL around null fields — a null-valued capture after a
+        # non-null one was silently dropped, and adjacent null repeats
+        # (e.g. warc/revisit statuscode) survived instead of collapsing
         if ":" in collapse:
             field, ln = collapse.split(":", 1)
             cval = F.substring(
-                F.col(_resolve_field(field)).cast("string"), 1, int(ln)
+                F.coalesce(
+                    F.col(_resolve_field(field)).cast("string"), F.lit("-")
+                ),
+                1,
+                int(ln),
             )
         else:
-            cval = F.col(_resolve_field(collapse)).cast("string")
+            cval = F.coalesce(
+                F.col(_resolve_field(collapse)).cast("string"), F.lit("-")
+            )
         # pywb collapse merges ADJACENT repeats only: keep a row iff its
         # collapse value differs from the previous row's (per urlkey, in
         # the output order) — non-adjacent repeats survive

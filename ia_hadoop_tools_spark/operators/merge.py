@@ -42,6 +42,11 @@ def merge_clusters(
     """
     if not clusters:
         raise ValueError("need at least one cluster")
+    if daily_limit and len(sort_cols) < 2:
+        raise ValueError(
+            "daily_limit needs sort_cols = (key, timestamp, ...); got "
+            f"{tuple(sort_cols)!r}"
+        )
     merged = clusters[0]
     for c in clusters[1:]:
         merged = merged.unionByName(c)

@@ -194,16 +194,20 @@ def write_named_shards(
     caller list would index the wrong names/ends (silently misrouting or
     dropping whole shards' rows).
     """
-    splits = sorted(splits, key=lambda s: s[1])
-    names = [s[0] for s in splits]
-    starts = [s[1] for s in splits]
-    ends = [s[2] for s in splits]
+    if not splits:
+        raise ValueError("write_named_shards: need at least one split")
+    # null check BEFORE the sort: sorted() on a None start raises a bare
+    # TypeError and hides this explanation
     if any(s[1] is None or s[2] is None for s in splits):
         raise ValueError(
             "write_named_shards: every split needs non-null start AND end "
             "(a null end would silently drop that shard's rows via "
             "`key < NULL`)"
         )
+    splits = sorted(splits, key=lambda s: s[1])
+    names = [s[0] for s in splits]
+    starts = [s[1] for s in splits]
+    ends = [s[2] for s in splits]
     with_ids = assign_range_ids(df, starts, key_col, "__rid")
     name_map = F.array(*[F.lit(n) for n in names])
     end_map = F.array(*[F.lit(e) for e in ends])
@@ -214,8 +218,14 @@ def write_named_shards(
         .drop("__rid")
     )
     (
+        # "shard" leads the sort: the partitionBy write REQUIRES an
+        # ordering on [shard], so V1Writes inserts its own Sort and
+        # EliminateSorts DELETES a user sort that lacks the shard prefix
+        # — the files would be written UNSORTED (verified on 4.1.2),
+        # silently breaking the sorted-shard cluster invariant. With the
+        # shard prefix the one sort satisfies both requirements.
         out.repartition(len(names), "shard")
-        .sortWithinPartitions(*sort_cols)
+        .sortWithinPartitions("shard", *sort_cols)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

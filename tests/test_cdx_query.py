@@ -398,3 +398,70 @@ def test_offset_and_fields(cluster):
         cdx_query(cluster, "http://example.com/", offset=-1)
     with _pytest.raises(ValueError):
         cdx_query(cluster, "http://example.com/", fields=["nope"])
+
+
+def test_collapse_renders_nulls_as_dash(spark):
+    """Review repro (verified live): collapse on a nullable field must
+    compare the RENDERED '-' form — a null digest after a non-null one
+    was dropped, and adjacent null repeats survived."""
+    rows = [
+        ("com,a)/", "20200101000000", "http://a.com/", "text/html", 200,
+         "D1", 1, "f.warc.gz"),
+        ("com,a)/", "20200102000000", "http://a.com/", "warc/revisit", None,
+         None, 2, "f.warc.gz"),
+        ("com,a)/", "20200103000000", "http://a.com/", "warc/revisit", None,
+         None, 3, "f.warc.gz"),
+        ("com,a)/", "20200104000000", "http://a.com/", "text/html", 200,
+         "D2", 4, "f.warc.gz"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "urlkey string, timestamp string, original_url string, "
+        "mimetype string, statuscode int, digest string, "
+        "compressed_offset long, filename string",
+    )
+    got = [
+        r.timestamp
+        for r in cdx_query(df, "http://a.com/", collapse="digest").collect()
+    ]
+    # pywb: keep 01 (D1), keep 02 ('-' != 'D1'), drop 03 ('-' == '-'),
+    # keep 04 ('D2' != '-')
+    assert got == ["20200101000000", "20200102000000", "20200104000000"]
+
+
+def test_closest_rejects_odd_length_prefix(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("com,a)/", "20200101000000", "http://a.com/", None, None, None,
+          1, "f.warc.gz")],
+        "urlkey string, timestamp string, original_url string, "
+        "mimetype string, statuscode int, digest string, "
+        "compressed_offset long, filename string",
+    )
+    with pytest.raises(ValueError, match="field boundary"):
+        cdx_query(df, "http://a.com/", sort="closest", closest="20205")
+
+
+def test_closest_invalid_time_of_day_ranks_farthest(spark):
+    """Hour 99 must not out-rank a real capture (it used to produce a
+    finite bogus distance)."""
+    rows = [
+        ("com,a)/", "20200101990000", "http://a.com/", None, None, None,
+         1, "f.warc.gz"),
+        ("com,a)/", "20200102000000", "http://a.com/", None, None, None,
+         2, "f.warc.gz"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "urlkey string, timestamp string, original_url string, "
+        "mimetype string, statuscode int, digest string, "
+        "compressed_offset long, filename string",
+    )
+    got = [
+        r.timestamp
+        for r in cdx_query(
+            df, "http://a.com/", sort="closest", closest="20200105000000"
+        ).collect()
+    ]
+    assert got == ["20200102000000", "20200101990000"]

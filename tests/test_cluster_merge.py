@@ -144,3 +144,51 @@ def test_incremental_merge_cycle(spark, tmp_path):
         existing_cluster=merged,
     )
     assert merged2 is merged and included2 is new_included
+
+
+def test_named_shards_files_are_sorted(spark, tmp_path):
+    """Review repro (verified live): the partitionBy('shard') write makes
+    V1Writes insert a Sort on [shard] and EliminateSorts DELETED a user
+    sort lacking the shard prefix — files came back unsorted, silently
+    breaking the sorted-shard cluster invariant."""
+    import random as _random
+
+    rng = _random.Random(5)
+    keys = [f"k{rng.randrange(2000):04d}" for _ in range(2000)]
+    df = spark.createDataFrame(
+        [(k, f"2020{i % 99:02d}") for i, k in enumerate(keys)],
+        "urlkey string, timestamp string",
+    ).repartition(8)
+    out = str(tmp_path / "sorted_shards")
+    write_named_shards(
+        df, out, [("pa", "k0000", "k1000"), ("pb", "k1000", "k9999")]
+    )
+    import glob as _glob
+
+    for shard in ("pa", "pb"):
+        files = _glob.glob(f"{out}/shard={shard}/*.parquet")
+        assert files
+        for f in files:
+            rows = [
+                (r.urlkey, r.timestamp)
+                for r in spark.read.parquet(f).collect()
+            ]
+            assert rows == sorted(rows), f"unsorted shard file {f}"
+
+
+def test_named_shards_validation_errors(spark, tmp_path):
+    import pytest
+
+    df = spark.createDataFrame([("k1", "2020")], "urlkey string, timestamp string")
+    with pytest.raises(ValueError, match="at least one split"):
+        write_named_shards(df, str(tmp_path / "x"), [])
+    with pytest.raises(ValueError, match="non-null start"):
+        write_named_shards(df, str(tmp_path / "y"), [("a", None, "c")])
+
+
+def test_merge_clusters_daylimit_needs_two_sort_cols(spark):
+    import pytest
+
+    df = spark.createDataFrame([("k", "20200101000000")], "k string, ts string")
+    with pytest.raises(ValueError, match="sort_cols"):
+        merge_clusters([df], daily_limit=2, sort_cols=("k",))
