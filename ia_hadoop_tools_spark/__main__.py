@@ -117,7 +117,15 @@ def cmd_cluster_range(args):
             )
         else:
             outs.append(
-                cdx_to_text(cluster_range(c, args.start, args.end, spark=spark))
+                # sorted_output=False: only the final merged sort below
+                # determines output order — a per-cluster sort here would
+                # be a second full shuffle of every cluster
+                cdx_to_text(
+                    cluster_range(
+                        c, args.start, args.end, spark=spark,
+                        sorted_output=False,
+                    )
+                )
             )
     merged = outs[0]
     for o in outs[1:]:
@@ -191,12 +199,26 @@ def cmd_httpimport(args):
     """httpimport (jobs/HTTPImportJob.java): parallel idempotent URL import."""
     from ia_hadoop_tools_spark.operators.extract import http_import
 
+    import hashlib
+    from urllib.parse import urlsplit
+
     spark = _spark(args)
-    rows = [
-        (u.strip(), os.path.basename(u.strip().rstrip("/")))
-        for u in open(args.urls)
-        if u.strip()
+    urls = [u.strip() for u in open(args.urls) if u.strip()]
+    # name = basename of the URL PATH (query strings are not filenames);
+    # distinct URLs sharing a basename get a short url-hash suffix —
+    # otherwise one import silently overwrites (or idempotently skips)
+    # the other
+    base_names = [
+        os.path.basename(urlsplit(u).path.rstrip("/")) or "index" for u in urls
     ]
+    seen: dict[str, int] = {}
+    for n in base_names:
+        seen[n] = seen.get(n, 0) + 1
+    rows = []
+    for u, n in zip(urls, base_names):
+        if seen[n] > 1:
+            n = f"{hashlib.sha1(u.encode()).hexdigest()[:8]}-{n}"
+        rows.append((u, n))
     http_import(
         spark.createDataFrame(rows, "url: string, name: string"),
         args.target,
@@ -218,8 +240,14 @@ def cmd_hdfs_lsr(args):
 
 def cmd_range_dumper(args):
     """range-dumper (cdx/HDFSRangeDumper.java:20-107): PATH[\tOFF\tLEN] lines
-    on stdin -> decompressed lines of each byte range on stdout."""
-    import gzip as _gzip
+    on stdin -> decompressed lines of each byte range on stdout.
+
+    Decompression is member-by-member via the zipnum salvage helper (the
+    reference streamed members the same way): a range cutting the LAST
+    member short still dumps every complete member before it, and a
+    truncated tail raises neither EOFError nor zlib.error (both of which
+    escape a bare ``except OSError``). Non-gzip payloads pass through."""
+    from ia_hadoop_tools_spark.sources.zipnum import _gunzip_salvage
 
     for line in sys.stdin:
         parts = line.rstrip("\n").split("\t")
@@ -230,11 +258,11 @@ def cmd_range_dumper(args):
                 payload = fh.read(int(parts[2]))
             else:
                 payload = fh.read()
-        try:
-            payload = _gzip.decompress(payload)
-        except OSError:
-            pass
-        sys.stdout.write(payload.decode(errors="replace"))
+        if payload[:2] == b"\x1f\x8b":
+            text, _truncated = _gunzip_salvage(payload)
+        else:
+            text = payload.decode(errors="replace")
+        sys.stdout.write(text)
 
 
 def cmd_hdfs_fseeko(args):
@@ -357,7 +385,10 @@ def cmd_corpus_sample(args):
     else:
         out = sample_hash(docs, args.fraction)
     out.write.mode("overwrite").parquet(args.output)
-    print(f"corpus-sample: {out.count()} docs -> {args.output}")
+    # stats from the WRITTEN parquet (footer metadata), not the lineage —
+    # out.count() would re-run the whole sampling scan
+    n = spark.read.parquet(args.output).count()
+    print(f"corpus-sample: {n} docs -> {args.output}")
 
 
 def cmd_corpus_pack(args):
@@ -373,7 +404,8 @@ def cmd_corpus_pack(args):
     )
     out = pack_sequences(docs, args.budget, strata_col=args.strata_col)
     out.write.mode("overwrite").parquet(args.output)
-    stats = out.agg(
+    # stats read back from the written parquet, not the window lineage
+    stats = spark.read.parquet(args.output).agg(
         F.countDistinct("bin").alias("bins"), F.sum("n_tokens").alias("toks")
     ).first()
     print(

@@ -59,8 +59,14 @@ def surt_expr(url: Column | str) -> Column:
     # strip scheme (http://, https://, ftp:// ...) and userinfo
     rest = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     rest = F.regexp_replace(rest, r"^[^/@?#]*@", "")
-    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
-    pathq = F.substring(rest, F.length(hostport) + 1, F.lit(2**30)).cast("string")
+    # offset math uses the UN-lowercased hostport: lowercasing can change
+    # the length (U+0130 'İ' -> 'i' + combining dot), and a shifted
+    # substring would eat the path's leading '/'
+    hostport_raw = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    hostport = F.lower(hostport_raw)
+    pathq = F.substring(
+        rest, F.length(hostport_raw) + 1, F.lit(2**30)
+    ).cast("string")
     # non-default port relocates to AFTER the reversed host; 80/443 dropped
     port = F.regexp_extract(hostport, r":(\d+)$", 1)
     host = F.regexp_replace(hostport, r":\d+$", "")

@@ -11,20 +11,26 @@ irregular for column expressions; cold path — used during WAT extraction).
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urljoin
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+#: absolute iff it STARTS with a scheme — a substring '://' test would
+#: treat 'out.html?u=http://x.com' (absolute URL embedded in the query of
+#: a relative link) as already absolute and skip resolution
+_ABS = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
+
 
 def _resolve(rel: str | None, base: str | None, via: str | None) -> str | None:
     if rel is None:
         return None
-    if "://" in rel:  # already absolute
+    if _ABS.match(rel):  # already absolute
         return rel
     for anchor in (base, via):
-        if anchor and "://" in anchor:
+        if anchor and _ABS.match(anchor):
             try:
                 return urljoin(anchor, rel)
             except ValueError:

@@ -165,3 +165,31 @@ def test_vector_functions(spark):
     ).collect()[0]
     assert r.d == 11.0
     assert abs(r.c - 0.9838699100999074) < 1e-12
+
+
+def test_url_resolve_scheme_prefix_not_substring(spark):
+    """A relative link with an absolute URL embedded in its query must
+    still resolve against the base (the '://' substring test skipped it)."""
+    from ia_hadoop_tools_spark.functions.urlfns import _resolve
+
+    assert (
+        _resolve("out.html?u=http://x.com", "http://example.com/dir/", None)
+        == "http://example.com/dir/out.html?u=http://x.com"
+    )
+    assert _resolve("http://abs.example/a", "http://b/", None) == "http://abs.example/a"
+    # anchors must also be scheme-prefixed to be usable
+    assert _resolve("a.html", "not-a-url-but-has://inside", None) == "a.html"
+
+
+def test_surt_expr_unicode_case_expansion_keeps_path(spark):
+    """Hosts whose lowercase form is LONGER (U+0130) must not shift the
+    path substring (the offset used the lowercased length)."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.functions.surt import surt_expr
+
+    df = spark.createDataFrame(
+        [("http://İstanbul.example/abc",)], "url string"
+    )
+    key = df.select(surt_expr(F.col("url")).alias("k")).first()["k"]
+    assert key.endswith(")/abc"), key
