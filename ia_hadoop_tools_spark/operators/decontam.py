@@ -26,26 +26,45 @@ from pyspark.sql import functions as F
 from ia_hadoop_tools_spark.operators.spans import _tokens
 
 
-def _window_hashes(df: DataFrame, id_col: str, text_col: str, n: int):
-    """(id, __h) distinct per doc: xxhash64 of each n-token window."""
-    base = (
-        df.select(F.col(id_col), _tokens(text_col).alias("__toks"))
-        .withColumn("__nt", F.size("__toks"))
-        .filter(F.col("__nt") >= n)
-    )
-    return base.select(
+def _window_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int,
+    lengths: tuple[int, ...] = (),
+):
+    """(id, __h) distinct per doc: xxhash64 of each n-token window, PLUS
+    windows of each extra length in ``lengths`` (the short-benchmark
+    matching path — see _overlap_counts)."""
+    base = df.select(
+        F.col(id_col), _tokens(text_col).alias("__toks")
+    ).withColumn("__nt", F.size("__toks"))
+    all_lengths = (n,) + tuple(lengths)
+
+    def _win(ln: int):
+        # a closure FACTORY, not a default-arg lambda: F.transform treats
+        # a two-parameter lambda as (element, index) and would silently
+        # bind the window length to the array position
+        def at(i):
+            # lower() at window-KEY time: contamination matching is
+            # case-insensitive (spans._tokens keeps original case)
+            return F.xxhash64(
+                F.lower(F.concat_ws(" ", F.slice("__toks", i + 1, ln)))
+            )
+
+        return at
+
+    window_arrays = [
+        F.when(
+            F.col("__nt") >= ln,
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.col("__nt") - ln, F.lit(0))),
+                _win(ln),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        for ln in all_lengths
+    ]
+    return base.filter(F.col("__nt") >= min(all_lengths)).select(
         id_col,
         F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("__nt") - n),
-                    # lower() at window-KEY time: contamination matching is
-                    # case-insensitive (spans._tokens keeps original case)
-                    lambda i: F.xxhash64(
-                        F.lower(F.concat_ws(" ", F.slice("__toks", i + 1, n)))
-                    ),
-                )
-            )
+            F.array_distinct(F.flatten(F.array(*window_arrays)))
         ).alias("__h"),
     )
 
@@ -61,15 +80,36 @@ def _overlap_counts(
     """(id, overlap_ngrams >= 1) for corpus docs sharing any window with
     the benchmark — the small table both public entry points derive from."""
     bcol = bench_text_col or text_col
+    # SHORT benchmark docs (< n tokens) contribute their WHOLE-DOC window,
+    # and the corpus generates windows of exactly those lengths too —
+    # otherwise a doc quoting a short benchmark answer verbatim passes as
+    # clean. The distinct short lengths are driver-collected (bounded by
+    # n-1 values); each adds one more corpus window length, so a very
+    # short benchmark item makes the corpus explode proportionally more —
+    # the honest cost of catching it.
+    bench_base = benchmark.select(
+        F.lit(0).alias("__bid"), F.col(bcol)
+    ).select("__bid", _tokens(bcol).alias("__toks"))
+    short_lengths = tuple(
+        sorted(
+            r["__nt"]
+            for r in bench_base.select(F.size("__toks").alias("__nt"))
+            .filter((F.col("__nt") >= 1) & (F.col("__nt") < n))
+            .distinct()
+            .collect()
+        )
+    )
     bench_w = (
         _window_hashes(
             benchmark.select(F.lit(0).alias("__bid"), F.col(bcol)),
-            "__bid", bcol, n,
+            "__bid", bcol, n, lengths=short_lengths,
         )
         .select("__h")
         .distinct()
     )
-    corpus_w = _window_hashes(corpus, id_col, text_col, n)
+    corpus_w = _window_hashes(
+        corpus, id_col, text_col, n, lengths=short_lengths
+    )
     return (
         corpus_w.join(F.broadcast(bench_w), "__h")
         .groupBy(id_col)
@@ -126,8 +166,9 @@ def decontaminate(
     from the hits aggregate — not from ``contamination_stats``, whose
     every-doc-gets-a-row left join would drag a full corpus id scan into
     the broadcast subtree just to re-filter the zero rows back out.
-    The contaminated-id set is small (benchmark-bounded), so the removal
-    is a broadcast left-anti join — the corpus streams through one stage.
+    The contaminated-id set is USUALLY small, but it is corpus-bounded
+    (boilerplate benchmark n-grams can match huge swaths), so the join is
+    left to AQE: broadcast when small, shuffle when not.
     """
     if min_overlap < 1:
         raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
@@ -136,4 +177,9 @@ def decontaminate(
         .filter(F.col("overlap_ngrams") >= min_overlap)
         .select(id_col)
     )
-    return corpus.join(F.broadcast(dirty), id_col, "left_anti")
+    # NO broadcast hint: the dirty set is corpus-bounded (a benchmark
+    # n-gram appearing in boilerplate can match tens of millions of corpus
+    # docs); the hint would override autoBroadcastJoinThreshold and OOM
+    # the driver instead of degrading to a shuffle anti-join — AQE picks
+    # the broadcast automatically whenever dirty is actually small
+    return corpus.join(dirty, id_col, "left_anti")

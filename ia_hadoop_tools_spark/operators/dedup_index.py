@@ -250,10 +250,18 @@ def novel_docs_indexed(
     )
 
     # --- near: batch band keys -> bucket join -> exact-Jaccard verify
+    from pyspark import StorageLevel
+
+    # persisted: new_sh feeds BOTH the signature aggregation and the
+    # verification join — without it the batch tokenize+shingle pipeline
+    # (the dominant batch-side CPU; see textops.novel_docs) runs twice
+    # per probe. Release handle attached to the result (probe_caches).
     new_sh = shingle_sets(
         ensure_min_partitions(new_df.select(id_col, text_col)),
         id_col, text_col, index.shingle_words,
-    ).select(F.col(id_col).alias("id"), F.col("shingles").alias("nsh"))
+    ).select(
+        F.col(id_col).alias("id"), F.col("shingles").alias("nsh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(
         new_df, id_col, text_col, index.num_perm, index.shingle_words,
         shingles=new_sh.select(F.col("id").alias(id_col),
@@ -281,7 +289,7 @@ def novel_docs_indexed(
         .agg(F.count("*").alias("n_near"))
     )
 
-    return (
+    out = (
         new_df.select(F.col(id_col).alias("id"))
         .join(exact, "id", "left")
         .join(near, "id", "left")
@@ -293,3 +301,7 @@ def novel_docs_indexed(
             (~F.col("exact_dup") & (F.col("n_near") == 0)).alias("is_novel"),
         )
     )
+    # release handle (the shingle_cache convention): loop callers
+    # unpersist once the verdict is consumed
+    out.probe_caches = (new_sh,)
+    return out

@@ -331,6 +331,10 @@ def simhash(
     instead of ``bits`` per-row array traversals that each re-inline the
     hash computation under projection collapse.
     """
+    if not 1 <= bits <= 32:
+        # hash32 is a 32-bit hash: bits > 32 would silently produce dead
+        # always-zero upper bits (wasted aggregates + degenerate bands)
+        raise ValueError(f"bits must be 1..32 (hash32 source), got {bits}")
     from ia_hadoop_tools_spark.functions.textfns import tokens
 
     toks = tokens(F.col(text_col))  # the engine-wide shared tokenizer
@@ -570,8 +574,13 @@ def novel_docs(
             .filter(F.col("__df") > max_df)
             .select("shingle")
         )
-        inv_n = inv_n.join(F.broadcast(hot), "shingle", "left_anti")
-        inv_c = inv_c.join(F.broadcast(hot), "shingle", "left_anti")
+        # NO broadcast hint: |hot| is corpus-dependent (bounded only by
+        # total_occurrences/max_df — a small max_df over a big corpus
+        # makes it huge); the hint would override the broadcast threshold
+        # and OOM the driver instead of degrading to a shuffle anti-join.
+        # AQE broadcasts automatically whenever hot is actually small.
+        inv_n = inv_n.join(hot, "shingle", "left_anti")
+        inv_c = inv_c.join(hot, "shingle", "left_anti")
         inv_n = inv_n.persist(StorageLevel.MEMORY_AND_DISK)
         inv_c = inv_c.persist(StorageLevel.MEMORY_AND_DISK)
         sizes_n = inv_n.groupBy("id").agg(F.count("*").alias("n_a"))

@@ -142,6 +142,7 @@ def rolling_dedup_stream(
             .persist()
         )
         novel = None
+        idx = None
         caches = []
         try:
             # index existence gate = the PUBLISHED-marker protocol, never
@@ -157,6 +158,7 @@ def rolling_dedup_stream(
                 verdict = novel_docs_indexed(
                     slim, idx, id_col, text_col, threshold
                 )
+                caches.extend(getattr(verdict, "probe_caches", ()))
                 novel_ids = verdict.filter("is_novel").select(id_col)
                 novel = slim.join(novel_ids, id_col)
             else:
@@ -206,11 +208,17 @@ def rolling_dedup_stream(
                 publish_index(grown, index_root, keep_versions=keep_versions)
         finally:
             # unpersist in a finally: at-least-once replays after a
-            # transient write/publish failure must not leak cache entries
+            # transient write/publish failure must not leak cache entries.
+            # The index's own persisted frames (capped_buckets memo etc.)
+            # are released too — each batch loads a FRESH index instance,
+            # so without this a long stream accumulates one cached corpus
+            # bucket table per batch
             if novel is not None:
                 novel.unpersist()
             for c in caches:
                 c.unpersist()
+            if idx is not None:
+                idx.unpersist()
             slim.unpersist()
             original.unpersist()
 

@@ -106,3 +106,27 @@ def test_contamination_matching_is_case_insensitive(spark):
     )
     row = contamination_stats(corpus, bench, n=8).collect()[0]
     assert row["contaminated"] is True
+
+
+def test_short_benchmark_docs_are_matched(spark):
+    """Review repro: a benchmark doc shorter than n tokens contributed
+    ZERO windows, so corpus docs quoting it verbatim passed as clean.
+    Short bench docs now match via their whole-doc window."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "filler words then the capital of france is paris end stuff"),
+            (2, "completely unrelated text about spark partitions today"),
+        ],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris")],  # 6 tokens < n=8
+        "doc_id: long, text: string",
+    )
+    got = {
+        r.doc_id: r.contaminated
+        for r in contamination_stats(corpus, bench, n=8).collect()
+    }
+    assert got == {1: True, 2: False}
+    kept = {r.doc_id for r in decontaminate(corpus, bench, n=8).collect()}
+    assert kept == {2}
