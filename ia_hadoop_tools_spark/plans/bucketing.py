@@ -63,9 +63,16 @@ def bucketed_tables_join(
 
 
 def plan_has_exchange(df: DataFrame) -> bool:
-    """True if the physical plan contains a shuffle Exchange — test/diagnostic
-    helper for asserting co-located layouts actually avoided the shuffle."""
+    """True if the physical plan contains a SHUFFLE Exchange — test/diagnostic
+    helper for asserting co-located layouts actually avoided the shuffle.
+    BroadcastExchange (no shuffle) and ReusedExchange wrappers around it do
+    NOT count: a broadcast join is precisely the no-shuffle outcome this
+    helper exists to recognize."""
     plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), "simple"
     )
-    return "Exchange" in plan
+    return any(
+        marker in plan
+        for marker in ("Exchange hashpartitioning", "Exchange rangepartitioning",
+                       "Exchange SinglePartition")
+    )

@@ -42,6 +42,15 @@ def salted_join(
     inside an otherwise-average partition).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    # salting REPLICATES the right side, so only join types where an
+    # unmatched right row contributes nothing are semantics-preserving: a
+    # right/full outer (or right_semi/anti) would emit up to n_salt
+    # null-padded duplicates per right row
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r} "
+            "(the replicated right side would duplicate outer rows)"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salt))
     left = skewed.withColumn("__salt", salt)
     right = other.withColumn(

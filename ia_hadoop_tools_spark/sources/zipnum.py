@@ -56,9 +56,16 @@ def _write_shard(
     """Executor-side shard writer: TMP + atomic rename, one gzip member per
     ``lines_per_block`` lines; yields idx rows. All I/O goes through
     :mod:`fsio`, so ``out_dir`` may be local, ``hdfs://`` or ``s3://``."""
+    from pyspark import TaskContext
+
     shard = f"part-{part_id:05d}.gz"
     final = fsio.join(out_dir, shard)
-    tmp = final + ".TMP"
+    # ATTEMPT-unique tmp (the write_kvstore pattern): a fixed .TMP name
+    # lets speculative/zombie attempts interleave writes into one file
+    # and commit a corrupt shard; rename stays the commit point
+    ctx = TaskContext.get()
+    attempt = ctx.taskAttemptId() if ctx is not None else 0
+    tmp = f"{final}.{attempt}.TMP"
     idx_rows: list[Row] = []
     offset = 0
     buf: list[str] = []
@@ -101,10 +108,11 @@ def _write_shard(
     # per-shard idx sidecar (ZipNumRecordWriter.java:190-201 writes these
     # alongside each shard; SummaryGenerator later concatenates them)
     summary = final[: -len(".gz")] + ".summary"
-    with fsio.open_write_text(summary + ".TMP", filesystem) as sfh:
+    stmp = f"{summary}.{attempt}.TMP"
+    with fsio.open_write_text(stmp, filesystem) as sfh:
         for r in idx_rows:
             sfh.write(f"{r.summary_key}\t{r.shard}\t{r.offset}\t{r.length}\n")
-    fsio.rename(summary + ".TMP", summary, filesystem)
+    fsio.rename(stmp, summary, filesystem)
     return iter(idx_rows)
 
 
@@ -149,12 +157,38 @@ def write_zipnum(
     lpb, fs_obj = lines_per_block, filesystem
 
     def writer(pid: int, it: Iterator[Row]) -> Iterator[Row]:
-        return _write_shard(pid, (r["v"] for r in it), out_dir, lpb, fs_obj)
+        def checked(rows):
+            for r in rows:
+                v = r["v"]
+                # loud validation: a NULL value would die deep in the
+                # writer with a bare AttributeError, and an embedded
+                # newline silently SPLITS the record (fabricating rows on
+                # read); a tab in the key fields would corrupt the TSV
+                # sidecar / sort differently after %09-escaping
+                if v is None:
+                    raise ValueError("write_zipnum: null value row")
+                if "\n" in v or "\r" in v:
+                    raise ValueError(
+                        f"write_zipnum: value contains a newline: {v[:80]!r}"
+                    )
+                head = v.split(" ", 2)[:2]
+                if any("\t" in fld for fld in head):
+                    raise ValueError(
+                        "write_zipnum: tab inside the first two (key) "
+                        f"fields: {v[:80]!r}"
+                    )
+                yield v
 
+        return _write_shard(pid, checked(it), out_dir, lpb, fs_obj)
+
+    # eager localCheckpoint, NOT cache(): the writer has side effects
+    # (shard files), so the lineage must never re-run; the checkpoint cuts
+    # it, and the caller may safely unpersist the returned idx when done
+    # (a long session writing many clusters should — each idx pins one
+    # block-count-sized table otherwise)
     idx = spark.createDataFrame(
         vals.rdd.mapPartitionsWithIndex(writer), ZIPNUM_IDX_SCHEMA
-    ).cache()
-    idx.count()  # materialize shards + sidecars (no rows to the driver)
+    ).localCheckpoint(eager=True)
 
     # ALL.summary: the per-shard idx sidecars (written executor-side, already
     # offset-ordered; shard order == range-partition order) are streamed into
@@ -258,20 +292,24 @@ def block_lines(text: str) -> list[str]:
     return lines
 
 
-def read_summary_rows(
-    cluster_dir: str, filesystem=None
-) -> list[tuple[str, str, int, int]]:
-    """ALL.summary parsed driver-side as (key, shard, offset, length)
-    tuples — the one TSV parse shared by ``load_summary``'s fsio branch
-    and the ``zipnum`` DataSource planner."""
-    rows = []
+def iter_summary_rows(cluster_dir: str, filesystem=None):
+    """Stream ALL.summary as (key, shard, offset, length) tuples — the one
+    TSV parse shared by ``load_summary``'s fsio branch, the served-cluster
+    pager and the ``zipnum`` DataSource planner. A generator so planners
+    can stream a 100 TB cluster's ~300M-line summary in O(1) memory."""
     with fsio.open_read_text(
         fsio.join(cluster_dir, "ALL.summary"), filesystem
     ) as fh:
         for line in fh:
             key, shard, off, length = line.rstrip("\n").split("\t")
-            rows.append((key, shard, int(off), int(length)))
-    return rows
+            yield (key, shard, int(off), int(length))
+
+
+def read_summary_rows(
+    cluster_dir: str, filesystem=None
+) -> list[tuple[str, str, int, int]]:
+    """Materialized :func:`iter_summary_rows` (driver-sized clusters)."""
+    return list(iter_summary_rows(cluster_dir, filesystem))
 
 
 def _gunzip_salvage(payload: bytes) -> tuple[str, bool]:
@@ -392,11 +430,17 @@ def load_summary(
         # default quote='"' would strip/merge around a double quote in a
         # SURT key (real in archived query strings), silently corrupting
         # summary keys on this fast path only
-        return (
+        df = (
             spark.read.schema(ZIPNUM_IDX_SCHEMA)
             .option("sep", "\t")
             .option("quote", "")
             .csv(path)
+        )
+        # CSV PERMISSIVE mode nulls empty fields; the fsio branch returns
+        # '' for an empty key — coalesce so a null summary_key can never
+        # make a range predicate three-valued and silently drop the block
+        return df.withColumn(
+            "summary_key", F.coalesce(F.col("summary_key"), F.lit(""))
         )
     return spark.createDataFrame(
         read_summary_rows(cluster_dir, filesystem), ZIPNUM_IDX_SCHEMA
@@ -421,7 +465,10 @@ def zipnum_range(
 
     With ``skip_bad`` (the reference's ``--skip-bad``), corrupt members are
     salvaged + counted instead of failing the job; the skip count is exposed
-    as ``df.skip_bad_count`` (a Spark accumulator, valid after an action).
+    as ``df.skip_bad_count`` (a Spark accumulator, valid after an action;
+    accumulators in transformations are AT-LEAST-ONCE — task retries or
+    recomputation can overcount, so treat it as an upper-bound signal,
+    not an exact tally).
     """
     from pyspark.sql import Window
 

@@ -43,52 +43,77 @@ class ZipNumBlocks(InputPartition):
         self.blocks = list(blocks)
 
 
-def _load_summary(
-    cluster_dir: str, filesystem=None
-) -> list[tuple[str, str, int, int]]:
-    from ia_hadoop_tools_spark.sources.zipnum import read_summary_rows
+def _load_summary(cluster_dir: str, filesystem=None):
+    """Zero-arg FACTORY of summary-row iterators (plan_blocks streams the
+    meta-index twice; materializing it would hold ~300M tuples on the
+    driver at the 100 TB design point)."""
+    from ia_hadoop_tools_spark.sources.zipnum import iter_summary_rows
 
-    return read_summary_rows(cluster_dir, filesystem)
+    return lambda: iter_summary_rows(cluster_dir, filesystem)
+
+
+def _pruned_blocks(rows, start: str | None, end: str | None):
+    """Stream (key, shard, off, len) rows -> kept (shard, off, len).
+
+    A block covers [its key, next block's key in the same shard); the
+    last block of a shard is kept conservatively (unknown upper key).
+    One-row lookahead, O(1) memory. Mirrors zipnum_range's DataFrame
+    formulation (next_key >= start keeps boundary-duplicate keys).
+    """
+    cur = None
+    for row in rows:
+        if cur is not None:
+            key, shard, off, length = cur
+            nxt = row[0] if row[1] == shard else None
+            if not (end is not None and key >= end) and not (
+                start is not None and nxt is not None and nxt < start
+            ):
+                yield shard, off, length
+        cur = row
+    if cur is not None:
+        key, shard, off, length = cur
+        if not (end is not None and key >= end):
+            yield shard, off, length
 
 
 def plan_blocks(
-    summary: list[tuple[str, str, int, int]],
+    summary,
     start: str | None,
     end: str | None,
     num_partitions: int,
 ) -> list[list[tuple[str, int, int]]]:
-    """Prune to covering blocks, then group into byte-balanced partitions.
+    """Prune to covering blocks and coalesce into byte-balanced SPANS.
 
-    A block covers [its key, next block's key in the same shard); the last
-    block of a shard is kept conservatively (unknown upper key). Mirrors
-    zipnum_range's DataFrame formulation, driver-side over the meta-index
-    (1/3000 of the data).
+    ``summary`` is a list of (key, shard, offset, length) rows or a
+    zero-arg factory of iterators over them (the streaming path). Two
+    streaming passes: (1) count kept blocks + bytes, (2) emit contiguous
+    same-shard spans of ~total/num_partitions bytes. Driver memory is
+    O(partitions + shards), never O(blocks) — the DataFrame path's own
+    scale note (zipnum.py: '~300M lines at 100 TB') applies to this
+    planner too. Spans are safe because adjacent gzip members
+    concatenate (the reader's _gunzip_salvage walks members).
     """
-    by_shard: dict[str, list[tuple[str, str, int, int]]] = {}
-    for row in sorted(summary, key=lambda r: (r[1], r[2])):
-        by_shard.setdefault(row[1], []).append(row)
-    kept: list[tuple[str, int, int, int]] = []  # (shard, off, len) + size
-    for shard, rows in by_shard.items():
-        for i, (key, _, off, length) in enumerate(rows):
-            nxt = rows[i + 1][0] if i + 1 < len(rows) else None
-            if end is not None and key >= end:
-                continue
-            if start is not None and nxt is not None and nxt < start:
-                continue
-            kept.append((shard, off, length, length))
-    if not kept:
+    factory = summary if callable(summary) else (lambda: iter(summary))
+    total, n_blocks = 0, 0
+    for _, _, length in _pruned_blocks(factory(), start, end):
+        total += length
+        n_blocks += 1
+    if not n_blocks:
         return []
-    kept.sort(key=lambda b: (b[0], b[1]))
-    n = max(1, min(num_partitions, len(kept)))
-    target = sum(b[3] for b in kept) / n
-    groups: list[list[tuple[str, int, int]]] = [[]]
-    acc = 0
-    for shard, off, length, size in kept:
-        if acc >= target and len(groups) < n:
-            groups.append([])
-            acc = 0
-        groups[-1].append((shard, off, length))
-        acc += size
+    n = max(1, min(num_partitions, n_blocks))
+    target = max(1, total // n)
+    groups: list[list[tuple[str, int, int]]] = []
+    cur_shard, cur_off, cur_len = None, 0, 0
+    for shard, off, length in _pruned_blocks(factory(), start, end):
+        contiguous = shard == cur_shard and cur_off + cur_len == off
+        if contiguous and cur_len < target:
+            cur_len += length
+            continue
+        if cur_shard is not None:
+            groups.append([(cur_shard, cur_off, cur_len)])
+        cur_shard, cur_off, cur_len = shard, off, length
+    if cur_shard is not None:
+        groups.append([(cur_shard, cur_off, cur_len)])
     return groups
 
 

@@ -110,3 +110,17 @@ def test_boundaries_from_summary_matches_data_path(spark, tmp_path):
     assert boundaries_from_summary(spark, d, 4) == boundaries_from_summary(
         spark, d, 4
     )
+
+
+def test_plan_has_exchange_ignores_broadcast(spark):
+    """A broadcast join has no shuffle: the diagnostic must answer False
+    (the substring 'Exchange' also matched BroadcastExchange)."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.plans.bucketing import plan_has_exchange
+
+    big = spark.range(1000).withColumnRenamed("id", "k")
+    small = spark.range(10).withColumnRenamed("id", "k")
+    j = big.join(F.broadcast(small), "k")
+    assert not plan_has_exchange(j)
+    assert plan_has_exchange(big.repartition(7, "k"))

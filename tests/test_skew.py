@@ -46,3 +46,20 @@ def test_salted_distinct_count(spark):
         for r in df.groupBy("k").agg(F.countDistinct("u").alias("n")).collect()
     }
     assert got == exact
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """The replicated right side would duplicate unmatched outer rows
+    n_salt times — outer hows must be rejected, not silently wrong."""
+    import pytest
+
+    from ia_hadoop_tools_spark.plans.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(2, "y")], "k long, w string")
+    for how in ("right", "full", "outer", "left_anti", "left_semi"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(a, b, "k", n_salt=4, how=how)
+    # left join: unmatched LEFT rows survive exactly once
+    got = salted_join(a, b, "k", n_salt=4, how="left").collect()
+    assert len(got) == 1 and got[0]["w"] is None
