@@ -218,7 +218,9 @@ def q_dsir_weights(spark, sf_dir):
 SQL_DSIR_WEIGHTS = f"""
 WITH words AS (
   SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS t,
-         string_split(text, ' ') AS ws
+         -- mirror word_bigrams: portable whitespace class, empties removed
+         list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+                     x -> x <> '') AS ws
   FROM documents),
 bg AS (
   SELECT doc_id, t,

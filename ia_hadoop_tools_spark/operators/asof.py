@@ -54,6 +54,9 @@ def asof_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if method not in ("native", "pandas"):
+        # a typo must not silently fall through to the Python cogroup path
+        raise ValueError(f"method must be 'native' or 'pandas', got {method!r}")
     if method == "native":
         if tolerance is not None:
             raise ValueError("tolerance requires method='pandas'")

@@ -173,24 +173,26 @@ def dedup_lines(
     first occurrence — destroying paragraph structure everywhere, which
     is why reference line-dedup implementations exempt them.
 
-    Shape: posexplode lines -> one window min over the line value (the rank
-    decides the winner; ties cannot happen on (doc, pos)) -> re-aggregate
-    kept lines sorted by position. The full line text shuffles once — the
-    same movement a groupBy(line) dedup pays.
+    Shape: posexplode lines -> map-side-combinable groupBy(line) min
+    (the winner; ties cannot happen on (doc, pos)) -> join back. A
+    per-line WINDOW would funnel every occurrence of a hot duplicate
+    line (the exact thing this operator targets) into one task; the
+    groupBy partially aggregates before the shuffle, and join-side skew
+    is AQE-splittable where window skew is not. The full line text
+    shuffles once either way.
     """
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
     )
-    # empty lines bypass the window entirely — besides the semantics,
-    # the "" partition would be the corpus-wide skew hotspot
-    w = Window.partitionBy("__line")
+    # empty lines bypass the dedup entirely — besides the semantics,
+    # the "" group would be the corpus-wide skew hotspot
+    nonempty = lines.filter(F.col("__line") != "")
+    winners = nonempty.groupBy("__line").agg(
+        F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__winner")
+    )
     ranked = (
-        lines.filter(F.col("__line") != "")
-        .withColumn(
-            "__winner",
-            F.min(F.struct(F.col(id_col), F.col("__pos"))).over(w),
-        )
+        nonempty.join(winners, "__line")
         .filter(
             (F.col(f"__winner.{id_col}") == F.col(id_col))
             & (F.col("__winner.__pos") == F.col("__pos"))

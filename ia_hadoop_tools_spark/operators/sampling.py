@@ -27,11 +27,12 @@ _MOD = 1_000_000
 
 
 def _hash_bucket(id_col: str):
-    # first 8 hex chars of md5 -> int -> [0, _MOD); content-addressed and
-    # reproducible in any engine with md5 (DuckDB oracle uses the same)
-    return F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("long") % _MOD
+    # hashfns.hash32 (the engine's ONE md5-prefix hash, byte-identical to
+    # the previous inline copy) -> [0, _MOD); content-addressed and
+    # reproducible in any engine with md5 (DuckDB oracle: hash32_sql)
+    from ia_hadoop_tools_spark.functions.hashfns import hash32
+
+    return hash32(F.col(id_col).cast("string")) % _MOD
 
 
 def sample_hash(
@@ -75,18 +76,76 @@ def pack_sequences(
     in ``id_col`` order (per stratum if given) into one token stream, the
     stream is cut every ``budget`` tokens, and each doc reports the bin
     containing its FIRST token plus its offset within that bin —
-    ``seq_start`` is the doc's global token offset. One cumulative-sum
-    window; the sort order makes the layout exactly reproducible.
+    ``seq_start`` is the doc's global token offset. The sort order makes
+    the layout exactly reproducible.
+
+    Scale shape: with a ``strata_col`` the cumulative sum is one window
+    per stratum. WITHOUT one it is a GLOBAL prefix sum, which must not
+    become a single-partition window (one task sorting the corpus): the
+    frame is range-sorted on ``id_col``, each partition runs a LOCAL
+    window, and bounded per-partition totals (one row per partition,
+    driver-side exclusive prefix) shift the local sums — bit-identical to
+    the single window because ``id_col`` rows are totally ordered across
+    range partitions. The sorted frame is persisted so the partition
+    boundaries seen by the totals pass and the output pass are the same
+    (range boundaries are sampled, hence nondeterministic across
+    re-executions); release via ``out.pack_cache``.
+    ``bin`` uses integer ``div`` — a double division would misround near
+    2^53 and diverge from the integer SQL oracle.
     """
-    parts = [strata_col] if strata_col else []
-    w = (
-        Window.partitionBy(*parts)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    start = (F.sum(token_col).over(w) - F.col(token_col)).cast("long")
-    return (
-        df.withColumn("seq_start", start)
-        .withColumn("bin", (F.col("seq_start") / budget).cast("long"))
-        .withColumn("bin_offset", F.col("seq_start") % budget)
-    )
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if strata_col:
+        w = (
+            Window.partitionBy(strata_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = df.withColumn(
+            "seq_start",
+            (F.sum(token_col).over(w) - F.col(token_col)).cast("long"),
+        )
+        cache = None
+    else:
+        from pyspark import StorageLevel
+
+        spark = df.sparkSession
+        cache = (
+            df.repartitionByRange(id_col)
+            .sortWithinPartitions(id_col)
+            .withColumn("__pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        totals = sorted(
+            (r["__pid"], r["__t"])
+            for r in cache.groupBy("__pid")
+            .agg(F.sum(token_col).alias("__t"))
+            .collect()
+        )  # one row per partition — bounded driver state
+        offs, acc = [], 0
+        for pid, t in totals:
+            offs.append((pid, acc))
+            acc += int(t or 0)
+        off_df = spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
+        lw = (
+            Window.partitionBy("__pid")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = (
+            cache.join(F.broadcast(off_df), "__pid", "left")
+            .withColumn(
+                "seq_start",
+                (
+                    F.sum(token_col).over(lw)
+                    - F.col(token_col)
+                    + F.coalesce("__off", F.lit(0))
+                ).cast("long"),
+            )
+            .drop("__pid", "__off")
+        )
+    out = out.withColumn(
+        "bin", F.expr(f"seq_start div {int(budget)}")
+    ).withColumn("bin_offset", F.col("seq_start") % budget)
+    out.pack_cache = cache
+    return out

@@ -63,6 +63,11 @@ def scd2_merge(
     (string/date — caller's choice of time domain).
     """
     cols = [*keys, *tracked, from_col, to_col]
+    # effective_ts literals CAST to the history's column types: an uncast
+    # string literal would make unionByName silently widen DATE/TIMESTAMP
+    # valid_from/valid_to columns to string in the merged output
+    eff_from = F.lit(effective_ts).cast(history.schema[from_col].dataType)
+    eff_to = F.lit(effective_ts).cast(history.schema[to_col].dataType)
     closed = history.filter(F.col(to_col).isNotNull()).select(*cols)
     current = history.filter(F.col(to_col).isNull()).select(*cols)
     snap = snapshot.select(*keys, *tracked)
@@ -93,19 +98,17 @@ def scd2_merge(
         return [
             *[F.col(f"s.{k}").alias(k) for k in keys],
             *[F.col(f"s.{t}").alias(t) for t in tracked],
-            F.lit(effective_ts).alias(from_col),
+            eff_from.alias(from_col),
             F.lit(None).cast(current.schema[to_col].dataType).alias(to_col),
         ]
 
     kept_open = j.filter(unchanged).select(*from_current(F.col(f"c.{to_col}")))
     missing = j.filter(only_current).select(
         *from_current(
-            F.lit(effective_ts) if close_missing else F.col(f"c.{to_col}")
+            eff_to if close_missing else F.col(f"c.{to_col}")
         )
     )
-    newly_closed = j.filter(changed).select(
-        *from_current(F.lit(effective_ts))
-    )
+    newly_closed = j.filter(changed).select(*from_current(eff_to))
     reopened = j.filter(changed | only_snap).select(*from_snap())
     return (
         closed.unionByName(kept_open)

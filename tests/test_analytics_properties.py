@@ -580,3 +580,19 @@ def test_window_funnel_is_pure_codegen(spark):
     )
     for node in ("FlatMapGroupsInPandas", "EvalPython"):
         assert node not in plan, plan
+
+
+def test_dsir_select_rejects_impossible_fraction(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.importance import dsir_select
+
+    df = spark.createDataFrame(
+        [(i, "a b c", i % 2 == 0) for i in range(10)],
+        "doc_id long, text string, t boolean",
+    )
+    with pytest.raises(ValueError, match="fraction"):
+        dsir_select(df, F.col("t"), 3, 2)
+    with pytest.raises(ValueError, match="fraction"):
+        dsir_select(df, F.col("t"), 1, 0)

@@ -169,3 +169,14 @@ def test_asof_native_rejects_unsupported_direction_and_how(spark):
         asof_join(left, left, "key", "ts", direction="nearest")
     with pytest.raises(ValueError, match="how"):
         asof_join(left, left, "key", "ts", how="outer")
+
+
+def test_asof_rejects_unknown_method(spark):
+    import pytest
+
+    from ia_hadoop_tools_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([(1, 10)], "k long, ts long")
+    r = spark.createDataFrame([(1, 9, 1.0)], "k long, qts long, v double")
+    with pytest.raises(ValueError, match="method"):
+        asof_join(l, r, ["k"], "ts", "qts", method="natve")

@@ -68,3 +68,48 @@ def test_pack_sequences_per_stratum(spark):
         2: ("b", 0, 0),
         4: ("b", 40, 0),
     }
+
+
+def test_pack_sequences_global_path_is_prefix_sum_not_single_window(spark):
+    """strata_col=None must not move the corpus into one window partition:
+    the range-sorted local-window + offsets formulation must match the
+    naive single-window result exactly, and the plan must contain no
+    empty-partition-spec Window."""
+    import random as _random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.sampling import pack_sequences
+
+    rng = _random.Random(11)
+    rows = [(i, rng.randrange(1, 50)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(16)
+    out = pack_sequences(df, budget=64)
+    got = {r.doc_id: (r.seq_start, r.bin, r.bin_offset) for r in out.collect()}
+    # naive reference
+    acc = 0
+    want = {}
+    for i, n in sorted(rows):
+        want[i] = (acc, acc // 64, acc % 64)
+        acc += n
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Window in the plan must be partitioned (no global-window node)
+    import re as _re
+
+    for m in _re.finditer(r"Window \[", plan):
+        frag = plan[m.start():m.start() + 300]
+        assert "windowspecdefinition(__pid" in frag or "windowspecdefinition" not in frag, frag
+    if out.pack_cache is not None:
+        out.pack_cache.unpersist()
+
+
+def test_pack_sequences_validates_budget(spark):
+    import pytest
+
+    from ia_hadoop_tools_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, budget=0)

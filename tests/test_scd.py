@@ -104,3 +104,25 @@ def test_scd2_no_eager_jobs_on_construction(spark):
     finally:
         sc.setJobGroup("", "")
     assert list(jobs or []) == []
+
+
+def test_scd2_preserves_date_typed_history_schema(spark):
+    """Review repro: an uncast effective_ts literal made unionByName widen
+    DATE valid_from/valid_to to string."""
+    import datetime as dt
+
+    from ia_hadoop_tools_spark.operators.scd import scd2_merge
+
+    hist = spark.createDataFrame(
+        [(1, "a", dt.date(2024, 1, 1), None)],
+        "k long, attr string, valid_from date, valid_to date",
+    )
+    snap = spark.createDataFrame([(1, "b")], "k long, attr string")
+    out = scd2_merge(
+        hist, snap, keys=["k"], tracked=["attr"], effective_ts="2024-02-01"
+    )
+    dtypes = dict(out.dtypes)
+    assert dtypes["valid_from"] == "date" and dtypes["valid_to"] == "date"
+    rows = {(r.attr, r.valid_from, r.valid_to) for r in out.collect()}
+    assert ("a", dt.date(2024, 1, 1), dt.date(2024, 2, 1)) in rows
+    assert ("b", dt.date(2024, 2, 1), None) in rows
