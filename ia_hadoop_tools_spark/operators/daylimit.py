@@ -45,10 +45,28 @@ def day_limit(
     captures per day — an off-by-one this operator does not reproduce
     (``n`` here means exactly n). Callers needing byte-parity with a
     Java-produced index must pass n = dayLimit + 1.
+
+    ``n=0`` means UNLIMITED, matching the reference's cdx.daily.limit=0
+    (GlobalWaybackMergeMapper gates the whole block with ``dayLimit !=
+    0``) — the rule lives HERE, not in each caller, so a directly ported
+    config cannot silently empty the index. Negative n raises.
+
+    Determinism: with the default empty ``tiebreakers`` the order within
+    one (key, day, timestamp) tie falls back to every remaining column
+    (sorted by name) — same-second capture bursts are common in CDX
+    data, and a partial order would let partition layout pick the
+    survivors. Pass explicit tiebreakers to pin a narrower order.
     """
+    if n < 0:
+        raise ValueError(f"day limit must be >= 0 (0 = unlimited), got {n}")
+    if n == 0:
+        return df
     if day_expr is None:
         day_expr = F.substring(F.col(ts_col), 1, 8)
-    order = [F.col(ts_col)] + [F.col(c) for c in tiebreakers]
+    ties = list(tiebreakers) or sorted(
+        c for c in df.columns if c not in (key_col, ts_col)
+    )
+    order = [F.col(ts_col)] + [F.col(c) for c in ties]
     w = Window.partitionBy(F.col(key_col), day_expr).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -41,7 +41,13 @@ _PATHQUERY_RE = r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]*([/?][^#]*)"
 
 
 def _host_labels(url: Column) -> Column:
-    return F.split(F.lower(F.regexp_extract(url, _HOST_RE, 1)), r"\.")
+    # filter(...!=""): Spark's split KEEPS trailing empty strings where
+    # Java's String.split drops them — a trailing-dot host ('example.com.')
+    # would otherwise key as ('com','') i.e. the bogus SURT '(,com'
+    return F.filter(
+        F.split(F.lower(F.regexp_extract(url, _HOST_RE, 1)), r"\."),
+        lambda t: t != "",
+    )
 
 
 def _suffix_label_count(labels: Column, suffixes: tuple[str, ...]) -> Column:
@@ -73,23 +79,36 @@ def cdx_transform(
     spelled '-' on the text boundary only (kept as NULL here; cdx_to_text
     handles the dash convention).
     """
-    suffixes = tuple(MULTI_PART_SUFFIXES) + tuple(extra_suffixes)
+    # labels are lowercased before the suffix compare — lowercase the
+    # user's extra suffixes too, or mixed-case entries silently never match
+    suffixes = tuple(MULTI_PART_SUFFIXES) + tuple(
+        sx.lower() for sx in extra_suffixes
+    )
     url = F.col(url_col)
     labels = _host_labels(url)
     n = F.size(labels)
+    # dotted IPv4 hosts stay UNREVERSED (webarchive-commons hostToSURT
+    # preserves IPs; splitting octets as DNS labels would group unrelated
+    # hosts under the last two octets)
+    host = F.array_join(labels, ".")
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
     k = _suffix_label_count(labels, suffixes)
     # registered domain labels = last k; SURT = reversed, comma-joined,
     # wrapped in '(' like URLRegexTransformer.hostToSURT.
     reg = F.slice(labels, F.greatest(n - k + 1, F.lit(1)), k)
-    pub_suffix_surt = F.concat(
-        F.lit("("), F.array_join(F.reverse(reg), ",")
-    )
-    prefix = F.when(n > k, F.array_join(F.slice(labels, 1, n - k), ".")).otherwise(
-        F.lit(None).cast("string")
+    pub_suffix_surt = F.when(
+        is_ip, F.concat(F.lit("("), host)
+    ).otherwise(F.concat(F.lit("("), F.array_join(F.reverse(reg), ",")))
+    prefix = F.when(is_ip, F.lit(None).cast("string")).otherwise(
+        F.when(n > k, F.array_join(F.slice(labels, 1, n - k), ".")).otherwise(
+            F.lit(None).cast("string")
+        )
     )
     path_query = F.regexp_extract(url, _PATHQUERY_RE, 1)
     path_query = F.when(path_query == "", F.lit("/")).otherwise(path_query)
-    scheme = F.regexp_extract(url, _SCHEME_RE, 1)
+    # normalized: schemes are case-insensitive, so the VALUE lowercases
+    # (keeping the raw case would split groupBy('scheme') on case)
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
 
     out = df
     if "meta_flags" in df.columns:
@@ -98,17 +117,23 @@ def cdx_transform(
         )
     if "compressed_offset" in df.columns:
         out = out.filter(F.col("compressed_offset").isNotNull())
-    keep = [
-        c for c in (
-            "timestamp", url_col, "mimetype", "statuscode", "digest",
-            "redirect", "compressed_offset", "filename", *passthrough,
-        )
-        if c in df.columns
+    base = (
+        "timestamp", url_col, "mimetype", "statuscode", "digest",
+        "redirect", "compressed_offset", "filename",
+    )
+    # dedup passthrough against the base list: an overlapping name would
+    # emit a duplicate column (AMBIGUOUS_REFERENCE downstream)
+    keep = [c for c in base if c in df.columns] + [
+        c for c in passthrough if c in df.columns and c not in base
     ]
-    return out.filter(F.size(labels) >= 2).select(
+    # column order matches the documented CDXTransformer tuple: timestamp
+    # third, then the split host parts (positional text consumers rely on
+    # the documented order)
+    return out.filter((F.size(labels) >= 2) | is_ip).select(
         pub_suffix_surt.alias("pub_suffix_surt"),
         path_query.alias("path_query"),
+        *(["timestamp"] if "timestamp" in df.columns else []),
         prefix.alias("public_prefix"),
         scheme.alias("scheme"),
-        *keep,
+        *[c for c in keep if c != "timestamp"],
     )

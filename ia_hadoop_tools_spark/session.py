@@ -121,6 +121,13 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
             "region", "nation", "customer", "supplier", "part",
             "orders", "lineitem", "events", "documents", "embeddings",
         )
+    # SESSION-WIDE side effect, deliberate and documented: the flag must
+    # stay set for the lifetime of any DataFrame read below (Spark
+    # consults it at execution, not only at analysis), so it cannot be
+    # scoped-and-restored around the read. Consequence: later unrelated
+    # parquet reads in this session also surface TIMESTAMP(NANOS) columns
+    # as bigint nanos instead of erroring — normalize them like the
+    # events branch below if you read nanos parquet after load_tables.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for n in names:

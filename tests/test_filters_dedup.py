@@ -165,3 +165,28 @@ def test_global_wayback_filter_warc_gate_is_contains_not_startswith(spark):
     )
     keys = sorted(r.urlkey for r in global_wayback_filter(df).collect())
     assert keys == ["a)/mid", "b)/mid502"]
+
+
+def test_day_limit_zero_means_unlimited_and_ties_deterministic(spark):
+    """Reference parity: cdx.daily.limit=0 disables the cap (it used to
+    silently empty the output); same-second ties order by the remaining
+    columns, so survivors are partition-layout-independent."""
+    import pytest
+
+    from ia_hadoop_tools_spark.operators.daylimit import day_limit
+
+    rows = [
+        ("k", "20200101120000", f"f{i}.warc.gz") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "urlkey string, timestamp string, filename string")
+    assert day_limit(df, n=0).count() == 40  # unlimited
+    with pytest.raises(ValueError, match=">= 0"):
+        day_limit(df, n=-1)
+    # all 40 captures share one (key, day, ts): the survivors must be the
+    # filename-sorted prefix regardless of partitioning
+    a = sorted(r.filename for r in day_limit(df, n=5).collect())
+    b = sorted(
+        r.filename for r in day_limit(df.repartition(13), n=5).collect()
+    )
+    want = sorted(f"f{i}.warc.gz" for i in range(40))[:5]
+    assert a == b == want
