@@ -39,6 +39,7 @@ def _utc_dt(ts: float):
 
 import io
 import json
+import urllib.parse
 import urllib.request
 from urllib.parse import quote as _q
 from functools import lru_cache
@@ -336,6 +337,126 @@ def search_collection_items(
         start += len(docs)
         if not docs or start >= int(r.get("numFound", 0)):
             return out
+
+
+def _retrying_get(url: str, max_retries: int, retry_delay: float,
+                  timeout: float) -> bytes:
+    """Bounded-retry GET shared by the three ItemSearcher backends
+    (each reference searcher carries the identical retry loop)."""
+    import time as _time
+
+    last_err: Exception | None = None
+    for attempt in range(max_retries):
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as resp:
+                return resp.read()
+        except OSError as e:
+            last_err = e
+            _time.sleep(retry_delay * (attempt + 1))
+    raise OSError(f"fetch failed after {max_retries} tries: {url}") from last_err
+
+
+def search_collection_items_metamgr(
+    api_base: str,
+    collection: str,
+    rows_per_page: int = 200,
+    max_retries: int = 5,
+    retry_delay: float = 0.5,
+    timeout: float = 60.0,
+) -> list[tuple[str, float]]:
+    """MetaManager backend (fs/MetaManagerItemSearcher.java:86-215):
+    paged ``metamgr.php`` query -> ``{"rows": [[identifier, mediatype,
+    collections, publicdate], ...]}``. Reference-faithful filtering:
+    ``mediatype == 'collection'`` rows are excluded, membership is
+    re-verified against the ``;``-delimited collections field (the
+    ``*coll*`` query pattern over-matches), publicdate parses as
+    ``yyyy-MM-dd HH:mm:ss`` (0 on failure), and paging continues until
+    an empty page (the response carries no total)."""
+    from datetime import datetime, timezone
+
+    def in_collection(coll: str, collections: str) -> bool:
+        # exact ;-delimited membership, MetaManagerItemSearcher.java:73-84
+        return coll in (collections or "").split(";")
+
+    out: list[tuple[str, float]] = []
+    start = 0
+    while True:
+        q = urllib.parse.urlencode(
+            {
+                "srt": "identifier", "ord": "asc",
+                "w_collection": f"*{collection}*",
+                "fs_identifier": "on", "fs_mediatype": "on",
+                "fs_collection": "on",
+                "off": str(start), "lim": str(rows_per_page),
+                "output_format": "json",
+            }
+        )
+        payload = json.loads(
+            _retrying_get(
+                f"{api_base}/metamgr.php?{q}", max_retries, retry_delay,
+                timeout,
+            ).decode("utf-8")
+        )
+        rows = payload.get("rows") or []
+        for row in rows:
+            if not row or row[0] is None:
+                continue
+            iid, mediatype = row[0], row[1] if len(row) > 1 else None
+            if mediatype == "collection":
+                continue
+            if not in_collection(collection, row[2] if len(row) > 2 else ""):
+                continue
+            publicdate = row[3] if len(row) > 3 else None
+            try:
+                mt = (
+                    datetime.strptime(publicdate, "%Y-%m-%d %H:%M:%S")
+                    .replace(tzinfo=timezone.utc)
+                    .timestamp()
+                    if publicdate
+                    else 0.0
+                )
+            except ValueError:
+                mt = 0.0  # sqldatetime2timestamp returns 0 on parse failure
+            out.append((iid, mt))
+        start += len(rows)
+        if not rows:
+            return out
+
+
+def search_collection_items_index(
+    service_url: str,
+    collection: str,
+    max_retries: int = 5,
+    retry_delay: float = 0.5,
+    timeout: float = 60.0,
+) -> list[tuple[str, float]]:
+    """Collection-index backend (fs/CollectionIndexItemSearcher.java:
+    60-170): one GET of ``{service_url}{collection}`` returning a
+    LINE-oriented body — each line either JSON ``{"id":..., "m":
+    <epoch_seconds>}`` or a bare ``identifier[ rest]`` (mtime 0); lines
+    that are neither are skipped, like the reference's per-line salvage."""
+    body = _retrying_get(
+        f"{service_url}{urllib.parse.quote(collection)}",
+        max_retries, retry_delay, timeout,
+    ).decode("utf-8", errors="replace")
+    out: list[tuple[str, float]] = []
+    for line in body.splitlines():
+        if not line:
+            continue
+        if line.startswith("{"):
+            try:
+                jo = json.loads(line)
+            except ValueError:
+                continue  # invalid line: skip, CollectionIndexItemSearcher:158
+            iid = jo.get("id")
+            if iid is None:
+                continue
+            out.append((iid, float(jo.get("m") or 0)))
+        elif line[0].isalnum():
+            iid = line.split(" ", 1)[0]
+            out.append((iid, 0.0))
+        # else: neither JSON nor identifier — skipped
+    return out
 
 
 def list_collection_files_df(

@@ -274,3 +274,68 @@ def test_quoted_item_and_file_names(item_server):
     fs = make_item_filesystem(base, base)
     with fs.open_input_file("item with space/my file 100%.txt") as fh:
         assert fh.read() == b"quoted bytes"
+
+
+def test_metamgr_and_collection_index_searchers(tmp_path):
+    """The two remaining ItemSearcher backends (MetaManagerItemSearcher,
+    CollectionIndexItemSearcher): same [(itemid, mtime)] contract as the
+    advancedsearch shape, pattern-faithful filtering."""
+    import threading as _threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from ia_hadoop_tools_spark.sources.itemfs import (
+        search_collection_items_index,
+        search_collection_items_metamgr,
+    )
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlsplit
+
+            u = urlsplit(self.path)
+            if u.path == "/metamgr.php":
+                q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                off = int(q["off"])
+                # page 0: three rows (one collection-typed, one wrong
+                # membership — the *coll* pattern over-matched); page 1 empty
+                pages = {
+                    0: [
+                        ["item-a", "texts", "wide;c1", "2020-01-02 03:04:05"],
+                        ["c1", "collection", "c1", None],
+                        ["item-x", "texts", "c1x;other", None],
+                    ],
+                }
+                body = json.dumps({"rows": pages.get(off, [])}).encode()
+            elif u.path.startswith("/getitems/"):
+                coll = u.path.rsplit("/", 1)[-1]
+                assert coll == "c1"
+                body = (
+                    '{"id": "item-j", "m": 1577934245}\n'
+                    "item-plain some extra\n"
+                    "!!! neither json nor identifier\n"
+                ).encode()
+            else:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = _threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        got = search_collection_items_metamgr(base, "c1")
+        # only item-a survives: c1x membership fails the ;-delimited check,
+        # the collection-typed row is excluded
+        assert [i for i, _ in got] == ["item-a"]
+        assert got[0][1] > 0
+        idx = search_collection_items_index(f"{base}/getitems/", "c1")
+        assert idx == [("item-j", 1577934245.0), ("item-plain", 0.0)]
+    finally:
+        srv.shutdown()
