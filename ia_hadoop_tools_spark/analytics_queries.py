@@ -380,7 +380,8 @@ def q_collocations(spark, sf_dir):
 
 
 SQL_COLLOCATIONS = f"""
-WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+WITH ws AS (SELECT list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
+                        x -> x <> '') AS ws FROM documents),
 words AS (SELECT unnest(ws) AS w FROM ws),
 n_total AS (SELECT count(*) AS n FROM words),
 uni AS (SELECT w, count(*) AS c FROM words GROUP BY w),

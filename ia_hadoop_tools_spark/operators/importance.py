@@ -51,9 +51,14 @@ def word_bigrams(text: Column | str) -> Column:
         text if isinstance(text, Column) else F.col(text), "[ \t\n\f\r]+"
     )
     w = F.filter(raw, lambda t: t != "")
-    pairs = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 2),
-        lambda i: F.concat(F.element_at(w, i + 1), F.lit(" "), F.element_at(w, i + 2)),
+    # zip of two slices, NOT transform+element_at: element_at is O(n) per
+    # access, making the transform O(n^2) per document (and higher-order
+    # functions are interpreted, not codegen'd — fewer of them matters)
+    m = F.greatest(F.size(w) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(w, 1, m),
+        F.slice(w, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     return F.when(F.size(w) >= 2, pairs).otherwise(
         F.array().cast("array<string>")

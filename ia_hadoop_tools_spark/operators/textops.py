@@ -649,8 +649,16 @@ def collocation_scores(
     """
     from ia_hadoop_tools_spark.operators.importance import word_bigrams
 
+    # SAME tokenization as word_bigrams (portable whitespace class,
+    # empties removed): a single-space split here would count unigrams
+    # over a different token stream than the pair side on messy text
     words = docs.select(
-        F.explode(F.split(F.col(text_col), " ")).alias("w")
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), "[ \t\n\f\r]+"),
+                lambda t: t != "",
+            )
+        ).alias("w")
     )
     n_total = words.groupBy().agg(F.count("*").alias("__n"))
     uni = words.groupBy("w").agg(F.count("*").alias("__c"))
