@@ -575,10 +575,12 @@ SELECT 'regex:c_name',
 FROM customer
 UNION ALL
 SELECT 'unique:c_custkey', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
-FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey)
+FROM (SELECT count(*) AS n FROM customer
+      WHERE c_custkey IS NOT NULL GROUP BY c_custkey)
 UNION ALL
 SELECT 'unique:c_nationkey', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
-FROM (SELECT count(*) AS n FROM customer GROUP BY c_nationkey)
+FROM (SELECT count(*) AS n FROM customer
+      WHERE c_nationkey IS NOT NULL GROUP BY c_nationkey)
 """
 
 

@@ -172,17 +172,19 @@ def connected_components_star(
     order-independent, one scalar aggregation per round, stable iff the
     edge set stopped changing (up to 64-bit hash-sum collision).
     """
+    raw = edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     e = _truncate_lineage(
-        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+        raw.filter(F.col("u") != F.col("v")).distinct()
     )
     # checkpointed (not persisted): nodes must stay computable after the
     # loop releases the initial edge checkpoint it derives from, and the
-    # final labels join consumes it lazily after the loop
+    # final labels join consumes it lazily after the loop. Node set comes
+    # from the UNFILTERED pairs: a node whose only edge is a self-loop
+    # must still get its singleton component row (the plain-loop variant
+    # keeps it; dropping it here would break the drop-in-swap contract).
     nodes = _truncate_lineage(
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
     )
     def _probe(df):

@@ -60,6 +60,17 @@ def expectations(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
     """
     if not rules:
         raise ValueError("no rules given")
+    # disambiguate duplicate rule names in the OUTPUT too: a strict and a
+    # loose range on one field both named 'range:v' would silently collapse
+    # in any dict-keyed consumer — suffix repeats with #2, #3, ...
+    seen: dict[str, int] = {}
+
+    def out_name(r: tuple) -> str:
+        base = rule_name(r)
+        seen[base] = seen.get(base, 0) + 1
+        return base if seen[base] == 1 else f"{base}#{seen[base]}"
+
+    names = {id(r): out_name(r) for r in rules}
     row_rules = [r for r in rules if r[0] != "unique"]
     uniq_rules = [r for r in rules if r[0] == "unique"]
     parts = []
@@ -76,7 +87,7 @@ def expectations(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
         pairs = F.array(
             *[
                 F.struct(
-                    F.lit(rule_name(r)).alias("rule"),
+                    F.lit(names[id(r)]).alias("rule"),
                     F.col(f"__r{i}").alias("n_violations"),
                 )
                 for i, r in enumerate(row_rules)
@@ -89,15 +100,21 @@ def expectations(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
         )
     for r in uniq_rules:
         keys = list(r[1:])
+        # dbt convention: NULL keys are ignored by the unique test (they
+        # are not-null's job) — grouping them together counted all NULL
+        # rows as duplicates of each other
+        nn = df
+        for kcol in keys:
+            nn = nn.filter(F.col(kcol).isNotNull())
         dupes = (
-            df.groupBy(*keys)
+            nn.groupBy(*keys)
             .agg(F.count("*").alias("__n"))
             .agg(
                 F.coalesce(
                     F.sum(F.col("__n") - 1), F.lit(0).cast("long")
                 ).alias("n_violations")
             )
-            .select(F.lit(rule_name(r)).alias("rule"), "n_violations")
+            .select(F.lit(names[id(r)]).alias("rule"), "n_violations")
         )
         parts.append(dupes)
     out = parts[0]

@@ -33,6 +33,7 @@ def interval_join(
     end_col: str,
     bucket_width: int = 86400,
     how: str = "inner",
+    max_buckets_per_interval: int = 100_000,
 ) -> DataFrame:
     """Join ``points`` to every interval with ``start <= ts <= end``.
 
@@ -44,16 +45,34 @@ def interval_join(
     """
     if how != "inner":
         raise ValueError("interval_join supports how='inner' only")
+    if bucket_width < 1 or max_buckets_per_interval < 1:
+        raise ValueError("bucket_width and max_buckets_per_interval must be >= 1")
 
     def bucket(c: Column) -> Column:
         return F.floor(F.unix_timestamp(c) / F.lit(bucket_width)).cast("long")
 
-    iv = intervals.withColumn(
-        "__b",
-        F.explode(
-            F.sequence(bucket(F.col(start_col)), bucket(F.col(end_col)))
-        ),
+    # blowup guard: a sentinel-ended interval ('active until 9999-12-31')
+    # would explode millions of bucket replicas per row — fail loudly with
+    # the remedy instead of OOMing an executor
+    b_lo, b_hi = bucket(F.col(start_col)), bucket(F.col(end_col))
+    nb = b_hi - b_lo + 1
+    checked_hi = F.when(nb <= max_buckets_per_interval, b_hi).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "interval_join: an interval spans more than "
+                    f"{max_buckets_per_interval} buckets at width "
+                    f"{bucket_width}s ("
+                ),
+                nb.cast("string"),
+                F.lit(
+                    ") — widen bucket_width, cap sentinel end dates, or "
+                    "raise max_buckets_per_interval"
+                ),
+            )
+        ).cast("long")
     )
+    iv = intervals.withColumn("__b", F.explode(F.sequence(b_lo, checked_hi)))
     pt = points.withColumn("__b", bucket(F.col(point_ts)))
     return (
         pt.join(iv, "__b")

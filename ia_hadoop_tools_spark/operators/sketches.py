@@ -104,6 +104,13 @@ def kmv_merge(
     inputs already discarded); the carried ``__k`` column enforces it at
     evaluation time via a codegen'd assertion.
     """
+    # pre-__k sketch files (older published versions): assume build k =
+    # the requested k, the same fallback kmv_estimate documents — without
+    # it the streaming RESUME path dies on NUM_COLUMNS_MISMATCH
+    if "__k" not in a.columns:
+        a = a.withColumn("__k", F.lit(k).cast("int"))
+    if "__k" not in b.columns:
+        b = b.withColumn("__k", F.lit(k).cast("int"))
     u = a.unionByName(b).withColumn(
         "__k",
         F.when(

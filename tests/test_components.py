@@ -155,3 +155,17 @@ def test_connected_components_string_ids_converge(spark):
         for r in connected_components_star(edges).collect()
     }
     assert star == got
+
+
+def test_star_variant_keeps_self_loop_only_nodes(spark):
+    """Drop-in-swap contract: a node whose only edge is a self-loop gets
+    its singleton component row in BOTH variants."""
+    from ia_hadoop_tools_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame([(5, 5), (1, 2)], "id_a long, id_b long")
+    plain = {(r["node"], r["comp"]) for r in connected_components(edges).collect()}
+    star = {(r["node"], r["comp"]) for r in connected_components_star(edges).collect()}
+    assert star == plain == {(1, 1), (2, 1), (5, 5)}

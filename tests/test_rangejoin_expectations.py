@@ -116,3 +116,48 @@ def test_expectations_clean_table_and_errors(spark):
     with pytest.raises(ValueError):
         expectations(df, [("bogus", "k")])
     assert rule_name(("unique", "a", "b")) == "unique:a,b"
+
+
+def test_interval_join_rejects_sentinel_blowup(spark):
+    """An 'active until 9999' sentinel interval must fail loudly instead
+    of exploding millions of bucket replicas."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame([(1, 1_700_000_000)], "pid long, t long").select(
+        "pid", F.timestamp_seconds("t").alias("ts"))
+    ivs = spark.createDataFrame(
+        [(1, 1_600_000_000, 253_402_300_799)], "iid long, s long, e long"
+    ).select("iid", F.timestamp_seconds("s").alias("s"),
+             F.timestamp_seconds("e").alias("e"))
+    from ia_hadoop_tools_spark.operators.rangejoin import interval_join
+
+    with pytest.raises(Exception, match="spans more than"):
+        interval_join(pts, ivs, "ts", "s", "e", bucket_width=3600).collect()
+    # widening the width under the cap keeps it runnable
+    got = interval_join(
+        pts, ivs, "ts", "s", "e", bucket_width=10 * 365 * 86400
+    ).collect()
+    assert len(got) == 1
+
+
+def test_expectations_duplicate_rules_and_null_unique(spark):
+    """Two rules of one kind+column stay distinguishable (#2 suffix), and
+    the unique test ignores NULL keys (dbt convention)."""
+    from ia_hadoop_tools_spark.operators.expectations import expectations
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, None), (4, None), (5, None)],
+        "k long, v int",
+    )
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in expectations(
+            df,
+            [("range", "v", 0, 10), ("range", "v", 0, 3), ("unique", "v")],
+        ).collect()
+    }
+    assert set(out) == {"range:v", "range:v#2", "unique:v"}
+    assert out["range:v"] == 0  # NULLs are not-null's job (documented)
+    assert out["range:v#2"] == 2  # the two 5s exceed the strict range
+    assert out["unique:v"] == 1  # two 5s -> 1 dup; NULLs ignored
