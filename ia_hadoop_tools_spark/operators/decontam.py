@@ -20,19 +20,36 @@ Scale shape (100 TB corpus, MB-scale benchmark):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ia_hadoop_tools_spark.operators.spans import _tokens
 
+#: Most distinct short-benchmark-doc lengths to window the corpus for
+#: (bounded plan width; see _overlap_counts).
+_MAX_SHORT_LENGTHS = 64
+
 
 def _window_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int,
     lengths: tuple[int, ...] = (),
+    exact_lengths: bool = False,
 ):
     """(id, __h) distinct per doc: xxhash64 of each n-token window, PLUS
     windows of each extra length in ``lengths`` (the short-benchmark
-    matching path — see _overlap_counts)."""
+    matching path — see _overlap_counts).
+
+    ``exact_lengths=True`` (the BENCHMARK side) emits an extra-length
+    window only for docs whose token count EQUALS that length — i.e. the
+    short doc's single whole-doc window. Without it a long benchmark doc
+    would emit every ``ln``-gram it contains, silently dropping the
+    effective matching n to the shortest benchmark item for the entire
+    benchmark (a 2-token item would flag any corpus doc sharing any
+    2-gram with any benchmark doc). The CORPUS side keeps ``>=`` so a
+    long corpus doc quoting a short benchmark item verbatim still emits
+    the matching window."""
     base = df.select(
         F.col(id_col), _tokens(text_col).alias("__toks")
     ).withColumn("__nt", F.size("__toks"))
@@ -51,9 +68,16 @@ def _window_hashes(
 
         return at
 
+    def _cond(ln: int):
+        # extra lengths are whole-doc-only on the benchmark side; the
+        # primary length n always uses >= (both sides window normally)
+        if exact_lengths and ln != n:
+            return F.col("__nt") == ln
+        return F.col("__nt") >= ln
+
     window_arrays = [
         F.when(
-            F.col("__nt") >= ln,
+            _cond(ln),
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.col("__nt") - ln, F.lit(0))),
                 _win(ln),
@@ -99,10 +123,29 @@ def _overlap_counts(
             .collect()
         )
     )
+    # The collect is bounded by n-1 distinct values, but each length adds
+    # one more corpus window array to the plan — with a huge n a
+    # pathological benchmark could carry thousands of distinct short
+    # lengths and blow up the projection. Cap at the LARGEST lengths
+    # (closest to n = most specific windows, least false-positive-prone)
+    # and log what was dropped: benchmark items of a dropped length are
+    # NOT matched against the corpus.
+    if len(short_lengths) > _MAX_SHORT_LENGTHS:
+        dropped = short_lengths[: -_MAX_SHORT_LENGTHS]
+        short_lengths = short_lengths[-_MAX_SHORT_LENGTHS:]
+        warnings.warn(
+            f"decontam: benchmark has {len(dropped) + len(short_lengths)} "
+            f"distinct short doc lengths; keeping the largest "
+            f"{_MAX_SHORT_LENGTHS}, dropping lengths "
+            f"{dropped[0]}..{dropped[-1]} — benchmark items of those "
+            f"lengths are not checked for contamination",
+            stacklevel=3,
+        )
     bench_w = (
         _window_hashes(
             benchmark.select(F.lit(0).alias("__bid"), F.col(bcol)),
             "__bid", bcol, n, lengths=short_lengths,
+            exact_lengths=True,
         )
         .select("__h")
         .distinct()

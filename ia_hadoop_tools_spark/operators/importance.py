@@ -38,7 +38,7 @@ DSIR_SCALE = 1_000_000
 
 
 def word_bigrams(text: Column | str) -> Column:
-    """Whitespace-tokenized text -> array of word bigrams ("w1 w2").
+    r"""Whitespace-tokenized text -> array of word bigrams ("w1 w2").
 
     Tokens split on the PORTABLE whitespace class (the bpe.WORD_SPLIT
     rationale: \s differs across engines) with empties removed — a

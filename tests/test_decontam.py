@@ -130,3 +130,73 @@ def test_short_benchmark_docs_are_matched(spark):
     assert got == {1: True, 2: False}
     kept = {r.doc_id for r in decontaminate(corpus, bench, n=8).collect()}
     assert kept == {2}
+
+
+def test_short_lengths_do_not_degrade_long_bench_docs(spark):
+    """Advisor repro (round 5): with a mixed short+long benchmark, the
+    short doc's length used to window EVERY bench doc, so a corpus doc
+    sharing only a 2-gram with a LONG bench doc was flagged. Extra-length
+    windows must be whole-doc-only on the bench side."""
+    corpus = spark.createDataFrame(
+        [
+            # shares only the 2-gram "capital of" with the LONG bench doc
+            (1, "the capital of norway has fjords and completely other words"),
+            # quotes the SHORT bench doc verbatim -> contaminated
+            (2, "filler filler yes no filler trailing words here too"),
+            # quotes the LONG bench doc's full 10-gram -> contaminated
+            (
+                3,
+                "prefix what is the capital of france the answer is paris "
+                "suffix",
+            ),
+        ],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "what is the capital of france the answer is paris"),  # 10
+            (101, "yes no"),  # 2 tokens — whole-doc window only
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r.doc_id: r.contaminated
+        for r in contamination_stats(corpus, bench, n=8).collect()
+    }
+    assert got == {1: False, 2: True, 3: True}
+
+
+def test_short_length_cap_warns_and_truncates(spark, monkeypatch):
+    """Past the cap, only the LARGEST short lengths are matched and a
+    warning names the dropped range."""
+    import warnings
+
+    from ia_hadoop_tools_spark.operators import decontam as mod
+
+    monkeypatch.setattr(mod, "_MAX_SHORT_LENGTHS", 2)
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha"),  # quotes the 1-token bench doc (dropped length)
+            (2, "carol dave eve frank"),  # quotes the 4-token bench doc
+        ],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "alpha"),
+            (101, "bob carol"),
+            (102, "dave eve frank"),
+            (103, "carol dave eve frank"),
+        ],
+        "doc_id: long, text: string",
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            r.doc_id: r.contaminated
+            for r in contamination_stats(corpus, bench, n=8).collect()
+        }
+    # lengths {1,2,3,4} capped to the largest two {3,4}: the 1-token
+    # bench doc is no longer checked, the 4-token one still is
+    assert got == {1: False, 2: True}
+    assert any("dropping lengths 1..2" in str(w.message) for w in caught)
