@@ -687,6 +687,109 @@ HAVING SUM(wc) >= {BPE_MIN_COUNT}
 """
 
 
+# ---------------------------------------------------------------------------
+# window_funnel — any-anchor ClickHouse-windowFunnel semantics as the pure
+# SQL aggregate() fold (operators/funnel.py:window_funnel_levels). The
+# oracle is the EXISTENTIAL formulation the fold's max-anchor DP claims to
+# compute: level >= k iff some chain e1 < e2 < ... < ek (strict ts order)
+# exists with every step <= anchor + window — an independent relational
+# derivation, not a re-statement of the fold.
+
+
+def q_window_funnel(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.funnel import window_funnel_levels
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return window_funnel_levels(ev, FUNNEL_STEPS, FUNNEL_WINDOW_S)
+
+
+SQL_WINDOW_FUNNEL = f"""
+WITH s1 AS (SELECT user_id, ts FROM events
+            WHERE event_type = '{FUNNEL_STEPS[0]}'),
+s2 AS (SELECT user_id, ts FROM events WHERE event_type = '{FUNNEL_STEPS[1]}'),
+s3 AS (SELECT user_id, ts FROM events WHERE event_type = '{FUNNEL_STEPS[2]}'),
+l3 AS (
+  SELECT DISTINCT s1.user_id FROM s1
+  JOIN s2 ON s2.user_id = s1.user_id AND s2.ts > s1.ts
+         AND s2.ts <= s1.ts + INTERVAL {FUNNEL_WINDOW_S} SECOND
+  JOIN s3 ON s3.user_id = s1.user_id AND s3.ts > s2.ts
+         AND s3.ts <= s1.ts + INTERVAL {FUNNEL_WINDOW_S} SECOND),
+l2 AS (
+  SELECT DISTINCT s1.user_id FROM s1
+  JOIN s2 ON s2.user_id = s1.user_id AND s2.ts > s1.ts
+         AND s2.ts <= s1.ts + INTERVAL {FUNNEL_WINDOW_S} SECOND)
+SELECT user_id,
+  CAST(CASE WHEN user_id IN (SELECT user_id FROM l3) THEN 3
+            WHEN user_id IN (SELECT user_id FROM l2) THEN 2
+            ELSE 1 END AS INTEGER) AS level
+FROM (SELECT DISTINCT user_id FROM s1)
+"""
+
+
+# ---------------------------------------------------------------------------
+# scd2_as_of — time travel over the SCD2 history q_scd2 builds: the
+# versions valid at the day-2 effective instant (valid_from <= ts < valid_to;
+# rows closed AT the instant are excluded, rows opened at it included).
+
+
+def q_scd2_as_of(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.scd import scd2_as_of
+
+    return scd2_as_of(q_scd2(spark, sf_dir), SCD_T1)
+
+
+SQL_SCD2_AS_OF = f"""
+WITH merged AS ({SQL_SCD2})
+SELECT * FROM merged
+WHERE valid_from <= '{SCD_T1}'
+  AND (valid_to IS NULL OR valid_to > '{SCD_T1}')
+"""
+
+
+# ---------------------------------------------------------------------------
+# bpe_strict_batch — the batched-BPE equivalence CONTRACT as a registry row
+# (the approx_quantiles_bound pattern: oracle the invariant, not the
+# sketch-dependent values): strict-mode bpe_train_batched must produce the
+# EXACT merge list (pair and count, rank by rank) of the sequential
+# reference trainer on the same corpus slice. The oracle is the expected
+# all-true shape; any divergence flips a row to false (value mismatch) or
+# changes the row count.
+
+BPE_CONTRACT_MERGES = 12
+BPE_CONTRACT_DOC_MOD = 20  # deterministic 5% corpus slice keeps this cheap
+
+
+def q_bpe_strict_batch(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_batched,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") % BPE_CONTRACT_DOC_MOD == 0)
+        .select("text")
+    )
+    seq = bpe_train(docs, "text", num_merges=BPE_CONTRACT_MERGES)
+    bat = bpe_train_batched(
+        docs, "text", num_merges=BPE_CONTRACT_MERGES, strict=True
+    )
+    rows = [
+        (i + 1, s == b) for i, (s, b) in enumerate(zip(seq, bat))
+    ]
+    if len(seq) != len(bat):  # length divergence must fail loudly too
+        rows.append((max(len(seq), len(bat)), False))
+    return spark.createDataFrame(
+        rows, "merge_rank int, batched_equals_sequential boolean"
+    )
+
+
+SQL_BPE_STRICT_BATCH = f"""
+SELECT CAST(r AS INTEGER) AS merge_rank, TRUE AS batched_equals_sequential
+FROM range(1, {BPE_CONTRACT_MERGES} + 1) t(r)
+"""
+
+
 ANALYTICS_QUERIES = {
     "pagerank": q_pagerank,
     "kmv_distinct": q_kmv_distinct,
@@ -703,6 +806,9 @@ ANALYTICS_QUERIES = {
     "transitions": q_transitions,
     "bloom_join": q_bloom_join,
     "bpe_pairs": q_bpe_pairs,
+    "window_funnel": q_window_funnel,
+    "scd2_as_of": q_scd2_as_of,
+    "bpe_strict_batch": q_bpe_strict_batch,
 }
 
 ANALYTICS_ORACLES = {
@@ -721,4 +827,7 @@ ANALYTICS_ORACLES = {
     "transitions": SQL_TRANSITIONS,
     "bloom_join": SQL_BLOOM_JOIN,
     "bpe_pairs": SQL_BPE_PAIRS,
+    "window_funnel": SQL_WINDOW_FUNNEL,
+    "scd2_as_of": SQL_SCD2_AS_OF,
+    "bpe_strict_batch": SQL_BPE_STRICT_BATCH,
 }

@@ -268,30 +268,49 @@ def _select_batch(
 
 
 def _created_pair_caps(
-    stats: DataFrame, lefts: set[str], rights: set[str]
-) -> tuple[dict[str, int], dict[str, int]]:
-    """Per-symbol bounds on pairs a batch merge can CREATE.
+    stats: DataFrame,
+    lefts: set[str],
+    rights: set[str],
+    merged_syms: set[str] = frozenset(),
+) -> tuple[dict[str, int], dict[str, int], dict[str, int]]:
+    """Per-symbol bounds on pairs a batch merge can CREATE or INFLATE.
 
     Merging (a, b) -> ab creates pairs (x, ab) and (ab, y); every
     occurrence of (x, ab) was an occurrence of old pair (x, a), and every
     (ab, y) an occurrence of (b, y). So max-over-x n(x, a) and
-    max-over-y n(b, y) bound every created-pair count. One filtered
-    aggregation over the (already computed, persisted) stats frame.
+    max-over-y n(b, y) bound every created-pair count.
+
+    ``merged_syms`` are the concatenated strings a+b the batch would
+    mint. If such a string COLLIDES with a symbol s already in the vocab
+    (reachable via a different merge history), pairs involving s are not
+    created fresh — they GAIN the created occurrences on top of their
+    round-start count, so the created-pair bound alone no longer caps
+    them. ``emax[s]`` = the max round-start count of any pair touching s,
+    the extra term the strict admission check must add (round-5 advisor
+    finding). One filtered aggregation over the (already computed,
+    persisted) stats frame covers all three maps.
     """
     lmax: dict[str, int] = {}
     rmax: dict[str, int] = {}
-    if not lefts and not rights:
-        return lmax, rmax
+    emax: dict[str, int] = {}
+    if not lefts and not rights and not merged_syms:
+        return lmax, rmax, emax
+    llist, rlist, mlist = list(lefts), list(rights), list(merged_syms)
     rows = (
         stats.filter(
-            F.col("b").isin(list(lefts)) | F.col("a").isin(list(rights))
+            F.col("b").isin(llist)
+            | F.col("a").isin(rlist)
+            | F.col("a").isin(mlist)
+            | F.col("b").isin(mlist)
         )
         .select(
-            F.when(F.col("b").isin(list(lefts)), F.col("b")).alias("ls"),
-            F.when(F.col("a").isin(list(rights)), F.col("a")).alias("rs"),
+            F.when(F.col("b").isin(llist), F.col("b")).alias("ls"),
+            F.when(F.col("a").isin(rlist), F.col("a")).alias("rs"),
+            F.when(F.col("a").isin(mlist), F.col("a")).alias("ma"),
+            F.when(F.col("b").isin(mlist), F.col("b")).alias("mb"),
             "n",
         )
-        .groupBy("ls", "rs")
+        .groupBy("ls", "rs", "ma", "mb")
         .agg(F.max("n").alias("m"))
         .collect()
     )
@@ -300,7 +319,10 @@ def _created_pair_caps(
             lmax[r["ls"]] = max(lmax.get(r["ls"], 0), r["m"])
         if r["rs"] is not None:
             rmax[r["rs"]] = max(rmax.get(r["rs"], 0), r["m"])
-    return lmax, rmax
+        for ms in (r["ma"], r["mb"]):
+            if ms is not None:
+                emax[ms] = max(emax.get(ms, 0), r["m"])
+    return lmax, rmax, emax
 
 
 def bpe_train_batched(
@@ -332,7 +354,14 @@ def bpe_train_batched(
       (x, a), and of (ab, y) an occurrence of (b, y), so their counts are
       bounded by per-symbol maxima read from the same stats frame — a
       pair is only admitted while its count strictly exceeds the running
-      bound (the ``cap`` truncation below).
+      bound (the ``cap`` truncation below);
+    - if a minted string a+b COLLIDES with a symbol s already in the
+      vocab (same surface string via a different merge history), pairs
+      touching s keep their round-start count and additionally gain the
+      created occurrences, so the admission bound adds the max
+      round-start count of any pair touching s (the ``coll`` term —
+      zero whenever no collision symbol exists, the overwhelmingly
+      common case).
 
     Hence the sequential argmax at step j is exactly p_j, tie-break
     included.  ``strict=False`` skips conflicting pairs instead of
@@ -363,13 +392,22 @@ def bpe_train_batched(
             top, num_merges - len(merges), batch_size, strict
         )
         if strict and len(batch) > 1:
-            lmax, rmax = _created_pair_caps(stats, lefts, rights)
+            merged_syms = {a + b for a, b, _ in batch}
+            lmax, rmax, emax = _created_pair_caps(
+                stats, lefts, rights, merged_syms
+            )
             kept = [batch[0]]
             cap = 0
+            coll = 0
             for a, b, n in batch[1:]:
                 pa, pb, _ = kept[-1]
                 cap = max(cap, lmax.get(pa, 0), rmax.get(pb, 0))
-                if n <= cap:
+                # pa+pb colliding with an EXISTING symbol s: pairs on s
+                # keep their round-start count (<= emax[s]) AND gain the
+                # created occurrences (<= cap), so the admission bound is
+                # the sum — advisor round-5 equivalence-hole fix
+                coll = max(coll, emax.get(pa + pb, 0))
+                if n <= cap + coll:
                     break
                 kept.append((a, b, n))
             batch = kept
