@@ -53,10 +53,17 @@ def interval_join(
 
     # blowup guard: a sentinel-ended interval ('active until 9999-12-31')
     # would explode millions of bucket replicas per row — fail loudly with
-    # the remedy instead of OOMing an executor
+    # the remedy instead of OOMing an executor. NULL-bounded intervals are
+    # exempt (nb IS NULL keeps checked_hi NULL): they can never satisfy
+    # the inclusive BETWEEN post-filter, so the null sequence's explode
+    # dropping them IS the correct inner-join semantics — without the
+    # isNull arm the otherwise-branch would raise_error with a
+    # NULL-concat (empty) message on every open-ended interval
     b_lo, b_hi = bucket(F.col(start_col)), bucket(F.col(end_col))
     nb = b_hi - b_lo + 1
-    checked_hi = F.when(nb <= max_buckets_per_interval, b_hi).otherwise(
+    checked_hi = F.when(
+        nb.isNull() | (nb <= max_buckets_per_interval), b_hi
+    ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(

@@ -86,10 +86,16 @@ def pack_sequences(
     window, and bounded per-partition totals (one row per partition,
     driver-side exclusive prefix) shift the local sums — bit-identical to
     the single window because ``id_col`` rows are totally ordered across
-    range partitions. The sorted frame is persisted so the partition
-    boundaries seen by the totals pass and the output pass are the same
-    (range boundaries are sampled, hence nondeterministic across
-    re-executions); release via ``out.pack_cache``.
+    range partitions. The sorted frame is ``localCheckpoint``ed (NOT
+    merely persisted) so the partition boundaries seen by the totals
+    pass and the output pass are the same: range boundaries are sampled
+    with a seed derived from the RDD id, so a persisted block lost to
+    executor failure would be recomputed in a FRESH execution whose
+    re-sampled boundaries can shift ``__pid`` labels under the stale
+    driver-collected offsets — silently wrong ``seq_start`` exactly at
+    the scale this path targets (round-5 advisor finding; the
+    write_zipnum must-not-recompute idiom). Release via
+    ``out.pack_cache``.
     ``bin`` uses integer ``div`` — a double division would misround near
     2^53 and diverge from the integer SQL oracle.
     """
@@ -107,14 +113,12 @@ def pack_sequences(
         )
         cache = None
     else:
-        from pyspark import StorageLevel
-
         spark = df.sparkSession
         cache = (
             df.repartitionByRange(id_col)
             .sortWithinPartitions(id_col)
             .withColumn("__pid", F.spark_partition_id())
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         totals = sorted(
             (r["__pid"], r["__t"])
@@ -149,3 +153,16 @@ def pack_sequences(
     ).withColumn("bin_offset", F.col("seq_start") % budget)
     out.pack_cache = cache
     return out
+
+
+def release_pack_cache(out: DataFrame) -> None:
+    """Free the checkpoint blocks behind a :func:`pack_sequences` result
+    (global-prefix-sum path only; no-op otherwise). ``unpersist()`` alone
+    would miss the localCheckpoint RDD's storage blocks."""
+    cache = getattr(out, "pack_cache", None)
+    if cache is not None:
+        from ia_hadoop_tools_spark.operators.components import (
+            release_local_checkpoint,
+        )
+
+        release_local_checkpoint(cache)

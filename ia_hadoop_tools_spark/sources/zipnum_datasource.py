@@ -59,12 +59,42 @@ def _pruned_blocks(rows, start: str | None, end: str | None):
     last block of a shard is kept conservatively (unknown upper key).
     One-row lookahead, O(1) memory. Mirrors zipnum_range's DataFrame
     formulation (next_key >= start keeps boundary-duplicate keys).
+
+    The pruning math ASSUMES rows arrive shard-grouped and
+    offset-ordered (write_zipnum's ALL.summary layout). An externally
+    produced summary violating that order would silently mis-prune —
+    next-key covering ranges would be wrong, and pruned blocks are never
+    read, so the row-level re-filter cannot repair the loss — so order
+    is validated while streaming and malformed summaries fail loudly
+    (O(shards) state, still never O(blocks)).
     """
     cur = None
+    seen_shards: set[str] = set()
     for row in rows:
         if cur is not None:
             key, shard, off, length = cur
-            nxt = row[0] if row[1] == shard else None
+            if row[1] == shard:
+                if row[2] <= off:
+                    raise ValueError(
+                        f"malformed ALL.summary: offset regressed in shard"
+                        f" {shard!r} ({off} -> {row[2]}); blocks must be"
+                        f" shard-grouped and offset-ordered"
+                    )
+                if row[0] < key:
+                    raise ValueError(
+                        f"malformed ALL.summary: key regressed in shard"
+                        f" {shard!r} ({key!r} -> {row[0]!r}); block keys"
+                        f" must be sorted"
+                    )
+                nxt = row[0]
+            else:
+                if row[1] in seen_shards:
+                    raise ValueError(
+                        f"malformed ALL.summary: shard {row[1]!r} reappears"
+                        f" after {shard!r}; blocks must be shard-grouped"
+                    )
+                seen_shards.add(shard)
+                nxt = None
             if not (end is not None and key >= end) and not (
                 start is not None and nxt is not None and nxt < start
             ):

@@ -141,6 +141,35 @@ def test_interval_join_rejects_sentinel_blowup(spark):
     assert len(got) == 1
 
 
+def test_interval_join_null_bounds_dropped_not_crashed(spark):
+    """Advisor round-5: a NULL start/end made the blowup guard's
+    otherwise-branch raise_error with an empty (NULL-concat) message.
+    Open-ended intervals can never satisfy BETWEEN, so they must be
+    silently dropped — and bounded intervals in the same frame still
+    match (and a real sentinel still raises)."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.rangejoin import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 1_700_000_000)], "pid long, t long"
+    ).select("pid", F.timestamp_seconds("t").alias("ts"))
+    ivs = spark.createDataFrame(
+        [
+            (1, 1_699_990_000, 1_700_010_000),  # bounded, matches
+            (2, 1_699_990_000, None),  # open end -> dropped
+            (3, None, 1_700_010_000),  # open start -> dropped
+        ],
+        "iid long, s long, e long",
+    ).select(
+        "iid",
+        F.timestamp_seconds("s").alias("s"),
+        F.timestamp_seconds("e").alias("e"),
+    )
+    got = interval_join(pts, ivs, "ts", "s", "e", bucket_width=3600).collect()
+    assert [r.iid for r in got] == [1]
+
+
 def test_expectations_duplicate_rules_and_null_unique(spark):
     """Two rules of one kind+column stay distinguishable (#2 suffix), and
     the unique test ignores NULL keys (dbt convention)."""

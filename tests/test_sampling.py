@@ -101,8 +101,9 @@ def test_pack_sequences_global_path_is_prefix_sum_not_single_window(spark):
     for m in _re.finditer(r"Window \[", plan):
         frag = plan[m.start():m.start() + 300]
         assert "windowspecdefinition(__pid" in frag or "windowspecdefinition" not in frag, frag
-    if out.pack_cache is not None:
-        out.pack_cache.unpersist()
+    from ia_hadoop_tools_spark.operators.sampling import release_pack_cache
+
+    release_pack_cache(out)
 
 
 def test_pack_sequences_validates_budget(spark):

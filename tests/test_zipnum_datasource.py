@@ -62,6 +62,34 @@ def test_plan_blocks_prunes_by_summary():
     assert [b[1] // 1000 for b in kept] == [3, 4, 5]
 
 
+def test_plan_blocks_rejects_malformed_summaries():
+    """Advisor round-5: an out-of-order external summary used to be
+    silently mis-pruned (row loss the row-level re-filter cannot repair);
+    it must fail loudly instead."""
+    import pytest
+
+    ok = [(f"k{i:04d}", "s0.gz", i * 100, 100) for i in range(0, 40, 10)]
+    assert sum(len(g) for g in plan_blocks(ok, None, None, 2)) >= 1
+
+    offset_regress = list(ok)
+    offset_regress[2] = ("k0020", "s0.gz", 50, 100)
+    with pytest.raises(ValueError, match="offset regressed"):
+        plan_blocks(offset_regress, None, None, 2)
+
+    key_regress = list(ok)
+    key_regress[2] = ("k0005", "s0.gz", 2000, 100)
+    with pytest.raises(ValueError, match="key regressed"):
+        plan_blocks(key_regress, None, None, 2)
+
+    interleaved = [
+        ("k0000", "s0.gz", 0, 100),
+        ("k0010", "s1.gz", 0, 100),
+        ("k0020", "s0.gz", 100, 100),
+    ]
+    with pytest.raises(ValueError, match="reappears"):
+        plan_blocks(interleaved, None, None, 2)
+
+
 def test_datasource_skip_bad_option(spark, tmp_path):
     out = _cluster(spark, tmp_path, n=100, lpb=25, shards=1)
     register_zipnum(spark)
