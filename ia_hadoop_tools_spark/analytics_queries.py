@@ -306,10 +306,20 @@ SELECT CAST(3 AS INTEGER), '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM t3)
 # (edge = two users active on >= TRI_MIN_SHARED_DAYS common days)
 
 TRI_MIN_SHARED_DAYS = 28
+#: densifying-graph guard (round-5 sf1 finding: qualified per-day
+#: population grows ~10x per sf decade, so the day-pair join grows 100x —
+#: 3.75M -> 375M candidates at sf1). Cap each day at its TRI_MAX_DAY_POP
+#: most-active qualified users (deterministic: total active days desc,
+#: then user id), bounding per-day candidates at C(cap, 2). sf0.01 tops
+#: out at ~53 and sf0.1 at ~507 qualified users/day, both under the cap,
+#: so the registry oracle and the sf0.1 bench stay EXACT; at sf1 the cap
+#: bites (~5k/day) and the dropped count rides the action's Observation.
+TRI_MAX_DAY_POP = 1000
 
 
 def q_triangles(spark, sf_dir):
     from ia_hadoop_tools_spark.operators.graph import triangle_count
+    from ia_hadoop_tools_spark.plans.skew import cap_group_population
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     ud = ev.select(
@@ -323,9 +333,12 @@ def q_triangles(spark, sf_dir):
         ud.groupBy("u")
         .agg(F.count("*").alias("__nd"))
         .filter(F.col("__nd") >= TRI_MIN_SHARED_DAYS)
-        .select("u")
     )
     ud = ud.join(qual, "u")
+    ud = cap_group_population(
+        ud, ["d"], [F.col("__nd").desc(), F.col("u")],
+        TRI_MAX_DAY_POP, "triangles.day_pop",
+    ).drop("__nd")
     a, b = ud.alias("a"), ud.alias("b")
     pairs = (
         a.join(b, (F.col("a.d") == F.col("b.d")) & (F.col("a.u") < F.col("b.u")))
@@ -337,6 +350,10 @@ def q_triangles(spark, sf_dir):
     return triangle_count(pairs)
 
 
+# the oracle is the UNCAPPED exact count: every qualified per-day
+# population at the oracle sf (0.01: max 53) is far below TRI_MAX_DAY_POP,
+# where cap_group_population is a proven identity — so the comparison pins
+# the guard's below-cap exactness every round, not an approximation
 SQL_TRIANGLES = f"""
 WITH ud AS (
   SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),

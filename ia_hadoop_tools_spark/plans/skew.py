@@ -82,3 +82,47 @@ def salted_distinct_count(
         .agg(F.count(distinct_col).alias("__partial"))
     )
     return partial.groupBy(*gcols).agg(F.sum("__partial").alias(out_col))
+
+
+def cap_group_population(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence,
+    max_n: int | None,
+    what: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group top-N guard for quadratic-downstream inputs.
+
+    A self-join keyed on ``group_cols`` generates C(n, 2) rows per group,
+    so a group whose population DENSIFIES with corpus growth turns a
+    linear query super-linear (the round-5 sf1 sweep measured the
+    triangles day-pair join growing 100x at 10x data). This keeps the
+    first ``max_n`` rows per group under the caller's ``order_cols``
+    ranking (make it total — e.g. activity desc then id — so retries and
+    resumes keep identical survivors), which bounds every group's
+    downstream pair count by C(max_n, 2). With ``max_n=None`` or no
+    group over the cap the input passes through IDENTICALLY.
+
+    Lazy: constructing this launches no job (the ``_drop_hot_buckets``
+    idiom — textops.py). The dropped-row count rides the caller's first
+    action as an ``Observation`` (``out.cap_obs``;
+    ``obs.get["dropped_rows"]``), so the truncation is always visible in
+    metrics, never silent. The window shuffles on exactly the group key
+    the downstream self-join uses, so Catalyst reuses the exchange.
+    """
+    if max_n is None:
+        return df
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
+    from pyspark.sql import Observation, Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    marked = df.withColumn("__rk", F.row_number().over(w))
+    obs = Observation(f"{what}.capped")
+    marked = marked.observe(
+        obs,
+        F.sum((F.col("__rk") > max_n).cast("long")).alias("dropped_rows"),
+    )
+    out = marked.filter(F.col("__rk") <= max_n).drop("__rk")
+    out.cap_obs = obs
+    return out

@@ -63,3 +63,43 @@ def test_salted_join_rejects_outer_joins(spark):
     # left join: unmatched LEFT rows survive exactly once
     got = salted_join(a, b, "k", n_salt=4, how="left").collect()
     assert len(got) == 1 and got[0]["w"] is None
+
+
+def test_cap_group_population_identity_below_cap(spark):
+    from ia_hadoop_tools_spark.plans.skew import cap_group_population
+
+    df = spark.createDataFrame(
+        [(d, u, 10 - u) for d in range(3) for u in range(5)],
+        "d int, u int, nd int",
+    )
+    out = cap_group_population(df, ["d"], [F.col("nd").desc(), "u"], 5, "t")
+    got = sorted((r.d, r.u) for r in out.collect())
+    assert got == sorted((d, u) for d in range(3) for u in range(5))
+    assert out.cap_obs.get["dropped_rows"] == 0
+    # max_n=None passes the frame through untouched
+    assert cap_group_population(df, ["d"], ["u"], None, "t") is df
+
+
+def test_cap_group_population_caps_deterministically(spark):
+    from ia_hadoop_tools_spark.plans.skew import cap_group_population
+
+    # group d=0 has 6 members with activity nd; cap 3 must keep the three
+    # highest-nd (ties by u asc) regardless of input order
+    rows = [(0, u, nd) for u, nd in [(5, 9), (1, 9), (4, 7), (2, 7), (3, 1), (6, 1)]]
+    rows += [(1, u, 5) for u in range(2)]  # under-cap group untouched
+    df = spark.createDataFrame(rows, "d int, u int, nd int")
+    out = cap_group_population(df, ["d"], [F.col("nd").desc(), "u"], 3, "t")
+    got = {d: sorted(u for dd, u in grp) for d, grp in __import__("itertools").groupby(
+        sorted((r.d, r.u) for r in out.collect()), key=lambda t: t[0])}
+    assert got == {0: [1, 2, 5], 1: [0, 1]}
+    assert out.cap_obs.get["dropped_rows"] == 3
+
+
+def test_cap_group_population_rejects_bad_cap(spark):
+    import pytest
+
+    from ia_hadoop_tools_spark.plans.skew import cap_group_population
+
+    df = spark.createDataFrame([(1, 1)], "d int, u int")
+    with pytest.raises(ValueError, match="max_n"):
+        cap_group_population(df, ["d"], ["u"], 0, "t")
