@@ -32,6 +32,7 @@ def day_limit(
     ts_col: str = "timestamp",
     day_expr=None,
     tiebreakers: Sequence[str] = (),
+    arrival_col: str | None = None,
 ) -> DataFrame:
     """Keep at most ``n`` captures per (key, day).
 
@@ -56,6 +57,19 @@ def day_limit(
     (sorted by name) — same-second capture bursts are common in CDX
     data, and a partial order would let partition layout pick the
     survivors. Pass explicit tiebreakers to pin a narrower order.
+
+    ARRIVAL-ORDER COMPAT MODE (``arrival_col``): the reference counts
+    captures in stream (file) order — GlobalWaybackMergeMapper.java:53-83
+    keeps the first N rows per (url, day) AS THEY ARRIVE from the merge
+    sort, so same-timestamp survivors are chosen by input file position,
+    not by any column order. Consumers byte-diffing a legacy index can
+    pass an ``arrival_col`` (a column capturing the original stream
+    position — e.g. ``monotonically_increasing_id()`` taken right after
+    a sorted single-split read, or a (file, offset) rank) and survivor
+    selection becomes "first n by arrival" within each (key, day),
+    reproducing the reference. OFF by default; the canonical
+    (timestamp, tiebreakers) order stays the documented default
+    (SURVEY.md §7.4 hard part #3) and the registry oracle is untouched.
     """
     if n < 0:
         raise ValueError(f"day limit must be >= 0 (0 = unlimited), got {n}")
@@ -63,10 +77,13 @@ def day_limit(
         return df
     if day_expr is None:
         day_expr = F.substring(F.col(ts_col), 1, 8)
-    ties = list(tiebreakers) or sorted(
-        c for c in df.columns if c not in (key_col, ts_col)
-    )
-    order = [F.col(ts_col)] + [F.col(c) for c in ties]
+    if arrival_col is not None:
+        order = [F.col(arrival_col)]
+    else:
+        ties = list(tiebreakers) or sorted(
+            c for c in df.columns if c not in (key_col, ts_col)
+        )
+        order = [F.col(ts_col)] + [F.col(c) for c in ties]
     w = Window.partitionBy(F.col(key_col), day_expr).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

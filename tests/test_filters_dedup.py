@@ -190,3 +190,55 @@ def test_day_limit_zero_means_unlimited_and_ties_deterministic(spark):
     )
     want = sorted(f"f{i}.warc.gz" for i in range(40))[:5]
     assert a == b == want
+
+
+def test_day_limit_arrival_order_compat_golden(spark):
+    """Arrival-order compat mode reproduces the reference's survivor
+    selection (GlobalWaybackMergeMapper.java:53-83: first n per
+    (url, day) in stream order) on a >n-per-day fixture whose arrival
+    order deliberately disagrees with the canonical timestamp order."""
+    import pytest
+
+    from ia_hadoop_tools_spark.operators.daylimit import day_limit
+
+    # stream as the reference merge sort would deliver it: sorted by
+    # (urlkey, timestamp) with same-second bursts whose file order is NOT
+    # the digest/filename order the canonical mode would pick
+    stream = [
+        # (urlkey, timestamp, filename)  -- pos = arrival order
+        ("com,a)/", "20200101000001", "z.warc.gz"),
+        ("com,a)/", "20200101000001", "y.warc.gz"),
+        ("com,a)/", "20200101000001", "a.warc.gz"),
+        ("com,a)/", "20200101000002", "m.warc.gz"),
+        ("com,a)/", "20200102000000", "q.warc.gz"),
+        ("com,b)/", "20200101000001", "w.warc.gz"),
+        ("com,b)/", "20200101000001", "b.warc.gz"),
+        ("com,b)/", "20200101000001", "c.warc.gz"),
+    ]
+    n = 2
+
+    # the reference loop (counting semantics normalized to exactly-n,
+    # the documented off-by-one note in day_limit's docstring)
+    want, counts = [], {}
+    for pos, (u, ts, fn) in enumerate(stream):
+        k = (u, ts[:8])
+        c = counts.get(k, 0)
+        if c < n:
+            want.append((u, ts, fn))
+        counts[k] = c + 1
+
+    rows = [(u, ts, fn, pos) for pos, (u, ts, fn) in enumerate(stream)]
+    df = spark.createDataFrame(
+        rows, "urlkey string, timestamp string, filename string, pos long"
+    )
+    got = sorted(
+        (r.urlkey, r.timestamp, r.filename)
+        for r in day_limit(df.repartition(5), n=n, arrival_col="pos").collect()
+    )
+    assert got == sorted(want)
+    # the fixture is chosen so canonical mode picks DIFFERENT survivors
+    canon = sorted(
+        (r.urlkey, r.timestamp, r.filename)
+        for r in day_limit(df.drop("pos"), n=n).collect()
+    )
+    assert canon != got
