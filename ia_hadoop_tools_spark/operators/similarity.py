@@ -667,6 +667,7 @@ def semdedup(
     bands: int = 4,
     dim: int = 64,
     seed: int = 42,
+    auto_planes: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     clustering the embedding space and dropping near-identical vectors
@@ -703,6 +704,26 @@ def semdedup(
     pins this path). Routed-row metrics ride the first action on the
     ``out.oversized_obs`` Observation (``oversized_rows`` band rows).
 
+    GUARDED-PATH RECALL (measured, scripts/probe_semdedup_recall.py —
+    borderline pairs engineered at threshold+0.005 inside one oversized
+    cluster, cap=100, the worst case for banding): bands=4 recall
+    0.84 / 0.94 / 1.00 at threshold 0.90 / 0.95 / 0.99; bands=8 (the
+    recall-escalation knob — narrower match per band, more chances to
+    collide) 0.97 / 0.999 / 1.00. False dups are impossible at any
+    setting (every candidate is verified against the exact cosine).
+    Near-identical boilerplate is unaffected: the skew probe's dup set
+    stays bit-identical to exact (delta 0) at 59x speedup.
+
+    ``auto_planes`` (default True) makes the sub-bucket geometry scale
+    with the data: a band has 2^(num_planes/bands) buckets, so a DIVERSE
+    cluster larger than ~buckets*cap would make every sub-bucket hot and
+    degenerate the guard to the rep-only pass (measured ~1% borderline
+    recall). When the guard engages, bits per band are raised until the
+    expected bucket size is ~cap/2 (capped at 24); this runs the cluster
+    census eagerly at construction — one tiny job over the persisted
+    assignment every action needs anyway. Pass ``auto_planes=False`` to
+    pin the explicit ``num_planes`` geometry.
+
     Returns (id_col, cluster_id, is_dup).
     """
     from pyspark import StorageLevel
@@ -729,12 +750,39 @@ def semdedup(
     else:
         if max_cluster_size < 2:
             raise ValueError("max_cluster_size must be >= 2")
+        # validate the EXPLICIT geometry even though auto_planes may
+        # rescale it — a non-dividing bands/num_planes combo is caller
+        # error, not something to silently repair
+        if bands < 1 or num_planes % bands != 0:
+            raise ValueError(
+                f"bands must divide num_planes (got num_planes="
+                f"{num_planes}, bands={bands})"
+            )
         # cluster census is <= k rows (one per centroid) — broadcast the
         # routing join so the corpus is scanned, never shuffled, to route
         sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("__csz"))
         routed = withvec.join(F.broadcast(sizes), "cluster_id")
         exact_src = routed.filter(F.col("__csz") <= max_cluster_size).drop("__csz")
         lsh_src = routed.filter(F.col("__csz") > max_cluster_size).drop("__csz")
+        if auto_planes:
+            # SUB-BUCKET GEOMETRY MUST SCALE WITH THE OVERSIZED CLUSTER:
+            # a band has 2^(planes/bands) buckets, so a diverse cluster
+            # larger than ~buckets*cap makes EVERY sub-bucket hot and the
+            # guard degenerates to the rep-only pass (the round-6 recall
+            # probe measured ~1% borderline recall in exactly that
+            # regime). Pick bits so expected bucket size ~ cap/2; the
+            # census collect is one tiny job over the (persisted)
+            # assignment every action needs anyway — it makes
+            # construction eager, documented in the docstring.
+            import math
+
+            mx = sizes.agg(F.max("__csz").alias("m")).collect()[0]["m"] or 0
+            if mx > max_cluster_size:
+                need = math.ceil(
+                    math.log2(max(2.0, 2.0 * mx / max_cluster_size))
+                )
+                bits = min(24, max(num_planes // bands, need))
+                num_planes = bits * bands
     a = exact_src.select(
         F.col(id_col).alias("__ida"),
         F.col("cluster_id").alias("__ca"),

@@ -509,3 +509,52 @@ def test_frame_sample_rejects_bad_every_n(spark):
             frame_sample(_media(spark), every_n=bad)
     with pytest.raises(ValueError, match="width/height"):
         resize_images(_media(spark), 0, 64)
+
+
+def test_semdedup_auto_planes_rescues_diverse_oversized_cluster(spark):
+    """Round-6 recall probe finding: a DIVERSE cluster larger than
+    buckets*cap makes every static sub-bucket hot and the guard
+    degenerates to the rep-only pass. auto_planes (default) must widen
+    the geometry and recover (nearly all of) the exact dup set."""
+    import math
+
+    import numpy as np
+
+    from ia_hadoop_tools_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    dim, n_pairs, th = 16, 200, 0.95
+    rows = []
+    for i in range(n_pairs):
+        u = rng.standard_normal(dim)
+        u /= np.linalg.norm(u)
+        w = rng.standard_normal(dim)
+        w -= w @ u * u
+        w /= np.linalg.norm(w)
+        c = th + 0.01
+        v = c * u + math.sqrt(1 - c * c) * w
+        rows.append((2 * i, [float(x) for x in u]))
+        rows.append((2 * i + 1, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, [1.0] * dim)], "centroid_id long, centroid array<double>"
+    )
+
+    def dups(**kw):
+        out = semdedup(df, cent, threshold=th, dim=dim,
+                       max_cluster_size=20, **kw)
+        got = {r.vec_id for r in out.filter("is_dup").collect()}
+        out.assign_cache.unpersist()
+        return got
+
+    exact_out = semdedup(df, cent, threshold=th, dim=dim)
+    exact = {r.vec_id for r in exact_out.filter("is_dup").collect()}
+    exact_out.assign_cache.unpersist()
+    assert len(exact) == n_pairs  # every engineered partner is a dup
+
+    static = dups(auto_planes=False)  # 16 buckets/band for 400 rows: hot
+    auto = dups()
+    assert len(auto & exact) / n_pairs > 0.9
+    assert len(auto & exact) > len(static & exact)
+    # the guard never invents dups — everything verifies on exact cosine
+    assert auto <= exact
