@@ -8,11 +8,13 @@ partition sizing — is identical for both decoders:
 - ``decoder='fake'`` (default): a DETERMINISTIC fake decoder derives
   features from the payload bytes (md5-seeded) — stable across runs, so tests
   and oracles can pin results;
-- ``decoder='real'``: actual codecs, gated behind optional imports (the
-  warcio pattern — tests skip when a lib is absent):
-  image -> Pillow (grayscale thumbnail intensities), audio -> stdlib
-  ``wave`` + numpy (bucketed RMS over PCM; no third-party dependency),
-  video -> PyAV (first-frame strip intensities / per-frame digests).
+- ``decoder='real'``: actual codecs. One format per modality decodes
+  IN-TREE with zero third-party dependencies, so the real path runs on
+  any box: image -> binary netpbm P5/P6 (``_ppm_decode`` + box resize),
+  audio -> stdlib ``wave`` + numpy WAV (bucketed RMS over PCM),
+  video -> YUV4MPEG2 (``_y4m_frames`` Y-plane). Everything else is
+  gated behind optional imports (the warcio pattern — tests skip when a
+  lib is absent): other images -> Pillow, containerized video -> PyAV.
   A MISSING LIBRARY raises ImportError at the decode site (the job should
   fail loudly, not silently emit nulls); a CORRUPT PAYLOAD is recorded
   per-record in ``decode_error`` with a null feature (one bad asset must
@@ -68,8 +70,78 @@ def _fake_feature(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
     return [h[i % 16] / 256.0 for i in range(dim)]
 
 
+def _ppm_decode(data: bytes):
+    """In-tree decoder for the binary netpbm family: P5 (PGM grayscale)
+    and P6 (PPM RGB), maxval <= 255. Returns a float64 grayscale HxW
+    array (ITU-R 601 integer luma, matching Pillow's 'L' conversion).
+
+    Exists so ``decoder='real'`` has a codec path with ZERO third-party
+    dependencies — CI boxes without Pillow still exercise the real
+    decode plumbing on netpbm fixtures; other formats require Pillow.
+    """
+    import numpy as np
+
+    if data[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    # header: magic, width, height, maxval as whitespace-separated tokens,
+    # '#' comments legal between any of them, single whitespace after
+    # maxval then raster
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        tok = bytearray()
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            tok += data[pos : pos + 1]
+            pos += 1
+        tokens.append(bytes(tok))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if w < 1 or h < 1 or not (0 < maxval <= 255):
+        raise ValueError(f"unsupported PGM/PPM geometry {w}x{h}/{maxval}")
+    ch = 1 if data[:2] == b"P5" else 3
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * ch, offset=pos)
+    if ch == 1:
+        gray = raster.reshape(h, w).astype(np.float64) * (255.0 / maxval)
+    else:
+        rgb = raster.reshape(h, w, 3).astype(np.int64) * 255 // maxval
+        # Pillow 'L': (R*299 + G*587 + B*114) / 1000, integer
+        gray = (
+            (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114)
+            // 1000
+        ).astype(np.float64)
+    return gray, (w, h)
+
+
+def _box_resize(gray, width: int, height: int):
+    """Area-mean (box filter) resize of a 2-D array — the in-tree twin of
+    Pillow's reduce/resize for the netpbm path."""
+    import numpy as np
+
+    return np.array(
+        [
+            [c.mean() if c.size else 0.0 for c in np.array_split(r, width, axis=1)]
+            for r in (
+                s if s.size else np.zeros((1, gray.shape[1]))
+                for s in np.array_split(gray, height, axis=0)
+            )
+        ]
+    )
+
+
 def _image_feature(data: bytes, dim: int) -> list[float]:
-    """Pillow: grayscale, thumbnail to dim x 1, normalized intensities."""
+    """Grayscale, box-resize to dim x 1, normalized intensities.
+
+    netpbm payloads (P5/P6 magic) decode IN-TREE (deterministic across
+    environments, no Pillow variance); every other format uses Pillow.
+    """
+    if data[:2] in (b"P5", b"P6"):
+        gray, _ = _ppm_decode(data)
+        return [float(v) / 255.0 for v in _box_resize(gray, dim, 1)[0]]
     image_mod = _optional("PIL.Image", "image decode")
     img = image_mod.open(io.BytesIO(data))
     small = img.convert("L").resize((dim, 1))
@@ -98,10 +170,69 @@ def _wav_feature(data: bytes, dim: int) -> list[float]:
     ]
 
 
-def _video_feature(data: bytes, dim: int) -> list[float]:
-    """PyAV: first decoded frame, grayscale, dim vertical-strip means."""
-    av = _optional("av", "video decode")
+def _y4m_frames(data: bytes):
+    """In-tree YUV4MPEG2 (.y4m) frame iterator: yields grayscale (Y
+    plane) uint8 HxW arrays. Supports C420*, C422, C444 and Cmono
+    chroma taggings (the Y plane layout is identical; only the skipped
+    chroma size differs). The no-dependency video twin of
+    :func:`_ppm_decode` — PyAV handles every containerized format.
+    """
     import numpy as np
+
+    if not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = data.index(b"\n")
+    w = h = None
+    chroma = "420"
+    for param in data[9:nl].split(b" "):
+        if param[:1] == b"W":
+            w = int(param[1:])
+        elif param[:1] == b"H":
+            h = int(param[1:])
+        elif param[:1] == b"C":
+            chroma = param[1:].decode("ascii", "replace")
+    if not w or not h:
+        raise ValueError("YUV4MPEG2 header missing W/H")
+    if chroma.startswith("420"):
+        frame_size = w * h * 3 // 2
+    elif chroma.startswith("422"):
+        frame_size = w * h * 2
+    elif chroma.startswith("444"):
+        frame_size = w * h * 3
+    elif chroma.startswith("mono"):
+        frame_size = w * h
+    else:
+        raise ValueError(f"unsupported y4m chroma C{chroma}")
+    pos = nl + 1
+    while pos < len(data):
+        fl = data.index(b"\n", pos)  # FRAME line (may carry params)
+        if not data[pos:fl].startswith(b"FRAME"):
+            raise ValueError("malformed y4m: expected FRAME marker")
+        pos = fl + 1
+        if pos + w * h > len(data):
+            raise ValueError("truncated y4m frame")
+        yield np.frombuffer(data, np.uint8, count=w * h, offset=pos).reshape(
+            h, w
+        )
+        pos += frame_size
+
+
+def _video_feature(data: bytes, dim: int) -> list[float]:
+    """First decoded frame, grayscale, dim vertical-strip means.
+
+    YUV4MPEG2 payloads decode in-tree; containerized formats use PyAV.
+    """
+    import numpy as np
+
+    if data.startswith(b"YUV4MPEG2"):
+        for arr in _y4m_frames(data):
+            gray = arr.astype(np.float64)
+            return [
+                float(s.mean()) / 255.0 if s.size else 0.0
+                for s in np.array_split(gray, dim, axis=1)
+            ]
+        raise ValueError("no video frames decoded")
+    av = _optional("av", "video decode")
 
     with av.open(io.BytesIO(data)) as container:
         for frame in container.decode(video=0):
@@ -203,6 +334,14 @@ def frame_sample(df: DataFrame, every_n: int = 10, decoder: str = "fake") -> Dat
             yield i, hashlib.md5(data[i * 1024 : (i + 1) * 1024]).hexdigest()
 
     def real_frames(data: bytes):
+        if data.startswith(b"YUV4MPEG2"):  # in-tree path, no PyAV needed
+            try:
+                for i, gray in enumerate(_y4m_frames(data)):
+                    if i % every_n == 0:
+                        yield i, hashlib.md5(gray.tobytes()).hexdigest()
+            except Exception:
+                return  # truncated/malformed y4m: contribute no frames
+            return
         av = _optional("av", "frame sampling")
         try:
             with av.open(io.BytesIO(data)) as container:
@@ -239,10 +378,12 @@ def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake")
     """Image resize stage.
 
     Fake decoder passes payload through and stamps the new dimensions;
-    real decoder (Pillow) decodes, resizes to exactly (width, height) and
-    re-encodes as PNG. Corrupt payloads keep their original bytes and
-    dimensions (detectable: width/height unchanged) rather than failing
-    the pass.
+    real decoder decodes, resizes to exactly (width, height) and
+    re-encodes — netpbm payloads (P5/P6) box-resize in-tree and re-emit
+    binary PGM (grayscale survives the round trip without Pillow); every
+    other format uses Pillow and re-encodes as PNG. Corrupt payloads
+    keep their original bytes and dimensions (detectable: width/height
+    unchanged) rather than failing the pass.
     """
     from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
 
@@ -250,21 +391,35 @@ def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake")
     if width < 1 or height < 1:
         raise ValueError(f"width/height must be >= 1, got {width}x{height}")
 
+    def _resize_one(data: bytes) -> bytes:
+        if data[:2] in (b"P5", b"P6"):
+            import numpy as np
+
+            gray, _ = _ppm_decode(data)
+            out = np.rint(_box_resize(gray, width, height)).clip(0, 255)
+            return (
+                b"P5\n%d %d\n255\n" % (width, height)
+                + out.astype(np.uint8).tobytes()
+            )
+        image_mod = _optional("PIL.Image", "image resize")
+        img = image_mod.open(io.BytesIO(data))
+        buf = io.BytesIO()
+        img.resize((width, height)).save(buf, format="PNG")
+        return buf.getvalue()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
-                image_mod = _optional("PIL.Image", "image resize")
                 payloads, widths, heights = [], [], []
                 for payload, w0, h0 in zip(
                     pdf["payload"], pdf["width"], pdf["height"]
                 ):
                     try:
-                        img = image_mod.open(io.BytesIO(bytes(payload or b"")))
-                        buf = io.BytesIO()
-                        img.resize((width, height)).save(buf, format="PNG")
-                        payloads.append(buf.getvalue())
+                        payloads.append(_resize_one(bytes(payload or b"")))
                         widths.append(width)
                         heights.append(height)
+                    except ImportError:
+                        raise  # missing codec lib must fail loudly
                     except Exception:
                         payloads.append(payload)
                         widths.append(w0)
