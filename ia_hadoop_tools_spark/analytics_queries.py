@@ -335,10 +335,11 @@ def q_triangles(spark, sf_dir):
         .filter(F.col("__nd") >= TRI_MIN_SHARED_DAYS)
     )
     ud = ud.join(qual, "u")
-    ud = cap_group_population(
+    capped = cap_group_population(
         ud, ["d"], [F.col("__nd").desc(), F.col("u")],
         TRI_MAX_DAY_POP, "triangles.day_pop",
-    ).drop("__nd")
+    )
+    ud = capped.drop("__nd")
     a, b = ud.alias("a"), ud.alias("b")
     pairs = (
         a.join(b, (F.col("a.d") == F.col("b.d")) & (F.col("a.u") < F.col("b.u")))
@@ -347,7 +348,11 @@ def q_triangles(spark, sf_dir):
         .filter(F.col("__sh") >= TRI_MIN_SHARED_DAYS)
         .select("src", "dst")
     )
-    return triangle_count(pairs)
+    out = triangle_count(pairs)
+    # keep the truncation metric reachable: .drop() above returns a new
+    # frame without the cap_obs attribute (round-6 review finding)
+    out.day_pop_obs = capped.cap_obs
+    return out
 
 
 # the oracle is the UNCAPPED exact count: every qualified per-day

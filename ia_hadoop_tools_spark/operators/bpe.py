@@ -399,6 +399,7 @@ def bpe_train_batched(
             kept = [batch[0]]
             cap = 0
             coll = 0
+            minted = {batch[0][0] + batch[0][1]}
             for a, b, n in batch[1:]:
                 pa, pb, _ = kept[-1]
                 cap = max(cap, lmax.get(pa, 0), rmax.get(pb, 0))
@@ -409,6 +410,14 @@ def bpe_train_batched(
                 coll = max(coll, emax.get(pa + pb, 0))
                 if n <= cap + coll:
                     break
+                # two symbol-disjoint merges can mint the SAME string
+                # (('a','bc') and ('ab','c') both mint 'abc'); a pair on
+                # that string would then gain occurrences from BOTH
+                # merges, which no single-mint bound covers — stop the
+                # prefix at a duplicate mint (round-6 review finding)
+                if a + b in minted:
+                    break
+                minted.add(a + b)
                 kept.append((a, b, n))
             batch = kept
         stats.unpersist()

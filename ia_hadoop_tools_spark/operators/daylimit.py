@@ -73,11 +73,22 @@ def day_limit(
     """
     if n < 0:
         raise ValueError(f"day limit must be >= 0 (0 = unlimited), got {n}")
+    if arrival_col is not None and tiebreakers:
+        # the two orderings are mutually exclusive semantics — silently
+        # discarding the tiebreakers would hide which one is in force
+        raise ValueError(
+            "pass either arrival_col (reference file-order semantics) or "
+            "tiebreakers (canonical order), not both"
+        )
     if n == 0:
         return df
     if day_expr is None:
         day_expr = F.substring(F.col(ts_col), 1, 8)
     if arrival_col is not None:
+        # NOTE: arrival_col must be total (unique) within each (key, day)
+        # group — a stream position is by construction; a coarser rank
+        # reintroduces the partition-layout nondeterminism this operator
+        # exists to exclude
         order = [F.col(arrival_col)]
     else:
         ties = list(tiebreakers) or sorted(

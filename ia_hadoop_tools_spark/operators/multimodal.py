@@ -72,8 +72,9 @@ def _fake_feature(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
 
 def _ppm_decode(data: bytes):
     """In-tree decoder for the binary netpbm family: P5 (PGM grayscale)
-    and P6 (PPM RGB), maxval <= 255. Returns a float64 grayscale HxW
-    array (ITU-R 601 integer luma, matching Pillow's 'L' conversion).
+    and P6 (PPM RGB), maxval <= 255. Returns (float64 grayscale HxW array
+    — ITU-R 601 integer luma, matching Pillow's 'L' conversion —, (w, h),
+    and the raw HxWxC int64 channel planes scaled to maxval 255).
 
     Exists so ``decoder='real'`` has a codec path with ZERO third-party
     dependencies — CI boxes without Pillow still exercise the real
@@ -105,30 +106,45 @@ def _ppm_decode(data: bytes):
         raise ValueError(f"unsupported PGM/PPM geometry {w}x{h}/{maxval}")
     ch = 1 if data[:2] == b"P5" else 3
     raster = np.frombuffer(data, dtype=np.uint8, count=w * h * ch, offset=pos)
+    planes = raster.reshape(h, w, ch).astype(np.int64) * 255 // maxval
     if ch == 1:
-        gray = raster.reshape(h, w).astype(np.float64) * (255.0 / maxval)
+        gray = planes[:, :, 0].astype(np.float64)
     else:
-        rgb = raster.reshape(h, w, 3).astype(np.int64) * 255 // maxval
         # Pillow 'L': (R*299 + G*587 + B*114) / 1000, integer
         gray = (
-            (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114)
+            (
+                planes[:, :, 0] * 299
+                + planes[:, :, 1] * 587
+                + planes[:, :, 2] * 114
+            )
             // 1000
         ).astype(np.float64)
-    return gray, (w, h)
+    return gray, (w, h), planes
 
 
 def _box_resize(gray, width: int, height: int):
     """Area-mean (box filter) resize of a 2-D array — the in-tree twin of
-    Pillow's reduce/resize for the netpbm path."""
+    Pillow's reduce/resize for the netpbm path.
+
+    Each target cell averages the source slice [i*src//dst,
+    (i+1)*src//dst), widened to at least one pixel — so DOWNSCALING is a
+    proper box mean and UPSCALING replicates nearest pixels
+    (array_split would instead pad the output with empty-slice zeros:
+    black bands, round-6 review finding).
+    """
     import numpy as np
 
+    def edges(src: int, dst: int):
+        lo = (np.arange(dst) * src) // dst
+        hi = np.maximum(((np.arange(dst) + 1) * src) // dst, lo + 1)
+        return lo, hi
+
+    ylo, yhi = edges(gray.shape[0], height)
+    xlo, xhi = edges(gray.shape[1], width)
     return np.array(
         [
-            [c.mean() if c.size else 0.0 for c in np.array_split(r, width, axis=1)]
-            for r in (
-                s if s.size else np.zeros((1, gray.shape[1]))
-                for s in np.array_split(gray, height, axis=0)
-            )
+            [gray[ylo[r] : yhi[r], xlo[c] : xhi[c]].mean() for c in range(width)]
+            for r in range(height)
         ]
     )
 
@@ -140,7 +156,7 @@ def _image_feature(data: bytes, dim: int) -> list[float]:
     environments, no Pillow variance); every other format uses Pillow.
     """
     if data[:2] in (b"P5", b"P6"):
-        gray, _ = _ppm_decode(data)
+        gray, _, _ = _ppm_decode(data)
         return [float(v) / 255.0 for v in _box_resize(gray, dim, 1)[0]]
     image_mod = _optional("PIL.Image", "image decode")
     img = image_mod.open(io.BytesIO(data))
@@ -339,6 +355,8 @@ def frame_sample(df: DataFrame, every_n: int = 10, decoder: str = "fake") -> Dat
                 for i, gray in enumerate(_y4m_frames(data)):
                     if i % every_n == 0:
                         yield i, hashlib.md5(gray.tobytes()).hexdigest()
+            except ImportError:
+                raise  # missing lib fails loudly (module contract)
             except Exception:
                 return  # truncated/malformed y4m: contribute no frames
             return
@@ -395,11 +413,26 @@ def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake")
         if data[:2] in (b"P5", b"P6"):
             import numpy as np
 
-            gray, _ = _ppm_decode(data)
-            out = np.rint(_box_resize(gray, width, height)).clip(0, 255)
+            _, _, planes = _ppm_decode(data)
+            # resize each channel: P6 stays RGB (a silent luma collapse
+            # would destroy color the Pillow path preserves — round-6
+            # review finding), P5 stays grayscale
+            resized = np.stack(
+                [
+                    np.rint(
+                        _box_resize(
+                            planes[:, :, c].astype(np.float64), width, height
+                        )
+                    ).clip(0, 255)
+                    for c in range(planes.shape[2])
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            magic = b"P5" if planes.shape[2] == 1 else b"P6"
             return (
-                b"P5\n%d %d\n255\n" % (width, height)
-                + out.astype(np.uint8).tobytes()
+                magic
+                + b"\n%d %d\n255\n" % (width, height)
+                + resized.tobytes()
             )
         image_mod = _optional("PIL.Image", "image resize")
         img = image_mod.open(io.BytesIO(data))

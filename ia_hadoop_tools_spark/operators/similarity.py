@@ -781,7 +781,9 @@ def semdedup(
                 need = math.ceil(
                     math.log2(max(2.0, 2.0 * mx / max_cluster_size))
                 )
-                bits = min(24, max(num_planes // bands, need))
+                # clamp only the ESCALATION at 24 bits — an explicitly
+                # finer caller geometry must never be coarsened
+                bits = max(num_planes // bands, min(24, need))
                 num_planes = bits * bands
     a = exact_src.select(
         F.col(id_col).alias("__ida"),

@@ -629,3 +629,29 @@ def test_video_real_y4m_in_tree(spark):
     feat = {r.asset_id: r for r in decode_features(df, decoder="real").collect()}
     assert feat[1].decode_error is None
     assert all(math.isclose(v, 10 / 255.0, rel_tol=1e-6) for v in feat[1].feature)
+
+
+def test_netpbm_resize_upscale_and_color(spark):
+    """Round-6 review findings: upscaling must replicate pixels (not pad
+    black bands) and P6 RGB must survive resize as RGB."""
+    p5 = b"P5\n2 2\n255\n" + bytes([10, 20, 30, 40])
+    p6 = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 0, 255])  # red, blue
+    df = spark.createDataFrame(
+        [
+            (0, "image", bytearray(p5), 2, 2, None, "pgm"),
+            (1, "image", bytearray(p6), 2, 1, None, "ppm"),
+        ],
+        "asset_id: long, media_type: string, payload: binary, width: int, "
+        "height: int, duration_ms: long, codec: string",
+    )
+    out = {r.asset_id: r for r in resize_images(df, 4, 2, decoder="real").collect()}
+    up = bytes(out[0].payload)
+    assert up.startswith(b"P5\n4 2\n255\n")
+    # nearest replication: each source pixel doubled horizontally
+    assert list(up[-8:]) == [10, 10, 20, 20, 30, 30, 40, 40]
+    rgb = bytes(out[1].payload)
+    assert rgb.startswith(b"P6\n4 2\n255\n")
+    px = list(rgb[len(b"P6\n4 2\n255\n"):])
+    rows = [px[i * 12 : (i + 1) * 12] for i in range(2)]
+    assert rows[0] == rows[1]  # vertical replication
+    assert rows[0] == [255, 0, 0, 255, 0, 0, 0, 0, 255, 0, 0, 255]
