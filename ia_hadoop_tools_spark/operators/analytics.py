@@ -49,6 +49,10 @@ def exact_group_quantiles(
     duplicates (determinism, not semantics — any row at the index
     carries the same value).
     """
+    if not quantiles:
+        # an empty sequence would leave keep=None and crash deep inside
+        # DataFrame.filter(None) after the window plan is built
+        raise ValueError("exact_group_quantiles: need at least one quantile")
     df = df.filter(F.col(value_col).isNotNull())
     order = [F.col(value_col).asc()] + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(*group_cols).orderBy(*order)
@@ -97,6 +101,8 @@ def approx_group_quantiles(
     Output schema matches :func:`exact_group_quantiles`:
     (group_cols..., label...) with one column per quantile label.
     """
+    if not quantiles:
+        raise ValueError("approx_group_quantiles: need at least one quantile")
     df = df.filter(F.col(value_col).isNotNull())
     probs = [num / den for _, num, den in quantiles]
     agg = df.groupBy(*group_cols).agg(

@@ -30,8 +30,12 @@ def parse_splitfile(spark: SparkSession, path_or_lines) -> list[tuple[str, str, 
     """Read a ``name start end`` split file into [(name, start, end)] sorted by
     start (end exclusive, SplitFile.java:39-51)."""
     if isinstance(path_or_lines, str):
-        rows = spark.read.schema(SPLITFILE_SCHEMA).option("sep", " ").csv(path_or_lines)
-        recs = [(r["name"], r["start"], r["end"]) for r in rows.collect()]
+        # read as raw text and tokenize EXACTLY like the in-memory path: a
+        # 3-column CSV read silently truncated lines with extra tokens
+        # (e.g. a shard name containing a space), so the two entry points
+        # disagreed — the file path mis-parsed where the list path raised
+        lines = [r[0] for r in spark.read.text(path_or_lines).collect()]
+        recs = [tuple(line.split()) for line in lines]
     else:
         recs = [tuple(line.split()) for line in path_or_lines]
     bad = [r for r in recs if len(r) != 3 or any(v is None for v in r)]
@@ -207,6 +211,15 @@ def write_named_shards(
     splits = sorted(splits, key=lambda s: s[1])
     names = [s[0] for s in splits]
     starts = [s[1] for s in splits]
+    if len(set(starts)) != len(starts):
+        # assign_range_ids counts boundaries <= key, so two splits sharing
+        # a start would route every key to the LAST one — the earlier-named
+        # shard would be written silently empty
+        dupes = sorted({s for s in starts if starts.count(s) > 1})
+        raise ValueError(
+            f"write_named_shards: duplicate split start keys {dupes!r} "
+            "would silently empty the earlier-named shard"
+        )
     ends = [s[2] for s in splits]
     with_ids = assign_range_ids(df, starts, key_col, "__rid")
     name_map = F.array(*[F.lit(n) for n in names])

@@ -30,15 +30,28 @@ def incremental_merge_cycle(
     daily_limit: int | None = None,
     sort_cols: Sequence[str] = ("urlkey", "timestamp"),
     tiebreakers: Sequence[str] = (),
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame | None, DataFrame]:
     """One STAGED/INCLUDED update cycle.
 
     - work = STAGED − INCLUDED (anti-join on basename);
     - new data = union of ``read_source(spark, path)`` over the work queue;
     - merged = merge_clusters([existing, new], daily_limit=...);
-    - returns (merged cluster, new INCLUDED bookkeeping table).
+    - returns (merged cluster, new INCLUDED bookkeeping table). If there
+      is no work AND ``existing_cluster`` is None (first-ever cycle with
+      everything already included), there is no cluster to return and the
+      first element is None — callers must handle that corner before
+      ``.write``-ing the result.
     """
-    todo = work_queue(staged, included).select("basename", "path").collect()
+    # dedup on basename BEFORE reading: work_queue's anti-join dedups only
+    # the INCLUDED side, so a basename staged twice (re-listed across
+    # staging runs) would be read and merged twice — every record of that
+    # file silently duplicated while the bookkeeping looked correct
+    todo = (
+        work_queue(staged, included)
+        .select("basename", "path")
+        .dropDuplicates(["basename"])
+        .collect()
+    )
     if not todo:
         # basename-only, like the work path returns: a full-schema
         # passthrough here made the returned bookkeeping schema depend on

@@ -29,16 +29,24 @@ from pyspark.sql.types import (
 
 DEFAULT_GAP = "30 minutes"
 
-SESSION_OUT_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("start_us", LongType()),
-        StructField("end_us", LongType()),
-        StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
-        StructField("status", StringType()),  # 'closed' | 'open'
-    ]
-)
+
+def _session_out_schema(key_type) -> StructType:
+    """Output schema with the session key typed like the INPUT key column —
+    a hardcoded LongType killed string-keyed streams in the Arrow worker."""
+    return StructType(
+        [
+            StructField("user_id", key_type),
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("status", StringType()),  # 'closed' | 'open'
+        ]
+    )
+
+
+#: long-keyed default, kept for import compatibility
+SESSION_OUT_SCHEMA = _session_out_schema(LongType())
 
 _STATE_SCHEMA = StructType(
     [
@@ -112,8 +120,13 @@ def sessionize_stateful(
 
     ``timeout`` must be a valid ``GroupStateTimeout`` member name
     (validated — a typo silently degrading to NoTimeout would disable
-    eviction); timeout-driven eviction handling itself is the caller's
-    extension point, per the module docstring's "template" contract.
+    eviction). With ``'ProcessingTimeTimeout'`` the open session's timer
+    is (re-)armed to ``gap_us`` after every batch that touches the group;
+    with ``'EventTimeTimeout'`` (requires a watermark on the stream) it is
+    armed to ``end + gap``, clamped above the current watermark. When the
+    timer fires, the carried session is emitted as status='closed' and the
+    state REMOVED — without the remove, per-group state grows unboundedly
+    on a long-running stream despite the caller requesting eviction.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -122,11 +135,27 @@ def sessionize_stateful(
             f"unknown timeout {timeout!r}; expected a GroupStateTimeout "
             "member name like 'NoTimeout' or 'ProcessingTimeTimeout'"
         )
+    proc_timeout = timeout == "ProcessingTimeTimeout"
+    event_timeout = timeout == "EventTimeTimeout"
+    gap_ms = max(1, gap_us // 1000)
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
 
         (user_id,) = key
+        cols = [
+            "user_id", "start_us", "end_us", "n_events", "total_value",
+            "status",
+        ]
+        if state.hasTimedOut:
+            # idle past the gap: close the carried session and EVICT
+            out = []
+            if state.exists:
+                s, e, cnt, tot = state.get
+                out.append((user_id, s, e, cnt, round(tot, 2), "closed"))
+            state.remove()
+            yield pd.DataFrame(out, columns=cols)
+            return
         if state.exists:
             start, end, n, total = state.get
         else:
@@ -161,21 +190,31 @@ def sessionize_stateful(
                     end, n, total = max(end, ts), n + 1, total + float(val)
         if start is not None:
             state.update((start, end, n, float(total)))
+            if proc_timeout:
+                state.setTimeoutDuration(gap_ms)
+            elif event_timeout:
+                # must exceed the current watermark or Spark raises; the
+                # natural deadline is session end + gap in event time
+                state.setTimeoutTimestamp(
+                    max(state.getCurrentWatermarkMs() + 1, end // 1000 + gap_ms)
+                )
             out.append((user_id, start, end, n, round(total, 2), "open"))
-        yield pd.DataFrame(
-            out,
-            columns=[
-                "user_id", "start_us", "end_us", "n_events", "total_value",
-                "status",
-            ],
-        )
+        yield pd.DataFrame(out, columns=cols)
 
     src = grouped_or_df
     if isinstance(src, DataFrame):
+        key_type = src.schema[user_col].dataType
         src = src.groupBy(user_col)
+    else:
+        # GroupedData: the bound DataFrame rides the private _df attr;
+        # fall back to the long-keyed default if it ever disappears
+        bound = getattr(src, "_df", None)
+        key_type = (
+            bound.schema[user_col].dataType if bound is not None else LongType()
+        )
     return src.applyInPandasWithState(
         fn,
-        outputStructType=SESSION_OUT_SCHEMA,
+        outputStructType=_session_out_schema(key_type),
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=getattr(GroupStateTimeout, timeout),

@@ -108,16 +108,21 @@ def q_tpch_q2(spark, sf_dir):
     p = t["part"].filter(
         (F.col("p_size") == Q2_SIZE) & (F.col("p_type") == Q2_TYPE)
     )
+    # sup and p are SF-scaled (supplier/part slices, unlike nation/region)
+    # so no FORCED broadcast anywhere in this module for them: forcing
+    # bypasses autoBroadcastJoinThreshold and would build an arbitrarily
+    # large broadcast table at high SF; AQE still chooses broadcast when
+    # the runtime size is under the threshold (it is at bench scale)
     cand = ps.join(
-        F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey")
-    ).join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        sup, F.col("ps_suppkey") == F.col("s_suppkey")
+    ).join(p, F.col("ps_partkey") == F.col("p_partkey"))
     min_cost = (
         cand.groupBy(F.col("ps_partkey").alias("__mk"))
         .agg(F.min("ps_supplycost").alias("__min_cost"))
     )
     return (
         cand.join(
-            F.broadcast(min_cost),
+            min_cost,
             (F.col("ps_partkey") == F.col("__mk"))
             & (F.col("ps_supplycost") == F.col("__min_cost")),
         )
@@ -224,11 +229,9 @@ def q_tpch_q7(spark, sf_dir):
             & (F.col("l_shipdate") < "1998-01-01")
         )
         .join(
-            F.broadcast(
-                t["supplier"].join(
-                    n1, F.col("s_nationkey") == F.col("__sn_key")
-                )
-            ),
+            # supplier scales with SF like customer below — same
+            # discipline: no forced broadcast, AQE decides
+            t["supplier"].join(n1, F.col("s_nationkey") == F.col("__sn_key")),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
@@ -308,11 +311,11 @@ def q_tpch_q8(spark, sf_dir):
     base = (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].filter(F.col("p_type") == Q8_TYPE)),
+            t["part"].filter(F.col("p_type") == Q8_TYPE),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
-            F.broadcast(t["supplier"].join(n_supp, F.col("s_nationkey") == F.col("__sn_key"))),
+            t["supplier"].join(n_supp, F.col("s_nationkey") == F.col("__sn_key")),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(
@@ -392,9 +395,7 @@ def q_tpch_q9(spark, sf_dir):
     return (
         t["lineitem"]
         .join(
-            F.broadcast(
-                t["part"].filter(F.col("p_name").contains(Q9_NAME_FRAG))
-            ),
+            t["part"].filter(F.col("p_name").contains(Q9_NAME_FRAG)),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
@@ -403,7 +404,7 @@ def q_tpch_q9(spark, sf_dir):
             & (F.col("l_suppkey") == F.col("ps_suppkey")),
         )
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(
@@ -469,14 +470,12 @@ Q11_NATION = "NATION_4"
 def q_tpch_q11(spark, sf_dir):
     t = load_tables(spark, sf_dir, ("supplier", "lineitem", "nation"))
     scoped = t["lineitem"].join(
-        F.broadcast(
-            t["supplier"]
-            .join(
-                t["nation"].filter(F.col("n_name") == Q11_NATION),
-                F.col("s_nationkey") == F.col("n_nationkey"),
-            )
-            .select("s_suppkey")
-        ),
+        t["supplier"]
+        .join(
+            t["nation"].filter(F.col("n_name") == Q11_NATION),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey"),
         F.col("l_suppkey") == F.col("s_suppkey"),
     )
     per_part = scoped.groupBy(
@@ -531,7 +530,7 @@ def q_tpch_q15(spark, sf_dir):
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("__rev") == F.col("__max_rev"))
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             F.col("supplier_no") == F.col("s_suppkey"),
         )
         .select(
@@ -580,9 +579,9 @@ def q_tpch_q16(spark, sf_dir):
     )
     bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        ps.join(p, F.col("ps_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(bad),
+            bad,
             F.col("ps_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -626,13 +625,13 @@ def q_tpch_q17(spark, sf_dir):
         (F.col("p_brand") == Q17_BRAND) & (F.col("p_size") < Q17_MAX_SIZE)
     )
     li = t["lineitem"].join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+        p, F.col("l_partkey") == F.col("p_partkey")
     )
     avg_qty = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
         F.avg("l_quantity").alias("__avg_qty")
     )
     small = li.join(
-        F.broadcast(avg_qty), F.col("l_partkey") == F.col("__pk")
+        avg_qty, F.col("l_partkey") == F.col("__pk")
     ).filter(F.col("l_quantity") < 0.5 * F.col("__avg_qty"))
     return small.agg(
         F.round(
@@ -685,7 +684,7 @@ def q_tpch_q20(spark, sf_dir):
         .agg(F.sum("l_quantity").alias("__qty97"))
     )
     qualifying = (
-        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        ps.join(p, F.col("ps_partkey") == F.col("p_partkey"))
         .join(
             shipped97,
             (F.col("ps_partkey") == F.col("__pk"))
@@ -779,11 +778,9 @@ def q_tpch_q21(spark, sf_dir):
     )
     return (
         l1.join(
-            F.broadcast(
-                t["supplier"].join(
-                    t["nation"].filter(F.col("n_name") == Q21_NATION),
-                    F.col("s_nationkey") == F.col("n_nationkey"),
-                )
+            t["supplier"].join(
+                t["nation"].filter(F.col("n_name") == Q21_NATION),
+                F.col("s_nationkey") == F.col("n_nationkey"),
             ),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )

@@ -623,3 +623,17 @@ def test_graph_eager_mode_releases_internal_storage(spark):
     n_eager = triangle_count(edges, eager=True).collect()[0]["n_triangles"]
     assert n_eager == n_lazy
     assert n_persist() - before <= 1  # lazy call's persist; eager's released
+
+
+def test_group_quantiles_reject_empty_quantiles(spark):
+    import pytest
+
+    from ia_hadoop_tools_spark.operators.analytics import (
+        approx_group_quantiles,
+    )
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="at least one quantile"):
+        exact_group_quantiles(df, ["g"], "v", quantiles=())
+    with pytest.raises(ValueError, match="at least one quantile"):
+        approx_group_quantiles(df, ["g"], "v", quantiles=())

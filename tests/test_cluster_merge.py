@@ -192,3 +192,66 @@ def test_merge_clusters_daylimit_needs_two_sort_cols(spark):
     df = spark.createDataFrame([("k", "20200101000000")], "k string, ts string")
     with pytest.raises(ValueError, match="sort_cols"):
         merge_clusters([df], daily_limit=2, sort_cols=("k",))
+
+
+def test_parse_splitfile_file_and_list_paths_agree(spark, tmp_path):
+    """Review repro: the 3-column CSV read silently truncated a 4-token
+    line (shard name with a space) that the in-memory path rejected —
+    both entry points must tokenize identically and raise loudly."""
+    import pytest
+
+    from ia_hadoop_tools_spark.plans.partitioning import parse_splitfile
+
+    good = tmp_path / "good.split"
+    good.write_text("pa a0 m0\npb m0 z0\n")
+    assert parse_splitfile(spark, str(good)) == [
+        ("pa", "a0", "m0"), ("pb", "m0", "z0"),
+    ]
+
+    bad = tmp_path / "bad.split"
+    bad.write_text("part 00 aaa bbb\n")
+    with pytest.raises(ValueError, match="malformed split-file"):
+        parse_splitfile(spark, str(bad))
+    with pytest.raises(ValueError, match="malformed split-file"):
+        parse_splitfile(spark, ["part 00 aaa bbb"])
+
+
+def test_named_shards_reject_duplicate_starts(spark, tmp_path):
+    """Two splits sharing a start key would route every row to the LAST
+    one, silently emptying the earlier-named shard."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("k1", "2020")], "urlkey string, timestamp string"
+    )
+    with pytest.raises(ValueError, match="duplicate split start"):
+        write_named_shards(
+            df, str(tmp_path / "d"), [("A", "k", "m"), ("B", "k", "z")]
+        )
+
+
+def test_incremental_cycle_dedups_staged_basenames(spark, tmp_path):
+    """Review repro: a basename staged TWICE (re-listed across staging
+    runs) was read and merged twice — every record silently duplicated
+    while the INCLUDED bookkeeping looked correct."""
+    from ia_hadoop_tools_spark.streaming.incremental import (
+        incremental_merge_cycle,
+    )
+
+    rows = [("k1", "20200101000000"), ("k2", "20200101000001")]
+    spark.createDataFrame(
+        rows, "urlkey: string, timestamp: string"
+    ).write.parquet(str(tmp_path / "a.cdx"))
+
+    staged = spark.createDataFrame(
+        [("a.cdx", str(tmp_path / "a.cdx"))] * 2,  # duplicate staging row
+        "basename: string, path: string",
+    )
+    included = spark.createDataFrame([], "basename: string")
+    merged, new_included = incremental_merge_cycle(
+        spark, staged, included,
+        read_source=lambda s, p: s.read.parquet(p),
+        existing_cluster=None,
+    )
+    assert sorted(r.urlkey for r in merged.collect()) == ["k1", "k2"]
+    assert [r.basename for r in new_included.collect()] == ["a.cdx"]

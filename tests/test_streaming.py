@@ -271,3 +271,95 @@ def test_session_window_stream_with_watermark(spark, tmp_path):
     assert list(got) == [(1, start_us)]
     s = got[(1, start_us)]
     assert s.n_events == 2 and s.total_value == 3.0
+
+
+def test_stateful_string_keyed_stream(spark, tmp_path):
+    """Review repro: SESSION_OUT_SCHEMA hardcoded user_id as LongType, so a
+    string-keyed stream died in the Arrow worker — the key column's type
+    must follow the input."""
+    src = tmp_path / "str_in"
+    src.mkdir()
+    rows = [("dev-a", 0, 1.0), ("dev-a", 60_000_000, 2.0), ("dev-b", 0, 4.0)]
+    df = spark.createDataFrame(rows, "user_id: string, ts_us: long, value: double")
+    df.coalesce(1).write.parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema("user_id string, ts_us long, value double")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stateful(stream.groupBy("user_id"))
+        .writeStream.format("memory")
+        .queryName("sess_str")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_str"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: r for r in spark.sql("SELECT * FROM sess_str").collect()
+    }
+    assert got["dev-a"].n_events == 2 and got["dev-a"].total_value == 3.0
+    assert got["dev-b"].total_value == 4.0
+
+
+def test_stateful_processing_timeout_closes_and_evicts(spark, tmp_path):
+    """Review repro: timeout='ProcessingTimeTimeout' was validated but the
+    fn never armed a timer nor removed state — idle sessions were never
+    evicted. With the fix, an idle group times out on a later batch, emits
+    'closed', and its state is REMOVED (a returning event starts fresh)."""
+    import time
+
+    src = tmp_path / "to_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_to")
+    schema = "user_id long, ts_us long, value double"
+    collected = []
+
+    def run_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        collected.clear()
+        q = (
+            sessionize_stateful(
+                stream.groupBy("user_id"),
+                gap_us=1_000_000,  # 1 s gap -> 1 s processing-time timer
+                timeout="ProcessingTimeTimeout",
+            )
+            .writeStream.foreachBatch(
+                lambda bdf, bid: collected.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return list(collected)
+
+    rows1 = run_batch([(1, 0, 5.0)], "b1")
+    assert (1, "open") in {(r.user_id, r.status) for r in rows1}
+    time.sleep(2.5)  # let user 1's 1 s processing-time timer expire
+    # a batch touching only user 2 fires user 1's expired timer (the
+    # timer may already have fired during b1's own run — availableNow
+    # executes an extra no-data batch to serve expired timers)
+    rows2 = run_batch([(2, 0, 7.0)], "b2")
+    assert (2, "open") in {(r.user_id, r.status) for r in rows2}
+    closed1 = [
+        r for r in rows1 + rows2 if r.user_id == 1 and r.status == "closed"
+    ]
+    assert len(closed1) == 1, "idle session must close exactly once"
+    assert (closed1[0].start_us, closed1[0].end_us, closed1[0].n_events) == (
+        0, 0, 1)
+    # user 1 returns: state was removed, so this is a FRESH session
+    rows = run_batch([(1, 10_000_000_000, 1.0)], "b3")
+    open1 = [r for r in rows if r.user_id == 1 and r.status == "open"]
+    assert len(open1) == 1 and open1[0].n_events == 1
+    assert open1[0].start_us == 10_000_000_000
