@@ -27,10 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        sf = -1.0
+    # extract the scale factor from the last "sf<number>" token in the dir
+    # name ("sf0.1", "iht_sf1") rather than a bare replace, which mangled
+    # prefixed names into unparseable strings and reported sf -1
+    import re
+
+    m = re.search(r"sf(\d+(?:\.\d+)?)$", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else -1.0
     load_start = round(os.getloadavg()[0], 2)
 
     from ia_hadoop_tools_spark.driver_queries import QUERIES
