@@ -74,8 +74,21 @@ def _iter_warc_records_minimal(stream: io.BufferedReader):
                 break
             if b":" in h:
                 k, v = h.split(b":", 1)
-                headers[k.decode().strip().lower()] = v.decode(errors="replace").strip()
-        length = int(headers.get("content-length", "0"))
+                # names decode with replace like values: one raw non-UTF8
+                # header byte must cost at most this record, not the file
+                headers[k.decode(errors="replace").strip().lower()] = (
+                    v.decode(errors="replace").strip()
+                )
+        raw_len = headers.get("content-length", "0")
+        try:
+            length = int(raw_len)
+        except ValueError as e:
+            # sync is unrecoverable in THIS stream (unknown payload
+            # boundary) — fail with the offset; gzip-member inputs salvage
+            # the remaining members in _iter_warc_records_any
+            raise IOError(
+                f"bad Content-Length {raw_len!r} at offset {start}"
+            ) from e
         payload = stream.read(length)
         offset += len(payload)
         yield headers, payload, start
@@ -135,8 +148,16 @@ def _iter_warc_records_any(path: str):
             if not d.eof:
                 raise IOError(f"truncated gzip member at offset {pos}")
             payload = b"".join(chunks)
-            for h, p, _ in _iter_warc_records_minimal(io.BytesIO(payload)):
-                yield h, p, pos, consumed
+            # member boundaries are known regardless of record-parse
+            # failures inside, so one corrupt member costs one error
+            # sentinel and every later member still parses (the -soft
+            # per-record contract); consumers map the sentinel to an
+            # error row
+            try:
+                for h, p, _ in _iter_warc_records_minimal(io.BytesIO(payload)):
+                    yield h, p, pos, consumed
+            except Exception as e:
+                yield {"__parse_error__": f"{type(e).__name__}: {e}"}, b"", pos, consumed
             pos += consumed
 
 
@@ -145,7 +166,10 @@ def cdx_generate(paths_df: DataFrame, surt_fn=None, use_warcio: bool | None = No
 
     ``paths_df`` must have a ``path`` column (from sources/listing.py). Uses
     warcio when present, else the minimal reader (``use_warcio`` forces the
-    choice — captured by value so it holds on executors too). Per-file errors
+    choice — resolved ONCE on the driver and captured by value, and an
+    executor that cannot honor a warcio choice raises ImportError rather
+    than silently degrading: the two parsers differ in conventions beyond
+    the tested fields, so one job must never mix them). Per-file errors
     surface in the ``error`` column (the reference's -soft mode made them a
     counter).
     """
@@ -155,6 +179,13 @@ def cdx_generate(paths_df: DataFrame, surt_fn=None, use_warcio: bool | None = No
     want_warcio = HAVE_WARCIO if use_warcio is None else use_warcio
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if want_warcio and not HAVE_WARCIO:
+            raise ImportError(
+                "cdx_generate resolved to the warcio parser on the driver "
+                "but warcio is not importable on this executor — install "
+                "it there or pass use_warcio=False (mixing parsers inside "
+                "one job would produce convention-mixed output)"
+            )
         def err_row(fname: str, e: Exception) -> dict:
             return dict.fromkeys(
                 [
@@ -164,7 +195,7 @@ def cdx_generate(paths_df: DataFrame, surt_fn=None, use_warcio: bool | None = No
                 ]
             ) | {"filename": fname, "error": f"{type(e).__name__}: {e}"}
 
-        def row_from_warcio(rec, it, fname: str) -> dict | None:
+        def row_from_warcio(rec, it, fname: str, is_gz: bool) -> dict | None:
             if rec.rec_type not in ("response", "revisit"):
                 return None
             url = rec.rec_headers.get_header("WARC-Target-URI")
@@ -210,13 +241,19 @@ def cdx_generate(paths_df: DataFrame, surt_fn=None, use_warcio: bool | None = No
                 digest=_b32_sha1(payload),
                 redirect=http.get_header("Location") if http else None,
                 meta_flags=None,
-                compressed_length=mlen,
+                # the S field is the COMPRESSED member length; an
+                # uncompressed input has none (warcio would report the
+                # record length here, the minimal reader None — parser
+                # choice must not change the output contract)
+                compressed_length=mlen if is_gz else None,
                 compressed_offset=off,
                 filename=fname,
                 error=None,
             )
 
         def row_from_minimal(headers, payload, off, mlen, fname) -> dict | None:
+            if "__parse_error__" in headers:
+                raise IOError(headers["__parse_error__"])
             if headers.get("warc-type") not in ("response", "revisit"):
                 return None
             url = headers.get("warc-target-uri")
@@ -247,7 +284,9 @@ def cdx_generate(paths_df: DataFrame, surt_fn=None, use_warcio: bool | None = No
                 urlkey=surt(url),
                 timestamp=ts[:14],
                 original_url=url,
-                mimetype=mimetype,
+                # '-' for an absent content type: the CDX convention and
+                # the warcio path's default — parser parity
+                mimetype=mimetype or "-",
                 statuscode=status,
                 digest=_b32_sha1(body),
                 redirect=location,
@@ -267,13 +306,14 @@ def cdx_generate(paths_df: DataFrame, surt_fn=None, use_warcio: bool | None = No
                 # covers open/container-level failures (check_fail_pct sees
                 # honest error counts either way)
                 try:
-                    if want_warcio and HAVE_WARCIO:
+                    if want_warcio:
                         # warcio consumes the RAW stream (ungzips itself)
                         with open(path, "rb") as raw:
                             it = ArchiveIterator(raw)
+                            is_gz = path.endswith(".gz")
                             for rec in it:
                                 try:
-                                    row = row_from_warcio(rec, it, fname)
+                                    row = row_from_warcio(rec, it, fname, is_gz)
                                 except Exception as e:
                                     row = err_row(fname, e)
                                 if row is not None:
@@ -435,6 +475,8 @@ def wat_generate(paths_df: DataFrame) -> DataFrame:
             ) | {"filename": fname, "error": f"{type(e).__name__}: {e}"}
 
         def wat_row(headers, payload, off, mlen, fname) -> dict:
+            if "__parse_error__" in headers:
+                raise IOError(headers["__parse_error__"])
             rec_type = headers.get("warc-type", "-")
             envelope: dict = {
                 "Format": "WARC",
@@ -538,6 +580,8 @@ def wet_generate(paths_df: DataFrame) -> DataFrame:
                     ) | {"filename": fname, "error": f"{type(e).__name__}: {e}"}
 
                 def wet_row(headers, payload, off) -> dict | None:
+                    if "__parse_error__" in headers:
+                        raise IOError(headers["__parse_error__"])
                     if headers.get("warc-type") != "response":
                         return None
                     http, body = _http_meta(payload)
@@ -791,6 +835,7 @@ def http_import(
     target_dir: str,
     soft: bool = True,
     cookie: str | None = None,
+    timeout: float = 60.0,
 ) -> None:
     """Parallel idempotent URL->file import (HTTPImportMapper semantics).
 
@@ -799,7 +844,9 @@ def http_import(
     atomically rename. ``soft`` converts per-URL failures into log lines.
     ``urls_df`` needs columns (url, name). ``cookie`` rides every request —
     the authenticated-fetch seam (jobs/ArchiveFileExtractor.java:291 signs
-    with an HMAC cookie; see functions/authfns.py).
+    with an HMAC cookie; see functions/authfns.py). ``timeout`` caps every
+    connect/read socket wait — without it one stalled server wedges the
+    Spark task forever instead of hitting the soft path.
     """
     os.makedirs(target_dir, exist_ok=True)
     hdrs = {"Cookie": cookie} if cookie else {}
@@ -817,7 +864,7 @@ def http_import(
             tmp = f"{final}.{attempt}.TMP"
             try:
                 req = urllib.request.Request(url, method="HEAD", headers=hdrs)
-                with urllib.request.urlopen(req) as h:
+                with urllib.request.urlopen(req, timeout=timeout) as h:
                     remote_len = int(h.headers.get("Content-Length", "-1"))
                 if (
                     os.path.exists(final)
@@ -826,7 +873,7 @@ def http_import(
                 ):
                     continue  # idempotent skip
                 with urllib.request.urlopen(
-                    urllib.request.Request(url, headers=hdrs)
+                    urllib.request.Request(url, headers=hdrs), timeout=timeout
                 ) as resp, open(tmp, "wb") as out:
                     copied = 0
                     while chunk := resp.read(1 << 20):

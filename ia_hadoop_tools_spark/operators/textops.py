@@ -175,7 +175,10 @@ def minhash_signatures(
         .select(F.col(id_col), (hash32(F.col("__s")) % MERSENNE_P).alias("__h"))
     )
     aggs = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MERSENNE_P).alias(f"__sig{j}")
+        # the shared helper (its DuckDB mirror permute_hash_sql is what
+        # the oracle runs): __h is already reduced mod p, so this is the
+        # identical expression — one definition, no drift
+        F.min(permute_hash(F.col("__h"), a, b)).alias(f"__sig{j}")
         for j, (a, b) in enumerate(perms)
     ]
     sigs = hashed.groupBy(id_col).agg(*aggs)

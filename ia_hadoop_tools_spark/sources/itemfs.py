@@ -56,10 +56,11 @@ class _HttpRandomAccessFile(io.RawIOBase):
     count, not byte count.
     """
 
-    def __init__(self, url: str, size: int):
+    def __init__(self, url: str, size: int, timeout: float = 60.0):
         self._url = url
         self._size = size
         self._pos = 0
+        self._timeout = timeout
 
     def readable(self) -> bool:
         return True
@@ -92,7 +93,9 @@ class _HttpRandomAccessFile(io.RawIOBase):
         req = urllib.request.Request(
             self._url, headers={"Range": f"bytes={self._pos}-{end}"}
         )
-        with urllib.request.urlopen(req) as resp:
+        # timeout: a stalled range request must fail the read, not wedge
+        # the executor task that called open_input_file forever
+        with urllib.request.urlopen(req, timeout=self._timeout) as resp:
             if resp.status != 206:
                 # a server ignoring Range returns 200 + the WHOLE file:
                 # accepting it would hand the codec bytes from offset 0
@@ -114,16 +117,23 @@ class _HttpRandomAccessFile(io.RawIOBase):
 class ItemFileSystemHandler(pafs.FileSystemHandler):
     """Read-only handler over the item-metadata protocol (module doc)."""
 
-    def __init__(self, api_base: str, dl_base: str, cache_items: int = 256):
+    def __init__(
+        self,
+        api_base: str,
+        dl_base: str,
+        cache_items: int = 256,
+        timeout: float = 60.0,
+    ):
         self.api_base = api_base.rstrip("/")
         self.dl_base = dl_base.rstrip("/")
         self.cache_items = cache_items
+        self.timeout = timeout
         self._meta = lru_cache(maxsize=cache_items)(self._fetch_meta)
 
     def __reduce__(self):
         return (
             ItemFileSystemHandler,
-            (self.api_base, self.dl_base, self.cache_items),
+            (self.api_base, self.dl_base, self.cache_items, self.timeout),
         )
 
     def __eq__(self, other):
@@ -141,7 +151,7 @@ class ItemFileSystemHandler(pafs.FileSystemHandler):
         from urllib.parse import quote
 
         with urllib.request.urlopen(
-            f"{self.api_base}/metadata/{quote(itemid)}"
+            f"{self.api_base}/metadata/{quote(itemid)}", timeout=self.timeout
         ) as r:
             return json.loads(r.read().decode("utf-8"))
 
@@ -170,7 +180,11 @@ class ItemFileSystemHandler(pafs.FileSystemHandler):
 
         infos = []
         for p in paths:
-            parts = self.normalize_path(p).split("/")
+            # split ONCE after the itemid: metadata names may themselves
+            # contain '/' ("deriv/page-0.gz") and must stay openable —
+            # splitting on every '/' listed such files but rejected them
+            # on open
+            parts = self.normalize_path(p).split("/", 1)
             if len(parts) == 1 and parts[0]:
                 try:
                     self._meta(parts[0])
@@ -190,13 +204,16 @@ class ItemFileSystemHandler(pafs.FileSystemHandler):
                         pafs.FileInfo(
                             p,
                             pafs.FileType.File,
-                            size=int(f["size"]),
+                            # sparse metadata tolerated like
+                            # list_collection_files_df: missing size and
+                            # explicit-null mtime both occur in real APIs
+                            size=int(f.get("size") or 0),
                             mtime=datetime.fromtimestamp(
-                                float(f.get("mtime", 0)), timezone.utc
+                                float(f.get("mtime") or 0), timezone.utc
                             ),
                         )
                     )
-            else:  # root or deeper than the depth-2 model
+            else:  # root
                 infos.append(pafs.FileInfo(p, pafs.FileType.NotFound))
         return infos
 
@@ -222,9 +239,9 @@ class ItemFileSystemHandler(pafs.FileSystemHandler):
             pafs.FileInfo(
                 f"{itemid}/{f['name']}",
                 pafs.FileType.File,
-                size=int(f["size"]),
+                size=int(f.get("size") or 0),
                 mtime=datetime.fromtimestamp(
-                    float(f.get("mtime", 0)), timezone.utc
+                    float(f.get("mtime") or 0), timezone.utc
                 ),
             )
             for f in md.get("files", ())
@@ -236,7 +253,9 @@ class ItemFileSystemHandler(pafs.FileSystemHandler):
     def open_input_file(self, path):
         from pyarrow import PythonFile
 
-        parts = self.normalize_path(path).split("/")
+        # split ONCE: nested metadata names keep their '/' (see
+        # get_file_info)
+        parts = self.normalize_path(path).split("/", 1)
         if len(parts) != 2:
             raise FileNotFoundError(path)
         entry = self._file_entry(*parts)
@@ -244,8 +263,10 @@ class ItemFileSystemHandler(pafs.FileSystemHandler):
             raise FileNotFoundError(path)
         raw = _HttpRandomAccessFile(
             # quote(): names with spaces/#/?/% are legal in item metadata
+            # (the default safe='/' keeps nested-name separators intact)
             f"{self.dl_base}/{_q(parts[0])}/{_q(parts[1])}",
-            int(entry["size"]),
+            int(entry.get("size") or 0),
+            timeout=self.timeout,
         )
         return PythonFile(raw, mode="r")
 
@@ -259,7 +280,10 @@ class ItemFileSystemHandler(pafs.FileSystemHandler):
 
 
 def make_item_filesystem(
-    api_base: str, dl_base: str, cache_items: int = 256
+    api_base: str,
+    dl_base: str,
+    cache_items: int = 256,
+    timeout: float = 60.0,
 ) -> pafs.PyFileSystem:
     """``pyarrow.fs.PyFileSystem`` over the item-metadata protocol.
 
@@ -268,7 +292,7 @@ def make_item_filesystem(
     (``fs.open_input_file("item/file.gz")``). Pickles by its base URLs.
     """
     return pafs.PyFileSystem(
-        ItemFileSystemHandler(api_base, dl_base, cache_items)
+        ItemFileSystemHandler(api_base, dl_base, cache_items, timeout)
     )
 
 
@@ -290,7 +314,6 @@ def search_collection_items(
     rows=M&output=json`` -> ``{"response": {"numFound": n, "docs":
     [{"identifier", "publicdate"}]}}`` with ISO-Z publicdates.
     """
-    import time as _time
     import urllib.parse
     from datetime import datetime, timezone
 
@@ -305,20 +328,12 @@ def search_collection_items(
                 "output": "json",
             }
         )
-        url = f"{api_base}/advancedsearch.php?{q}"
-        last_err: Exception | None = None
-        for attempt in range(max_retries):
-            try:
-                with urllib.request.urlopen(url, timeout=timeout) as resp:
-                    payload = json.loads(resp.read().decode("utf-8"))
-                break
-            except OSError as e:  # retry transient fetch errors, like :120-146
-                last_err = e
-                _time.sleep(retry_delay * (attempt + 1))
-        else:
-            raise OSError(
-                f"search failed after {max_retries} tries: {url}"
-            ) from last_err
+        payload = json.loads(
+            _retrying_get(
+                f"{api_base}/advancedsearch.php?{q}",
+                max_retries, retry_delay, timeout,
+            ).decode("utf-8")
+        )
         r = payload.get("response") or {}
         docs = r.get("docs") or []
         for d in docs:
@@ -341,8 +356,10 @@ def search_collection_items(
 
 def _retrying_get(url: str, max_retries: int, retry_delay: float,
                   timeout: float) -> bytes:
-    """Bounded-retry GET shared by the three ItemSearcher backends
-    (each reference searcher carries the identical retry loop)."""
+    """Bounded-retry GET shared by the three ItemSearcher backends AND the
+    distributed collection listing (each reference searcher carries the
+    identical retry loop; keeping one copy means retry-semantics fixes
+    land everywhere at once)."""
     import time as _time
 
     last_err: Exception | None = None
@@ -465,6 +482,9 @@ def list_collection_files_df(
     dl_base: str,
     collection: str,
     rows_per_page: int = 200,
+    max_retries: int = 5,
+    retry_delay: float = 0.5,
+    timeout: float = 60.0,
 ):
     """Every file of every item in a collection ->
     ``DataFrame(path, size, mtime)`` with ``path = itemid/name`` readable
@@ -488,30 +508,16 @@ def list_collection_files_df(
     api = api_base
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from datetime import datetime
-
-        import time as _time
-
         for pdf in batches:
             for itemid in pdf["itemid"]:
-                # bounded transient-retry (the search_collection_items
-                # pattern): one 503/timeout must not kill the whole
-                # collection listing task
-                last: Exception | None = None
-                for attempt in range(5):
-                    try:
-                        with urllib.request.urlopen(
-                            f"{api}/metadata/{_q(itemid)}", timeout=60
-                        ) as resp:
-                            meta = json.loads(resp.read().decode("utf-8"))
-                        break
-                    except OSError as e:
-                        last = e
-                        _time.sleep(0.5 * (2**attempt))
-                else:
-                    raise OSError(
-                        f"metadata fetch for {itemid} failed after retries"
-                    ) from last
+                # the shared bounded transient-retry: one 503/timeout
+                # must not kill the whole collection listing task
+                meta = json.loads(
+                    _retrying_get(
+                        f"{api}/metadata/{_q(itemid)}",
+                        max_retries, retry_delay, timeout,
+                    ).decode("utf-8")
+                )
                 files = meta.get("files") or []
                 yield pd.DataFrame(
                     {

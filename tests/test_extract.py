@@ -312,3 +312,79 @@ def test_wet_wat_content_type_case_insensitive(spark, tmp_path):
         meta = _json.loads(r.wat)
         pm = meta["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]
         assert pm.get("HTML-Metadata"), r.target_uri
+
+
+def test_minimal_reader_salvages_corrupt_gzip_member(spark, tmp_path):
+    """Review repro: a bad Content-Length inside ONE gzip member used to
+    abort the whole file at the container level — records after the bad
+    member were silently lost. Member boundaries are independent of record
+    parses, so one corrupt member = one error row, later members survive."""
+    p = tmp_path / "salvage-00000.warc.gz"
+    good1 = _warc_record(
+        "response", "http://a.example/", "2020-01-02T03:04:05Z",
+        _http_payload(200, "text/html", b"one"),
+    )
+    bad = good1.replace(
+        b"Content-Length: ", b"Content-Length: x", 1
+    )  # non-numeric
+    good2 = _warc_record(
+        "response", "http://b.example/", "2020-01-02T03:04:06Z",
+        _http_payload(200, "text/html", b"two"),
+    )
+    with open(p, "wb") as fh:
+        for r in (good1, bad, good2):
+            fh.write(gzip.compress(r))
+    rows = cdx_generate(_paths_df(spark, str(p)), use_warcio=False).collect()
+    ok = [r for r in rows if r.error is None]
+    errs = [r for r in rows if r.error is not None]
+    assert sorted(r.original_url for r in ok) == [
+        "http://a.example/", "http://b.example/",
+    ]
+    assert len(errs) == 1 and "Content-Length" in errs[0].error
+
+
+def test_minimal_reader_tolerates_non_utf8_header_name(spark, tmp_path):
+    """Review repro: one raw non-UTF8 byte in a header NAME aborted the
+    whole file (names decoded strictly while values used replace)."""
+    p = tmp_path / "hdr-00000.warc.gz"
+    rec = _warc_record(
+        "response", "http://c.example/", "2020-01-02T03:04:07Z",
+        _http_payload(200, "text/html", b"three"),
+    ).replace(b"WARC-Target-URI:", b"WARC-Target-URI\x92x:", 1)
+    good = _warc_record(
+        "response", "http://d.example/", "2020-01-02T03:04:08Z",
+        _http_payload(200, "text/html", b"four"),
+    )
+    with open(p, "wb") as fh:
+        for r in (rec, good):
+            fh.write(gzip.compress(r))
+    rows = cdx_generate(_paths_df(spark, str(p)), use_warcio=False).collect()
+    # the mangled record parses (with a replaced header name, so its URI is
+    # absent) and the file's other record is untouched
+    assert all(r.error is None for r in rows)
+    assert "http://d.example/" in {r.original_url for r in rows}
+
+
+def test_forced_warcio_raises_when_absent(spark, warc_path):
+    """use_warcio=True must raise ImportError where warcio is missing, not
+    silently degrade to the minimal reader (mixed-parser output)."""
+    import ia_hadoop_tools_spark.operators.extract as ex
+
+    if ex.HAVE_WARCIO:
+        pytest.skip("warcio installed — the forced path is honored")
+    with pytest.raises(Exception, match="warcio"):
+        cdx_generate(_paths_df(spark, warc_path), use_warcio=True).collect()
+
+
+def test_minimal_reader_mimetype_dash_parity(spark, tmp_path):
+    """Parser parity: an absent HTTP block yields mimetype '-' (the CDX
+    convention and the warcio default), not NULL."""
+    p = tmp_path / "nohttp-00000.warc.gz"
+    rec = _warc_record(
+        "response", "http://e.example/", "2020-01-02T03:04:09Z",
+        b"rawbytes-no-http-block",
+    )
+    with open(p, "wb") as fh:
+        fh.write(gzip.compress(rec))
+    rows = cdx_generate(_paths_df(spark, str(p)), use_warcio=False).collect()
+    assert len(rows) == 1 and rows[0].mimetype == "-"

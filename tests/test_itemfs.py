@@ -68,13 +68,16 @@ def item_server(tmp_path_factory):
                 if not item.is_dir():
                     self.send_error(404)
                     return
+                # rglob + relative names: item metadata may list NESTED
+                # names ("deriv/page.txt") — the filesystem must keep them
+                # openable (round-6 review regression)
                 files = [
                     {
-                        "name": f.name,
+                        "name": f.relative_to(item).as_posix(),
                         "size": f.stat().st_size,
                         "mtime": f.stat().st_mtime,
                     }
-                    for f in sorted(item.iterdir())
+                    for f in sorted(item.rglob("*"))
                     if f.is_file()
                 ]
                 body = json.dumps({"files": files}).encode()
@@ -83,8 +86,8 @@ def item_server(tmp_path_factory):
                 self.end_headers()
                 self.wfile.write(body)
                 return
-            if len(parts) == 2:
-                f = root / parts[0] / parts[1]
+            if len(parts) >= 2:
+                f = root / parts[0] / "/".join(parts[1:])
                 if not f.is_file():
                     self.send_error(404)
                     return
@@ -209,7 +212,8 @@ def test_search_collection_items_paged_with_retries(item_server):
     assert [i for i, _ in got2] == [i for i, _ in got]
 
     _handlers["H"].search_fail_next = 99  # permanent failure -> raises
-    with pytest.raises(OSError, match="search failed"):
+    # the shared _retrying_get's message (retry loops are consolidated)
+    with pytest.raises(OSError, match="fetch failed"):
         search_collection_items(
             base, "warcs-x", max_retries=2, retry_delay=0.01
         )
@@ -339,3 +343,42 @@ def test_metamgr_and_collection_index_searchers(tmp_path):
         assert idx == [("item-j", 1577934245.0), ("item-plain", 0.0)]
     finally:
         srv.shutdown()
+
+
+def test_nested_metadata_names_listable_and_openable(item_server):
+    """Review repro: names containing '/' were listed by the selector but
+    open_input_file split on every '/' and raised FileNotFoundError — a
+    scan failed on a file the same filesystem just reported as existing."""
+    root, base = item_server
+    os.makedirs(os.path.join(root, "item9", "deriv"), exist_ok=True)
+    with open(os.path.join(root, "item9", "deriv", "page.txt"), "wb") as f:
+        f.write(b"nested payload")
+    fs = make_item_filesystem(base, base)
+
+    infos = fs.get_file_info(pafs.FileSelector("item9"))
+    assert [(i.path, i.size) for i in infos] == [
+        ("item9/deriv/page.txt", 14)
+    ]
+    info = fs.get_file_info(["item9/deriv/page.txt"])[0]
+    assert info.type == pafs.FileType.File and info.size == 14
+    with fs.open_input_file("item9/deriv/page.txt") as fh:
+        assert fh.read() == b"nested payload"
+
+
+def test_sparse_metadata_size_and_null_mtime(item_server):
+    """Review repro: a missing size KeyError'd and an explicit-null mtime
+    TypeError'd the whole listing; the handler now tolerates both like
+    list_collection_files_df always did."""
+    from ia_hadoop_tools_spark.sources.itemfs import ItemFileSystemHandler
+
+    _, base = item_server
+    h = ItemFileSystemHandler(base, base)
+    h._meta = lambda itemid: {
+        "files": [{"name": "x.gz", "mtime": None}, {"name": "y.gz", "size": 7}]
+    }
+    sizes = {
+        i.path: i.size for i in h.get_file_info_selector(pafs.FileSelector("it"))
+    }
+    assert sizes == {"it/x.gz": 0, "it/y.gz": 7}
+    infos = h.get_file_info(["it/x.gz", "it/y.gz"])
+    assert [i.size for i in infos] == [0, 7]
