@@ -1830,9 +1830,18 @@ def q_wat_extract(spark, sf_dir):
 # every envelope field is independently recomputed from the construction rule
 # by the wat_fields oracle below, and tests/test_extract.py pins regeneration.
 
-SQL_WAT_EXTRACT = r"""
+# derived from the package location, not a hardcoded checkout path: a
+# clone anywhere else would otherwise fail this oracle on every round
+import os as _os_path_mod
+
+_FIXTURES_DIR = _os_path_mod.path.join(
+    _os_path_mod.path.dirname(_os_path_mod.path.dirname(_os_path_mod.path.abspath(__file__))),
+    "fixtures",
+)
+
+SQL_WAT_EXTRACT = rf"""
 SELECT target_uri, timestamp, rec_type, wat, CAST(error AS VARCHAR) AS error
-FROM read_parquet('/root/repo/fixtures/wat_expected.parquet')
+FROM read_parquet('{_FIXTURES_DIR}/wat_expected.parquet')
 """
 
 
@@ -2878,7 +2887,14 @@ def q_tpch_q18(spark, sf_dir):
             F.col("o_totalprice").cast("double").alias("o_totalprice"),
             F.col("sum_qty").cast("double").alias("sum_qty"),
         )
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc())
+        # o_orderkey completes the sort: a (price, date) tie straddling
+        # rank 100 would otherwise let the two engines keep different
+        # orders (every other top-k query here carries a key tiebreak)
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
         .limit(100)
     )
 
@@ -2894,7 +2910,7 @@ JOIN (
   FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {Q18_MIN_QTY}
 ) ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
-ORDER BY o_totalprice DESC, o_orderdate ASC
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
 LIMIT 100
 """
 

@@ -298,7 +298,7 @@ def cdx_query(
         # the before-T row (then the usual total tie-break). NULLs LAST:
         # a malformed capture timestamp (Feb 30 etc. in dirty CDX data)
         # has NULL distance and must rank as farthest, never nearest —
-        # matching the HTTP server, which skips unrankable captures.
+        # the HTTP server ranks unrankable captures last the same way.
         final = [dist.asc_nulls_last()] + order
     else:
         final = order

@@ -60,19 +60,21 @@ CLUSTER_URI_HEADER = "X-CDX-Cluster-Uri"  # HttpTextLoader.java:61
 def _ts14_seconds(ts: str) -> int:
     """ts14 -> seconds since 1970-01-01, timezone-free — the same calendar
     arithmetic as operators/cdx_query._ts14_seconds, so the served closest
-    ranking and the DataFrame sort=closest ranking agree exactly."""
+    ranking and the DataFrame sort=closest ranking agree exactly.
+
+    Raises ValueError on a non-calendar date OR an invalid time of day:
+    hour 99 would otherwise produce a FINITE bogus distance that can
+    out-rank real captures (the Spark twin nulls exactly these)."""
     from datetime import date
 
     days = (
         date(int(ts[0:4]), int(ts[4:6]), int(ts[6:8])).toordinal()
         - date(1970, 1, 1).toordinal()
     )
-    return (
-        days * 86400
-        + int(ts[8:10]) * 3600
-        + int(ts[10:12]) * 60
-        + int(ts[12:14])
-    )
+    hh, mm, ss = int(ts[8:10]), int(ts[10:12]), int(ts[12:14])
+    if hh > 23 or mm > 59 or ss > 59:
+        raise ValueError(f"invalid time of day in ts14 {ts!r}")
+    return days * 86400 + hh * 3600 + mm * 60 + ss
 
 
 class ClusterPager:
@@ -130,11 +132,31 @@ class ClusterPager:
 
     def closest_lines(self, urlkey: str, ts: str, limit: int = 1) -> str:
         """The ``limit`` captures of ``urlkey`` nearest ``ts``, nearest
-        first; ties break toward the earlier capture. Touches only the
-        blocks whose key range can hold the urlkey ('!' is the smallest
-        printable above the key-field separator, so ``[key, key + '!')``
-        bounds exactly that urlkey's lines)."""
+        first; ties break toward the earlier capture, then by the SAME
+        column tiebreak as cdx_query._TIEBREAK (original_url, digest,
+        offset, filename) — NOT the raw line string, whose field order
+        would interleave mimetype/status into the ordering. Unrankable
+        captures (malformed timestamp) rank LAST in default order, like
+        the DataFrame path's asc_nulls_last — dropping them would make
+        the served row set diverge from cdx_query at limits beyond the
+        valid-capture count. Touches only the blocks whose key range can
+        hold the urlkey ('!' is the smallest printable above the
+        key-field separator, so ``[key, key + '!')`` bounds exactly that
+        urlkey's lines)."""
         from ia_hadoop_tools_spark.operators.cdx_query import pad_closest_ts
+
+        def tiebreak(line: str):
+            f = line.split(" ")
+            try:
+                off = int(f[9]) if len(f) > 9 else 0
+            except ValueError:
+                off = 0
+            return (
+                f[2] if len(f) > 2 else "",
+                f[5] if len(f) > 5 else "",
+                off,
+                f[10] if len(f) > 10 else "",
+            )
 
         lo, hi = self.prune(urlkey, urlkey + "!")
         target = _ts14_seconds(pad_closest_ts(ts))
@@ -147,11 +169,15 @@ class ClusterPager:
                 continue
             try:
                 dist = abs(_ts14_seconds(parts[1]) - target)
+                rankable = 0
             except ValueError:
-                continue  # malformed capture timestamp: not rankable
-            scored.append((dist, parts[1], line))
-        scored.sort()
-        return "".join(line + "\n" for _, _, line in scored[:limit])
+                dist = 0  # sorts after every rankable row via the flag
+                rankable = 1
+            scored.append(
+                (rankable, dist, parts[1], tiebreak(line), line)
+            )
+        scored.sort(key=lambda t: t[:4])
+        return "".join(t[4] + "\n" for t in scored[:limit])
 
     def deref_lines(
         self, blocks, start: str | None, end: str | None

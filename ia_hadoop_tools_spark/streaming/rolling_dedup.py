@@ -133,12 +133,24 @@ def rolling_dedup_stream(
         # in-batch exact self-dedup FIRST (keep the min id per text):
         # two copies arriving in one batch must not both survive — the
         # index only covers already-ingested docs, so without this the
-        # steady-state path would admit intra-batch duplicates
+        # steady-state path would admit intra-batch duplicates.
+        # Shuffle on the ~40-byte (md5, length) digest — the SAME exact
+        # identity the CorpusDedupIndex uses — never on the full text,
+        # which would make every micro-batch a corpus-sized text shuffle;
+        # the survivor's text rides back via the min-id semi-join
+        keep_ids = (
+            original.select(
+                F.col(id_col),
+                F.md5(F.col(text_col)).alias("__md5"),
+                F.length(F.col(text_col)).alias("__len"),
+            )
+            .groupBy("__md5", "__len")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
         slim = (
             original.select(id_col, text_col)
-            .groupBy(text_col)
-            .agg(F.min(id_col).alias(id_col))
-            .select(id_col, text_col)
+            .join(keep_ids, id_col, "left_semi")
             .persist()
         )
         novel = None

@@ -27,50 +27,54 @@ from ia_hadoop_tools_spark.sources import fsio
 PUBLISHED_MARKER = "_PUBLISHED"
 
 
-def _versions_with_markers(root: str) -> list[tuple[int, bool]]:
-    """ONE directory listing -> sorted (version, published) pairs.
-
-    Serves both the published and the stale-unmarked views so callers
-    needing both (prune_versions) pay a single remote listing instead of
-    two — each listing is a round-trip batch on an object store."""
+def _list_version_dirs(root: str):
+    """ONE non-recursive listing -> (filesystem, sorted [(version, path)])."""
     from pyarrow import fs as pafs
 
     fs, p = fsio.resolve(root)
     try:
         infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
     except OSError:
+        return None, []
+    vers = [
+        (int(i.base_name[1:]), i.path)
+        for i in infos
+        if i.base_name.startswith("v") and i.base_name[1:].isdigit()
+    ]
+    return fs, sorted(vers)
+
+
+def _versions_with_markers(root: str) -> list[tuple[int, bool]]:
+    """One directory listing + ONE batched marker stat -> sorted
+    (version, published) pairs.
+
+    Serves both the published and the stale-unmarked views so callers
+    needing both (prune_versions) pay a single remote listing; the
+    markers resolve in a single ``get_file_info([paths])`` batch rather
+    than O(versions) serial round-trips (a recursive listing is NOT the
+    answer — it would enumerate every payload file of every version)."""
+    from pyarrow import fs as pafs
+
+    fs, vers = _list_version_dirs(root)
+    if not vers:
         return []
-    out = []
-    for i in infos:
-        name = i.base_name
-        if name.startswith("v") and name[1:].isdigit():
-            marker = fs.get_file_info(f"{i.path}/{PUBLISHED_MARKER}")
-            out.append(
-                (int(name[1:]), marker.type != pafs.FileType.NotFound)
-            )
-    return sorted(out)
+    markers = fs.get_file_info(
+        [f"{path}/{PUBLISHED_MARKER}" for _, path in vers]
+    )
+    return [
+        (v, m.type != pafs.FileType.NotFound)
+        for (v, _), m in zip(vers, markers)
+    ]
 
 
 def existing_versions(root: str, published_only: bool = False) -> list[int]:
     """Sorted version numbers under ``root`` (``vNNN`` dirs); with
     ``published_only`` skip dirs whose marker is missing (crashed saves)."""
-    from pyarrow import fs as pafs
-
-    fs, p = fsio.resolve(root)
-    try:
-        infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
-    except OSError:
-        return []
-    out = []
-    for i in infos:
-        name = i.base_name
-        if name.startswith("v") and name[1:].isdigit():
-            if published_only:
-                marker = fs.get_file_info(f"{i.path}/{PUBLISHED_MARKER}")
-                if marker.type == pafs.FileType.NotFound:
-                    continue
-            out.append(int(name[1:]))
-    return sorted(out)
+    if published_only:
+        return [v for v, marked in _versions_with_markers(root) if marked]
+    # no marker stats at all when the caller doesn't need publish state
+    _, vers = _list_version_dirs(root)
+    return [v for v, _ in vers]
 
 
 def version_dir(root: str, version: int) -> str:

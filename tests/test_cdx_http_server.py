@@ -272,3 +272,31 @@ def test_start_equal_to_block_key_keeps_preceding_block(spark, tmp_path):
         assert served == engine_rows  # all 40 lines, none pruned away
     finally:
         srv.shutdown()
+
+
+def test_closest_malformed_capture_ranks_last_not_nearest(spark, tmp_path):
+    """Review repro: the server skipped time-of-day validation, so a
+    capture with hour 99 got a finite bogus distance and could out-rank
+    real captures; and unrankable captures were DROPPED, diverging from
+    cdx_query's asc_nulls_last at limits beyond the valid count."""
+    from ia_hadoop_tools_spark.sources.cdx_http_server import ClusterPager
+
+    key = "com,dirty)/p"
+    lines = sorted([
+        f"{key} 20200109990000 http://dirty.com/p text/html 200 DBAD - - 10 0 f.warc.gz",
+        f"{key} 20200110000000 http://dirty.com/p text/html 200 DOK1 - - 10 7 f.warc.gz",
+        f"{key} 20200120000000 http://dirty.com/p text/html 200 DOK2 - - 10 14 f.warc.gz",
+    ])
+    d = str(tmp_path / "dirty_cluster")
+    df = spark.createDataFrame([(l,) for l in lines], "value: string")
+    write_zipnum(df, d, lines_per_block=2, num_shards=1)
+
+    pager = ClusterPager(d)
+    # closest=20200112: the hour-99 line would score ~Jan 13 03:00
+    # (dist ~27 h) under the bug, beating BOTH real captures (48 h and
+    # 192 h); it must instead be unrankable and come LAST
+    got = pager.closest_lines(key, "20200112000000", limit=3).splitlines()
+    assert [l.split(" ")[5] for l in got] == ["DOK1", "DOK2", "DBAD"]
+    # single-capture lookup never returns the malformed line
+    got1 = pager.closest_lines(key, "20200112000000", limit=1).splitlines()
+    assert [l.split(" ")[5] for l in got1] == ["DOK1"]
