@@ -100,19 +100,22 @@ def open_read_text(path: str, filesystem=None):
 
 
 def rename(src: str, dst: str, filesystem=None) -> None:
-    """Atomic on local/HDFS; copy+delete on object stores (see module doc)."""
+    """Atomic on local/HDFS; copy+delete on object stores (see module doc).
+
+    src and dst must resolve to the SAME filesystem: ``fs.move`` executes
+    on one fs, so rename('/tmp/x', 's3://b/y') would otherwise move the
+    local file to a bogus local 'b/y' path — silently misplaced, never
+    reaching S3. Cross-filesystem transfer is a copy job, not a rename.
+    """
     fs, s = resolve(src, filesystem)
-    if filesystem is None and has_scheme(dst):
-        _, d = resolve(dst)
-    else:
-        d = strip_scheme(dst) if filesystem is not None else _local_abs(dst)
+    dfs, d = resolve(dst, filesystem)
+    if filesystem is None and type(fs) is not type(dfs):
+        raise ValueError(
+            f"rename: src {src!r} and dst {dst!r} resolve to different "
+            f"filesystems ({type(fs).__name__} vs {type(dfs).__name__}) — "
+            "a move cannot cross filesystems; copy explicitly instead"
+        )
     fs.move(s, d)
-
-
-def _local_abs(path: str) -> str:
-    import os
-
-    return os.path.abspath(path)
 
 
 def remove(path: str, filesystem=None) -> None:

@@ -148,15 +148,24 @@ def list_files_df(
             date_filter, num_partitions=num_partitions,
         )
     pred = parse_date_filter(date_filter) if date_filter else None
+    extensions = tuple(extensions)  # hoisted: not rebuilt per file below
     # abspath so the driver walk and the distributed walk (which resolves
     # through pyarrow and always yields absolute paths) return the SAME
     # path shape whichever side of the threshold a tree lands on
     root = os.path.abspath(root)
+
+    def _unreadable(e: OSError):
+        # same contract as the distributed walk's shipped-subtree raise:
+        # a swallowed PermissionError (os.walk's default) would return a
+        # silently PARTIAL listing — the worst failure mode for a corpus
+        # enumeration
+        raise e
+
     rows = []
     seen = 0
-    for dirpath, dirnames, filenames in os.walk(root):
+    for dirpath, dirnames, filenames in os.walk(root, onerror=_unreadable):
         if not include_hidden:
-            dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+            dirnames[:] = [d for d in dirnames if _visible(d)]
         # the threshold counts ENUMERATED files, not kept rows — a 10M-file
         # tree with a selective filter must still route to the distributed
         # walk instead of serializing through this loop
@@ -165,17 +174,37 @@ def list_files_df(
             auto_distribute_threshold is not None
             and seen > auto_distribute_threshold
         ):
+            # the distributed walk runs IN executors: a schemeless local
+            # path only means the same tree there on a local[*] master —
+            # on a real cluster each worker would list ITS OWN disk
+            # (silently wrong listing), so refuse and name the remedies
+            if not spark.sparkContext.master.startswith("local"):
+                raise ValueError(
+                    f"{root!r} exceeded auto_distribute_threshold="
+                    f"{auto_distribute_threshold} but is a local path on a "
+                    "non-local master — executors cannot see the driver's "
+                    "disk. Pass a shared-filesystem URI (file:// on NFS, "
+                    "hdfs://, s3://) to distribute the walk, or "
+                    "auto_distribute_threshold=None to force the driver "
+                    "walk."
+                )
             return list_files_df_distributed(
                 spark, root, extensions, include_hidden, min_mtime,
                 max_mtime, date_filter, num_partitions=num_partitions,
             )
         for fn in filenames:
-            if not include_hidden and fn.startswith((".", "_")):
+            if not include_hidden and not _visible(fn):
                 continue
-            if extensions and not fn.endswith(tuple(extensions)):
+            if extensions and not fn.endswith(extensions):
                 continue
             full = os.path.join(dirpath, fn)
-            st = os.stat(full)
+            try:
+                st = os.stat(full)
+            except FileNotFoundError:
+                # dangling symlink, or deleted between walk and stat —
+                # the same vanish-mid-walk race the distributed path
+                # tolerates; anything else (PermissionError) stays loud
+                continue
             if min_mtime is not None and st.st_mtime < min_mtime:
                 continue
             if max_mtime is not None and st.st_mtime >= max_mtime:
@@ -245,7 +274,7 @@ def _walk_subtree(
                 continue
             if info.type != pafs.FileType.File:
                 continue
-            if extensions and not name.endswith(tuple(extensions)):
+            if extensions and not name.endswith(extensions):
                 continue
             mt = info.mtime
             mts = mt.timestamp() if mt is not None else 0.0
@@ -294,6 +323,7 @@ def list_files_df_distributed(
     from ia_hadoop_tools_spark.sources import fsio
 
     pred = parse_date_filter(date_filter) if date_filter else None
+    extensions = tuple(extensions)  # hoisted: not rebuilt per entry below
     fs, base = fsio.resolve(root)
     # scheme://authority prefix of the original root: pyarrow's info.path
     # is scheme-stripped, so every path shipped to a worker (and every
@@ -326,7 +356,7 @@ def list_files_df_distributed(
                 if info.type == pafs.FileType.Directory:
                     nxt.append(info.path)
                 elif info.type == pafs.FileType.File:
-                    if extensions and not name.endswith(tuple(extensions)):
+                    if extensions and not name.endswith(extensions):
                         continue
                     mt = info.mtime
                     mts = mt.timestamp() if mt is not None else 0.0

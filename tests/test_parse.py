@@ -323,3 +323,45 @@ def test_cdxj_roundtrip_and_format(spark):
         map(tuple, typed.collect())
     )
     assert back.schema == typed.schema
+
+
+def test_list_files_df_skips_dangling_symlink(spark, tmp_path):
+    """Review repro: one stale symlink (or a file deleted between the walk
+    and the stat) used to kill the whole driver-side enumeration."""
+    import os as _os
+
+    from ia_hadoop_tools_spark.sources.listing import list_files_df
+
+    (tmp_path / "a.warc").write_bytes(b"x" * 10)
+    _os.symlink(str(tmp_path / "missing-target"), str(tmp_path / "dead.warc"))
+    rows = list_files_df(spark, str(tmp_path)).collect()
+    assert [_os.path.basename(r.path) for r in rows] == ["a.warc"]
+
+
+def test_fsio_rename_rejects_cross_filesystem(tmp_path, monkeypatch):
+    """Review repro: rename always moved on the SRC's filesystem, so a dst
+    on another filesystem was silently misplaced (local './bucket/key'
+    instead of s3) — it must raise instead."""
+    import pytest as _pytest
+    from pyarrow import fs as pafs
+
+    from ia_hadoop_tools_spark.sources import fsio
+
+    src = tmp_path / "a.TMP"
+    src.write_text("x")
+    real = fsio.resolve
+
+    def fake(path, filesystem=None):
+        if str(path).startswith("fake-remote://"):
+            return (
+                pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem()),
+                "y",
+            )
+        return real(path, filesystem)
+
+    monkeypatch.setattr(fsio, "resolve", fake)
+    with _pytest.raises(ValueError, match="different filesystems"):
+        fsio.rename(str(src), "fake-remote://bucket/y")
+    # same-filesystem rename still works, scheme'd or bare
+    fsio.rename(str(src), str(tmp_path / "b.txt"))
+    assert (tmp_path / "b.txt").read_text() == "x"
