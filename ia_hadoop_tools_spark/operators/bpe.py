@@ -160,6 +160,141 @@ def _release_checkpoint(df: DataFrame) -> None:
     release_local_checkpoint(df)
 
 
+#: symbol-boundary markers inside the encoder's fold state: every symbol
+#: is wrapped as OPEN+sym+CLOSE (ASCII record/unit separators).  Both are
+#: stripped from input text before encoding so neither can occur inside
+#: a symbol (documented caveat, mirrored by the oracle).
+BPE_OPEN = "\x1e"
+BPE_CLOSE = "\x1f"
+
+
+def _encode_word(word, merges: list[tuple[str, str]]):
+    """Column: ``word`` encoded by ``merges`` (in training order) as a
+    boundary-wrapped token string ``OPEN t1 CLOSE OPEN t2 CLOSE ...``.
+
+    Encoding state is a wrapped STRING, not a symbol array: applying one
+    merge (a, b) is ``replace(state, ‹a›‹b›, ‹ab›)`` — string ``replace``
+    is left-to-right and non-overlapping in both Spark and DuckDB, which
+    is exactly the standard BPE merge rule.  The two-marker wrapping is
+    load-bearing: a match must start with OPEN and end with CLOSE, so it
+    can never bind a symbol SUFFIX on its left (state ‹xa›‹b› does not
+    contain ‹a›‹b›) nor a symbol PREFIX on its right, and adjacent
+    matches share no characters, so ‹a›‹b›‹a›‹b› merges BOTH pairs
+    (a plain single-separator state gets each of those wrong).  The
+    whole merge table enters the plan as ONE bound array literal folded
+    by ``aggregate``, so an n-merge tokenizer is a single codegen'd
+    expression — no Python, no join, no per-merge plan growth.
+
+    The initial state wraps each character via regexp_replace('(.)',
+    OPEN + '$1' + CLOSE).  Java regex '.' matches one UTF-16 code unit,
+    so astral-plane characters (outside the BMP) would split into
+    surrogate halves; callers tokenizing such text should pre-filter or
+    accept byte-ish granularity there.  Mirrors bpe_train's symbol
+    granularity for BMP text, which is what the differential test pins.
+    """
+    boundary = BPE_CLOSE + BPE_OPEN
+    merge_lits = (
+        F.array(
+            *[
+                F.lit(BPE_OPEN + a + BPE_CLOSE + BPE_OPEN + b + BPE_CLOSE)
+                for a, b in merges
+            ]
+        )
+        if merges
+        else F.array().cast("array<string>")
+    )
+    init = F.regexp_replace(word, "(.)", BPE_OPEN + "$1" + BPE_CLOSE)
+    return F.aggregate(
+        merge_lits,
+        init,
+        # replacement ‹ab› = the merge literal minus its interior CLOSE+OPEN
+        lambda acc, m: F.replace(acc, m, F.replace(m, F.lit(boundary), F.lit(""))),
+    )
+
+
+def _tokens_of_state(state):
+    """Column: token array from a wrapped encoder state."""
+    return F.split(
+        F.rtrim(F.ltrim(state, F.lit(BPE_OPEN)), F.lit(BPE_CLOSE)),
+        BPE_CLOSE + BPE_OPEN,
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a trained BPE merge list: adds
+    ``out_col`` = array<string> of tokens (document order preserved).
+
+    Pure expression path — split to words, fold the merge table over
+    each word (see :func:`_encode_word`), flatten.  Every word
+    occurrence is encoded independently, which keeps this a zero-shuffle
+    map; when the corpus has heavy word repetition and only COUNTS are
+    needed, :func:`bpe_token_counts` dictionary-encodes the distinct
+    vocabulary instead and is the cheaper scale path.
+
+    The boundary markers (U+001E/U+001F) are stripped from the input
+    first so the fold state can never collide with text.
+    """
+    clean = F.translate(F.col(text_col), BPE_OPEN + BPE_CLOSE, "")
+    words = F.filter(F.split(clean, WORD_SPLIT), lambda w: w != F.lit(""))
+    toks = F.flatten(
+        F.transform(words, lambda w: _tokens_of_state(_encode_word(w, merges)))
+    )
+    return df.withColumn(out_col, toks)
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_words, n_tokens) per document under a trained BPE merge
+    list — the tokenizer-true sequence-length statistic every packing /
+    budget decision upstream of training needs.
+
+    Scale shape (the same vocabulary trick as the trainer): encode each
+    DISTINCT word once (vocab-bounded fold pass), then join the per-word
+    token count back to the (doc, word, occurrences) table — one
+    word-keyed shuffle each side, partial-aggregated; no corpus-sized
+    fold.  Word repetition across 100 TB makes the distinct-word table
+    orders of magnitude smaller than the token stream.  Empty /
+    whitespace-only documents yield no row (nothing to tokenize);
+    left-join against the corpus if zeros matter.
+    """
+    clean = F.translate(F.col(text_col), BPE_OPEN + BPE_CLOSE, "")
+    doc_words = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.filter(F.split(clean, WORD_SPLIT), lambda w: w != F.lit(""))).alias(
+                "w"
+            ),
+        )
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("occ"))
+    )
+    word_costs = (
+        doc_words.select("w")
+        .distinct()
+        .withColumn(
+            "toks_per",
+            F.size(_tokens_of_state(_encode_word(F.col("w"), merges))),
+        )
+    )
+    return (
+        doc_words.join(word_costs, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").alias("n_words"),
+            F.sum(F.col("occ") * F.col("toks_per")).alias("n_tokens"),
+        )
+    )
+
+
 def _initial_symbol_vocab(df: DataFrame, text_col: str) -> DataFrame:
     return (
         word_vocab(df, text_col)

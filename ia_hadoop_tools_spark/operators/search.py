@@ -153,3 +153,62 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+#: fixed-point scale for tfidf_topk's integer score (6 implied decimals)
+TFIDF_SCALE = 1_000_000
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_ratio: float = 0.5,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by a deterministic
+    TF-IDF surrogate: ``score = tf * TFIDF_SCALE // (df + 1)`` (integer
+    division — no transcendental idf, so the ranking is bit-identical
+    on any engine; df is monotone in true idf, so the ORDER per doc
+    matches ln-idf whenever tf ties don't mask it).
+
+    The keyword-extraction dual of :func:`bm25_topk`: instead of "which
+    docs match these terms", "which terms characterize each doc" —
+    labels for corpus exploration / cluster naming / quality triage.
+
+    Terms in more than ``max_doc_ratio`` of documents are dropped
+    (stopword suppression the tokenizer can't provide).  Returns
+    (id_col, token, tf, df, score, rank), rank 1..k per doc, ties
+    broken token-ascending.
+
+    Scale: one tokenize pass -> (doc, token, tf) groupBy, a token-keyed
+    df aggregation joined back (both partial-aggregated), and a per-doc
+    top-k window bounded by each doc's distinct-term count — no global
+    sort, no corpus-sized window.
+    """
+    from pyspark.sql import Window
+
+    toks = tokenize(df, id_col, text_col)
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.count("*").alias("__n"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("df").cast("double")
+            <= F.lit(max_doc_ratio) * F.col("__n").cast("double")
+        )
+        .withColumn(
+            "score",
+            F.expr(f"(tf * {TFIDF_SCALE}L) div (df + 1)"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "score", "rank")
+    )

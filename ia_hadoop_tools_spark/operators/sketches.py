@@ -158,3 +158,48 @@ def kmv_distinct(
 ) -> DataFrame:
     """One-shot per-group distinct-count estimate (sketch + estimate)."""
     return kmv_estimate(kmv_sketch(df, group_cols, value, k), group_cols, k)
+
+
+def hll_distinct_bound(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value: Column | str,
+    rsd: float = 0.05,
+    slack: float = 4.0,
+) -> DataFrame:
+    """(group_cols..., within_bound) — verifies Spark's native HLL++
+    scale path (``approx_count_distinct``) against its own error
+    contract on this data, per group.
+
+    KMV (above) is the PORTABLE sketch (bit-identical to the DuckDB
+    oracle); HLL++ is the native sibling you reach for when you don't
+    need cross-engine determinism — denser (constant ~1.5 kB per group
+    at 5% rsd vs k rows) and fully JVM-side.  Its binary sketch is
+    engine-private, so the pinnable statement is the CONTRACT, not the
+    value: ``|est - exact| <= max(1, slack * rsd * exact)`` (rsd is the
+    sketch's one-sigma target; ``slack`` sigmas keeps the assertion
+    deterministic-in-practice).  Same pattern as
+    analytics.quantile_bound_check.
+
+    Cost: ONE scan — both aggregates share the group-keyed exchange;
+    the exact count(distinct) exists only to audit the sketch (a
+    production rollup would ship est alone).
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    agg = (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.approx_count_distinct(v, rsd).alias("__est"),
+            F.count_distinct(v).alias("__exact"),
+        )
+    )
+    bound = F.greatest(
+        F.lit(1.0), F.lit(slack * rsd) * F.col("__exact").cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        (
+            F.abs(F.col("__est") - F.col("__exact")).cast("double") <= bound
+        ).alias("within_bound"),
+    )

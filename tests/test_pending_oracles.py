@@ -1,0 +1,64 @@
+"""Oracle-parity gate for the round-7 pending registry entries.
+
+Runs every PENDING_QUERIES entry on Spark and its PENDING_ORACLE_SQL on
+DuckDB at the test scale factor, comparing exactly what the driver's
+correctness gate compares: row count, column-name set, and
+order-insensitive values (columns sorted by name, rows sorted).  Keeps
+the pending entries continuously green until the round-7 freeze
+registers them for real.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ia_hadoop_tools_spark.pending_queries import (
+    PENDING_ORACLE_SQL,
+    PENDING_QUERIES,
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def _duck(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+                )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(PENDING_QUERIES))
+def test_pending_query_matches_oracle(spark, sf_dir, name):
+    spark_pdf = PENDING_QUERIES[name](spark, sf_dir).toPandas()
+    duck_pdf = _duck(sf_dir, PENDING_ORACLE_SQL[name])
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    assert len(spark_pdf) == len(duck_pdf), name
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        bad = [
+            (i, x, y)
+            for i, (x, y) in enumerate(zip(av, bv))
+            if not (x == y or (pd.isna(x) and pd.isna(y)))
+        ]
+        assert not bad, (name, c, bad[:5])
