@@ -414,6 +414,70 @@ def cmd_corpus_pack(args):
     )
 
 
+def cmd_corpus_tokenize(args):
+    """corpus-tokenize: per-doc BPE tokenization / token counting.
+
+    Merge table comes from ``--merges FILE`` (TSV ``a<TAB>b`` per line,
+    training order) or is trained in-process with ``--train N`` (and
+    written back via ``--merges-out`` for reuse — training once and
+    encoding many corpora is the production shape)."""
+    from ia_hadoop_tools_spark.operators.bpe import (
+        bpe_encode,
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if args.merges:
+        with open(args.merges, encoding="utf-8") as fh:
+            merges = []
+            for ln in fh:
+                ln = ln.rstrip("\n")
+                if not ln:
+                    continue
+                a, _, b = ln.partition("\t")
+                if not b:
+                    raise SystemExit(f"bad merges line (need a<TAB>b): {ln!r}")
+                merges.append((a, b))
+    elif args.train:
+        merges = [(a, b) for a, b, _ in bpe_train(docs, num_merges=args.train)]
+        if args.merges_out:
+            with open(args.merges_out, "w", encoding="utf-8") as fh:
+                for a, b in merges:
+                    fh.write(f"{a}\t{b}\n")
+    else:
+        raise SystemExit("pass --merges FILE or --train N")
+    if args.emit == "tokens":
+        out = bpe_encode(docs, merges)
+    else:
+        out = bpe_token_counts(docs, merges)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(
+        f"corpus-tokenize: {n} rows ({args.emit}) with {len(merges)} merges "
+        f"-> {args.output}"
+    )
+
+
+def cmd_corpus_chunk(args):
+    """corpus-chunk: overlapping token-window chunks for embedding /
+    retrieval pipelines."""
+    from ia_hadoop_tools_spark.operators.chunking import chunk_documents
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    out = chunk_documents(
+        docs, chunk_tokens=args.chunk_tokens, stride=args.stride
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(
+        f"corpus-chunk: {n} chunks of {args.chunk_tokens} "
+        f"(stride {args.stride or args.chunk_tokens}) -> {args.output}"
+    )
+
+
 def cmd_cdxj_convert(args):
     """cdxj-convert: CDX text -> CDXJ lines (pywb JSON-lines index)."""
     from ia_hadoop_tools_spark.operators.parse import cdx_to_cdxj
@@ -589,6 +653,26 @@ def main(argv=None):
     s.add_argument("--budget", type=int, default=2048)
     s.add_argument("--strata-col", default=None)
     s.set_defaults(fn=cmd_corpus_pack)
+
+    s = sub.add_parser(
+        "corpus-tokenize", help="BPE-tokenize docs (counts or token arrays)"
+    )
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--merges", help="TSV merge table (a<TAB>b per line)")
+    s.add_argument("--train", type=int, help="train N merges on the corpus")
+    s.add_argument("--merges-out", help="write the trained merge table here")
+    s.add_argument("--emit", choices=("counts", "tokens"), default="counts")
+    s.set_defaults(fn=cmd_corpus_tokenize)
+
+    s = sub.add_parser(
+        "corpus-chunk", help="overlapping token-window chunks per doc"
+    )
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--chunk-tokens", type=int, default=512)
+    s.add_argument("--stride", type=int, default=None)
+    s.set_defaults(fn=cmd_corpus_chunk)
 
     s = sub.add_parser("cdx-convert", help="CDX text -> SURT-canonicalized CDX")
     s.add_argument("input", nargs="+")

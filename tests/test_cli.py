@@ -202,3 +202,56 @@ def test_http_export(spark, tmp_path, capsys):
         assert all(received[k]["v"] == k * 3 for k in received)
     finally:
         srv.shutdown()
+
+
+def test_corpus_tokenize_and_chunk(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "docs")
+    rows = [
+        (1, "the thing then "
+            + " ".join(f"filler{i}" for i in range(70))),
+        (2, "another thin theme the the"),
+    ]
+    spark.createDataFrame(rows, "doc_id: long, text: string").write.parquet(src)
+
+    # train + reuse the merge table through the TSV round-trip
+    out1 = str(tmp_path / "counts")
+    merges_tsv = str(tmp_path / "merges.tsv")
+    got = _run(capsys, "corpus-tokenize", src, out1, "--train", "4",
+               "--merges-out", merges_tsv)
+    assert "corpus-tokenize: 2 rows (counts) with 4 merges" in got
+    counts = {r.doc_id: r.n_tokens for r in spark.read.parquet(out1).collect()}
+    assert set(counts) == {1, 2} and all(v > 0 for v in counts.values())
+    assert len(open(merges_tsv).read().splitlines()) == 4
+
+    out2 = str(tmp_path / "tokens")
+    got = _run(capsys, "corpus-tokenize", src, out2, "--merges", merges_tsv,
+               "--emit", "tokens")
+    assert "(tokens) with 4 merges" in got
+    toks = {r.doc_id: r.tokens for r in spark.read.parquet(out2).collect()}
+    # token counts must agree between the two emit modes
+    assert {k: len(v) for k, v in toks.items()} == counts
+
+    out3 = str(tmp_path / "chunks")
+    got = _run(capsys, "corpus-chunk", src, out3, "--chunk-tokens", "32",
+               "--stride", "24")
+    chunks = spark.read.parquet(out3)
+    assert {"doc_id", "chunk_id", "n_tokens", "chunk"} <= set(chunks.columns)
+    # doc 1 has 73 tokens -> starts 0,24,48,72 -> 4 chunks; doc 2 -> 1
+    per_doc = {r.doc_id: r.n for r in
+               chunks.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert per_doc == {1: 4, 2: 1}
+
+
+def test_corpus_tokenize_bad_args(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs2")
+    spark.createDataFrame([(1, "a b")], "doc_id: long, text: string") \
+        .write.parquet(src)
+    with pytest.raises(SystemExit):
+        _run(capsys, "corpus-tokenize", src, str(tmp_path / "x"))
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("no-tab-here\n")
+    with pytest.raises(SystemExit):
+        _run(capsys, "corpus-tokenize", src, str(tmp_path / "y"),
+             "--merges", str(bad))
