@@ -69,20 +69,36 @@ def main() -> None:
     for r in kmv_distinct(docs, ["lang"], F.col("source"), k=64).collect():
         print(f"  {r['lang']}: ~{r['est_distinct']} distinct sources")
 
-    # 5. pack into fixed token-budget training sequences (n_chars as the
-    # token proxy — swap in a real tokenizer count upstream)
-    packed = pack_sequences(docs, budget=2048, token_col="n_chars")
+    # 5. tokenizer: learn BPE merges from the CURATED corpus (pair work
+    # is vocabulary-bounded, so this costs the same at any corpus size
+    # past the vocab shuffle), then apply them for tokenizer-TRUE
+    # sequence lengths
+    from ia_hadoop_tools_spark.operators.bpe import bpe_token_counts, bpe_train
+
+    merges = [(a, b) for a, b, _ in bpe_train(docs, "text", num_merges=5)]
+    print("first BPE merges:", ["".join(m) for m in merges])
+    counts = bpe_token_counts(docs, merges)
+
+    # 6. pack into fixed token-budget training sequences using the REAL
+    # tokenizer's counts, not a character-length proxy
+    packed = pack_sequences(
+        docs.join(counts.select("doc_id", "n_tokens"), "doc_id"),
+        budget=2048,
+        token_col="n_tokens",
+    )
     print(
         f"packed training bins: {packed.select('bin').distinct().count()}"
     )
 
-    # 6. tokenizer prep: learn the first BPE merges from the CURATED
-    # corpus (pair work is vocabulary-bounded, so this costs the same at
-    # any corpus size past the vocab shuffle)
-    from ia_hadoop_tools_spark.operators.bpe import bpe_train
+    # 7. retrieval prep: overlapping chunks for the embedding pipeline +
+    # per-doc characteristic terms for corpus triage
+    from ia_hadoop_tools_spark.operators.chunking import chunk_documents
+    from ia_hadoop_tools_spark.operators.search import tfidf_topk
 
-    merges = bpe_train(docs, "text", num_merges=5)
-    print("first BPE merges:", [(a + b, n) for a, b, n in merges])
+    chunks = chunk_documents(docs, chunk_tokens=64, stride=48)
+    print(f"embedding chunks: {chunks.count()}")
+    top = tfidf_topk(docs, k=3).filter(F.col("rank") == 1).limit(3)
+    print("sample doc labels:", [(r.doc_id, r.token) for r in top.collect()])
     spark.stop()
 
 

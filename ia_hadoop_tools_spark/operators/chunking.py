@@ -40,17 +40,25 @@ def chunk_documents(
 
     Pure narrow plan: split -> sequence(0, n-1, stride) -> posexplode ->
     slice.  No shuffle; a 100 TB corpus chunks at scan speed.
+
+    Empty docs are dropped by making their START ARRAY empty (posexplode
+    of [] emits nothing) rather than by a ``filter(size(...) > 0)`` —
+    that filter form gets pushed into the scan as a DataFilter that
+    re-evaluates the whole tokenize expression per row (the repo-wide
+    perf trap documented in the verify notes).
     """
     if stride is None:
         stride = chunk_tokens
     if chunk_tokens < 1 or stride < 1:
         raise ValueError("chunk_tokens and stride must be >= 1")
     toks = F.filter(F.split(F.col(text_col), WORD_SPLIT), lambda w: w != F.lit(""))
-    starts = F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(stride))
+    starts = F.when(
+        F.size("__toks") > 0,
+        F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
     piece = F.slice("__toks", F.col("__start") + 1, chunk_tokens)
     return (
         df.select(F.col(id_col), toks.alias("__toks"))
-        .filter(F.size("__toks") > 0)
         .select(
             id_col,
             F.posexplode(starts).alias("chunk_id", "__start"),

@@ -208,13 +208,42 @@ COMMENTARY = {
         "vocabulary-bounded — replicating the corpus 10x leaves the "
         "explode's row count unchanged."
     ),
+    # --- round-7 pending entries (pending_queries.py) ---
+    "bpe_encode_counts": (
+        "The merge-table fold (`aggregate(...)` over the bound literal "
+        "array) runs AFTER the distinct-word `HashAggregate`, so the "
+        "n-merge encoder executes once per DISTINCT word, not per "
+        "occurrence; the only corpus-sized exchanges are the (doc, word) "
+        "groupBys, both map-side partial. Merge count changes the "
+        "expression, never the plan shape."
+    ),
+    "doc_chunks": (
+        "Zero `Exchange` operators: split -> sequence -> `Generate` "
+        "(posexplode) -> slice is a pure narrow pipeline inside one "
+        "WholeStageCodegen span — a 100 TB corpus chunks at scan speed "
+        "with output partitioning inherited from the scan."
+    ),
+    "tfidf_topk": (
+        "One tokenize explode feeds both the (doc, token, tf) aggregate "
+        "and the token-keyed df aggregate (both map-side partial); the "
+        "corpus count broadcasts; the per-doc top-k window partitions by "
+        "doc_id — bounded by each doc's distinct terms, never a global "
+        "sort."
+    ),
+    "hll_distinct_bound": (
+        "`approx_count_distinct` (HLL++ partials) and the exact distinct "
+        "audit share one group-keyed aggregation pass — the production "
+        "shape drops the audit column and keeps the single-scan sketch."
+    ),
 }
 
 
 def main() -> None:
-    from ia_hadoop_tools_spark.driver_queries import QUERIES
+    from ia_hadoop_tools_spark.driver_queries import QUERIES as _REGISTRY
+    from ia_hadoop_tools_spark.pending_queries import PENDING_QUERIES
     from ia_hadoop_tools_spark.session import get_spark
 
+    QUERIES = {**_REGISTRY, **PENDING_QUERIES}
     spark = get_spark("dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
     out = [
