@@ -80,9 +80,12 @@ def main() -> None:
     counts = bpe_token_counts(docs, merges)
 
     # 6. pack into fixed token-budget training sequences using the REAL
-    # tokenizer's counts, not a character-length proxy
+    # tokenizer's counts, not a character-length proxy (LEFT join +
+    # zero-fill: bpe_token_counts emits no row for whitespace-only docs,
+    # and an inner join would silently drop them from packing)
     packed = pack_sequences(
-        docs.join(counts.select("doc_id", "n_tokens"), "doc_id"),
+        docs.join(counts.select("doc_id", "n_tokens"), "doc_id", "left")
+        .fillna(0, subset=["n_tokens"]),
         budget=2048,
         token_col="n_tokens",
     )

@@ -440,7 +440,7 @@ def cmd_corpus_tokenize(args):
                 if not b:
                     raise SystemExit(f"bad merges line (need a<TAB>b): {ln!r}")
                 merges.append((a, b))
-    elif args.train:
+    elif args.train is not None:
         merges = [(a, b) for a, b, _ in bpe_train(docs, num_merges=args.train)]
         if args.merges_out:
             with open(args.merges_out, "w", encoding="utf-8") as fh:

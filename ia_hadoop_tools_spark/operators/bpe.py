@@ -185,12 +185,18 @@ def _encode_word(word, merges: list[tuple[str, str]]):
     by ``aggregate``, so an n-merge tokenizer is a single codegen'd
     expression — no Python, no join, no per-merge plan growth.
 
-    The initial state wraps each character via regexp_replace('(.)',
-    OPEN + '$1' + CLOSE).  Java regex '.' matches one UTF-16 code unit,
-    so astral-plane characters (outside the BMP) would split into
-    surrogate halves; callers tokenizing such text should pre-filter or
-    accept byte-ish granularity there.  Mirrors bpe_train's symbol
-    granularity for BMP text, which is what the differential test pins.
+    The initial state wraps each character via regexp_replace(
+    '(?s)(.)', OPEN + '$1' + CLOSE).  DOTALL is load-bearing: without it
+    Java '.' skips the Unicode line terminators U+2028/U+2029/U+0085 —
+    which survive WORD_SPLIT (an explicit ASCII class) and so CAN occur
+    inside a word — leaving unwrapped characters that corrupt tokens and
+    break parity with the RE2-based DuckDB oracle (whose '.' excludes
+    only \\n, already removed by the word split).  Java '.' matches one
+    UTF-16 code unit, so astral-plane characters (outside the BMP) would
+    split into surrogate halves; callers tokenizing such text should
+    pre-filter or accept byte-ish granularity there.  Mirrors
+    bpe_train's symbol granularity for BMP text, which is what the
+    differential test pins.
     """
     boundary = BPE_CLOSE + BPE_OPEN
     merge_lits = (
@@ -203,7 +209,7 @@ def _encode_word(word, merges: list[tuple[str, str]]):
         if merges
         else F.array().cast("array<string>")
     )
-    init = F.regexp_replace(word, "(.)", BPE_OPEN + "$1" + BPE_CLOSE)
+    init = F.regexp_replace(word, "(?s)(.)", BPE_OPEN + "$1" + BPE_CLOSE)
     return F.aggregate(
         merge_lits,
         init,

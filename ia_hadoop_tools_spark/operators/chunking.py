@@ -32,11 +32,14 @@ def chunk_documents(
 
     ``stride`` defaults to ``chunk_tokens`` (disjoint windows); a
     smaller stride overlaps.  Window starts are 0, stride, 2*stride, ...
-    while a start < token count remains, so the FINAL window may be
-    short (< chunk_tokens) but no token is dropped; fully-covered tail
-    starts are still emitted only while start < n (a doc shorter than
-    one chunk yields exactly one chunk).  Empty / whitespace-only
-    documents yield no rows (there is nothing to embed).
+    while a start < token count remains, so with ``stride <=
+    chunk_tokens`` the FINAL window may be short (< chunk_tokens) but no
+    token is dropped (a doc shorter than one chunk yields exactly one
+    chunk).  ``stride > chunk_tokens`` is allowed and SAMPLES the
+    corpus: tokens in the inter-window gaps appear in no chunk — useful
+    for sketching a 100 TB corpus, wrong for full-coverage embedding.
+    Empty / whitespace-only documents yield no rows (there is nothing
+    to embed).
 
     Pure narrow plan: split -> sequence(0, n-1, stride) -> posexplode ->
     slice.  No shuffle; a 100 TB corpus chunks at scan speed.

@@ -26,10 +26,11 @@ def main() -> None:
     spark = get_spark("probe-pending-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     for name, fn in sorted(PENDING_QUERIES.items()):
-        # untimed warmup at the small sf so the timed walls measure the
-        # query, not first-run codegen/classloading (bench.py's protocol)
+        # untimed warmup against the small-sf dir so the timed walls
+        # measure the query, not first-run codegen/classloading
+        # (bench.py's protocol)
         spark.catalog.clearCache()
-        fn(spark, "/root/testdata/sf0.001").count()
+        fn(spark, SF01).count()
         walls = {}
         rows = {}
         for label, d in (("sf0.1", SF01), ("sf1", SF1)):

@@ -72,8 +72,6 @@ ADVERSARIAL = [
 def test_encode_word_adversarial(spark, word, merges, expected):
     ref = ref_encode_word(word, merges)
     if expected is not None:
-        assert ref == expected or expected is None
-    if expected is not None:
         assert ref == expected
     got = (
         bpe_encode(spark.createDataFrame([(word,)], ["text"]), merges)
@@ -103,6 +101,23 @@ def test_encode_differential_random(spark):
     }
     for i, text in docs:
         assert got[i] == ref_encode_text(text, merges), (i, text)
+
+
+def test_encode_unicode_line_terminators(spark):
+    # U+2028/U+2029/U+0085 survive WORD_SPLIT (explicit ASCII class) and
+    # so occur INSIDE words; Java '.' without DOTALL skips them, which
+    # used to leave unwrapped chars corrupting tokens and breaking the
+    # DuckDB-oracle parity (review finding) — (?s) pins the fix
+    word = "a\u2028b\u2029c\u0085d"
+    df = spark.createDataFrame([(word,)], ["text"])
+    got = bpe_encode(df, []).select("tokens").first()[0]
+    assert got == list(word)
+    # and counts agree with the reference under a merge that must NOT
+    # bind across the terminator chars
+    got2 = (
+        bpe_encode(df, [("a", "b")]).select("tokens").first()[0]
+    )
+    assert got2 == ref_encode_word(word, [("a", "b")])
 
 
 def test_encode_empty_merges_and_separator_strip(spark):
