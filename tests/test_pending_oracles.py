@@ -54,6 +54,10 @@ def test_pending_query_matches_oracle(spark, sf_dir, name):
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
     assert len(spark_pdf) == len(duck_pdf), name
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    # dtype-strict: the driver's value-hash can be representation-
+    # sensitive, so the oracle must CAST to Spark's exact types
+    for c in a.columns:
+        assert str(a[c].dtype) == str(b[c].dtype), (name, c, a[c].dtype, b[c].dtype)
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         bad = [
