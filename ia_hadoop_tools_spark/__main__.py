@@ -414,6 +414,60 @@ def cmd_corpus_pack(args):
     )
 
 
+def cmd_corpus_import(args):
+    """corpus-import: JSONL / CSV / parquet -> normalized documents
+    parquet (``doc_id`` + ``text`` guaranteed; other columns pass
+    through).  JSONL is the interchange format every public text corpus
+    ships in; Spark's native json reader splits multi-line and gzipped
+    shards automatically, so the import is scan-parallel."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    if args.format == "jsonl":
+        df = spark.read.json(args.input)
+    elif args.format == "csv":
+        df = spark.read.option("header", True).csv(args.input)
+    else:
+        df = spark.read.parquet(args.input)
+    if args.text_col != "text":
+        if args.text_col not in df.columns:
+            raise SystemExit(f"no column {args.text_col!r} in input")
+        df = df.withColumnRenamed(args.text_col, "text")
+    if "text" not in df.columns:
+        raise SystemExit("input has no 'text' column (use --text-col)")
+    if args.id_col and args.id_col != "doc_id":
+        if args.id_col not in df.columns:
+            raise SystemExit(f"no column {args.id_col!r} in input")
+        df = df.withColumnRenamed(args.id_col, "doc_id")
+    if "doc_id" not in df.columns:
+        # unique within this import; NOT stable across re-runs (the
+        # standard Spark caveat) — pass --id-col for reproducible ids
+        df = df.withColumn("doc_id", F.monotonically_increasing_id())
+    df = df.withColumn("text", F.col("text").cast("string"))
+    df.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    n = out.count()
+    print(f"corpus-import: {n} docs, columns {sorted(out.columns)} -> {args.output}")
+
+
+def cmd_corpus_export(args):
+    """corpus-export: documents parquet -> sharded JSONL (optionally
+    gzip), the interchange format downstream tokenizer/training stacks
+    read."""
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    w = df.write.mode("overwrite")
+    if args.compression != "none":
+        w = w.option("compression", args.compression)
+    if args.shards:
+        df = df.repartition(args.shards)
+        w = df.write.mode("overwrite")
+        if args.compression != "none":
+            w = w.option("compression", args.compression)
+    w.json(args.output)
+    print(f"corpus-export: {args.input} -> {args.output} (jsonl)")
+
+
 def cmd_corpus_tokenize(args):
     """corpus-tokenize: per-doc BPE tokenization / token counting.
 
@@ -653,6 +707,27 @@ def main(argv=None):
     s.add_argument("--budget", type=int, default=2048)
     s.add_argument("--strata-col", default=None)
     s.set_defaults(fn=cmd_corpus_pack)
+
+    s = sub.add_parser(
+        "corpus-import", help="JSONL/CSV/parquet -> normalized docs parquet"
+    )
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--format", choices=("jsonl", "csv", "parquet"),
+                   default="jsonl")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--id-col", default=None)
+    s.set_defaults(fn=cmd_corpus_import)
+
+    s = sub.add_parser(
+        "corpus-export", help="docs parquet -> sharded JSONL"
+    )
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--compression", default="gzip",
+                   help="json codec, or 'none'")
+    s.add_argument("--shards", type=int, default=None)
+    s.set_defaults(fn=cmd_corpus_export)
 
     s = sub.add_parser(
         "corpus-tokenize", help="BPE-tokenize docs (counts or token arrays)"

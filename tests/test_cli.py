@@ -255,3 +255,41 @@ def test_corpus_tokenize_bad_args(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         _run(capsys, "corpus-tokenize", src, str(tmp_path / "y"),
              "--merges", str(bad))
+
+
+def test_corpus_import_export_roundtrip(spark, tmp_path, capsys):
+    import gzip as _gz
+    import json as _json
+
+    # jsonl.gz shard with a custom text column and reproducible ids
+    shard = tmp_path / "in.jsonl.gz"
+    docs = [{"id": i, "body": f"doc {i} text", "lang": "en"} for i in range(6)]
+    with _gz.open(shard, "wt", encoding="utf-8") as fh:
+        for d in docs:
+            fh.write(_json.dumps(d) + "\n")
+    out = str(tmp_path / "docs")
+    got = _run(capsys, "corpus-import", str(shard), out,
+               "--text-col", "body", "--id-col", "id")
+    assert "corpus-import: 6 docs" in got
+    back = spark.read.parquet(out)
+    assert {"doc_id", "text", "lang"} <= set(back.columns)
+    assert back.filter("text = 'doc 3 text' AND doc_id = 3").count() == 1
+
+    # auto-generated ids must be unique when no id column exists
+    shard2 = tmp_path / "noid.jsonl"
+    shard2.write_text("\n".join('{"text": "t%d"}' % i for i in range(5)) + "\n")
+    out2 = str(tmp_path / "docs2")
+    _run(capsys, "corpus-import", str(shard2), out2)
+    ids = [r.doc_id for r in spark.read.parquet(out2).collect()]
+    assert len(set(ids)) == 5
+
+    # export round-trips content
+    exp = str(tmp_path / "exported")
+    _run(capsys, "corpus-export", out, exp, "--compression", "none",
+         "--shards", "2")
+    rt = spark.read.json(exp)
+    assert rt.count() == 6
+    assert rt.filter("text = 'doc 3 text'").count() == 1
+
+    with pytest.raises(SystemExit):
+        _run(capsys, "corpus-import", str(shard), str(tmp_path / "x"))
