@@ -414,31 +414,56 @@ def cmd_corpus_pack(args):
     )
 
 
+def _rename_to(df, src: str, dst: str):
+    """Rename ``src`` -> ``dst`` with clean errors on missing/collision
+    (a raw withColumnRenamed onto an existing name yields an ambiguous-
+    reference AnalysisException several steps later)."""
+    if src == dst:
+        return df
+    if src not in df.columns:
+        raise SystemExit(f"no column {src!r} in input")
+    if dst in df.columns:
+        raise SystemExit(
+            f"input already has a {dst!r} column; renaming {src!r} onto it "
+            f"would be ambiguous — drop or rename one of them first"
+        )
+    return df.withColumnRenamed(src, dst)
+
+
 def cmd_corpus_import(args):
     """corpus-import: JSONL / CSV / parquet -> normalized documents
     parquet (``doc_id`` + ``text`` guaranteed; other columns pass
     through).  JSONL is the interchange format every public text corpus
-    ships in; Spark's native json reader splits multi-line and gzipped
-    shards automatically, so the import is scan-parallel."""
+    ships in.  Parallelism note: gzip is NOT a splittable codec — a
+    single huge .jsonl.gz reads on one core; ship MANY shard files (the
+    universal convention) and the import is scan-parallel across them.
+    Malformed JSON lines fail the import loudly by default
+    (``--on-bad-lines drop`` discards them instead; Spark's default
+    would otherwise silently import them as null-text rows)."""
     from pyspark.sql import functions as F
 
     spark = _spark(args)
     if args.format == "jsonl":
-        df = spark.read.json(args.input)
+        mode = "FAILFAST" if args.on_bad_lines == "fail" else "DROPMALFORMED"
+        df = spark.read.option("mode", mode).json(args.input)
     elif args.format == "csv":
-        df = spark.read.option("header", True).csv(args.input)
+        df = (
+            spark.read.option("header", True)
+            .option("inferSchema", True)
+            .csv(args.input)
+        )
     else:
         df = spark.read.parquet(args.input)
-    if args.text_col != "text":
-        if args.text_col not in df.columns:
-            raise SystemExit(f"no column {args.text_col!r} in input")
-        df = df.withColumnRenamed(args.text_col, "text")
+    df = _rename_to(df, args.text_col, "text")
     if "text" not in df.columns:
         raise SystemExit("input has no 'text' column (use --text-col)")
-    if args.id_col and args.id_col != "doc_id":
+    if args.id_col:
+        # an EXPLICIT --id-col doc_id still demands the column exist —
+        # silently falling through to generated ids would hand the user
+        # unstable ids they specifically opted out of
         if args.id_col not in df.columns:
             raise SystemExit(f"no column {args.id_col!r} in input")
-        df = df.withColumnRenamed(args.id_col, "doc_id")
+        df = _rename_to(df, args.id_col, "doc_id")
     if "doc_id" not in df.columns:
         # unique within this import; NOT stable across re-runs (the
         # standard Spark caveat) — pass --id-col for reproducible ids
@@ -456,14 +481,13 @@ def cmd_corpus_export(args):
     read."""
     spark = _spark(args)
     df = spark.read.parquet(args.input)
+    if args.shards is not None:
+        if args.shards < 1:
+            raise SystemExit("--shards must be >= 1")
+        df = df.repartition(args.shards)
     w = df.write.mode("overwrite")
     if args.compression != "none":
         w = w.option("compression", args.compression)
-    if args.shards:
-        df = df.repartition(args.shards)
-        w = df.write.mode("overwrite")
-        if args.compression != "none":
-            w = w.option("compression", args.compression)
     w.json(args.output)
     print(f"corpus-export: {args.input} -> {args.output} (jsonl)")
 
@@ -717,6 +741,7 @@ def main(argv=None):
                    default="jsonl")
     s.add_argument("--text-col", default="text")
     s.add_argument("--id-col", default=None)
+    s.add_argument("--on-bad-lines", choices=("fail", "drop"), default="fail")
     s.set_defaults(fn=cmd_corpus_import)
 
     s = sub.add_parser(

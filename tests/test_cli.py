@@ -293,3 +293,46 @@ def test_corpus_import_export_roundtrip(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         _run(capsys, "corpus-import", str(shard), str(tmp_path / "x"))
+
+
+def test_corpus_import_error_paths(spark, tmp_path, capsys):
+    # rename collision: both 'text' and 'body' present
+    shard = tmp_path / "both.jsonl"
+    shard.write_text('{"text": "a", "body": "b"}\n')
+    with pytest.raises(SystemExit, match="ambiguous"):
+        _run(capsys, "corpus-import", str(shard), str(tmp_path / "o1"),
+             "--text-col", "body")
+
+    # explicit --id-col doc_id with no such column must error, not
+    # silently generate unstable ids
+    shard2 = tmp_path / "noid2.jsonl"
+    shard2.write_text('{"text": "a"}\n')
+    with pytest.raises(SystemExit, match="doc_id"):
+        _run(capsys, "corpus-import", str(shard2), str(tmp_path / "o2"),
+             "--id-col", "doc_id")
+
+    # malformed line: default fails loudly, --on-bad-lines drop discards
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"text": "ok"}\n{not json at all\n')
+    with pytest.raises(Exception):
+        _run(capsys, "corpus-import", str(bad), str(tmp_path / "o3"))
+    got = _run(capsys, "corpus-import", str(bad), str(tmp_path / "o4"),
+               "--on-bad-lines", "drop")
+    assert "corpus-import: 1 docs" in got
+    cols = set(spark.read.parquet(str(tmp_path / "o4")).columns)
+    assert "_corrupt_record" not in cols
+
+    # csv types are inferred so ids join against jsonl/parquet imports
+    csvf = tmp_path / "in.csv"
+    csvf.write_text("id,text\n7,hello\n")
+    _run(capsys, "corpus-import", str(csvf), str(tmp_path / "o5"),
+         "--format", "csv", "--id-col", "id")
+    field = {f.name: f.dataType.simpleString()
+             for f in spark.read.parquet(str(tmp_path / "o5")).schema.fields}
+    assert field["doc_id"] in ("int", "bigint")
+
+    # shards must be >= 1
+    src = str(tmp_path / "o5")
+    with pytest.raises(SystemExit, match="shards"):
+        _run(capsys, "corpus-export", src, str(tmp_path / "o6"),
+             "--shards", "0")
