@@ -66,3 +66,42 @@ def test_pending_query_matches_oracle(spark, sf_dir, name):
             if not (x == y or (pd.isna(x) and pd.isna(y)))
         ]
         assert not bad, (name, c, bad[:5])
+
+
+def test_bpe_fold_cross_engine_edge_chars(spark):
+    """The encoder folds must agree ACROSS ENGINES on the character
+    classes where regex engines diverge: U+2028/U+2029/U+0085 (Java '.'
+    needs DOTALL, RE2 '.' matches them natively) and multi-byte text.
+    The corpus-level oracle tests can't guarantee these occur in the
+    synthetic documents, so pin them directly."""
+    from ia_hadoop_tools_spark.operators.bpe import bpe_token_counts
+
+    words = ["a\u2028b", "x\u2029y\u0085z", "caf\u00e9", "th\u2028the"]
+    doc = " ".join(words)
+    df = spark.createDataFrame([(1, doc)], "doc_id: long, text: string")
+    merges = [("t", "h"), ("th", "e")]
+    got = bpe_token_counts(df, merges).first()
+
+    con = duckdb.connect()
+    merge_lits = ", ".join(
+        "chr(30) || '{a}' || chr(31) || chr(30) || '{b}' || chr(31)".format(
+            a=a, b=b
+        )
+        for a, b in merges
+    )
+    n_tokens = 0
+    for w in words:
+        n_tokens += con.execute(
+            rf"""
+            SELECT len(string_split(
+              list_reduce(
+                list_prepend(
+                  regexp_replace(?, '(.)', chr(30) || '\1' || chr(31), 'g'),
+                  [{merge_lits}]),
+                (acc, m) -> replace(acc, m, replace(m, chr(31) || chr(30), ''))),
+              chr(31) || chr(30)))
+            """,
+            [w],
+        ).fetchone()[0]
+    con.close()
+    assert (got.n_words, got.n_tokens) == (len(words), n_tokens)
