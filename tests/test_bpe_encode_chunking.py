@@ -248,3 +248,44 @@ def test_hll_distinct_bound_holds_and_filters_null(spark):
     # group b has only a NULL value -> no row at all
     assert set(got) == {"a", "c"}
     assert all(got.values())
+
+
+# --------------------------------------------------------------------------
+# streaming compatibility: chunking and encoding are pure narrow plans,
+# so they must run unchanged inside the incremental ingest path
+
+
+def test_chunk_and_encode_streaming_parity(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    out = str(tmp_path / "stream_out")
+    ck = str(tmp_path / "ck")
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(1 + i % 9))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    df.write.parquet(src)
+
+    merges = [("t", "h")]
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        bpe_encode(chunk_documents(stream, chunk_tokens=4, stride=3),
+                   merges, text_col="chunk", out_col="toks")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = bpe_encode(
+        chunk_documents(df, chunk_tokens=4, stride=3),
+        merges, text_col="chunk", out_col="toks",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, tuple(r.toks))
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, tuple(r.toks))
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 40
