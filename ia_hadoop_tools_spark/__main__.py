@@ -492,6 +492,35 @@ def cmd_corpus_export(args):
     print(f"corpus-export: {args.input} -> {args.output} (jsonl)")
 
 
+def cmd_corpus_split(args):
+    """corpus-split: deterministic train/val/test assignment written as
+    one partitioned parquet (outdir/split=train/...) in a single scan."""
+    from ia_hadoop_tools_spark.operators.sampling import split_corpus
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    splits = []
+    for kv in args.fractions.split(","):
+        name, _, frac = kv.partition("=")
+        if not frac:
+            raise SystemExit(f"bad --fractions entry (need name=frac): {kv!r}")
+        splits.append((name, float(frac)))
+    out = split_corpus(docs, splits)
+    unassigned = out.filter("split IS NULL")
+    out.filter("split IS NOT NULL").write.mode("overwrite").partitionBy(
+        "split"
+    ).parquet(args.output)
+    n_un = unassigned.count()
+    back = spark.read.parquet(args.output)
+    counts = {
+        r.split: r.n
+        for r in back.groupBy("split").count().withColumnRenamed("count", "n").collect()
+    }
+    print(
+        f"corpus-split: {counts} assigned, {n_un} unassigned -> {args.output}"
+    )
+
+
 def cmd_corpus_tokenize(args):
     """corpus-tokenize: per-doc BPE tokenization / token counting.
 
@@ -753,6 +782,14 @@ def main(argv=None):
                    help="json codec, or 'none'")
     s.add_argument("--shards", type=int, default=None)
     s.set_defaults(fn=cmd_corpus_export)
+
+    s = sub.add_parser(
+        "corpus-split", help="deterministic train/val/test split"
+    )
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--fractions", default="train=0.98,val=0.01,test=0.01")
+    s.set_defaults(fn=cmd_corpus_split)
 
     s = sub.add_parser(
         "corpus-tokenize", help="BPE-tokenize docs (counts or token arrays)"

@@ -166,3 +166,47 @@ def release_pack_cache(out: DataFrame) -> None:
         )
 
         release_local_checkpoint(cache)
+
+
+def split_corpus(
+    df: DataFrame,
+    splits: list[tuple[str, float]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adds ``split``: deterministic, disjoint train/val/test-style
+    assignment by cumulative hash ranges — the eval-split step every
+    training pipeline needs to be reproducible AND stable under corpus
+    growth (a doc's split never changes when other docs are added,
+    unlike any sort/row_number scheme).
+
+    ``splits`` is ordered (name, fraction) with fractions summing to
+    <= 1; rows whose bucket falls past the cumulative total get a NULL
+    split (kept, so the caller decides — sum to 1.0 to assign all).
+    The hash is salted ('split:') so ranges do NOT correlate with
+    sample_hash / sample_stratified buckets: sampling 10% then
+    splitting stays unbiased.
+
+    One codegen CASE over the md5 bucket — no shuffle, no Python; exact
+    SQL oracle via hashfns.hash32_sql.
+    """
+    from ia_hadoop_tools_spark.functions.hashfns import hash32
+
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(f for _, f in splits)
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    names = [n for n, _ in splits]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
+    bucket = hash32(F.col(id_col).cast("string"), salt="split:") % _MOD
+    expr = F.lit(None).cast("string")
+    cum = 0.0
+    # build the CASE back-to-front so earlier splits win their range
+    bounds = []
+    for name, frac in splits:
+        cum += frac
+        bounds.append((name, int(round(cum * _MOD))))
+    for name, ub in reversed(bounds):
+        expr = F.when(bucket < ub, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

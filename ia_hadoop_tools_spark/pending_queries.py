@@ -184,11 +184,41 @@ FROM (SELECT DISTINCT event_type FROM events
 """
 
 
+#: the corpus-split assignment pinned by the oracle (ordered)
+SPLITS: list[tuple[str, float]] = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def q_corpus_split(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.sampling import split_corpus
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return split_corpus(docs, SPLITS).select("doc_id", "split")
+
+
+def _sql_corpus_split() -> str:
+    cases, cum = [], 0.0
+    for name, frac in SPLITS:
+        cum += frac
+        cases.append(f"WHEN b < {int(round(cum * 1_000_000))} THEN '{name}'")
+    return f"""
+SELECT doc_id,
+       CASE {' '.join(cases)} ELSE NULL END AS split
+FROM (SELECT doc_id,
+        CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT) % 1000000 AS b
+      FROM documents)
+"""
+
+
+SQL_CORPUS_SPLIT = _sql_corpus_split()
+
+
 PENDING_QUERIES = {
     "bpe_encode_counts": q_bpe_encode_counts,
     "doc_chunks": q_doc_chunks,
     "tfidf_topk": q_tfidf_topk,
     "hll_distinct_bound": q_hll_distinct_bound,
+    "corpus_split": q_corpus_split,
 }
 
 PENDING_ORACLE_SQL = {
@@ -196,4 +226,5 @@ PENDING_ORACLE_SQL = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "hll_distinct_bound": SQL_HLL_DISTINCT_BOUND,
+    "corpus_split": SQL_CORPUS_SPLIT,
 }

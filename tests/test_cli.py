@@ -336,3 +336,21 @@ def test_corpus_import_error_paths(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="shards"):
         _run(capsys, "corpus-export", src, str(tmp_path / "o6"),
              "--shards", "0")
+
+
+def test_corpus_split_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "sp_docs")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id: long, text: string"
+    ).write.parquet(src)
+    out = str(tmp_path / "sp_out")
+    got = _run(capsys, "corpus-split", src, out,
+               "--fractions", "train=0.8,val=0.2")
+    assert "0 unassigned" in got
+    back = spark.read.parquet(out)
+    counts = {r.split: r.n for r in
+              back.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"train", "val"} and sum(counts.values()) == 200
+    with pytest.raises(SystemExit, match="fractions"):
+        _run(capsys, "corpus-split", src, str(tmp_path / "sp_bad"),
+             "--fractions", "oops")

@@ -114,3 +114,44 @@ def test_pack_sequences_validates_budget(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, budget=0)
+
+
+def test_split_corpus_deterministic_and_growth_stable(spark):
+    from ia_hadoop_tools_spark.operators.sampling import split_corpus
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], ["doc_id"])
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = {r.doc_id: r.split for r in split_corpus(df, splits).collect()}
+    # exhaustive (fractions sum to 1) and roughly proportional
+    assert all(v is not None for v in out.values())
+    from collections import Counter
+
+    c = Counter(out.values())
+    assert 0.75 < c["train"] / 3000 < 0.85
+    assert 0.06 < c["val"] / 3000 < 0.14
+    # growth-stable: assignments on a SUBSET are identical
+    sub = spark.createDataFrame([(i,) for i in range(1000)], ["doc_id"])
+    out_sub = {r.doc_id: r.split for r in split_corpus(sub, splits).collect()}
+    assert all(out[i] == out_sub[i] for i in range(1000))
+    # disjointness is structural (one row, one split value); partial
+    # fractions leave a NULL remainder
+    part = {r.doc_id: r.split
+            for r in split_corpus(sub, [("train", 0.5)]).collect()}
+    assert any(v is None for v in part.values())
+    assert all(v in ("train", None) for v in part.values())
+    # uncorrelated with sample_hash buckets: a 10% hash sample must not
+    # concentrate into one split
+    from ia_hadoop_tools_spark.operators.sampling import sample_hash
+
+    sampled = {r.doc_id for r in sample_hash(df, 0.1).collect()}
+    csamp = Counter(out[i] for i in sampled)
+    assert csamp["train"] / len(sampled) < 0.95 and len(csamp) >= 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_corpus(df, [])
+    with _pytest.raises(ValueError):
+        split_corpus(df, [("a", 0.8), ("b", 0.3)])
+    with _pytest.raises(ValueError):
+        split_corpus(df, [("a", 0.5), ("a", 0.5)])
