@@ -235,6 +235,12 @@ COMMENTARY = {
         "audit share one group-keyed aggregation pass — the production "
         "shape drops the audit column and keeps the single-scan sketch."
     ),
+    "corpus_split": (
+        "One codegen CASE over a salted md5 bucket, zero `Exchange` — "
+        "split assignment at scan speed, and the content-addressed "
+        "bucket makes it growth-stable (no sort/row_number scheme can "
+        "promise that)."
+    ),
 }
 
 
