@@ -506,16 +506,23 @@ def cmd_corpus_split(args):
             raise SystemExit(f"bad --fractions entry (need name=frac): {kv!r}")
         splits.append((name, float(frac)))
     out = split_corpus(docs, splits)
-    unassigned = out.filter("split IS NULL")
     out.filter("split IS NOT NULL").write.mode("overwrite").partitionBy(
         "split"
     ).parquet(args.output)
-    n_un = unassigned.count()
-    back = spark.read.parquet(args.output)
-    counts = {
-        r.split: r.n
-        for r in back.groupBy("split").count().withColumnRenamed("count", "n").collect()
-    }
+    n_un = out.filter("split IS NULL").count()
+    try:
+        back = spark.read.parquet(args.output)
+        counts = {
+            r.split: r.n
+            for r in back.groupBy("split")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+    except Exception:
+        # every row unassigned (fractions ~0 on a tiny corpus): the
+        # partitioned write is empty and has no schema to read back
+        counts = {}
     print(
         f"corpus-split: {counts} assigned, {n_un} unassigned -> {args.output}"
     )

@@ -354,3 +354,13 @@ def test_corpus_split_cli(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="fractions"):
         _run(capsys, "corpus-split", src, str(tmp_path / "sp_bad"),
              "--fractions", "oops")
+
+
+def test_corpus_split_cli_all_unassigned(spark, tmp_path, capsys):
+    src = str(tmp_path / "sp0_docs")
+    spark.createDataFrame(
+        [(i, "t") for i in range(5)], "doc_id: long, text: string"
+    ).write.parquet(src)
+    got = _run(capsys, "corpus-split", src, str(tmp_path / "sp0_out"),
+               "--fractions", "train=0.0")
+    assert "{} assigned, 5 unassigned" in got
