@@ -494,7 +494,9 @@ def cmd_corpus_export(args):
 
 def cmd_corpus_split(args):
     """corpus-split: deterministic train/val/test assignment written as
-    one partitioned parquet (outdir/split=train/...) in a single scan."""
+    one partitioned parquet (outdir/split=train/...).  Cost: the write
+    scan plus ONE counting aggregation over the same lineage (assigned
+    and unassigned in a single pass — no output read-back to go wrong)."""
     from ia_hadoop_tools_spark.operators.sampling import split_corpus
 
     spark = _spark(args)
@@ -502,27 +504,27 @@ def cmd_corpus_split(args):
     splits = []
     for kv in args.fractions.split(","):
         name, _, frac = kv.partition("=")
-        if not frac:
+        if not name or not frac:
             raise SystemExit(f"bad --fractions entry (need name=frac): {kv!r}")
-        splits.append((name, float(frac)))
-    out = split_corpus(docs, splits)
+        try:
+            splits.append((name, float(frac)))
+        except ValueError:
+            raise SystemExit(f"bad --fractions value (not a number): {kv!r}")
+    try:
+        out = split_corpus(docs, splits)
+    except ValueError as e:
+        raise SystemExit(f"bad --fractions: {e}")
     out.filter("split IS NOT NULL").write.mode("overwrite").partitionBy(
         "split"
     ).parquet(args.output)
-    n_un = out.filter("split IS NULL").count()
-    try:
-        back = spark.read.parquet(args.output)
-        counts = {
-            r.split: r.n
-            for r in back.groupBy("split")
-            .count()
-            .withColumnRenamed("count", "n")
-            .collect()
-        }
-    except Exception:
-        # every row unassigned (fractions ~0 on a tiny corpus): the
-        # partitioned write is empty and has no schema to read back
-        counts = {}
+    counts = {
+        r.split: r.n
+        for r in out.groupBy("split")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    n_un = counts.pop(None, 0)
     print(
         f"corpus-split: {counts} assigned, {n_un} unassigned -> {args.output}"
     )

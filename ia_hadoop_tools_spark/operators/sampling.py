@@ -191,8 +191,20 @@ def split_corpus(
     """
     from ia_hadoop_tools_spark.functions.hashfns import hash32
 
+    import math
+
     if not splits:
         raise ValueError("splits must be non-empty")
+    for name, frac in splits:
+        # a negative / NaN fraction would pass a sum-only check and
+        # silently produce non-monotonic CASE bounds (empty split,
+        # mis-sized neighbors) — validate each entry
+        if not name:
+            raise ValueError("split names must be non-empty")
+        if not (isinstance(frac, (int, float)) and math.isfinite(frac)):
+            raise ValueError(f"split {name!r}: fraction {frac!r} not finite")
+        if frac < 0:
+            raise ValueError(f"split {name!r}: fraction {frac} < 0")
     total = sum(f for _, f in splits)
     if total > 1.0 + 1e-9:
         raise ValueError(f"split fractions sum to {total} > 1")

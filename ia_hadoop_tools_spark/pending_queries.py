@@ -196,16 +196,21 @@ def q_corpus_split(spark, sf_dir):
 
 
 def _sql_corpus_split() -> str:
+    # reuse the engine's ONE hash mirror and modulus so the oracle can
+    # never drift from split_corpus (same float accumulation order and
+    # the same int(round(...)) bounds as the Spark side)
+    from ia_hadoop_tools_spark.functions.hashfns import hash32_sql
+    from ia_hadoop_tools_spark.operators.sampling import _MOD
+
     cases, cum = [], 0.0
     for name, frac in SPLITS:
         cum += frac
-        cases.append(f"WHEN b < {int(round(cum * 1_000_000))} THEN '{name}'")
+        cases.append(f"WHEN b < {int(round(cum * _MOD))} THEN '{name}'")
+    h = hash32_sql("CAST(doc_id AS VARCHAR)", salt="split:")
     return f"""
 SELECT doc_id,
        CASE {' '.join(cases)} ELSE NULL END AS split
-FROM (SELECT doc_id,
-        CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
-             AS BIGINT) % 1000000 AS b
+FROM (SELECT doc_id, {h} % {_MOD} AS b
       FROM documents)
 """
 

@@ -364,3 +364,15 @@ def test_corpus_split_cli_all_unassigned(spark, tmp_path, capsys):
     got = _run(capsys, "corpus-split", src, str(tmp_path / "sp0_out"),
                "--fractions", "train=0.0")
     assert "{} assigned, 5 unassigned" in got
+
+
+def test_corpus_split_cli_bad_fraction_values(spark, tmp_path, capsys):
+    src = str(tmp_path / "spb_docs")
+    spark.createDataFrame(
+        [(1, "t")], "doc_id: long, text: string"
+    ).write.parquet(src)
+    for frs in ("train=abc", "train=0.9,val=-0.5,test=0.6", "=1.0",
+                "a=0.5,a=0.5"):
+        with pytest.raises(SystemExit):
+            _run(capsys, "corpus-split", src, str(tmp_path / "spb_out"),
+                 "--fractions", frs)

@@ -155,3 +155,18 @@ def test_split_corpus_deterministic_and_growth_stable(spark):
         split_corpus(df, [("a", 0.8), ("b", 0.3)])
     with _pytest.raises(ValueError):
         split_corpus(df, [("a", 0.5), ("a", 0.5)])
+
+
+def test_split_corpus_rejects_bad_fractions(spark):
+    from ia_hadoop_tools_spark.operators.sampling import split_corpus
+
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    import pytest as _pytest
+
+    # negative fraction would pass a sum-only check but corrupt bounds
+    with _pytest.raises(ValueError, match="< 0"):
+        split_corpus(df, [("train", 0.9), ("val", -0.5), ("test", 0.6)])
+    with _pytest.raises(ValueError, match="not finite"):
+        split_corpus(df, [("train", float("nan"))])
+    with _pytest.raises(ValueError, match="non-empty"):
+        split_corpus(df, [("", 0.5)])
