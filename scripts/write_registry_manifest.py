@@ -21,11 +21,25 @@ import __spark_entry__ as entry  # noqa: E402
 
 
 def main():
+    from ia_hadoop_tools_spark.pending_queries import (
+        PENDING_ORACLE_SQL,
+        PENDING_QUERIES,
+    )
+
     queries = sorted(entry.queries())
     oracles = set(entry.oracle_sql())
     commit = subprocess.run(
         ["git", "rev-parse", "HEAD"], cwd=ROOT, capture_output=True, text=True
     ).stdout.strip()
+    # freeze_commit means "the commit the registry froze at", not "last
+    # regeneration": keep the recorded one while the query list is
+    # unchanged (regenerating for metadata-only additions must not move it)
+    prev_path = os.path.join(ROOT, "REGISTRY_MANIFEST.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
+        if prev.get("queries") == queries and prev.get("freeze_commit"):
+            commit = prev["freeze_commit"]
     manifest = {
         "count": len(queries),
         "oracle_count": len(oracles),
@@ -38,6 +52,14 @@ def main():
             "the snapshot is pinned to a stale subset."
         ),
         "queries": queries,
+        "pending_note": (
+            "Implemented after this round's freeze; oracle-verified by "
+            "tests/test_pending_oracles.py (dtype-strict) and registered "
+            "at the NEXT freeze — see pending_queries.py."
+        ),
+        "pending_count": len(PENDING_QUERIES),
+        "pending_oracle_count": len(PENDING_ORACLE_SQL),
+        "pending_queries": sorted(PENDING_QUERIES),
     }
     out = os.path.join(ROOT, "REGISTRY_MANIFEST.json")
     with open(out, "w") as f:
