@@ -549,11 +549,11 @@ def cmd_corpus_tokenize(args):
         with open(args.merges, encoding="utf-8") as fh:
             merges = []
             for ln in fh:
-                ln = ln.rstrip("\n")
+                ln = ln.rstrip("\r\n")
                 if not ln:
                     continue
                 a, _, b = ln.partition("\t")
-                if not b:
+                if not a or not b:
                     raise SystemExit(f"bad merges line (need a<TAB>b): {ln!r}")
                 merges.append((a, b))
     elif args.train is not None:

@@ -3358,3 +3358,14 @@ from ia_hadoop_tools_spark.analytics_queries import (  # noqa: E402
 
 QUERIES.update(ANALYTICS_QUERIES)
 ORACLES.update(ANALYTICS_ORACLES)
+
+# 94. Round-7 freeze registrations: the five training-corpus queries
+# staged as round-6 pending entries (bpe_encode_counts, doc_chunks,
+# tfidf_topk, hll_distinct_bound, corpus_split) — corpus_queries.py.
+from ia_hadoop_tools_spark.corpus_queries import (  # noqa: E402
+    CORPUS_ORACLES,
+    CORPUS_QUERIES,
+)
+
+QUERIES.update(CORPUS_QUERIES)
+ORACLES.update(CORPUS_ORACLES)

@@ -168,6 +168,25 @@ BPE_OPEN = "\x1e"
 BPE_CLOSE = "\x1f"
 
 
+def _check_merges(merges: list[tuple[str, str]]) -> None:
+    """Reject merge symbols that would corrupt the wrapped fold state.
+
+    Input TEXT is sanitized (the U+001E/U+001F markers are translated
+    away before wrapping), but the merge table is caller-supplied — a
+    hand-edited ``--merges`` TSV whose symbol contains a marker would
+    otherwise silently produce wrong tokens.  Mirror the input
+    sanitization as a loud contract instead."""
+    for a, b in merges:
+        for sym in (a, b):
+            if not sym:
+                raise ValueError(f"empty BPE merge symbol in pair ({a!r}, {b!r})")
+            if BPE_OPEN in sym or BPE_CLOSE in sym:
+                raise ValueError(
+                    "BPE merge symbol contains a reserved boundary marker "
+                    f"(U+001E/U+001F): ({a!r}, {b!r})"
+                )
+
+
 def _encode_word(word, merges: list[tuple[str, str]]):
     """Column: ``word`` encoded by ``merges`` (in training order) as a
     boundary-wrapped token string ``OPEN t1 CLOSE OPEN t2 CLOSE ...``.
@@ -198,6 +217,7 @@ def _encode_word(word, merges: list[tuple[str, str]]):
     bpe_train's symbol granularity for BMP text, which is what the
     differential test pins.
     """
+    _check_merges(merges)
     boundary = BPE_CLOSE + BPE_OPEN
     merge_lits = (
         F.array(

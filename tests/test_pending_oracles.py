@@ -1,11 +1,12 @@
-"""Oracle-parity gate for the round-7 pending registry entries.
+"""Oracle-parity gate for pending registry entries + the corpus rows.
 
-Runs every PENDING_QUERIES entry on Spark and its PENDING_ORACLE_SQL on
-DuckDB at the test scale factor, comparing exactly what the driver's
-correctness gate compares: row count, column-name set, and
-order-insensitive values (columns sorted by name, rows sorted).  Keeps
-the pending entries continuously green until the round-7 freeze
-registers them for real.
+Runs every PENDING_QUERIES entry (post-freeze additions awaiting the
+next round's registration) AND every corpus_queries.py row (registered
+at the round-7 freeze; kept here so they stay continuously pytest-green)
+on Spark, and its oracle SQL on DuckDB at the test scale factor,
+comparing exactly what the driver's correctness gate compares: row
+count, column-name set, and order-insensitive values (columns sorted by
+name, rows sorted).
 """
 
 from __future__ import annotations
@@ -16,10 +17,17 @@ import duckdb
 import pandas as pd
 import pytest
 
+from ia_hadoop_tools_spark.corpus_queries import (
+    CORPUS_ORACLES,
+    CORPUS_QUERIES,
+)
 from ia_hadoop_tools_spark.pending_queries import (
     PENDING_ORACLE_SQL,
     PENDING_QUERIES,
 )
+
+GATED_QUERIES = {**CORPUS_QUERIES, **PENDING_QUERIES}
+GATED_ORACLES = {**CORPUS_ORACLES, **PENDING_ORACLE_SQL}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents "
@@ -47,10 +55,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", sorted(PENDING_QUERIES))
+@pytest.mark.parametrize("name", sorted(GATED_QUERIES))
 def test_pending_query_matches_oracle(spark, sf_dir, name):
-    spark_pdf = PENDING_QUERIES[name](spark, sf_dir).toPandas()
-    duck_pdf = _duck(sf_dir, PENDING_ORACLE_SQL[name])
+    spark_pdf = GATED_QUERIES[name](spark, sf_dir).toPandas()
+    duck_pdf = _duck(sf_dir, GATED_ORACLES[name])
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
     assert len(spark_pdf) == len(duck_pdf), name
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
@@ -66,6 +74,35 @@ def test_pending_query_matches_oracle(spark, sf_dir, name):
             if not (x == y or (pd.isna(x) and pd.isna(y)))
         ]
         assert not bad, (name, c, bad[:5])
+
+
+def test_corpus_has_no_astral_chars(sf_dir):
+    """Documented cross-engine divergence guard (operators/bpe.py
+    _encode_word docstring): Java's '(?s)(.)' wraps UTF-16 code units,
+    so astral-plane characters split into surrogate halves, while the
+    DuckDB oracle's RE2 '.' wraps whole codepoints.  The
+    bpe_encode_counts oracle row is therefore only valid while the test
+    corpora stay inside the BMP.  If this fails, the synthetic documents
+    table gained emoji/astral text — either pre-filter astral chars in
+    the corpus query or split tokens at the byte level in BOTH engines
+    before re-enabling the oracle."""
+    import duckdb as _dd
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    (n,) = (
+        _dd.connect()
+        .execute(
+            "SELECT count(*) FROM read_parquet(?) "
+            r"WHERE regexp_matches(text, '[\x{10000}-\x{10FFFF}]')",
+            [path],
+        )
+        .fetchone()
+    )
+    assert n == 0, (
+        f"{n} documents contain astral-plane characters; the "
+        "bpe_encode_counts Spark/DuckDB oracle parity breaks on these "
+        "(UTF-16 code-unit vs codepoint wrapping) — see _encode_word"
+    )
 
 
 def test_bpe_fold_cross_engine_edge_chars(spark):
