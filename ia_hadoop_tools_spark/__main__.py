@@ -492,6 +492,33 @@ def cmd_corpus_export(args):
     print(f"corpus-export: {args.input} -> {args.output} (jsonl)")
 
 
+def cmd_corpus_shuffle(args):
+    """corpus-shuffle: seeded deterministic global training-order shuffle
+    into N shard directories (outdir/shard=0/... each one sorted file in
+    training order).  Same --seed/--epoch => byte-identical layout at any
+    parallelism; bump --epoch per training pass for a fresh decorrelated
+    order."""
+    from ia_hadoop_tools_spark.operators.sampling import write_shuffled_shards
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if args.shards < 1:
+        raise SystemExit("--shards must be >= 1")
+    write_shuffled_shards(
+        docs,
+        args.output,
+        n_shards=args.shards,
+        seed=args.seed,
+        epoch=args.epoch,
+        id_col=args.id_col,
+    )
+    n = spark.read.parquet(args.output).count()
+    print(
+        f"corpus-shuffle: {n} rows -> {args.shards} shards "
+        f"(seed={args.seed}, epoch={args.epoch}) -> {args.output}"
+    )
+
+
 def cmd_corpus_split(args):
     """corpus-split: deterministic train/val/test assignment written as
     one partitioned parquet (outdir/split=train/...).  Cost: the write
@@ -799,6 +826,17 @@ def main(argv=None):
     s.add_argument("output")
     s.add_argument("--fractions", default="train=0.98,val=0.01,test=0.01")
     s.set_defaults(fn=cmd_corpus_split)
+
+    s = sub.add_parser(
+        "corpus-shuffle", help="seeded deterministic training-order shuffle"
+    )
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--shards", type=int, required=True)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--epoch", type=int, default=0)
+    s.add_argument("--id-col", default="doc_id")
+    s.set_defaults(fn=cmd_corpus_shuffle)
 
     s = sub.add_parser(
         "corpus-tokenize", help="BPE-tokenize docs (counts or token arrays)"

@@ -222,3 +222,94 @@ def split_corpus(
     for name, ub in reversed(bounds):
         expr = F.when(bucket < ub, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+_HASH_SPACE = 1 << 32  # hash32 range
+
+
+def _shuffle_key(id_col: str, seed: int, epoch: int):
+    # content-addressed pseudorandom order key: the seed AND epoch salt
+    # the hash, so an epoch bump is a full decorrelated re-shuffle with
+    # zero extra machinery (the reference's AlphaPartitioner routing —
+    # jobs/BuildCluster.java:71-209 — pointed at a pseudorandom key)
+    from ia_hadoop_tools_spark.functions.hashfns import hash32
+
+    return hash32(
+        F.col(id_col).cast("string"), salt=f"shuffle:{seed}:{epoch}:"
+    )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded deterministic global training-order shuffle: adds ``shard``
+    (int, ``[0, n_shards)``) and ``pos`` (long, 0-based order within the
+    shard) — the last verb of a training-data pipeline (BuildCluster's
+    total-order sort in reverse: training wants seeded *disorder*).
+
+    Determinism contract: same (seed, epoch) => identical shard
+    assignment AND intra-shard order at ANY parallelism, because nothing
+    here samples — the order key is a salted content hash of ``id_col``,
+    the shard is a fixed-width slice of the hash space
+    (``key * n_shards div 2^32`` — balanced for a uniform hash, exact
+    integer math in any engine), and ties (hash collisions) break on
+    ``id_col``.  ``repartitionByRange`` would have been the obvious
+    routing but its sampled boundaries shift with input partitioning, so
+    it can NOT honor the contract; the content-addressed slice can.
+    Different seeds (or epochs) => decorrelated orders: epoch N+1 is a
+    fresh shuffle, not a rotation.
+
+    Scale shape: one codegen projection + one window per shard
+    (``row_number`` over the shard partition, ordered by the hash).  The
+    per-shard sort is shard-sized — exactly the sort ANY shard writer
+    pays — and shard count is the parallelism knob: at 100 TB pick
+    n_shards so a shard fits an executor's sort budget (e.g. 10k shards
+    of ~10 GB).  No sampling pass, no global window, no driver state.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = _shuffle_key(id_col, seed, epoch)
+    w = Window.partitionBy("shard").orderBy("__shuffle_key", id_col)
+    return (
+        df.withColumn("__shuffle_key", key)
+        .withColumn(
+            "shard",
+            F.expr(f"__shuffle_key * {int(n_shards)} div {_HASH_SPACE}").cast(
+                "int"
+            ),
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__shuffle_key")
+    )
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: int = 0,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize :func:`corpus_shuffle` as ``shard=<i>/`` parquet dirs,
+    one file per shard, rows stored in shuffle order.
+
+    Routing is ``repartition(n_shards, shard)`` — a pure function of the
+    shard id, so every shard lands wholly in one task and each
+    ``shard=i`` directory gets exactly ONE file whose row order is the
+    contract order (``sortWithinPartitions`` on (shard, pos)).  Readers
+    that stream a shard file sequentially replay the training order
+    without re-sorting.
+    """
+    out = corpus_shuffle(df, n_shards, seed=seed, epoch=epoch, id_col=id_col)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -376,3 +376,26 @@ def test_corpus_split_cli_bad_fraction_values(spark, tmp_path, capsys):
         with pytest.raises(SystemExit):
             _run(capsys, "corpus-split", src, str(tmp_path / "spb_out"),
                  "--fractions", frs)
+
+
+def test_corpus_shuffle_cli(spark, tmp_path, capsys):
+    from ia_hadoop_tools_spark.operators.sampling import corpus_shuffle
+
+    src = str(tmp_path / "shuf_docs")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(120)], "doc_id: long, text: string"
+    ).write.parquet(src)
+    out = str(tmp_path / "shuf_out")
+    got = _run(capsys, "corpus-shuffle", src, out, "--shards", "4",
+               "--seed", "9")
+    assert "120 rows -> 4 shards" in got
+    back = spark.read.parquet(out)
+    expect = {
+        r.doc_id: (r.shard, r.pos)
+        for r in corpus_shuffle(spark.read.parquet(src), 4, seed=9).collect()
+    }
+    got_rows = {r.doc_id: (r.shard, r.pos) for r in back.collect()}
+    assert got_rows == expect
+    with pytest.raises(SystemExit, match="shards"):
+        _run(capsys, "corpus-shuffle", src, str(tmp_path / "shuf_bad"),
+             "--shards", "0")

@@ -170,3 +170,98 @@ def test_split_corpus_rejects_bad_fractions(spark):
         split_corpus(df, [("train", float("nan"))])
     with _pytest.raises(ValueError, match="non-empty"):
         split_corpus(df, [("", 0.5)])
+
+
+def test_corpus_shuffle_deterministic_any_parallelism(spark):
+    from ia_hadoop_tools_spark.operators.sampling import corpus_shuffle
+
+    d = _docs(spark)
+    a = {
+        r.doc_id: (r.shard, r.pos)
+        for r in corpus_shuffle(d, 8, seed=7).collect()
+    }
+    b = {
+        r.doc_id: (r.shard, r.pos)
+        for r in corpus_shuffle(d.repartition(13), 8, seed=7).collect()
+    }
+    assert a == b  # contract: same seed => same assignment AND order
+    # every shard's positions are exactly 0..len-1 (dense, 0-based)
+    by_shard: dict[int, list[int]] = {}
+    for s, p in a.values():
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) <= set(range(8))
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), s
+    # uniform hash => no empty / wildly skewed shard at n=400
+    sizes = [len(ps) for ps in by_shard.values()]
+    assert len(by_shard) == 8 and max(sizes) <= 3 * min(sizes)
+
+
+def test_corpus_shuffle_seed_and_epoch_decorrelate(spark):
+    from ia_hadoop_tools_spark.operators.sampling import corpus_shuffle
+
+    d = _docs(spark)
+    base = {
+        r.doc_id: (r.shard, r.pos)
+        for r in corpus_shuffle(d, 4, seed=1).collect()
+    }
+    other_seed = {
+        r.doc_id: (r.shard, r.pos)
+        for r in corpus_shuffle(d, 4, seed=2).collect()
+    }
+    next_epoch = {
+        r.doc_id: (r.shard, r.pos)
+        for r in corpus_shuffle(d, 4, seed=1, epoch=1).collect()
+    }
+    # decorrelated = a large majority of docs move (shard, pos)
+    moved_seed = sum(1 for k in base if base[k] != other_seed[k])
+    moved_epoch = sum(1 for k in base if base[k] != next_epoch[k])
+    assert moved_seed > 300 and moved_epoch > 300
+    assert base == {
+        r.doc_id: (r.shard, r.pos)
+        for r in corpus_shuffle(d, 4, seed=1, epoch=0).collect()
+    }
+
+
+def test_corpus_shuffle_validates_and_single_shard(spark):
+    import pytest as _pytest
+
+    from ia_hadoop_tools_spark.operators.sampling import corpus_shuffle
+
+    d = _docs(spark, n=20)
+    with _pytest.raises(ValueError):
+        corpus_shuffle(d, 0)
+    one = corpus_shuffle(d, 1, seed=3).collect()
+    assert {r.shard for r in one} == {0}
+    assert sorted(r.pos for r in one) == list(range(20))
+
+
+def test_write_shuffled_shards_one_sorted_file_per_shard(spark, tmp_path):
+    import os
+
+    from ia_hadoop_tools_spark.operators.sampling import (
+        corpus_shuffle,
+        write_shuffled_shards,
+    )
+
+    d = _docs(spark, n=200)
+    out = str(tmp_path / "shuf")
+    write_shuffled_shards(d, out, n_shards=4, seed=9)
+    expect = {
+        r.doc_id: (r.shard, r.pos)
+        for r in corpus_shuffle(d, 4, seed=9).collect()
+    }
+    for shard in range(4):
+        sdir = os.path.join(out, f"shard={shard}")
+        files = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+        assert len(files) == 1, (shard, files)  # wholly one task per shard
+        # file row order IS the training order (no re-sort needed to replay)
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(os.path.join(sdir, files[0]))
+        ids = tbl.column("doc_id").to_pylist()
+        poss = tbl.column("pos").to_pylist()
+        assert poss == sorted(poss)
+        assert [(expect[i][0], expect[i][1]) for i in ids] == [
+            (shard, p) for p in poss
+        ]
