@@ -15,6 +15,10 @@ whole pipeline deterministic, JVM-side, and SQL-oracle-able:
   aggregation back. Unseen bigrams/contexts fall back to the smoothed
   floor, so scores are defined for any input.
 
+- :func:`train_word_lm`: the CCNet-fidelity WORD-level sibling — capped
+  top-V vocabulary (TakeOrdered, no global sort), same model schema, so
+  :func:`lm_score` consumes either via ``unit='char'|'word'``.
+
 Not in the reference (its quality filtering is CDX-rule-level) — a
 training-data-pipeline extension like operators/quality.py, which covers
 the complementary shape-based (Gopher) rules.
@@ -48,6 +52,35 @@ def _char_bigrams(df: DataFrame, keep_cols: list, text_col: str) -> DataFrame:
         )
         .select(*keep_cols, "__s.ctx", "__s.nxt")
     )
+
+
+def _word_bigrams(df: DataFrame, keep_cols: list, text_col: str) -> DataFrame:
+    r"""(keep_cols..., ctx, nxt) WORD-bigram rows — lowercased tokens on
+    the portable whitespace class (bpe.WORD_SPLIT rationale: \s differs
+    across regex engines), empties removed, consecutive pairs via the
+    zip-of-two-slices idiom (importance.word_bigrams: element_at is O(n)
+    per access, so transform+element_at would be O(n^2) per doc)."""
+    raw = F.split(F.lower(F.col(text_col)), "[ \t\n\f\r]+")
+    w = F.filter(raw, lambda t: t != "")
+    m = F.greatest(F.size(w) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(w, 1, m),
+        F.slice(w, 2, m),
+        lambda a, b: F.struct(a.alias("ctx"), b.alias("nxt")),
+    )
+    return df.select(*keep_cols, F.explode(pairs).alias("__s")).select(
+        *keep_cols, "__s.ctx", "__s.nxt"
+    )
+
+
+def _gram_rows(
+    df: DataFrame, keep_cols: list, text_col: str, unit: str
+) -> DataFrame:
+    if unit == "char":
+        return _char_bigrams(df, keep_cols, text_col)
+    if unit == "word":
+        return _word_bigrams(df, keep_cols, text_col)
+    raise ValueError(f"unit must be 'char' or 'word', got {unit!r}")
 
 
 def train_char_lm(
@@ -111,20 +144,105 @@ def train_char_lm(
     )
 
 
+def train_word_lm(
+    reference: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    smooth_k: float = DEFAULT_SMOOTH_K,
+) -> DataFrame:
+    """WORD-bigram model with a capped vocabulary — the CCNet-fidelity
+    upgrade over :func:`train_char_lm` (Wenzek et al. 2020 filter on
+    word-level n-gram perplexity, not character statistics).  Same model
+    schema (``ctx``, ``nxt``, ``logp``, ``logp_unseen``,
+    ``logp_nocontext``), so :func:`lm_score` consumes either model —
+    pass ``unit='word'`` to match.
+
+    Vocabulary cap is the 100 TB contract: the reference corpus's
+    distinct-token table is unbounded (typo/URL tail), so the model
+    keeps the top ``vocab_size`` tokens by count (ties: token asc —
+    deterministic) via ``orderBy().limit()``, which Spark plans as
+    TakeOrderedAndProject — bounded memory, NO global sort.  Bigrams
+    with an out-of-vocab side are dropped from BOTH pair and context
+    counts (the model is the LM of the reference restricted to its core
+    vocabulary); V in the add-k smoothing is the retained vocab size.
+    At scoring time an out-of-vocab context falls through to the
+    ``logp_nocontext`` floor ln(1/V) — the conservative "unknown word =
+    less reference-like" behavior a quality filter wants, with zero
+    score-side vocab mapping (no <unk> rewrite pass over the corpus).
+
+    LAZY like the char trainer: constructing the model launches no job;
+    the vocab limit and V ride inside the plan as broadcast aggregates.
+    """
+    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
+
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    reference = ensure_min_partitions(reference)
+    bigrams = _word_bigrams(reference, [], text_col)
+    raw = F.split(F.lower(F.col(text_col)), "[ \t\n\f\r]+")
+    tokens = reference.select(
+        F.explode(F.filter(raw, lambda t: t != "")).alias("__w")
+    )
+    vocab = (
+        tokens.groupBy("__w")
+        .agg(F.count("*").alias("__wc"))
+        .orderBy(F.col("__wc").desc(), F.col("__w").asc())
+        .limit(vocab_size)
+        .select("__w")
+    )
+    vdf = vocab.agg(F.count("*").alias("__v"))
+    kept = bigrams.join(
+        F.broadcast(vocab.withColumnRenamed("__w", "ctx")), "ctx"
+    ).join(F.broadcast(vocab.withColumnRenamed("__w", "nxt")), "nxt")
+    ctx_counts = kept.groupBy("ctx").agg(F.count("*").alias("__cn"))
+    pair_counts = kept.groupBy("ctx", "nxt").agg(F.count("*").alias("__pn"))
+    return (
+        pair_counts.join(ctx_counts, "ctx")
+        .crossJoin(F.broadcast(vdf))
+        .select(
+            "ctx",
+            "nxt",
+            F.round(
+                F.log(
+                    (F.col("__pn") + F.lit(smooth_k))
+                    / (F.col("__cn") + F.lit(smooth_k) * F.col("__v"))
+                ),
+                6,
+            ).alias("logp"),
+            F.round(
+                F.log(
+                    F.lit(smooth_k)
+                    / (F.col("__cn") + F.lit(smooth_k) * F.col("__v"))
+                ),
+                6,
+            ).alias("logp_unseen"),
+            F.round(F.log(F.lit(1.0) / F.col("__v")), 6).alias(
+                "logp_nocontext"
+            ),
+        )
+    )
+
+
 def lm_score(
     docs: DataFrame,
     model: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    unit: str = "char",
 ) -> DataFrame:
-    """(id_col, lm_score, n_bigrams): mean ln-prob of the doc's character
-    bigrams under ``model`` (higher = more reference-like). Docs shorter
-    than 2 chars score null with ``n_bigrams`` 0.
+    """(id_col, lm_score, n_bigrams): mean ln-prob of the doc's bigrams
+    under ``model`` (higher = more reference-like).  ``unit`` selects
+    the gram tokenizer — ``'char'`` for :func:`train_char_lm` models,
+    ``'word'`` for :func:`train_word_lm` — and must match the unit the
+    model was trained with (the model schema is unit-agnostic, so this
+    is the caller's contract).  Docs with fewer than 2 grams score null
+    with ``n_bigrams`` 0.
 
     Plan: skinny (id, ctx, nxt) rows -> broadcast left join of the model
     pairs -> per-context floor for seen-context/unseen-pair -> global
     1/V floor for unseen contexts -> one aggregation. The doc text never
-    shuffles; both joins broadcast (the model is charset-bounded).
+    shuffles; both joins broadcast (the model is charset- resp.
+    vocab-cap-bounded).
     """
     from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
 
@@ -139,7 +257,7 @@ def lm_score(
     # repeated calls on the SAME model frame don't stack entries).
     if not model.is_cached:
         model = model.persist()
-    grams = _char_bigrams(docs, [F.col(id_col)], text_col)
+    grams = _gram_rows(docs, [F.col(id_col)], text_col, unit)
     floors = model.select("ctx", "logp_unseen").distinct()
     nocontext = model.select("logp_nocontext").first()
     if nocontext is None:

@@ -19,6 +19,11 @@ the round-8 freeze:
   shuffle (operators/sampling.corpus_shuffle): content-addressed shard
   + intra-shard position, exact value-level oracle recomputing the
   salted-hash order in SQL.
+- ``lm_word_score`` — word-level LM quality scoring
+  (operators/lm_quality.lm_score with ``unit='word'``): a FIXED tiny
+  word-bigram model shared literally with the oracle (the FIXED_MERGES
+  pattern), so the word tokenizer + floor-coalesce scoring path is
+  value-level pinned cross-engine without retraining per run.
 """
 
 from __future__ import annotations
@@ -59,10 +64,82 @@ FROM keyed
 SQL_CORPUS_SHUFFLE = _sql_corpus_shuffle()
 
 
+#: fixed word-bigram model (ctx, nxt, logp, logp_unseen, logp_nocontext)
+#: over the synthetic-document vocabulary, shared verbatim with the SQL
+#: oracle.  Four contexts exercise all three scoring paths: seen pair ->
+#: logp, seen context + unseen pair -> that context's floor, unseen
+#: context -> the global 1/V floor (identical on every row by contract).
+FIXED_WORD_LM: list[tuple[str, str, float, float, float]] = [
+    ("the", "fast", -1.203973, -4.60517, -3.401197),
+    ("the", "batch", -1.609438, -4.60517, -3.401197),
+    ("batch", "batch", -0.693147, -3.912023, -3.401197),
+    ("batch", "stream", -2.302585, -3.912023, -3.401197),
+    ("merge", "slow", -1.386294, -4.174387, -3.401197),
+    ("merge", "part", -1.89712, -4.174387, -3.401197),
+    ("data", "row", -1.050822, -3.988984, -3.401197),
+    ("data", "line", -2.014903, -3.988984, -3.401197),
+]
+
+
+def q_lm_word_score(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.lm_quality import lm_score
+    from ia_hadoop_tools_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    model = spark.createDataFrame(
+        FIXED_WORD_LM,
+        "ctx: string, nxt: string, logp: double, logp_unseen: double, "
+        "logp_nocontext: double",
+    )
+    return lm_score(docs, model, unit="word")
+
+
+def _sql_lm_word_score() -> str:
+    vals = ",\n    ".join(
+        f"('{c}', '{n}', CAST({lp} AS DOUBLE), CAST({lu} AS DOUBLE), "
+        f"CAST({lnc} AS DOUBLE))"
+        for c, n, lp, lu, lnc in FIXED_WORD_LM
+    )
+    return f"""
+WITH model(ctx, nxt, logp, logp_unseen, logp_nocontext) AS (
+  VALUES
+    {vals}),
+floors AS (SELECT DISTINCT ctx, logp_unseen FROM model),
+nc AS (SELECT logp_nocontext FROM model LIMIT 1),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+dbg AS (
+  SELECT doc_id, ws[CAST(i AS INT)] AS ctx, ws[CAST(i AS INT) + 1] AS nxt
+  FROM toks, UNNEST(range(1, len(ws))) AS u(i)
+  WHERE len(ws) >= 2),
+scored AS (
+  SELECT doc_id,
+         round(avg(coalesce(m.logp, f.logp_unseen, nc.logp_nocontext)), 6)
+           AS lm_score,
+         count(*) AS n_bigrams
+  FROM dbg
+  LEFT JOIN model m ON dbg.ctx = m.ctx AND dbg.nxt = m.nxt
+  LEFT JOIN floors f ON dbg.ctx = f.ctx
+  CROSS JOIN nc
+  GROUP BY doc_id)
+SELECT d.doc_id, s.lm_score,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+SQL_LM_WORD_SCORE = _sql_lm_word_score()
+
+
 PENDING_QUERIES: dict = {
     "corpus_shuffle": q_corpus_shuffle,
+    "lm_word_score": q_lm_word_score,
 }
 
 PENDING_ORACLE_SQL: dict = {
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
+    "lm_word_score": SQL_LM_WORD_SCORE,
 }

@@ -113,3 +113,153 @@ def test_empty_doc_does_not_inflate_vocabulary(spark):
     import math
 
     assert a[0][2] == round(math.log(1.1 / 1.2), 6)
+
+
+def _word_model(spark, vocab_size=50):
+    from ia_hadoop_tools_spark.operators.lm_quality import train_word_lm
+
+    ref = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the rug"),
+            (3, "a cat and a dog sat"),
+        ],
+        "doc_id: long, text: string",
+    )
+    return ref, train_word_lm(ref, vocab_size=vocab_size)
+
+
+def test_word_lm_hand_computed(spark):
+    """Pin the exact add-k arithmetic on a tiny reference, python-side."""
+    from collections import Counter
+
+    ref, model = _word_model(spark)
+    toks = [
+        "the cat sat on the mat".split(),
+        "the dog sat on the rug".split(),
+        "a cat and a dog sat".split(),
+    ]
+    pairs = Counter(
+        (a, b) for ws in toks for a, b in zip(ws, ws[1:])
+    )
+    ctxs = Counter(a for (a, _), n in pairs.items() for _ in range(n))
+    vocab = {w for ws in toks for w in ws}
+    v = len(vocab)
+    k = 0.1
+    rows = {(r.ctx, r.nxt): (r.logp, r.logp_unseen) for r in model.collect()}
+    assert set(rows) == set(pairs)
+    for (a, b), n in pairs.items():
+        want = round(math.log((n + k) / (ctxs[a] + k * v)), 6)
+        want_floor = round(math.log(k / (ctxs[a] + k * v)), 6)
+        assert rows[(a, b)] == (want, want_floor), (a, b)
+    # scoring: doc with all-seen bigrams == mean of its pair logps
+    docs = spark.createDataFrame(
+        [(9, "the cat sat")], "doc_id: long, text: string"
+    )
+    got = lm_score(docs, model, unit="word").collect()[0]
+    want = round(
+        (rows[("the", "cat")][0] + rows[("cat", "sat")][0]) / 2, 6
+    )
+    assert (got.lm_score, got.n_bigrams) == (want, 2)
+
+
+def test_word_lm_vocab_cap_drops_oov_bigrams(spark):
+    from ia_hadoop_tools_spark.operators.lm_quality import train_word_lm
+
+    ref = spark.createDataFrame(
+        # 'rare' appears once; everything else >= 2 times
+        [(1, "big big cat cat big cat rare big")],
+        "doc_id: long, text: string",
+    )
+    model = train_word_lm(ref, vocab_size=2)
+    rows = {(r.ctx, r.nxt) for r in model.collect()}
+    assert rows and all(
+        a in ("big", "cat") and b in ("big", "cat") for a, b in rows
+    )
+    # an OOV-context doc falls to the global 1/V floor (V = capped vocab)
+    docs = spark.createDataFrame(
+        [(5, "rare unknown")], "doc_id: long, text: string"
+    )
+    got = lm_score(docs, model, unit="word").collect()[0]
+    assert got.lm_score == round(math.log(1.0 / 2), 6)
+
+
+def test_word_lm_scores_rank_english_over_shuffled(spark):
+    ref, model = _word_model(spark)
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the rug"),  # reference-like word order
+            (2, "rug the on sat cat the"),  # same words, scrambled
+            (3, "one"),  # < 2 tokens -> null
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r.doc_id: (r.lm_score, r.n_bigrams)
+        for r in lm_score(docs, model, unit="word").collect()
+    }
+    assert got[1][0] > got[2][0]
+    assert got[3] == (None, 0)
+
+
+def test_word_lm_bucket_parity_head_middle_tail(spark):
+    """CCNet's operational step works identically on word scores: the
+    q_lm_buckets shape (fixed calibration slice -> tercile cutoffs ->
+    broadcast comparison) applied to unit='word' scores must reproduce
+    a direct pandas bucketing of the same scores."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ref, model = _word_model(spark)
+    docs = spark.createDataFrame(
+        [
+            (i, t)
+            for i, t in enumerate(
+                [
+                    "the cat sat on the mat",
+                    "the dog sat on the rug",
+                    "a cat and a dog sat",
+                    "the cat sat on the rug",
+                    "dog the rug on a sat",
+                    "mat rug dog cat a the",
+                    "zz qq xx vv ww yy",
+                    "the dog sat on the mat",
+                    "on on on on on on",
+                ]
+            )
+        ],
+        "doc_id: long, text: string",
+    )
+    scored = lm_score(docs, model, unit="word").filter(
+        F.col("lm_score").isNotNull()
+    )
+    w = Window.orderBy(F.col("lm_score").desc(), F.col("doc_id").asc())
+    ranked = scored.withColumn("__b", F.ntile(3).over(w))
+    th = ranked.groupBy().agg(
+        F.min(F.when(F.col("__b") == 1, F.col("lm_score"))).alias("t1"),
+        F.min(F.when(F.col("__b") == 2, F.col("lm_score"))).alias("t2"),
+    )
+    got = {
+        r.doc_id: r.bucket
+        for r in scored.crossJoin(F.broadcast(th))
+        .withColumn(
+            "bucket",
+            F.when(F.col("lm_score") >= F.col("t1"), "head")
+            .when(F.col("lm_score") >= F.col("t2"), "middle")
+            .otherwise("tail"),
+        )
+        .collect()
+    }
+    # independent pandas reference over the same scores
+    pdf = scored.toPandas().sort_values(
+        ["lm_score", "doc_id"], ascending=[False, True]
+    )
+    n = len(pdf)
+    want = {}
+    for rank, (_, row) in enumerate(pdf.iterrows()):
+        tier = rank * 3 // n if n % 3 == 0 else None
+        want[row.doc_id] = tier
+    if n % 3 == 0:  # exact terciles only when evenly divisible
+        names = {0: "head", 1: "middle", 2: "tail"}
+        assert got == {k: names[v] for k, v in want.items()}
+    assert set(got.values()) == {"head", "middle", "tail"}
