@@ -656,6 +656,14 @@ def _semdedup_oversized_dups(
     return dups, obs
 
 
+#: minimum band count the semdedup guard escalates to when it engages
+#: (scripts/probe_semdedup_recall.py: borderline recall at threshold
+#: 0.90 is 0.84 with 4 bands but >= 0.95 with 8 — more bands = more
+#: independent collision chances). Raise-only: explicit caller bands
+#: above this are kept.
+AUTO_GUARD_BANDS = 8
+
+
 def semdedup(
     df: DataFrame,
     centroids: DataFrame,
@@ -719,10 +727,15 @@ def semdedup(
     cluster larger than ~buckets*cap would make every sub-bucket hot and
     degenerate the guard to the rep-only pass (measured ~1% borderline
     recall). When the guard engages, bits per band are raised until the
-    expected bucket size is ~cap/2 (capped at 24); this runs the cluster
-    census eagerly at construction — one tiny job over the persisted
-    assignment every action needs anyway. Pass ``auto_planes=False`` to
-    pin the explicit ``num_planes`` geometry.
+    expected bucket size is ~cap/2 (capped at 24) AND the band count is
+    raised to at least ``AUTO_GUARD_BANDS`` (= 8; round-7 — band count
+    is the borderline-recall knob, see the probe numbers above, so the
+    default geometry now hits >= 0.95 recall at threshold 0.90 with no
+    manual tuning; raise-only, explicit larger ``bands`` are kept).
+    This runs the cluster census eagerly at construction — one tiny job
+    over the persisted assignment every action needs anyway. Pass
+    ``auto_planes=False`` to pin the explicit ``num_planes``/``bands``
+    geometry.
 
     Returns (id_col, cluster_id, is_dup).
     """
@@ -783,7 +796,17 @@ def semdedup(
                 )
                 # clamp only the ESCALATION at 24 bits — an explicitly
                 # finer caller geometry must never be coarsened
-                bits = max(num_planes // bands, min(24, need))
+                width_floor = num_planes // bands
+                # BANDS escalate too (round-7): planes sizing fixes the
+                # hot-bucket degeneracy but band COUNT fixes borderline
+                # recall — at threshold 0.90 the round-6 probe measured
+                # 0.84 recall at bands=4 vs 0.97 at bands=8 (each band
+                # is one independent chance for a near-pair to collide).
+                # Raise-only, so a caller who asked for more bands keeps
+                # them; cost is bands rows per vector, oversized
+                # clusters only.
+                bands = max(bands, AUTO_GUARD_BANDS)
+                bits = max(width_floor, min(24, need))
                 num_planes = bits * bands
     a = exact_src.select(
         F.col(id_col).alias("__ida"),

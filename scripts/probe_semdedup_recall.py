@@ -78,10 +78,10 @@ def build(spark, threshold: float):
     return df, cent
 
 
-def dup_set(df, cent, threshold, cap, bands):
+def dup_set(df, cent, threshold, cap, bands, num_planes=16, auto=True):
     out = semdedup(
         df, cent, threshold=threshold, max_cluster_size=cap,
-        bands=bands, dim=DIM,
+        bands=bands, num_planes=num_planes, dim=DIM, auto_planes=auto,
     )
     dups = {r.vec_id for r in out.filter("is_dup").collect()}
     out.assign_cache.unpersist()
@@ -91,24 +91,35 @@ def dup_set(df, cent, threshold, cap, bands):
 def main():
     spark = get_spark("probe-semdedup-recall")
     print(f"n_pairs={N_PAIRS} dim={DIM} cap={CAP} delta=+{DELTA}")
+    # bits/band auto_planes would pick for this cluster size (expected
+    # bucket ~ cap/2) — passed explicitly for the auto=False geometry
+    # rows so they isolate the BAND-count effect the escalation targets
+    bits = math.ceil(math.log2(2 * 3 * N_PAIRS / CAP))
     for th in THRESHOLDS:
         df, cent = build(spark, th)
         exact = dup_set(df, cent, th, None, 4)
         line = [f"th={th:.2f} exact_dups={len(exact)}"]
+        p = 1 - math.acos(min(th + DELTA, 0.9999)) / math.pi
         for b in BANDS:
-            guarded = dup_set(df, cent, th, CAP, b)
+            guarded = dup_set(
+                df, cent, th, CAP, b, num_planes=bits * b, auto=False
+            )
             recall = len(guarded & exact) / max(1, len(exact))
             extra = len(guarded - exact)
-            p = 1 - math.acos(min(th + DELTA, 0.9999)) / math.pi
-            # auto_planes raises bits/band until expected bucket ~ cap/2
-            bits = max(
-                16 // b, math.ceil(math.log2(2 * 3 * N_PAIRS / CAP))
-            )
             pred = 1 - (1 - p**bits) ** b
             line.append(
                 f"bands={b}: recall={recall:.4f} (pred~{pred:.4f},"
                 f" false_dups={extra})"
             )
+        # the shipped DEFAULT: bands=4 request, auto escalation ON
+        # (round-7: bands raise to AUTO_GUARD_BANDS when the guard
+        # engages) — the no-manual-tuning row the contract pins
+        guarded = dup_set(df, cent, th, CAP, 4)
+        recall = len(guarded & exact) / max(1, len(exact))
+        extra = len(guarded - exact)
+        line.append(
+            f"auto-default: recall={recall:.4f} (false_dups={extra})"
+        )
         print(" | ".join(line))
         df.unpersist()
 

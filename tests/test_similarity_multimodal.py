@@ -440,9 +440,12 @@ def test_semdedup_oversized_guard_matches_exact_on_boilerplate(spark):
     capped_df = semdedup(df, cent, threshold=0.99, max_cluster_size=8, dim=4)
     capped = {(r.vec_id, r.cluster_id, r.is_dup) for r in capped_df.collect()}
     assert capped == exact
-    # the boilerplate cluster (40 rows > cap 8) was routed: 40 rows x 4
-    # bands; the 6-row cluster stayed on the exact path
-    assert capped_df.oversized_obs.get["oversized_rows"] == 40 * 4
+    # the boilerplate cluster (40 rows > cap 8) was routed: 40 rows x
+    # AUTO_GUARD_BANDS bands (the guard escalates the default bands=4 to
+    # 8, round-7); the 6-row cluster stayed on the exact path
+    from ia_hadoop_tools_spark.operators.similarity import AUTO_GUARD_BANDS
+
+    assert capped_df.oversized_obs.get["oversized_rows"] == 40 * AUTO_GUARD_BANDS
     capped_df.assign_cache.unpersist()
 
 
