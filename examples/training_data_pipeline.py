@@ -102,6 +102,29 @@ def main() -> None:
     print(f"embedding chunks: {chunks.count()}")
     top = tfidf_topk(docs, k=3).filter(F.col("rank") == 1).limit(3)
     print("sample doc labels:", [(r.doc_id, r.token) for r in top.collect()])
+
+    # 8. publish the training corpus as an atomic, replayable VERSION:
+    # split -> seeded shuffle into shards -> token-budget packing, all
+    # committed under the _PUBLISHED marker (same seed+epoch replays the
+    # identical layout; epoch+1 is a fresh decorrelated order)
+    import tempfile
+
+    from ia_hadoop_tools_spark.operators.assemble import (
+        assemble_corpus,
+        read_manifest,
+    )
+
+    root = tempfile.mkdtemp(prefix="corpus_versions_")
+    assemble_corpus(
+        docs.join(counts.select("doc_id", "n_tokens"), "doc_id", "left")
+        .fillna(0, subset=["n_tokens"]),
+        root,
+        splits=[("train", 0.98), ("val", 0.02)],
+        n_shards=4,
+        seed=1,
+        budget=2048,
+    )
+    print("published corpus version:", read_manifest(root)["counts"])
     spark.stop()
 
 

@@ -492,6 +492,48 @@ def cmd_corpus_export(args):
     print(f"corpus-export: {args.input} -> {args.output} (jsonl)")
 
 
+def _parse_fractions(spec: str) -> list[tuple[str, float]]:
+    splits = []
+    for kv in spec.split(","):
+        name, _, frac = kv.partition("=")
+        if not name or not frac:
+            raise SystemExit(f"bad --fractions entry (need name=frac): {kv!r}")
+        try:
+            splits.append((name, float(frac)))
+        except ValueError:
+            raise SystemExit(f"bad --fractions value (not a number): {kv!r}")
+    return splits
+
+
+def cmd_corpus_assemble(args):
+    """corpus-assemble: split -> shuffle -> (optional) pack, published
+    atomically as root/vNNN with the _PUBLISHED commit protocol.  One
+    invocation = one immutable corpus version; re-run after corpus
+    growth (or with --epoch bumped) publishes the next version."""
+    from ia_hadoop_tools_spark.operators.assemble import assemble_corpus
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if args.shards < 1:
+        raise SystemExit("--shards must be >= 1")
+    try:
+        vdir = assemble_corpus(
+            docs,
+            args.root,
+            splits=_parse_fractions(args.fractions),
+            n_shards=args.shards,
+            seed=args.seed,
+            epoch=args.epoch,
+            budget=args.budget,
+            token_col=args.token_col,
+            id_col=args.id_col,
+            keep_versions=args.keep,
+        )
+    except ValueError as e:
+        raise SystemExit(f"corpus-assemble: {e}")
+    print(f"corpus-assemble: published {vdir}")
+
+
 def cmd_corpus_shuffle(args):
     """corpus-shuffle: seeded deterministic global training-order shuffle
     into N shard directories (outdir/shard=0/... each one sorted file in
@@ -528,15 +570,7 @@ def cmd_corpus_split(args):
 
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
-    splits = []
-    for kv in args.fractions.split(","):
-        name, _, frac = kv.partition("=")
-        if not name or not frac:
-            raise SystemExit(f"bad --fractions entry (need name=frac): {kv!r}")
-        try:
-            splits.append((name, float(frac)))
-        except ValueError:
-            raise SystemExit(f"bad --fractions value (not a number): {kv!r}")
+    splits = _parse_fractions(args.fractions)
     try:
         out = split_corpus(docs, splits)
     except ValueError as e:
@@ -826,6 +860,22 @@ def main(argv=None):
     s.add_argument("output")
     s.add_argument("--fractions", default="train=0.98,val=0.01,test=0.01")
     s.set_defaults(fn=cmd_corpus_split)
+
+    s = sub.add_parser(
+        "corpus-assemble",
+        help="split -> shuffle -> pack, published as atomic version",
+    )
+    s.add_argument("input")
+    s.add_argument("root")
+    s.add_argument("--fractions", default="train=0.98,val=0.01,test=0.01")
+    s.add_argument("--shards", type=int, required=True)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--epoch", type=int, default=0)
+    s.add_argument("--budget", type=int, default=None)
+    s.add_argument("--token-col", default="n_tokens")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--keep", type=int, default=None)
+    s.set_defaults(fn=cmd_corpus_assemble)
 
     s = sub.add_parser(
         "corpus-shuffle", help="seeded deterministic training-order shuffle"

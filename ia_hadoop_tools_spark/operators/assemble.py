@@ -1,0 +1,166 @@
+"""Atomic versioned training-corpus assembly: split -> shuffle -> pack.
+
+The last mile of a training-data pipeline composes three verbs this
+engine already ships — :func:`~ia_hadoop_tools_spark.operators.sampling.
+split_corpus` (deterministic growth-stable train/val/test),
+:func:`~.sampling.corpus_shuffle` (seeded training-order shuffle into
+shards), :func:`~.sampling.pack_sequences` (token-budget bins) — and
+publishes the result as ONE atomic artifact under the versioned
+``_PUBLISHED`` commit protocol (streaming/versioned.py: marker written
+last, readers resolve the highest marked version, a crashed save is an
+unmarked dir the next publish skips past).  A "corpus version" is then
+a real thing: re-running with the same inputs and parameters replays it
+content-identically, extending the corpus publishes a NEW version while
+the old one stays readable, and a training job pins a version directory
+that can never change underneath it.
+
+Layout per version::
+
+    root/vNNN/MANIFEST.json                  # params + per-split counts
+    root/vNNN/split=train/shard=0/part-*.parquet   # rows sorted by pos
+    root/vNNN/split=val/shard=.../...
+    root/vNNN/_PUBLISHED                     # commit marker, written last
+
+Determinism chain: split assignment is content-addressed (salted-hash
+ranges), shard + intra-shard order are content-addressed
+(corpus_shuffle's fixed-width hash-space slice), and packing is a
+per-shard prefix sum in ``pos`` order — so every stage honors "same
+inputs + params => same rows in the same order at any parallelism".
+
+Scale shape: one pass per split (filter -> shuffle-assign -> one hash
+exchange on shard -> per-shard window), writes via the one-file-per-
+shard routing of ``write_shuffled_shards``; the driver holds only the
+per-split row counts for the manifest.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.sources import fsio
+from ia_hadoop_tools_spark.streaming import versioned
+
+
+def assemble_corpus(
+    df: DataFrame,
+    root: str,
+    splits: list[tuple[str, float]],
+    n_shards: int,
+    seed: int = 0,
+    epoch: int = 0,
+    budget: int | None = None,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    keep_versions: int | None = None,
+) -> str:
+    """Assemble one corpus version; returns the committed version dir.
+
+    ``budget`` (optional) additionally packs each shard's token stream
+    into fixed-budget training bins (``seq_start``/``bin``/
+    ``bin_offset`` columns) — requires ``token_col`` on ``df``.
+    ``keep_versions`` prunes to the newest N published versions after a
+    successful commit (the retention contract of
+    ``versioned.prune_versions``).
+    """
+    from ia_hadoop_tools_spark.operators.sampling import (
+        corpus_shuffle,
+        pack_sequences,
+        split_corpus,
+    )
+
+    if budget is not None and token_col not in df.columns:
+        raise ValueError(
+            f"budget packing needs token column {token_col!r}; "
+            f"df has {df.columns}"
+        )
+    version = versioned.next_version(root)
+    vdir = versioned.version_dir(root, version)
+    assigned = split_corpus(df, splits, id_col=id_col)
+    counts: dict[str, int] = {}
+    for name, _frac in splits:
+        sub = assigned.filter(F.col("split") == name).drop("split")
+        shuf = corpus_shuffle(
+            sub, n_shards, seed=seed, epoch=epoch, id_col=id_col
+        )
+        if budget is not None:
+            # pack in SHUFFLE order: per-shard prefix sum over pos —
+            # reuses pack_sequences' strata path with (shard, pos) as
+            # the (stratum, order) pair, so bins follow the training
+            # order, not the id order
+            shuf = pack_sequences(
+                shuf,
+                budget,
+                token_col=token_col,
+                strata_col="shard",
+                id_col="pos",
+            )
+        out_dir = fsio.join(vdir, f"split={name}")
+        # manifest counts ride the write itself via an Observation — a
+        # read-back count would re-scan the freshly written split (the
+        # cmd_corpus_split rationale, and a full re-read at 100 TB)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        (
+            shuf.observe(obs, F.count(F.lit(1)).alias("n"))
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "pos")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(out_dir)
+        )
+        counts[name] = int(obs.get["n"])
+    manifest = {
+        "version": version,
+        "splits": [[n, f] for n, f in splits],
+        "n_shards": n_shards,
+        "seed": seed,
+        "epoch": epoch,
+        "budget": budget,
+        "token_col": token_col if budget is not None else None,
+        "id_col": id_col,
+        "counts": counts,
+    }
+    with fsio.open_write_text(fsio.join(vdir, "MANIFEST.json")) as fh:
+        fh.write(json.dumps(manifest, sort_keys=True) + "\n")
+    versioned.commit_version(root, version)
+    if keep_versions is not None:
+        versioned.prune_versions(root, keep_versions)
+    return vdir
+
+
+def read_corpus_version(
+    spark: SparkSession,
+    root: str,
+    split: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read one split of a published corpus version (latest by default).
+    Raises if no published version exists — a half-written (uncommitted)
+    dir is never readable through this path."""
+    if version is None:
+        vdir = versioned.latest_published_dir(root)
+        if vdir is None:
+            raise FileNotFoundError(f"no published corpus version under {root}")
+    else:
+        vdir = versioned.version_dir(root, version)
+        if versioned.existing_versions(root, published_only=True).count(
+            version
+        ) == 0:
+            raise FileNotFoundError(f"version {version} not published under {root}")
+    return spark.read.parquet(fsio.join(vdir, f"split={split}"))
+
+
+def read_manifest(root: str, version: int | None = None) -> dict:
+    """The MANIFEST.json of a published version (latest by default)."""
+    if version is None:
+        vdir = versioned.latest_published_dir(root)
+        if vdir is None:
+            raise FileNotFoundError(f"no published corpus version under {root}")
+    else:
+        vdir = versioned.version_dir(root, version)
+    with fsio.open_read_text(fsio.join(vdir, "MANIFEST.json")) as fh:
+        return json.load(fh)

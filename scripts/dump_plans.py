@@ -241,6 +241,20 @@ COMMENTARY = {
         "bucket makes it growth-stable (no sort/row_number scheme can "
         "promise that)."
     ),
+    "corpus_shuffle": (
+        "Column-pruned scan (only the id when only ids are selected), "
+        "ONE hash exchange on the content-addressed shard id, then a "
+        "per-shard sort + row_number window — the sort any shard writer "
+        "pays anyway. No sampling pass (the determinism contract forbids "
+        "repartitionByRange), no global window, no Python."
+    ),
+    "lm_word_score": (
+        "Skinny (id, ctx, nxt) word-bigram rows via zip-of-two-slices; "
+        "the fixed model and its floors projection both "
+        "`BroadcastHashJoin` (left) so the corpus never shuffles for "
+        "scoring; one map-side-combinable aggregation back to per-doc "
+        "means. The doc text itself stays in the scan stage."
+    ),
 }
 
 

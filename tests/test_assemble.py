@@ -1,0 +1,135 @@
+"""Atomic versioned corpus assembly (operators/assemble.py): the
+split -> shuffle -> pack composition published under the _PUBLISHED
+protocol.  The contract under test: a version replays content-
+identically from the same inputs + params, extension publishes a new
+version while old docs keep their split/shard, and uncommitted versions
+are never readable."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from ia_hadoop_tools_spark.operators.assemble import (
+    assemble_corpus,
+    read_corpus_version,
+    read_manifest,
+)
+
+SPLITS = [("train", 0.8), ("val", 0.2)]
+
+
+def _docs(spark, n=300, start=0):
+    return spark.createDataFrame(
+        [(i, f"doc text number {i}", 5 + i % 37) for i in range(start, start + n)],
+        "doc_id: long, text: string, n_tokens: long",
+    )
+
+
+def _shard_rows(vdir: str, split: str) -> dict[int, list[tuple]]:
+    """Per-shard (doc_id, pos, ...) rows in FILE ORDER — the replay unit."""
+    out = {}
+    for sdir in sorted(glob.glob(os.path.join(vdir, f"split={split}", "shard=*"))):
+        shard = int(sdir.rsplit("=", 1)[1])
+        files = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+        assert len(files) == 1, (sdir, files)  # one sorted file per shard
+        t = pq.read_table(os.path.join(sdir, files[0]))
+        cols = [c for c in ("doc_id", "pos", "seq_start", "bin") if c in t.column_names]
+        out[shard] = list(zip(*[t.column(c).to_pylist() for c in cols]))
+    return out
+
+
+def test_assemble_publish_replay_and_pack_layout(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    d = _docs(spark)
+    v0 = assemble_corpus(d, root, SPLITS, n_shards=3, seed=5, budget=64)
+    assert v0.endswith("v000")
+    assert os.path.exists(os.path.join(v0, "_PUBLISHED"))
+    man = read_manifest(root)
+    assert man["version"] == 0 and sum(man["counts"].values()) == 300
+    # packing follows the TRAINING order: per shard, seq_start is the
+    # running token sum in pos order and bin = seq_start div budget
+    rows = _shard_rows(v0, "train")
+    got_train = 0
+    for shard, rs in rows.items():
+        acc = 0
+        ids = set()
+        for doc_id, pos, seq_start, b in rs:
+            assert seq_start == acc and b == acc // 64
+            tok = 5 + doc_id % 37
+            acc += tok
+            ids.add(doc_id)
+        got_train += len(rs)
+        assert [r[1] for r in rs] == list(range(len(rs)))  # dense pos order
+    assert got_train == man["counts"]["train"]
+    # REPLAY: identical inputs + params -> next version, content-identical
+    v1 = assemble_corpus(d, root, SPLITS, n_shards=3, seed=5, budget=64)
+    assert v1.endswith("v001")
+    for split in ("train", "val"):
+        assert _shard_rows(v0, split) == _shard_rows(v1, split)
+    # reader resolves the newest published version
+    latest = read_corpus_version(spark, root, "train")
+    assert latest.count() == man["counts"]["train"]
+
+
+def test_assemble_three_cycle_extend_keeps_old_assignments(spark, tmp_path):
+    """assemble -> extend -> re-assemble: the extension's version replays
+    bit-identically, and every original doc keeps its (split, shard)."""
+    root = str(tmp_path / "corpus3")
+    a = _docs(spark, n=200)
+    v0 = assemble_corpus(a, root, SPLITS, n_shards=2, seed=11)
+    ab = _docs(spark, n=300)  # superset: 200 old + 100 new docs
+    v1 = assemble_corpus(ab, root, SPLITS, n_shards=2, seed=11)
+    v2 = assemble_corpus(ab, root, SPLITS, n_shards=2, seed=11)
+    # replay of the extended corpus is content-identical
+    for split in ("train", "val"):
+        assert _shard_rows(v1, split) == _shard_rows(v2, split)
+    # growth stability: original docs keep split AND shard (positions may
+    # shift as new docs interleave — that is inherent to a global order)
+    def assignments(vdir):
+        out = {}
+        for split in ("train", "val"):
+            for shard, rs in _shard_rows(vdir, split).items():
+                for r in rs:
+                    out[r[0]] = (split, shard)
+        return out
+
+    a0, a1 = assignments(v0), assignments(v1)
+    assert len(a0) == 200 and len(a1) == 300
+    assert all(a1[i] == a0[i] for i in a0)
+    # v0 is still readable after later publishes
+    assert read_corpus_version(spark, root, "train", version=0).count() == \
+        read_manifest(root, 0)["counts"]["train"]
+
+
+def test_assemble_crash_partial_is_unreadable_and_skipped(spark, tmp_path):
+    root = str(tmp_path / "corpusx")
+    os.makedirs(os.path.join(root, "v000"))  # crashed save: no marker
+    with pytest.raises(FileNotFoundError):
+        read_corpus_version(spark, root, "train")
+    d = _docs(spark, n=50)
+    vdir = assemble_corpus(d, root, SPLITS, n_shards=2, seed=1)
+    assert vdir.endswith("v001")  # number never reused
+    assert read_corpus_version(spark, root, "train").count() == \
+        read_manifest(root)["counts"]["train"]
+    with pytest.raises(FileNotFoundError):
+        read_corpus_version(spark, root, "train", version=0)
+
+
+def test_assemble_retention_prunes_old_versions(spark, tmp_path):
+    root = str(tmp_path / "corpusk")
+    d = _docs(spark, n=60)
+    assemble_corpus(d, root, SPLITS, n_shards=2, seed=2)
+    assemble_corpus(d, root, SPLITS, n_shards=2, seed=2, keep_versions=1)
+    assert not os.path.exists(os.path.join(root, "v000"))
+    assert os.path.exists(os.path.join(root, "v001", "_PUBLISHED"))
+
+
+def test_assemble_validates_token_col(spark, tmp_path):
+    d = _docs(spark, n=10).drop("n_tokens")
+    with pytest.raises(ValueError, match="token column"):
+        assemble_corpus(d, str(tmp_path / "c"), SPLITS, n_shards=2, budget=10)

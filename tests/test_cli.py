@@ -399,3 +399,29 @@ def test_corpus_shuffle_cli(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="shards"):
         _run(capsys, "corpus-shuffle", src, str(tmp_path / "shuf_bad"),
              "--shards", "0")
+
+
+def test_corpus_assemble_cli(spark, tmp_path, capsys):
+    import os
+
+    src = str(tmp_path / "asm_docs")
+    spark.createDataFrame(
+        [(i, f"text {i}", 4 + i % 9) for i in range(80)],
+        "doc_id: long, text: string, n_tokens: long",
+    ).write.parquet(src)
+    root = str(tmp_path / "asm_root")
+    got = _run(capsys, "corpus-assemble", src, root,
+               "--fractions", "train=0.9,val=0.1", "--shards", "2",
+               "--seed", "3", "--budget", "32")
+    assert "published" in got and "v000" in got
+    assert os.path.exists(os.path.join(root, "v000", "_PUBLISHED"))
+    back = spark.read.parquet(os.path.join(root, "v000", "split=train"))
+    assert {"doc_id", "pos", "shard", "seq_start", "bin"} <= set(back.columns)
+    # budget packing without the token column fails loudly
+    src2 = str(tmp_path / "asm_docs2")
+    spark.createDataFrame(
+        [(1, "t")], "doc_id: long, text: string"
+    ).write.parquet(src2)
+    with pytest.raises(SystemExit, match="token column"):
+        _run(capsys, "corpus-assemble", src2, str(tmp_path / "asm_bad"),
+             "--shards", "1", "--budget", "8")
