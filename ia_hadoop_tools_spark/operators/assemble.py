@@ -27,10 +27,13 @@ ranges), shard + intra-shard order are content-addressed
 per-shard prefix sum in ``pos`` order — so every stage honors "same
 inputs + params => same rows in the same order at any parallelism".
 
-Scale shape: one pass per split (filter -> shuffle-assign -> one hash
-exchange on shard -> per-shard window), writes via the one-file-per-
-shard routing of ``write_shuffled_shards``; the driver holds only the
-per-split row counts for the manifest.
+Scale shape: ONE pass for the whole version — split CASE + shard
+assignment are codegen projections, one hash exchange on
+(split, shard), one window per (split, shard) for pos (+ one for
+packing), one partitioned write with each (split, shard) leaf routed
+wholly to one task (one sorted file per leaf); per-split manifest
+counts ride the write as Observation aggregates.  The driver holds
+only those counts.
 """
 
 from __future__ import annotations
@@ -78,41 +81,53 @@ def assemble_corpus(
         )
     version = versioned.next_version(root)
     vdir = versioned.version_dir(root, version)
-    assigned = split_corpus(df, splits, id_col=id_col)
-    counts: dict[str, int] = {}
-    for name, _frac in splits:
-        sub = assigned.filter(F.col("split") == name).drop("split")
-        shuf = corpus_shuffle(
-            sub, n_shards, seed=seed, epoch=epoch, id_col=id_col
+    # ONE pass for every split: split assignment is a codegen CASE,
+    # corpus_shuffle's strata mode scopes (shard, pos) per split in a
+    # single window (bit-identical to shuffling each split slice
+    # separately — the hash key is split-independent), packing windows
+    # on (split, shard) in pos order, and partitionBy(split, shard)
+    # routes the whole version in one write.  A per-split loop would
+    # scan + shuffle the corpus once PER split.
+    assigned = split_corpus(df, splits, id_col=id_col).filter(
+        F.col("split").isNotNull()
+    )
+    shuf = corpus_shuffle(
+        assigned, n_shards, seed=seed, epoch=epoch, id_col=id_col,
+        strata_col="split",
+    )
+    if budget is not None:
+        # pack in SHUFFLE order: per-(split, shard) prefix sum over pos,
+        # so bins follow the training order, not the id order
+        shuf = pack_sequences(
+            shuf,
+            budget,
+            token_col=token_col,
+            strata_col=("split", "shard"),
+            id_col="pos",
         )
-        if budget is not None:
-            # pack in SHUFFLE order: per-shard prefix sum over pos —
-            # reuses pack_sequences' strata path with (shard, pos) as
-            # the (stratum, order) pair, so bins follow the training
-            # order, not the id order
-            shuf = pack_sequences(
-                shuf,
-                budget,
-                token_col=token_col,
-                strata_col="shard",
-                id_col="pos",
-            )
-        out_dir = fsio.join(vdir, f"split={name}")
-        # manifest counts ride the write itself via an Observation — a
-        # read-back count would re-scan the freshly written split (the
-        # cmd_corpus_split rationale, and a full re-read at 100 TB)
-        from pyspark.sql import Observation
+    # manifest counts ride the write itself via an Observation (one
+    # conditional count per split — splits are a bounded list); a
+    # read-back count would re-scan the freshly written version (the
+    # cmd_corpus_split rationale, and a full re-read at 100 TB)
+    from pyspark.sql import Observation
 
-        obs = Observation()
-        (
-            shuf.observe(obs, F.count(F.lit(1)).alias("n"))
-            .repartition(n_shards, "shard")
-            .sortWithinPartitions("shard", "pos")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(out_dir)
-        )
-        counts[name] = int(obs.get["n"])
+    obs = Observation()
+    count_aggs = [
+        F.count(F.when(F.col("split") == name, True)).alias(f"n_{i}")
+        for i, (name, _f) in enumerate(splits)
+    ]
+    (
+        shuf.observe(obs, *count_aggs)
+        .repartition(n_shards * len(splits), "split", "shard")
+        .sortWithinPartitions("split", "shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("split", "shard")
+        .parquet(vdir)
+    )
+    got = obs.get
+    counts: dict[str, int] = {
+        name: int(got[f"n_{i}"]) for i, (name, _f) in enumerate(splits)
+    }
     manifest = {
         "version": version,
         "splits": [[n, f] for n, f in splits],

@@ -67,7 +67,7 @@ def pack_sequences(
     df: DataFrame,
     budget: int,
     token_col: str = "n_tokens",
-    strata_col: str | None = None,
+    strata_col=None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Assign each doc a training-sequence bin under a token budget.
@@ -102,8 +102,13 @@ def pack_sequences(
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     if strata_col:
+        # str or sequence of strata columns (e.g. ("split", "shard") in
+        # assemble_corpus's one-pass plan) — same per-stratum window
+        strata = (
+            [strata_col] if isinstance(strata_col, str) else list(strata_col)
+        )
         w = (
-            Window.partitionBy(strata_col)
+            Window.partitionBy(*strata)
             .orderBy(id_col)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
@@ -245,6 +250,7 @@ def corpus_shuffle(
     seed: int = 0,
     epoch: int = 0,
     id_col: str = "doc_id",
+    strata_col: str | None = None,
 ) -> DataFrame:
     """Seeded deterministic global training-order shuffle: adds ``shard``
     (int, ``[0, n_shards)``) and ``pos`` (long, 0-based order within the
@@ -269,11 +275,18 @@ def corpus_shuffle(
     pays — and shard count is the parallelism knob: at 100 TB pick
     n_shards so a shard fits an executor's sort budget (e.g. 10k shards
     of ~10 GB).  No sampling pass, no global window, no driver state.
+
+    ``strata_col`` (optional) scopes ``pos`` to (stratum, shard) — one
+    independent shuffle per stratum in a SINGLE pass/plan, bit-identical
+    to running corpus_shuffle per stratum slice (the hash key does not
+    depend on the stratum), which is how assemble_corpus shuffles every
+    split in one scan instead of one scan per split.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     key = _shuffle_key(id_col, seed, epoch)
-    w = Window.partitionBy("shard").orderBy("__shuffle_key", id_col)
+    parts = ([strata_col] if strata_col else []) + ["shard"]
+    w = Window.partitionBy(*parts).orderBy("__shuffle_key", id_col)
     return (
         df.withColumn("__shuffle_key", key)
         .withColumn(

@@ -289,3 +289,20 @@ def test_chunk_and_encode_streaming_parity(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) > 40
+
+
+def test_encode_rejects_reserved_marker_symbols(spark):
+    """Caller-supplied merge tables are validated against the reserved
+    U+001E/U+001F boundary markers (input TEXT is sanitized, but a
+    hand-edited --merges TSV could smuggle a marker into a symbol and
+    silently corrupt the wrapped fold state — round-7 advisory fix)."""
+    import pytest as _pytest
+
+    from ia_hadoop_tools_spark.operators.bpe import bpe_encode, bpe_token_counts
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id: long, text: string")
+    for bad in [("a", "\x1eb"), ("a\x1f", "b"), ("", "b"), ("a", "")]:
+        with _pytest.raises(ValueError):
+            bpe_encode(df, [bad])
+        with _pytest.raises(ValueError):
+            bpe_token_counts(df, [bad])

@@ -255,6 +255,31 @@ def test_corpus_tokenize_bad_args(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         _run(capsys, "corpus-tokenize", src, str(tmp_path / "y"),
              "--merges", str(bad))
+    # empty LEFT symbol must be rejected too ('\tb' slipped through when
+    # only the right side was checked — round-7 advisory fix)
+    bad2 = tmp_path / "bad2.tsv"
+    bad2.write_text("\tb\n")
+    with pytest.raises(SystemExit):
+        _run(capsys, "corpus-tokenize", src, str(tmp_path / "y2"),
+             "--merges", str(bad2))
+
+
+def test_corpus_tokenize_merges_crlf(spark, tmp_path, capsys):
+    """Windows line endings must not leave '\\r' glued to the right
+    symbol (silently producing no-op merges)."""
+    src = str(tmp_path / "docs_crlf")
+    spark.createDataFrame(
+        [(1, "ab ab ab")], "doc_id: long, text: string"
+    ).write.parquet(src)
+    tsv = tmp_path / "m.tsv"
+    tsv.write_bytes(b"a\tb\r\n")
+    out = str(tmp_path / "crlf_out")
+    got = _run(capsys, "corpus-tokenize", src, out, "--merges", str(tsv),
+               "--emit", "counts")
+    assert "with 1 merges" in got
+    row = spark.read.parquet(out).collect()[0]
+    # the merge APPLIED: 3 words of 'ab' -> 3 tokens, not 6
+    assert (row.n_words, row.n_tokens) == (3, 3)
 
 
 def test_corpus_import_export_roundtrip(spark, tmp_path, capsys):

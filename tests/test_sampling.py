@@ -265,3 +265,23 @@ def test_write_shuffled_shards_one_sorted_file_per_shard(spark, tmp_path):
         assert [(expect[i][0], expect[i][1]) for i in ids] == [
             (shard, p) for p in poss
         ]
+
+
+def test_corpus_shuffle_strata_mode_equals_per_stratum(spark):
+    """strata_col scopes (shard, pos) per stratum in ONE plan and must be
+    bit-identical to shuffling each stratum slice separately (the
+    assemble_corpus one-pass contract)."""
+    from ia_hadoop_tools_spark.operators.sampling import corpus_shuffle
+
+    d = _docs(spark)  # has a 4-value 'source' column
+    combined = {
+        (r.doc_id): (r.source, r.shard, r.pos)
+        for r in corpus_shuffle(d, 4, seed=6, strata_col="source").collect()
+    }
+    separate = {}
+    for src in ("src0", "src1", "src2", "src3"):
+        for r in corpus_shuffle(
+            d.filter(f"source = '{src}'"), 4, seed=6
+        ).collect():
+            separate[r.doc_id] = (src, r.shard, r.pos)
+    assert combined == separate
