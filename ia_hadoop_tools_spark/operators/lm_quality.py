@@ -223,6 +223,230 @@ def train_word_lm(
     )
 
 
+DEFAULT_BACKOFF_ALPHA = 0.4
+
+
+def _word_trigrams(df: DataFrame, keep_cols: list, text_col: str) -> DataFrame:
+    """(keep_cols..., w1, w2, w3) word-trigram rows (zip of three slices)."""
+    raw = F.split(F.lower(F.col(text_col)), "[ \t\n\f\r]+")
+    w = F.filter(raw, lambda t: t != "")
+    m = F.greatest(F.size(w) - 2, F.lit(0))
+    trips = F.zip_with(
+        F.slice(w, 1, m),
+        F.zip_with(
+            F.slice(w, 2, m),
+            F.slice(w, 3, m),
+            lambda b, c: F.struct(b.alias("w2"), c.alias("w3")),
+        ),
+        lambda a, bc: F.struct(
+            a.alias("w1"), bc["w2"].alias("w2"), bc["w3"].alias("w3")
+        ),
+    )
+    return df.select(*keep_cols, F.explode(trips).alias("__t")).select(
+        *keep_cols, "__t.w1", "__t.w2", "__t.w3"
+    )
+
+
+def train_word_backoff_lm(
+    reference: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    alpha: float = DEFAULT_BACKOFF_ALPHA,
+) -> DataFrame:
+    """Word TRIGRAM model with stupid backoff (Brants et al. 2007,
+    "Large Language Models in Machine Translation" §4): relative
+    frequencies at each order, no normalization across backoff paths —
+    the scheme built FOR corpus-scale n-gram scoring, where Kneser-Ney's
+    cross-order bookkeeping is the thing you drop.
+
+    Returns one tall model table (``order`` 1|2|3, ``ctx``, ``nxt``,
+    ``logs``): order-3 rows have ctx = "w1 w2", order-2 ctx = "w1",
+    order-1 ctx = "" with logs = ln(count / total).  All counts are
+    restricted to the top-``vocab_size`` tokens (the same TakeOrdered
+    cap as :func:`train_word_lm` — n-grams touching an out-of-vocab
+    token are dropped), so every order's table is reference- and
+    vocab-bounded, broadcastable at scoring time.
+
+    Score with :func:`lm_score_backoff` using the SAME ``alpha``.
+    LAZY: no job at construction (vocab limit + total ride the plan).
+    """
+    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
+
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    reference = ensure_min_partitions(reference)
+    raw = F.split(F.lower(F.col(text_col)), "[ \t\n\f\r]+")
+    tokens = reference.select(
+        F.explode(F.filter(raw, lambda t: t != "")).alias("__w")
+    )
+    vocab = (
+        tokens.groupBy("__w")
+        .agg(F.count("*").alias("__wc"))
+        .orderBy(F.col("__wc").desc(), F.col("__w").asc())
+        .limit(vocab_size)
+    )
+    v = F.broadcast(vocab.select("__w"))
+    uni = tokens.join(v, "__w").groupBy("__w").agg(F.count("*").alias("__c"))
+    total = uni.agg(F.sum("__c").alias("__tot"))
+    bi = (
+        _word_bigrams(reference, [], text_col)
+        .join(v.withColumnRenamed("__w", "ctx"), "ctx")
+        .join(v.withColumnRenamed("__w", "nxt"), "nxt")
+        .groupBy("ctx", "nxt")
+        .agg(F.count("*").alias("__c"))
+    )
+    tri = (
+        _word_trigrams(reference, [], text_col)
+        .join(v.withColumnRenamed("__w", "w1"), "w1")
+        .join(v.withColumnRenamed("__w", "w2"), "w2")
+        .join(v.withColumnRenamed("__w", "w3"), "w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("__c"))
+    )
+    log6 = lambda num, den: F.round(F.log(num / den), 6)  # noqa: E731
+    m1 = uni.crossJoin(F.broadcast(total)).select(
+        F.lit(1).alias("order"),
+        F.lit("").alias("ctx"),
+        F.col("__w").alias("nxt"),
+        log6(F.col("__c"), F.col("__tot")).alias("logs"),
+    )
+    bi_ctx = uni.select(
+        F.col("__w").alias("ctx"), F.col("__c").alias("__ctxc")
+    )
+    m2 = bi.join(bi_ctx, "ctx").select(
+        F.lit(2).alias("order"),
+        "ctx",
+        "nxt",
+        log6(F.col("__c"), F.col("__ctxc")).alias("logs"),
+    )
+    tri_ctx = bi.select(
+        F.col("ctx").alias("w1"),
+        F.col("nxt").alias("w2"),
+        F.col("__c").alias("__ctxc"),
+    )
+    m3 = tri.join(tri_ctx, ["w1", "w2"]).select(
+        F.lit(3).alias("order"),
+        F.concat_ws(" ", "w1", "w2").alias("ctx"),
+        F.col("w3").alias("nxt"),
+        log6(F.col("__c"), F.col("__ctxc")).alias("logs"),
+    )
+    return m1.unionByName(m2).unionByName(m3)
+
+
+def lm_score_backoff(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = DEFAULT_BACKOFF_ALPHA,
+) -> DataFrame:
+    """(id_col, lm_score, n_trigrams): mean stupid-backoff log-score of
+    each doc's word trigrams under a :func:`train_word_backoff_lm`
+    model.  Per trigram (w1 w2 w3):
+
+        S = rel-freq(w3 | w1 w2)            if the trigram was seen
+          | alpha   * rel-freq(w3 | w2)     elif the (w2, w3) bigram was
+          | alpha^2 * rel-freq(w3)          elif w3 is in-vocab
+          | alpha^2 * 1/V_total             (fully unseen floor)
+
+    Docs with fewer than 3 tokens score null with ``n_trigrams`` 0.
+
+    Plan: skinny (id, w1, w2, w3) rows; THREE broadcast left joins (the
+    model is vocab-bounded at every order); one aggregation back.  The
+    doc text never shuffles.
+    """
+    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
+
+    import math
+
+    docs = ensure_min_partitions(docs)
+    if not model.is_cached:
+        model = model.persist()
+    parts = {
+        o: model.filter(F.col("order") == o).select("ctx", "nxt", "logs")
+        for o in (1, 2, 3)
+    }
+    probe = parts[1].agg(
+        F.count("*").alias("__v"), F.min(F.lit(1)).alias("__one")
+    ).first()
+    if not probe or not probe["__v"]:
+        raise ValueError("lm_score_backoff: model has no unigram rows")
+    floor = round(math.log(1.0 / probe["__v"]), 6)
+    la, la2 = round(math.log(alpha), 6), round(2 * math.log(alpha), 6)
+    grams = _word_trigrams(docs, [F.col(id_col)], text_col)
+    j3 = parts[3].select(
+        F.col("ctx").alias("__c3"), F.col("nxt").alias("__n3"),
+        F.col("logs").alias("__s3"),
+    )
+    j2 = parts[2].select(
+        F.col("ctx").alias("__c2"), F.col("nxt").alias("__n2"),
+        F.col("logs").alias("__s2"),
+    )
+    j1 = parts[1].select(
+        F.col("nxt").alias("__n1"), F.col("logs").alias("__s1")
+    )
+    scored = (
+        grams.join(
+            F.broadcast(j3),
+            (F.concat_ws(" ", "w1", "w2") == F.col("__c3"))
+            & (F.col("w3") == F.col("__n3")),
+            "left",
+        )
+        .join(
+            F.broadcast(j2),
+            (F.col("w2") == F.col("__c2")) & (F.col("w3") == F.col("__n2")),
+            "left",
+        )
+        .join(F.broadcast(j1), F.col("w3") == F.col("__n1"), "left")
+        .select(
+            id_col,
+            # integer MICRO-NATS per trigram: every path value is a sum
+            # of 6-dp constants, so *1e6 is within 1 ULP of an integer —
+            # rounding is tie-free and engine-exact, the integer SUM is
+            # associative (unlike float avg, whose last-ULP accumulation
+            # order broke cross-engine parity), and the final mean is
+            # one fixed-order division of exact operands
+            F.round(
+                F.coalesce(
+                    F.col("__s3"),
+                    F.col("__s2") + F.lit(la),
+                    F.col("__s1") + F.lit(la2),
+                    F.lit(floor + la2),
+                )
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("__micro"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__micro").alias("__sm"),
+            F.count("*").alias("n_trigrams"),
+        )
+        .select(
+            id_col,
+            (
+                F.col("__sm").cast("double")
+                / F.col("n_trigrams")
+                / F.lit(1e6)
+            ).alias("lm_score"),
+            "n_trigrams",
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            "lm_score",
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        )
+    )
+
+
 def lm_score(
     docs: DataFrame,
     model: DataFrame,

@@ -24,6 +24,10 @@ the round-8 freeze:
   word-bigram model shared literally with the oracle (the FIXED_MERGES
   pattern), so the word tokenizer + floor-coalesce scoring path is
   value-level pinned cross-engine without retraining per run.
+- ``lm_backoff_score`` — word-trigram stupid-backoff scoring
+  (operators/lm_quality.lm_score_backoff): a FIXED tall model with rows
+  at every order, so all four backoff paths (trigram hit, +ln a bigram,
+  +2 ln a unigram, unseen floor) are value-level pinned cross-engine.
 """
 
 from __future__ import annotations
@@ -134,12 +138,105 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 SQL_LM_WORD_SCORE = _sql_lm_word_score()
 
 
+#: fixed stupid-backoff model (order, ctx, nxt, logs) shared verbatim
+#: with the oracle — rows at every order so all FOUR scoring paths are
+#: exercised on corpus vocabulary: trigram hit, bigram backoff (+ln a),
+#: unigram backoff (+2 ln a), fully-unseen floor (ln(1/V) + 2 ln a).
+FIXED_BACKOFF_LM: list[tuple[int, str, str, float]] = [
+    (3, "the batch", "batch", -0.510826),
+    (3, "merge slow", "part", -0.693147),
+    (2, "batch", "batch", -0.916291),
+    (2, "on", "the", -1.098612),
+    (2, "the", "fast", -1.203973),
+    (1, "", "the", -2.014903),
+    (1, "", "batch", -2.197225),
+    (1, "", "data", -2.407946),
+    (1, "", "merge", -2.60269),
+]
+
+BACKOFF_ALPHA = 0.4
+#: mirrors lm_score_backoff's driver-side constants for alpha=0.4 and
+#: V = 4 unigram rows (round(ln .4, 6), round(2 ln .4, 6), round(ln .25, 6))
+_BACKOFF_LA = -0.916291
+_BACKOFF_LA2 = -1.832581
+_BACKOFF_FLOOR = -1.386294
+
+
+def q_lm_backoff_score(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.lm_quality import lm_score_backoff
+    from ia_hadoop_tools_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    model = spark.createDataFrame(
+        FIXED_BACKOFF_LM,
+        "order: int, ctx: string, nxt: string, logs: double",
+    )
+    return lm_score_backoff(docs, model, alpha=BACKOFF_ALPHA)
+
+
+def _sql_lm_backoff_score() -> str:
+    def vals(order):
+        return ",\n    ".join(
+            f"('{c}', '{n}', CAST({s} AS DOUBLE))"
+            for o, c, n, s in FIXED_BACKOFF_LM
+            if o == order
+        )
+
+    # the backoff penalties ADD in SQL exactly as Spark adds them
+    # (identical IEEE operands => identical doubles in both engines)
+    return f"""
+WITH m3(ctx, nxt, logs) AS (VALUES
+    {vals(3)}),
+m2(ctx, nxt, logs) AS (VALUES
+    {vals(2)}),
+m1(z, nxt, logs) AS (VALUES
+    {vals(1)}),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+tg AS (
+  SELECT doc_id,
+         ws[CAST(i AS INT)] AS w1,
+         ws[CAST(i AS INT) + 1] AS w2,
+         ws[CAST(i AS INT) + 2] AS w3
+  FROM toks, UNNEST(range(1, len(ws) - 1)) AS u(i)
+  WHERE len(ws) >= 3),
+scored AS (
+  -- integer micro-nats, exact sum, one fixed-order division: mirrors
+  -- lm_score_backoff's engine-exact aggregate (float avg drifted a ULP)
+  SELECT doc_id,
+         (CAST(SUM(CAST(round(coalesce(
+             m3.logs,
+             m2.logs + CAST({_BACKOFF_LA} AS DOUBLE),
+             m1.logs + CAST({_BACKOFF_LA2} AS DOUBLE),
+             CAST({_BACKOFF_FLOOR} AS DOUBLE)
+               + CAST({_BACKOFF_LA2} AS DOUBLE)) * 1000000)
+             AS BIGINT)) AS DOUBLE) / count(*)) / 1000000 AS lm_score,
+         count(*) AS n_trigrams
+  FROM tg
+  LEFT JOIN m3 ON m3.ctx = tg.w1 || ' ' || tg.w2 AND m3.nxt = tg.w3
+  LEFT JOIN m2 ON m2.ctx = tg.w2 AND m2.nxt = tg.w3
+  LEFT JOIN m1 ON m1.nxt = tg.w3
+  GROUP BY doc_id)
+SELECT d.doc_id, s.lm_score,
+       CAST(coalesce(s.n_trigrams, 0) AS BIGINT) AS n_trigrams
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+SQL_LM_BACKOFF_SCORE = _sql_lm_backoff_score()
+
+
 PENDING_QUERIES: dict = {
     "corpus_shuffle": q_corpus_shuffle,
     "lm_word_score": q_lm_word_score,
+    "lm_backoff_score": q_lm_backoff_score,
 }
 
 PENDING_ORACLE_SQL: dict = {
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "lm_word_score": SQL_LM_WORD_SCORE,
+    "lm_backoff_score": SQL_LM_BACKOFF_SCORE,
 }

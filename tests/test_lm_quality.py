@@ -263,3 +263,76 @@ def test_word_lm_bucket_parity_head_middle_tail(spark):
         names = {0: "head", 1: "middle", 2: "tail"}
         assert got == {k: names[v] for k, v in want.items()}
     assert set(got.values()) == {"head", "middle", "tail"}
+
+
+def test_backoff_lm_hand_computed_all_four_paths(spark):
+    """Pin each stupid-backoff path: trigram hit, bigram backoff,
+    unigram backoff, fully-unseen floor — python-side arithmetic."""
+    from ia_hadoop_tools_spark.operators.lm_quality import (
+        lm_score_backoff,
+        train_word_backoff_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran on the mat")],
+        "doc_id: long, text: string",
+    )
+    model = train_word_backoff_lm(ref, alpha=0.4)
+    rows = {(r.order, r.ctx, r.nxt): r.logs for r in model.collect()}
+    toks = "the cat sat on the mat the cat ran on the mat".split()
+    from collections import Counter
+
+    uni = Counter(toks)
+    bi = Counter(zip(toks[:6], toks[1:6])) + Counter(zip(toks[6:], toks[7:]))
+    v = len(uni)
+    assert rows[(1, "", "the")] == round(math.log(uni["the"] / 12), 6)
+    assert rows[(2, "the", "cat")] == round(
+        math.log(bi[("the", "cat")] / uni["the"]), 6
+    )
+    assert rows[(3, "the cat", "sat")] == round(math.log(1 / 2), 6)
+
+    la, la2 = round(math.log(0.4), 6), round(2 * math.log(0.4), 6)
+    docs = spark.createDataFrame(
+        [
+            (10, "the cat sat"),      # trigram hit (count 1 of 2)
+            (11, "cat on the"),       # no "cat on" trigram/bigram start
+            (12, "zz qq xx"),         # fully unseen -> floor
+            (13, "a b"),              # < 3 tokens -> null
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r.doc_id: (r.lm_score, r.n_trigrams)
+        for r in lm_score_backoff(docs, model, alpha=0.4).collect()
+    }
+    assert got[10] == (rows[(3, "the cat", "sat")], 1)
+    # doc 11: trigram (cat, on, the) unseen; bigram (on, the) seen ->
+    # alpha * relfreq(the | on)
+    want11 = round(rows[(2, "on", "the")] + la, 6)
+    assert got[11] == (want11, 1)
+    floor = round(math.log(1.0 / v), 6)
+    assert got[12] == (round(floor + la2, 6), 1)
+    assert got[13] == (None, 0)
+
+
+def test_backoff_lm_ranks_and_empty_model(spark):
+    import pytest as _pytest
+
+    from ia_hadoop_tools_spark.operators.lm_quality import (
+        lm_score_backoff,
+        train_word_backoff_lm,
+    )
+
+    ref, _ = _word_model(spark)
+    model = train_word_backoff_lm(ref)
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "mat the on sat cat the")],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r.lm_score for r in lm_score_backoff(docs, model).collect()}
+    assert got[1] > got[2]
+    empty = model.filter("1 = 0")
+    with _pytest.raises(ValueError, match="unigram"):
+        lm_score_backoff(docs, empty)
+    with _pytest.raises(ValueError):
+        train_word_backoff_lm(ref, alpha=0.0)
