@@ -546,7 +546,9 @@ def cmd_corpus_shuffle(args):
     docs = spark.read.parquet(args.input)
     if args.shards < 1:
         raise SystemExit("--shards must be >= 1")
-    write_shuffled_shards(
+    # count rides the write (Observation) — re-reading the freshly
+    # written shards would double the job's read I/O at scale
+    n = write_shuffled_shards(
         docs,
         args.output,
         n_shards=args.shards,
@@ -554,7 +556,6 @@ def cmd_corpus_shuffle(args):
         epoch=args.epoch,
         id_col=args.id_col,
     )
-    n = spark.read.parquet(args.output).count()
     print(
         f"corpus-shuffle: {n} rows -> {args.shards} shards "
         f"(seed={args.seed}, epoch={args.epoch}) -> {args.output}"

@@ -79,6 +79,11 @@ def assemble_corpus(
             f"budget packing needs token column {token_col!r}; "
             f"df has {df.columns}"
         )
+    if keep_versions is not None and keep_versions < 1:
+        # fail BEFORE the (potentially hours-long) write, not after the
+        # publish succeeded — a post-commit raise reads as a failed job
+        # and a retry would publish a duplicate version
+        raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     version = versioned.next_version(root)
     vdir = versioned.version_dir(root, version)
     # ONE pass for every split: split assignment is a codegen CASE,
@@ -88,8 +93,20 @@ def assemble_corpus(
     # on (split, shard) in pos order, and partitionBy(split, shard)
     # routes the whole version in one write.  A per-split loop would
     # scan + shuffle the corpus once PER split.
-    assigned = split_corpus(df, splits, id_col=id_col).filter(
-        F.col("split").isNotNull()
+    # split fractions may deliberately sum to < 1 (sampled corpora) —
+    # rows outside every range are EXCLUDED from the version, and that
+    # exclusion must be visible: the unassigned count rides the same
+    # action as the write and lands in the manifest
+    from pyspark.sql import Observation
+
+    drop_obs = Observation()
+    assigned = (
+        split_corpus(df, splits, id_col=id_col)
+        .observe(
+            drop_obs,
+            F.count(F.when(F.col("split").isNull(), True)).alias("n_null"),
+        )
+        .filter(F.col("split").isNotNull())
     )
     shuf = corpus_shuffle(
         assigned, n_shards, seed=seed, epoch=epoch, id_col=id_col,
@@ -109,8 +126,6 @@ def assemble_corpus(
     # conditional count per split — splits are a bounded list); a
     # read-back count would re-scan the freshly written version (the
     # cmd_corpus_split rationale, and a full re-read at 100 TB)
-    from pyspark.sql import Observation
-
     obs = Observation()
     count_aggs = [
         F.count(F.when(F.col("split") == name, True)).alias(f"n_{i}")
@@ -128,6 +143,7 @@ def assemble_corpus(
     counts: dict[str, int] = {
         name: int(got[f"n_{i}"]) for i, (name, _f) in enumerate(splits)
     }
+    unassigned = int(drop_obs.get["n_null"])
     manifest = {
         "version": version,
         "splits": [[n, f] for n, f in splits],
@@ -138,6 +154,7 @@ def assemble_corpus(
         "token_col": token_col if budget is not None else None,
         "id_col": id_col,
         "counts": counts,
+        "unassigned": unassigned,
     }
     with fsio.open_write_text(fsio.join(vdir, "MANIFEST.json")) as fh:
         fh.write(json.dumps(manifest, sort_keys=True) + "\n")
@@ -161,21 +178,29 @@ def read_corpus_version(
         if vdir is None:
             raise FileNotFoundError(f"no published corpus version under {root}")
     else:
+        if version not in versioned.existing_versions(root, published_only=True):
+            raise FileNotFoundError(
+                f"version {version} not published under {root}"
+            )
         vdir = versioned.version_dir(root, version)
-        if versioned.existing_versions(root, published_only=True).count(
-            version
-        ) == 0:
-            raise FileNotFoundError(f"version {version} not published under {root}")
     return spark.read.parquet(fsio.join(vdir, f"split={split}"))
 
 
 def read_manifest(root: str, version: int | None = None) -> dict:
-    """The MANIFEST.json of a published version (latest by default)."""
+    """The MANIFEST.json of a published version (latest by default).
+    Refuses unpublished versions like :func:`read_corpus_version` — a
+    crashed save's manifest describes data the commit protocol says is
+    unreadable, so handing it out would let callers act on a torn
+    version's counts."""
     if version is None:
         vdir = versioned.latest_published_dir(root)
         if vdir is None:
             raise FileNotFoundError(f"no published corpus version under {root}")
     else:
+        if version not in versioned.existing_versions(root, published_only=True):
+            raise FileNotFoundError(
+                f"version {version} not published under {root}"
+            )
         vdir = versioned.version_dir(root, version)
     with fsio.open_read_text(fsio.join(vdir, "MANIFEST.json")) as fh:
         return json.load(fh)

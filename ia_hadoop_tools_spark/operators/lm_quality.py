@@ -18,6 +18,10 @@ whole pipeline deterministic, JVM-side, and SQL-oracle-able:
 - :func:`train_word_lm`: the CCNet-fidelity WORD-level sibling — capped
   top-V vocabulary (TakeOrdered, no global sort), same model schema, so
   :func:`lm_score` consumes either via ``unit='char'|'word'``.
+- :func:`train_word_backoff_lm` / :func:`lm_score_backoff`: word
+  TRIGRAM stupid backoff (Brants et al. 2007) — relative frequencies at
+  orders 1-3, vocab-capped at every order, engine-exact integer
+  micro-nat aggregation at scoring time.
 
 Not in the reference (its quality filtering is CDX-rule-level) — a
 training-data-pipeline extension like operators/quality.py, which covers
@@ -28,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ia_hadoop_tools_spark.operators.bpe import WORD_SPLIT
 
 DEFAULT_SMOOTH_K = 0.1
 
@@ -60,7 +66,7 @@ def _word_bigrams(df: DataFrame, keep_cols: list, text_col: str) -> DataFrame:
     across regex engines), empties removed, consecutive pairs via the
     zip-of-two-slices idiom (importance.word_bigrams: element_at is O(n)
     per access, so transform+element_at would be O(n^2) per doc)."""
-    raw = F.split(F.lower(F.col(text_col)), "[ \t\n\f\r]+")
+    raw = F.split(F.lower(F.col(text_col)), WORD_SPLIT)
     w = F.filter(raw, lambda t: t != "")
     m = F.greatest(F.size(w) - 1, F.lit(0))
     pairs = F.zip_with(
@@ -179,7 +185,7 @@ def train_word_lm(
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     reference = ensure_min_partitions(reference)
     bigrams = _word_bigrams(reference, [], text_col)
-    raw = F.split(F.lower(F.col(text_col)), "[ \t\n\f\r]+")
+    raw = F.split(F.lower(F.col(text_col)), WORD_SPLIT)
     tokens = reference.select(
         F.explode(F.filter(raw, lambda t: t != "")).alias("__w")
     )
@@ -228,7 +234,7 @@ DEFAULT_BACKOFF_ALPHA = 0.4
 
 def _word_trigrams(df: DataFrame, keep_cols: list, text_col: str) -> DataFrame:
     """(keep_cols..., w1, w2, w3) word-trigram rows (zip of three slices)."""
-    raw = F.split(F.lower(F.col(text_col)), "[ \t\n\f\r]+")
+    raw = F.split(F.lower(F.col(text_col)), WORD_SPLIT)
     w = F.filter(raw, lambda t: t != "")
     m = F.greatest(F.size(w) - 2, F.lit(0))
     trips = F.zip_with(
@@ -277,7 +283,7 @@ def train_word_backoff_lm(
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     reference = ensure_min_partitions(reference)
-    raw = F.split(F.lower(F.col(text_col)), "[ \t\n\f\r]+")
+    raw = F.split(F.lower(F.col(text_col)), WORD_SPLIT)
     tokens = reference.select(
         F.explode(F.filter(raw, lambda t: t != "")).alias("__w")
     )
@@ -288,7 +294,10 @@ def train_word_backoff_lm(
         .limit(vocab_size)
     )
     v = F.broadcast(vocab.select("__w"))
-    uni = tokens.join(v, "__w").groupBy("__w").agg(F.count("*").alias("__c"))
+    # vocab already carries each kept token's corpus count — re-exploding
+    # the reference to recount them would add a duplicate corpus-wide
+    # aggregation per materialization of this (lazy) model
+    uni = vocab.select("__w", F.col("__wc").alias("__c"))
     total = uni.agg(F.sum("__c").alias("__tot"))
     bi = (
         _word_bigrams(reference, [], text_col)
@@ -368,9 +377,7 @@ def lm_score_backoff(
         o: model.filter(F.col("order") == o).select("ctx", "nxt", "logs")
         for o in (1, 2, 3)
     }
-    probe = parts[1].agg(
-        F.count("*").alias("__v"), F.min(F.lit(1)).alias("__one")
-    ).first()
+    probe = parts[1].agg(F.count("*").alias("__v")).first()
     if not probe or not probe["__v"]:
         raise ValueError("lm_score_backoff: model has no unigram rows")
     floor = round(math.log(1.0 / probe["__v"]), 6)

@@ -20,6 +20,8 @@ All pure codegen projections/windows — no Python, exact SQL oracles.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -67,7 +69,7 @@ def pack_sequences(
     df: DataFrame,
     budget: int,
     token_col: str = "n_tokens",
-    strata_col=None,
+    strata_col: str | Sequence[str] | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Assign each doc a training-sequence bin under a token budget.
@@ -307,9 +309,10 @@ def write_shuffled_shards(
     seed: int = 0,
     epoch: int = 0,
     id_col: str = "doc_id",
-) -> None:
+) -> int:
     """Materialize :func:`corpus_shuffle` as ``shard=<i>/`` parquet dirs,
-    one file per shard, rows stored in shuffle order.
+    one file per shard, rows stored in shuffle order; returns the row
+    count (observed on the write itself — no output read-back).
 
     Routing is ``repartition(n_shards, shard)`` — a pure function of the
     shard id, so every shard lands wholly in one task and each
@@ -318,11 +321,16 @@ def write_shuffled_shards(
     that stream a shard file sequentially replay the training order
     without re-sorting.
     """
+    from pyspark.sql import Observation
+
     out = corpus_shuffle(df, n_shards, seed=seed, epoch=epoch, id_col=id_col)
+    obs = Observation()
     (
-        out.repartition(n_shards, "shard")
+        out.observe(obs, F.count(F.lit(1)).alias("n"))
+        .repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
     )
+    return int(obs.get["n"])

@@ -133,3 +133,21 @@ def test_assemble_validates_token_col(spark, tmp_path):
     d = _docs(spark, n=10).drop("n_tokens")
     with pytest.raises(ValueError, match="token column"):
         assemble_corpus(d, str(tmp_path / "c"), SPLITS, n_shards=2, budget=10)
+
+
+def test_assemble_records_unassigned_and_validates_keep(spark, tmp_path):
+    root = str(tmp_path / "corpusu")
+    d = _docs(spark, n=100)
+    # fractions summing to < 1 leave rows unassigned — that exclusion
+    # must be visible in the manifest, not silent
+    assemble_corpus(d, root, [("train", 0.5)], n_shards=2, seed=4)
+    man = read_manifest(root)
+    assert man["counts"]["train"] + man["unassigned"] == 100
+    assert man["unassigned"] > 0
+    # keep_versions validated BEFORE any work, not after the publish
+    with pytest.raises(ValueError, match="keep_versions"):
+        assemble_corpus(d, root, [("train", 1.0)], n_shards=2, keep_versions=0)
+    # manifests of unpublished versions are refused like the data
+    os.makedirs(os.path.join(root, "v007"))
+    with pytest.raises(FileNotFoundError):
+        read_manifest(root, 7)
