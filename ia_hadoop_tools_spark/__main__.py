@@ -626,10 +626,15 @@ def cmd_corpus_tokenize(args):
                     fh.write(f"{a}\t{b}\n")
     else:
         raise SystemExit("pass --merges FILE or --train N")
-    if args.emit == "tokens":
-        out = bpe_encode(docs, merges)
-    else:
-        out = bpe_token_counts(docs, merges)
+    try:
+        if args.emit == "tokens":
+            out = bpe_encode(docs, merges)
+        else:
+            out = bpe_token_counts(docs, merges)
+    except ValueError as e:
+        # reserved-marker merge symbols (operators/bpe._check_merges)
+        # surface as the CLI's error style, not a traceback
+        raise SystemExit(f"bad --merges table: {e}")
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(

@@ -164,6 +164,19 @@ def assemble_corpus(
     return vdir
 
 
+def _resolve_published_dir(root: str, version: int | None) -> str:
+    """Latest (or explicit) PUBLISHED version dir; FileNotFoundError
+    otherwise — uncommitted (torn) saves are never resolvable."""
+    if version is None:
+        vdir = versioned.latest_published_dir(root)
+        if vdir is None:
+            raise FileNotFoundError(f"no published corpus version under {root}")
+        return vdir
+    if version not in versioned.existing_versions(root, published_only=True):
+        raise FileNotFoundError(f"version {version} not published under {root}")
+    return versioned.version_dir(root, version)
+
+
 def read_corpus_version(
     spark: SparkSession,
     root: str,
@@ -173,16 +186,7 @@ def read_corpus_version(
     """Read one split of a published corpus version (latest by default).
     Raises if no published version exists — a half-written (uncommitted)
     dir is never readable through this path."""
-    if version is None:
-        vdir = versioned.latest_published_dir(root)
-        if vdir is None:
-            raise FileNotFoundError(f"no published corpus version under {root}")
-    else:
-        if version not in versioned.existing_versions(root, published_only=True):
-            raise FileNotFoundError(
-                f"version {version} not published under {root}"
-            )
-        vdir = versioned.version_dir(root, version)
+    vdir = _resolve_published_dir(root, version)
     return spark.read.parquet(fsio.join(vdir, f"split={split}"))
 
 
@@ -192,15 +196,6 @@ def read_manifest(root: str, version: int | None = None) -> dict:
     crashed save's manifest describes data the commit protocol says is
     unreadable, so handing it out would let callers act on a torn
     version's counts."""
-    if version is None:
-        vdir = versioned.latest_published_dir(root)
-        if vdir is None:
-            raise FileNotFoundError(f"no published corpus version under {root}")
-    else:
-        if version not in versioned.existing_versions(root, published_only=True):
-            raise FileNotFoundError(
-                f"version {version} not published under {root}"
-            )
-        vdir = versioned.version_dir(root, version)
+    vdir = _resolve_published_dir(root, version)
     with fsio.open_read_text(fsio.join(vdir, "MANIFEST.json")) as fh:
         return json.load(fh)

@@ -150,6 +150,28 @@ def train_char_lm(
     )
 
 
+def _top_vocab(
+    reference: DataFrame, text_col: str, vocab_size: int
+) -> DataFrame:
+    """(__w, __wc): the top-``vocab_size`` tokens by count, ties broken
+    token-asc (deterministic).  ``orderBy().limit()`` plans as
+    TakeOrderedAndProject — bounded memory, no global sort over the
+    unbounded distinct-token tail.  The ONE vocabulary-cap definition
+    both word trainers share."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    raw = F.split(F.lower(F.col(text_col)), WORD_SPLIT)
+    tokens = reference.select(
+        F.explode(F.filter(raw, lambda t: t != "")).alias("__w")
+    )
+    return (
+        tokens.groupBy("__w")
+        .agg(F.count("*").alias("__wc"))
+        .orderBy(F.col("__wc").desc(), F.col("__w").asc())
+        .limit(vocab_size)
+    )
+
+
 def train_word_lm(
     reference: DataFrame,
     text_col: str = "text",
@@ -181,21 +203,9 @@ def train_word_lm(
     """
     from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
 
-    if vocab_size < 1:
-        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     reference = ensure_min_partitions(reference)
     bigrams = _word_bigrams(reference, [], text_col)
-    raw = F.split(F.lower(F.col(text_col)), WORD_SPLIT)
-    tokens = reference.select(
-        F.explode(F.filter(raw, lambda t: t != "")).alias("__w")
-    )
-    vocab = (
-        tokens.groupBy("__w")
-        .agg(F.count("*").alias("__wc"))
-        .orderBy(F.col("__wc").desc(), F.col("__w").asc())
-        .limit(vocab_size)
-        .select("__w")
-    )
+    vocab = _top_vocab(reference, text_col, vocab_size).select("__w")
     vdf = vocab.agg(F.count("*").alias("__v"))
     kept = bigrams.join(
         F.broadcast(vocab.withColumnRenamed("__w", "ctx")), "ctx"
@@ -257,7 +267,6 @@ def train_word_backoff_lm(
     reference: DataFrame,
     text_col: str = "text",
     vocab_size: int = 50_000,
-    alpha: float = DEFAULT_BACKOFF_ALPHA,
 ) -> DataFrame:
     """Word TRIGRAM model with stupid backoff (Brants et al. 2007,
     "Large Language Models in Machine Translation" §4): relative
@@ -273,26 +282,15 @@ def train_word_backoff_lm(
     token are dropped), so every order's table is reference- and
     vocab-bounded, broadcastable at scoring time.
 
-    Score with :func:`lm_score_backoff` using the SAME ``alpha``.
+    The model is pure relative frequencies — the backoff penalty
+    ``alpha`` is a SCORING-time parameter (:func:`lm_score_backoff`),
+    not baked into the table, so one trained model serves any alpha.
     LAZY: no job at construction (vocab limit + total ride the plan).
     """
     from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
 
-    if vocab_size < 1:
-        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
-    if not (0.0 < alpha <= 1.0):
-        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     reference = ensure_min_partitions(reference)
-    raw = F.split(F.lower(F.col(text_col)), WORD_SPLIT)
-    tokens = reference.select(
-        F.explode(F.filter(raw, lambda t: t != "")).alias("__w")
-    )
-    vocab = (
-        tokens.groupBy("__w")
-        .agg(F.count("*").alias("__wc"))
-        .orderBy(F.col("__wc").desc(), F.col("__w").asc())
-        .limit(vocab_size)
-    )
+    vocab = _top_vocab(reference, text_col, vocab_size)
     v = F.broadcast(vocab.select("__w"))
     # vocab already carries each kept token's corpus count — re-exploding
     # the reference to recount them would add a duplicate corpus-wide
@@ -370,6 +368,11 @@ def lm_score_backoff(
 
     import math
 
+    if not (0.0 < alpha <= 1.0):
+        # alpha > 1 would turn the backoff penalty into a BONUS per
+        # level (all-unseen docs outranking trigram hits, silently
+        # inverting the filter); <= 0 is a domain error in ln
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     docs = ensure_min_partitions(docs)
     if not model.is_cached:
         model = model.persist()

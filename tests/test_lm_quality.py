@@ -277,7 +277,7 @@ def test_backoff_lm_hand_computed_all_four_paths(spark):
         [(1, "the cat sat on the mat"), (2, "the cat ran on the mat")],
         "doc_id: long, text: string",
     )
-    model = train_word_backoff_lm(ref, alpha=0.4)
+    model = train_word_backoff_lm(ref)
     rows = {(r.order, r.ctx, r.nxt): r.logs for r in model.collect()}
     toks = "the cat sat on the mat the cat ran on the mat".split()
     from collections import Counter
@@ -334,5 +334,8 @@ def test_backoff_lm_ranks_and_empty_model(spark):
     empty = model.filter("1 = 0")
     with _pytest.raises(ValueError, match="unigram"):
         lm_score_backoff(docs, empty)
-    with _pytest.raises(ValueError):
-        train_word_backoff_lm(ref, alpha=0.0)
+    # alpha is a SCORING-time knob: > 1 would reward backoff, <= 0 is a
+    # log-domain error — both rejected before any computation
+    for bad in (0.0, -0.1, 1.5):
+        with _pytest.raises(ValueError, match="alpha"):
+            lm_score_backoff(docs, model, alpha=bad)
