@@ -231,6 +231,53 @@ def split_corpus(
     return df.withColumn("split", expr)
 
 
+def split_leakage(
+    df: DataFrame,
+    splits: list[tuple[str, float]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Eval-split contamination audit: groups of IDENTICAL ``text_col``
+    content that straddle more than one split — the leakage that makes
+    validation loss a lie (the val doc IS a train doc).
+
+    Content-addressed split assignment is growth-stable but knows
+    nothing about duplicate text: two byte-identical docs with
+    different ids hash independently and can land in different splits.
+    This returns one row per leaking text group: ``text_md5``,
+    ``n_docs``, ``n_splits``, ``splits`` (sorted comma-joined split
+    list), ``min_doc_id`` (a representative to inspect).  Empty result
+    = no exact-text leakage.  For NEAR-duplicate leakage, run the
+    minhash/simhash pair operators (operators/textops.py) over the
+    split-assigned frame and filter pairs whose sides disagree on
+    ``split`` — same composition, approximate contract.
+
+    Scale shape: one groupBy on the text hash (skinny rows — the text
+    itself reduces to md5 map-side), all aggregates map-side-combinable;
+    output is bounded by the number of DUPLICATE groups, not the corpus.
+    """
+    assigned = split_corpus(df, splits, id_col=id_col).filter(
+        F.col("split").isNotNull()
+    )
+    return (
+        assigned.select(
+            F.md5(F.col(text_col)).alias("text_md5"),
+            "split",
+            F.col(id_col),
+        )
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("split").alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias(
+                "splits"
+            ),
+            F.min(id_col).alias("min_doc_id"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
 _HASH_SPACE = 1 << 32  # hash32 range
 
 

@@ -28,6 +28,11 @@ the round-8 freeze:
   (operators/lm_quality.lm_score_backoff): a FIXED tall model with rows
   at every order, so all four backoff paths (trigram hit, +ln a bigram,
   +2 ln a unigram, unseen floor) are value-level pinned cross-engine.
+- ``split_leakage`` — eval-split contamination audit
+  (operators/sampling.split_leakage): content groups straddling >1
+  split; the oracle row keys on a 2-token prefix signature so the
+  synthetic corpus (which has no exact full-text dups) yields a
+  substantive, value-level-checked result at every SF.
 """
 
 from __future__ import annotations
@@ -229,14 +234,83 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 SQL_LM_BACKOFF_SCORE = _sql_lm_backoff_score()
 
 
+#: splits for the leakage audit — same shape as corpus_queries.SPLITS
+LEAK_SPLITS: list[tuple[str, float]] = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+#: leakage signature granularity: the synthetic corpus has no EXACT
+#: full-text duplicates, so the oracle row audits a 2-token prefix
+#: fingerprint — coarse enough to collide for real at every SF, while
+#: the operator itself stays generic (text_col takes any content key)
+LEAK_PREFIX_TOKENS = 2
+
+
+def q_split_leakage(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from ia_hadoop_tools_spark.operators.bpe import WORD_SPLIT
+    from ia_hadoop_tools_spark.operators.sampling import split_leakage
+    from ia_hadoop_tools_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ws = F2.filter(
+        F2.split(F2.lower("text"), WORD_SPLIT), lambda t: t != F2.lit("")
+    )
+    sig = F2.array_join(F2.slice(ws, 1, LEAK_PREFIX_TOKENS), " ")
+    return split_leakage(
+        docs.select("doc_id", sig.alias("sig")), LEAK_SPLITS, text_col="sig"
+    )
+
+
+def _sql_split_leakage() -> str:
+    from ia_hadoop_tools_spark.functions.hashfns import hash32_sql
+    from ia_hadoop_tools_spark.operators.sampling import _MOD
+
+    cases, cum = [], 0.0
+    for name, frac in LEAK_SPLITS:
+        cum += frac
+        cases.append(f"WHEN b < {int(round(cum * _MOD))} THEN '{name}'")
+    h = hash32_sql("CAST(doc_id AS VARCHAR)", salt="split:")
+    return f"""
+WITH sigs AS (
+  SELECT doc_id,
+         array_to_string(
+           list_filter(regexp_split_to_array(lower(text),
+                       '[ \\t\\n\\f\\r]+'), x -> x <> '')
+             [1 : {LEAK_PREFIX_TOKENS}], ' ') AS sig
+  FROM documents),
+assigned AS (
+  SELECT doc_id, md5(sig) AS text_md5,
+         CASE {' '.join(cases)} ELSE NULL END AS split
+  FROM (SELECT doc_id, sig, {h} % {_MOD} AS b FROM sigs)
+  ),
+grp AS (
+  SELECT text_md5,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT split) AS n_splits,
+         array_to_string(list_sort(list_distinct(list(split))), ',')
+           AS splits,
+         MIN(doc_id) AS min_doc_id
+  FROM assigned WHERE split IS NOT NULL
+  GROUP BY text_md5)
+SELECT text_md5, n_docs, n_splits, splits, min_doc_id
+FROM grp WHERE n_splits > 1
+"""
+
+
+SQL_SPLIT_LEAKAGE = _sql_split_leakage()
+
+
 PENDING_QUERIES: dict = {
     "corpus_shuffle": q_corpus_shuffle,
     "lm_word_score": q_lm_word_score,
     "lm_backoff_score": q_lm_backoff_score,
+    "split_leakage": q_split_leakage,
 }
 
 PENDING_ORACLE_SQL: dict = {
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "lm_word_score": SQL_LM_WORD_SCORE,
     "lm_backoff_score": SQL_LM_BACKOFF_SCORE,
+    "split_leakage": SQL_SPLIT_LEAKAGE,
 }

@@ -285,3 +285,32 @@ def test_corpus_shuffle_strata_mode_equals_per_stratum(spark):
         ).collect():
             separate[r.doc_id] = (src, r.shard, r.pos)
     assert combined == separate
+
+
+def test_split_leakage_detects_cross_split_dups(spark):
+    from ia_hadoop_tools_spark.operators.sampling import (
+        split_corpus,
+        split_leakage,
+    )
+
+    splits = [("train", 0.5), ("val", 0.5)]
+    # 40 docs sharing one text: with content-addressed 50/50 assignment
+    # the group straddles both splits with near-certainty; unique-text
+    # docs can never leak
+    rows = [(i, "shared boilerplate text") for i in range(40)]
+    rows += [(100 + i, f"unique text {i}") for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = split_leakage(d, splits).collect()
+    assert len(got) == 1
+    (g,) = got
+    assert g.n_docs == 40 and g.n_splits == 2 and g.splits == "train,val"
+    assert g.min_doc_id == 0
+    # consistency: every leaked group's members really do span splits
+    assigned = {
+        r.doc_id: r.split for r in split_corpus(d, splits).collect()
+    }
+    spans = {assigned[i] for i in range(40)}
+    assert spans == {"train", "val"}
+    # no leakage when everything lands in one split
+    none = split_leakage(d, [("all", 1.0)]).collect()
+    assert none == []
