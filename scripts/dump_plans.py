@@ -255,6 +255,20 @@ COMMENTARY = {
         "scoring; one map-side-combinable aggregation back to per-doc "
         "means. The doc text itself stays in the scan stage."
     ),
+    "lm_backoff_score": (
+        "THREE broadcast left joins (orders 3/2/1 of the vocab-bounded "
+        "model) feed one coalesce — the stupid-backoff cascade as pure "
+        "codegen; per-trigram scores become integer micro-nats BEFORE "
+        "the aggregate, so the sum is associative and the cross-engine "
+        "value is exact (a float avg drifted a ULP). No corpus shuffle."
+    ),
+    "split_leakage": (
+        "The text reduces to md5 map-side (skinny rows into the ONE "
+        "groupBy); every aggregate is partial/map-side-combinable and "
+        "the output is bounded by duplicate-group count, not corpus "
+        "size. The split CASE is the same zero-Exchange codegen "
+        "projection as corpus_split."
+    ),
 }
 
 

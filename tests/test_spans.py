@@ -166,7 +166,7 @@ def test_span_ops_expose_release_handles(spark):
     """Loop callers must be able to unpersist the internal caches
     (span_caches = (base, grams)); after releasing, no persisted RDDs
     from the call remain."""
-    from tests.test_bloom_bpe import _n_persistent
+    from tests.test_bloom_bpe import _persistent_ids
 
     from ia_hadoop_tools_spark.operators.spans import (
         span_dedup,
@@ -177,11 +177,11 @@ def test_span_ops_expose_release_handles(spark):
         [(1, "a b c d e f g h a b c d e f g h"), (2, "a b c d e f g h x y")],
         "doc_id long, text string",
     )
-    before = _n_persistent(spark)
+    before = _persistent_ids(spark)
     for fn in (span_dedup_stats, span_dedup):
         out = fn(df, n=4)
         out.count()
         assert len(out.span_caches) == 2
         for cached in out.span_caches:
             cached.unpersist(blocking=True)
-        assert _n_persistent(spark) == before
+        assert _persistent_ids(spark) - before == set()
