@@ -3369,3 +3369,14 @@ from ia_hadoop_tools_spark.corpus_queries import (  # noqa: E402
 
 QUERIES.update(CORPUS_QUERIES)
 ORACLES.update(CORPUS_ORACLES)
+
+# 95. Round-8 freeze registrations: the four training-corpus queries
+# staged as round-7 pending entries (corpus_shuffle, lm_word_score,
+# lm_backoff_score, split_leakage) — corpus_queries_r8.py.
+from ia_hadoop_tools_spark.corpus_queries_r8 import (  # noqa: E402
+    R8_ORACLES,
+    R8_QUERIES,
+)
+
+QUERIES.update(R8_QUERIES)
+ORACLES.update(R8_ORACLES)
