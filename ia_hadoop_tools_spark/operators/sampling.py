@@ -175,30 +175,27 @@ def release_pack_cache(out: DataFrame) -> None:
         release_local_checkpoint(cache)
 
 
-def split_corpus(
-    df: DataFrame,
-    splits: list[tuple[str, float]],
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Adds ``split``: deterministic, disjoint train/val/test-style
-    assignment by cumulative hash ranges — the eval-split step every
-    training pipeline needs to be reproducible AND stable under corpus
-    growth (a doc's split never changes when other docs are added,
-    unlike any sort/row_number scheme).
+def _check_output_columns(df: DataFrame, outputs: Sequence[str], op: str):
+    # withColumn silently REPLACES an existing column, so a caller's
+    # frame already carrying an output/scratch name would lose data with
+    # no warning (round-7 advisor finding) — fail loudly instead
+    clash = [c for c in outputs if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"{op}: input already has column(s) {clash}; rename or drop "
+            "them first (the operator would silently overwrite them)"
+        )
 
-    ``splits`` is ordered (name, fraction) with fractions summing to
-    <= 1; rows whose bucket falls past the cumulative total get a NULL
-    split (kept, so the caller decides — sum to 1.0 to assign all).
-    The hash is salted ('split:') so ranges do NOT correlate with
-    sample_hash / sample_stratified buckets: sampling 10% then
-    splitting stays unbiased.
 
-    One codegen CASE over the md5 bucket — no shuffle, no Python; exact
-    SQL oracle via hashfns.hash32_sql.
-    """
-    from ia_hadoop_tools_spark.functions.hashfns import hash32
-
+def _split_expr(id_expr, splits: list[tuple[str, float]]):
+    """The content-addressed split CASE over an arbitrary id expression
+    (validates ``splits``): split_corpus applies it to ``id_col``;
+    split_leakage_near re-applies the identical expression to each pair
+    side, so pair splits are bit-identical to split_corpus with zero
+    extra join or shuffle."""
     import math
+
+    from ia_hadoop_tools_spark.functions.hashfns import hash32
 
     if not splits:
         raise ValueError("splits must be non-empty")
@@ -218,7 +215,7 @@ def split_corpus(
     names = [n for n, _ in splits]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate split names: {names}")
-    bucket = hash32(F.col(id_col).cast("string"), salt="split:") % _MOD
+    bucket = hash32(id_expr.cast("string"), salt="split:") % _MOD
     expr = F.lit(None).cast("string")
     cum = 0.0
     # build the CASE back-to-front so earlier splits win their range
@@ -228,7 +225,33 @@ def split_corpus(
         bounds.append((name, int(round(cum * _MOD))))
     for name, ub in reversed(bounds):
         expr = F.when(bucket < ub, F.lit(name)).otherwise(expr)
-    return df.withColumn("split", expr)
+    return expr
+
+
+def split_corpus(
+    df: DataFrame,
+    splits: list[tuple[str, float]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adds ``split``: deterministic, disjoint train/val/test-style
+    assignment by cumulative hash ranges — the eval-split step every
+    training pipeline needs to be reproducible AND stable under corpus
+    growth (a doc's split never changes when other docs are added,
+    unlike any sort/row_number scheme).
+
+    ``splits`` is ordered (name, fraction) with fractions summing to
+    <= 1; rows whose bucket falls past the cumulative total get a NULL
+    split (kept, so the caller decides — sum to 1.0 to assign all).
+    The hash is salted ('split:') so ranges do NOT correlate with
+    sample_hash / sample_stratified buckets: sampling 10% then
+    splitting stays unbiased.
+
+    One codegen CASE over the md5 bucket — no shuffle, no Python; exact
+    SQL oracle via hashfns.hash32_sql.  Raises if the input already has
+    a ``split`` column (withColumn would silently overwrite it).
+    """
+    _check_output_columns(df, ["split"], "split_corpus")
+    return df.withColumn("split", _split_expr(F.col(id_col), splits))
 
 
 def split_leakage(
@@ -247,10 +270,9 @@ def split_leakage(
     This returns one row per leaking text group: ``text_md5``,
     ``n_docs``, ``n_splits``, ``splits`` (sorted comma-joined split
     list), ``min_doc_id`` (a representative to inspect).  Empty result
-    = no exact-text leakage.  For NEAR-duplicate leakage, run the
-    minhash/simhash pair operators (operators/textops.py) over the
-    split-assigned frame and filter pairs whose sides disagree on
-    ``split`` — same composition, approximate contract.
+    = no exact-text leakage.  For NEAR-duplicate leakage use
+    :func:`split_leakage_near` (MinHash-LSH pairs whose sides disagree
+    on split — same composition, approximate contract).
 
     Scale shape: one groupBy on the text hash (skinny rows — the text
     itself reduces to md5 map-side), all aggregates map-side-combinable;
@@ -276,6 +298,75 @@ def split_leakage(
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+def split_leakage_near(
+    df: DataFrame,
+    splits: list[tuple[str, float]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 5000,
+) -> DataFrame:
+    """NEAR-duplicate eval-split contamination audit — the leakage mode
+    real corpora actually have (exact dups are usually deduped before
+    splitting, but a val doc that is a 90%-Jaccard rewrite of a train
+    doc still makes validation loss a lie).
+
+    Composes :func:`split_corpus`'s content-addressed assignment with
+    the MinHash-LSH near-duplicate pair detector
+    (operators/textops.minhash_lsh_pairs — banded candidates, exact
+    Jaccard verification): returns one row per near-dup pair whose
+    sides land in DIFFERENT splits — ``(id_a, id_b, jaccard, split_a,
+    split_b)`` with id_a < id_b and jaccard >= ``threshold``.  Pairs
+    with an unassigned (NULL-split) side are dropped.  Empty result =
+    no near-dup leakage at this threshold.  Exact-duplicate leakage is
+    the cheaper :func:`split_leakage`.
+
+    Scale shape: the pair detector is the dominant cost and is fully
+    bucketed (band self-join + hot-bucket cap — no all-pairs stage);
+    the split labels are NOT joined back — ``split_corpus``'s CASE is a
+    pure function of the id, so each side's split is recomputed as a
+    codegen projection on the surviving pairs (bit-identical to the
+    assignment, zero extra shuffle).  Output is bounded by the near-dup
+    pair count.  Release ``out.shingle_cache`` after the action.
+    """
+    from ia_hadoop_tools_spark.operators.textops import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        df.select(id_col, text_col),
+        id_col=id_col,
+        text_col=text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_words=shingle_words,
+        threshold=threshold,
+        max_bucket=max_bucket,
+    )
+    split_a = _split_expr(F.col("id_a"), splits)
+    split_b = _split_expr(F.col("id_b"), splits)
+    out = (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            split_a.alias("split_a"),
+            split_b.alias("split_b"),
+        )
+        .filter(
+            F.col("split_a").isNotNull()
+            & F.col("split_b").isNotNull()
+            & (F.col("split_a") != F.col("split_b"))
+        )
+    )
+    # propagate the detector's release/metrics handles
+    out.shingle_cache = pairs.shingle_cache
+    if hasattr(pairs, "hot_bucket_obs"):
+        out.hot_bucket_obs = pairs.hot_bucket_obs
+    return out
 
 
 _HASH_SPACE = 1 << 32  # hash32 range
@@ -333,6 +424,7 @@ def corpus_shuffle(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    _check_output_columns(df, ["__shuffle_key", "shard", "pos"], "corpus_shuffle")
     key = _shuffle_key(id_col, seed, epoch)
     parts = ([strata_col] if strata_col else []) + ["shard"]
     w = Window.partitionBy(*parts).orderBy("__shuffle_key", id_col)

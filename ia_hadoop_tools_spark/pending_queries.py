@@ -13,11 +13,85 @@ Round-8 freeze: the four round-7 pending entries (``corpus_shuffle``,
 ``lm_word_score``, ``lm_backoff_score``, ``split_leakage``) were
 registered (registry 111 -> 115) and now live in
 ``corpus_queries_r8.py``.  Entries added below during round 8 register
-at the round-9 freeze.
+at the round-9 freeze:
+
+- ``split_leakage_near`` — NEAR-duplicate eval-split contamination
+  (operators/sampling.split_leakage_near): MinHash-LSH near-dup pairs
+  whose sides land in different content-addressed splits — the leakage
+  mode real corpora have (exact dups are deduped before splitting; a
+  val doc that is a 90%-Jaccard rewrite of a train doc is not).  The
+  oracle composes the registry's exact MinHash pair SQL
+  (driver_queries.SQL_MINHASH_PAIRS — deterministic fixed-seed
+  signatures) with the split CASE applied per pair side, mirroring the
+  operator's zero-join recomputation.
 """
 
 from __future__ import annotations
 
-PENDING_QUERIES: dict = {}
+#: same split shape as corpus_queries_r8.LEAK_SPLITS / corpus SPLITS
+NEAR_SPLITS: list[tuple[str, float]] = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
 
-PENDING_ORACLE_SQL: dict = {}
+
+def q_split_leakage_near(spark, sf_dir):
+    from ia_hadoop_tools_spark.driver_queries import (
+        JACCARD_THRESHOLD,
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        SHINGLE_WORDS,
+    )
+    from ia_hadoop_tools_spark.operators.sampling import split_leakage_near
+    from ia_hadoop_tools_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return split_leakage_near(
+        docs,
+        NEAR_SPLITS,
+        num_perm=MINHASH_PERMS,
+        bands=MINHASH_BANDS,
+        shingle_words=SHINGLE_WORDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _sql_split_leakage_near() -> str:
+    # the registry's exact minhash-pair SQL as a derived table, then the
+    # split CASE applied to each side — the same composition the
+    # operator runs (split is a pure function of the id, so no join)
+    from ia_hadoop_tools_spark.driver_queries import SQL_MINHASH_PAIRS
+    from ia_hadoop_tools_spark.functions.hashfns import hash32_sql
+    from ia_hadoop_tools_spark.operators.sampling import _MOD
+
+    def case(bcol: str) -> str:
+        cases, cum = [], 0.0
+        for name, frac in NEAR_SPLITS:
+            cum += frac
+            cases.append(f"WHEN {bcol} < {int(round(cum * _MOD))} THEN '{name}'")
+        return f"CASE {' '.join(cases)} ELSE NULL END"
+
+    ha = hash32_sql("CAST(id_a AS VARCHAR)", salt="split:")
+    hb = hash32_sql("CAST(id_b AS VARCHAR)", salt="split:")
+    return f"""
+SELECT id_a, id_b, jaccard, split_a, split_b
+FROM (
+  SELECT id_a, id_b, jaccard,
+         {case('ba')} AS split_a,
+         {case('bb')} AS split_b
+  FROM (
+    SELECT id_a, id_b, jaccard,
+           {ha} % {_MOD} AS ba,
+           {hb} % {_MOD} AS bb
+    FROM ({SQL_MINHASH_PAIRS}) pairs))
+WHERE split_a IS NOT NULL AND split_b IS NOT NULL AND split_a <> split_b
+"""
+
+
+SQL_SPLIT_LEAKAGE_NEAR = _sql_split_leakage_near()
+
+
+PENDING_QUERIES: dict = {
+    "split_leakage_near": q_split_leakage_near,
+}
+
+PENDING_ORACLE_SQL: dict = {
+    "split_leakage_near": SQL_SPLIT_LEAKAGE_NEAR,
+}

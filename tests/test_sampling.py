@@ -314,3 +314,63 @@ def test_split_leakage_detects_cross_split_dups(spark):
     # no leakage when everything lands in one split
     none = split_leakage(d, [("all", 1.0)]).collect()
     assert none == []
+
+
+def test_split_leakage_near_detects_cross_split_neardups(spark):
+    from ia_hadoop_tools_spark.operators.sampling import (
+        split_corpus,
+        split_leakage_near,
+    )
+
+    splits = [("train", 0.5), ("val", 0.5)]
+    # engineer a near-dup group that straddles splits: find one train id
+    # and one val id under the content-addressed assignment, give them
+    # ~90%-Jaccard texts (NOT byte-identical), plus a same-split near-dup
+    # pair (must NOT be reported) and unrelated docs (no pairs at all)
+    ids = list(range(60))
+    probe = spark.createDataFrame([(i,) for i in ids], "doc_id: long")
+    assigned = {r.doc_id: r.split for r in split_corpus(probe, splits).collect()}
+    train_ids = [i for i in ids if assigned[i] == "train"]
+    val_ids = [i for i in ids if assigned[i] == "val"]
+    assert len(train_ids) >= 2 and len(val_ids) >= 1
+    a, b = train_ids[0], val_ids[0]  # cross-split near-dup pair
+    c, e = train_ids[0], train_ids[1]  # same-split near-dup pair (c==a ok)
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows = [
+        (a, base + " tonight"),
+        (b, base + " today"),
+        (e, base + " tomorrow"),  # same split as a: pair (a,e) suppressed
+        (999, "completely unrelated content about spark physical plans"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = split_leakage_near(d, splits, threshold=0.5)
+    got = {(r.id_a, r.id_b): (r.split_a, r.split_b, r.jaccard) for r in out.collect()}
+    out.shingle_cache.unpersist()
+    # exactly the cross-split pairs: (a,b) and (e,b) — never (a,e)
+    expect_keys = {tuple(sorted(p)) for p in [(a, b), (e, b)]}
+    assert set(got) == expect_keys
+    for (x, y), (sx, sy, jac) in got.items():
+        assert {sx, sy} == {"train", "val"}
+        assert sx == assigned.get(x, sx) and sy == assigned.get(y, sy)
+        assert jac >= 0.5
+    # no leakage when everything is one split
+    none = split_leakage_near(d, [("all", 1.0)], threshold=0.5)
+    assert none.collect() == []
+    none.shingle_cache.unpersist()
+
+
+def test_output_column_clash_raises(spark):
+    import pytest
+
+    from ia_hadoop_tools_spark.operators.sampling import (
+        corpus_shuffle,
+        split_corpus,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "train", 0), (2, "val", 1)], "doc_id: long, split: string, pos: long"
+    )
+    with pytest.raises(ValueError, match="split_corpus.*split"):
+        split_corpus(d, [("a", 1.0)])
+    with pytest.raises(ValueError, match="corpus_shuffle.*pos"):
+        corpus_shuffle(d, 4)
