@@ -3006,28 +3006,16 @@ LM_CAL_DOCS = 200
 
 
 def q_lm_buckets(spark, sf_dir):
-    from pyspark.sql import Window
+    from ia_hadoop_tools_spark.operators.lm_quality import lm_buckets
 
     scored = q_lm_score(spark, sf_dir).filter(F.col("lm_score").isNotNull())
-    # consumed twice (calibration slice + final bucketing) — no persist:
-    # Catalyst's ReusedExchange already dedups the shared scoring
-    # pipeline inside the single action (persisting measured SLOWER)
-    cal = scored.filter(F.col("doc_id") < LM_CAL_DOCS)
-    w = Window.orderBy(F.col("lm_score").desc(), F.col("doc_id").asc())
-    ranked = cal.withColumn("__b", F.ntile(3).over(w))
-    th = ranked.groupBy().agg(
-        F.min(F.when(F.col("__b") == 1, F.col("lm_score"))).alias("__t1"),
-        F.min(F.when(F.col("__b") == 2, F.col("lm_score"))).alias("__t2"),
-    )
-    bucket = (
-        F.when(F.col("lm_score") >= F.col("__t1"), "head")
-        .when(F.col("lm_score") >= F.col("__t2"), "middle")
-        .otherwise("tail")
-    )
+    # scored is consumed twice inside lm_buckets (calibration slice +
+    # final bucketing) — no persist: Catalyst's ReusedExchange already
+    # dedups the shared scoring pipeline inside the single action
+    # (persisting measured SLOWER)
+    bucketed = lm_buckets(scored, calibration=F.col("doc_id") < LM_CAL_DOCS)
     return (
-        scored.crossJoin(F.broadcast(th))
-        .withColumn("bucket", bucket)
-        .groupBy("bucket")
+        bucketed.groupBy("bucket")
         .agg(
             F.count("*").alias("n_docs"),
             F.round(F.avg("lm_score"), 6).alias("avg_score"),

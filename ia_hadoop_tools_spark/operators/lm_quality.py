@@ -457,6 +457,78 @@ def lm_score_backoff(
     )
 
 
+def lm_buckets(
+    scored: DataFrame,
+    calibration=None,
+    n_buckets: int = 3,
+    score_col: str = "lm_score",
+    id_col: str = "doc_id",
+    labels: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """CCNet's operational step (Wenzek et al. 2020 §4.4): bucket a
+    SCORED corpus into head/middle/tail (keep / flag / drop) by LM
+    score quantile.  Works over ANY scorer's output — char
+    (:func:`lm_score` with a :func:`train_char_lm` model), word
+    (``unit='word'`` with :func:`train_word_lm`), or trigram backoff
+    (:func:`lm_score_backoff`) — which is the word-level perplexity cut
+    users actually ship; the scorer choice stays orthogonal to the
+    bucketing.
+
+    ``calibration`` is an optional boolean Column selecting the bounded
+    calibration slice the quantile cutoffs derive from (CCNet derives
+    cutoffs once from a calibration sample, NOT by globally ranking the
+    corpus — a corpus-wide ntile would funnel every (doc, score) pair
+    through one window task).  Default None calibrates on all non-null
+    scores: fine for bounded frames, NOT the 100 TB path — at scale pass
+    a fixed-size predicate (e.g. ``F.col('doc_id') < 200``).
+
+    Returns ``scored`` plus ``bucket``: cutoff k = the minimum score of
+    ntile k over the calibration slice (ordered score desc, id asc —
+    deterministic ties), bucket = first label whose cutoff the score
+    meets.  Null scores get a null bucket (kept; caller decides, the
+    split_corpus NULL convention).  The cutoff row broadcasts; the
+    corpus side is a pure comparison, embarrassingly parallel.
+    """
+    if labels is None:
+        labels = (
+            ("head", "middle", "tail")
+            if n_buckets == 3
+            else tuple(f"b{i}" for i in range(1, n_buckets + 1))
+        )
+    if len(labels) != n_buckets:
+        raise ValueError(
+            f"labels must have n_buckets={n_buckets} entries, got {labels}"
+        )
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from pyspark.sql import Window
+
+    cal = scored.filter(F.col(score_col).isNotNull())
+    if calibration is not None:
+        cal = cal.filter(calibration)
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    ranked = cal.withColumn("__b", F.ntile(n_buckets).over(w))
+    th = ranked.groupBy().agg(
+        *[
+            F.min(
+                F.when(F.col("__b") == k, F.col(score_col))
+            ).alias(f"__t{k}")
+            for k in range(1, n_buckets)
+        ]
+    )
+    bucket = F.lit(labels[-1])
+    for k in range(n_buckets - 1, 0, -1):
+        bucket = F.when(
+            F.col(score_col) >= F.col(f"__t{k}"), labels[k - 1]
+        ).otherwise(bucket)
+    bucket = F.when(F.col(score_col).isNotNull(), bucket)
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .withColumn("bucket", bucket)
+        .drop(*[f"__t{k}" for k in range(1, n_buckets)])
+    )
+
+
 def lm_score(
     docs: DataFrame,
     model: DataFrame,

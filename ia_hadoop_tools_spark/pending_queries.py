@@ -24,6 +24,11 @@ at the round-9 freeze:
   (driver_queries.SQL_MINHASH_PAIRS — deterministic fixed-seed
   signatures) with the split CASE applied per pair side, mirroring the
   operator's zero-join recomputation.
+- ``lm_word_buckets`` — the WORD-level CCNet head/middle/tail cut
+  (operators/lm_quality.lm_buckets over lm_score_backoff): the
+  registered char ``lm_buckets`` row's calibration shape applied to the
+  word-trigram stupid-backoff scorer with the round-8-registered FIXED
+  model, shared verbatim with the oracle.
 """
 
 from __future__ import annotations
@@ -88,10 +93,77 @@ WHERE split_a IS NOT NULL AND split_b IS NOT NULL AND split_a <> split_b
 SQL_SPLIT_LEAKAGE_NEAR = _sql_split_leakage_near()
 
 
+#: calibration-slice bound for the word-level bucket cut (the fixed-size
+#: slice trick of the registered char lm_buckets row, driver_queries
+#: LM_CAL_DOCS — constant cost at any SF)
+WORD_BUCKET_CAL_DOCS = 200
+
+
+def q_lm_word_buckets(spark, sf_dir):
+    """Word-level CCNet head/middle/tail cut: lm_buckets over the
+    word-trigram stupid-backoff scorer with the FIXED model shared with
+    the oracle — the perplexity bucket users actually ship (Wenzek et
+    al. 2020 filter on word-level perplexity, not char statistics)."""
+    from pyspark.sql import functions as F2
+
+    from ia_hadoop_tools_spark.corpus_queries_r8 import (
+        BACKOFF_ALPHA,
+        FIXED_BACKOFF_LM,
+    )
+    from ia_hadoop_tools_spark.operators.lm_quality import (
+        lm_buckets,
+        lm_score_backoff,
+    )
+    from ia_hadoop_tools_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    model = spark.createDataFrame(
+        FIXED_BACKOFF_LM,
+        "order: int, ctx: string, nxt: string, logs: double",
+    )
+    scored = lm_score_backoff(docs, model, alpha=BACKOFF_ALPHA).filter(
+        F2.col("lm_score").isNotNull()
+    )
+    return lm_buckets(
+        scored, calibration=F2.col("doc_id") < WORD_BUCKET_CAL_DOCS
+    ).select("doc_id", "lm_score", "bucket")
+
+
+def _sql_lm_word_buckets() -> str:
+    # the registered lm_buckets shape (tercile cutoffs from the bounded
+    # calibration slice) over the round-8-registered backoff score SQL;
+    # the micro-nat score is engine-exact, so cutoff comparisons are too
+    from ia_hadoop_tools_spark.corpus_queries_r8 import SQL_LM_BACKOFF_SCORE
+
+    return f"""
+WITH lm AS (
+  SELECT doc_id, lm_score FROM ({SQL_LM_BACKOFF_SCORE}) sc
+  WHERE lm_score IS NOT NULL),
+cal AS (
+  SELECT lm_score,
+         ntile(3) OVER (ORDER BY lm_score DESC, doc_id ASC) AS b
+  FROM lm WHERE doc_id < {WORD_BUCKET_CAL_DOCS}),
+th AS (
+  SELECT min(CASE WHEN b = 1 THEN lm_score END) AS t1,
+         min(CASE WHEN b = 2 THEN lm_score END) AS t2
+  FROM cal)
+SELECT doc_id, lm_score,
+       CASE WHEN lm_score >= t1 THEN 'head'
+            WHEN lm_score >= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lm, th
+"""
+
+
+SQL_LM_WORD_BUCKETS = _sql_lm_word_buckets()
+
+
 PENDING_QUERIES: dict = {
     "split_leakage_near": q_split_leakage_near,
+    "lm_word_buckets": q_lm_word_buckets,
 }
 
 PENDING_ORACLE_SQL: dict = {
     "split_leakage_near": SQL_SPLIT_LEAKAGE_NEAR,
+    "lm_word_buckets": SQL_LM_WORD_BUCKETS,
 }

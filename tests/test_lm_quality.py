@@ -202,16 +202,8 @@ def test_word_lm_scores_rank_english_over_shuffled(spark):
     assert got[3] == (None, 0)
 
 
-def test_word_lm_bucket_parity_head_middle_tail(spark):
-    """CCNet's operational step works identically on word scores: the
-    q_lm_buckets shape (fixed calibration slice -> tercile cutoffs ->
-    broadcast comparison) applied to unit='word' scores must reproduce
-    a direct pandas bucketing of the same scores."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    ref, model = _word_model(spark)
-    docs = spark.createDataFrame(
+def _bucket_docs(spark):
+    return spark.createDataFrame(
         [
             (i, t)
             for i, t in enumerate(
@@ -230,39 +222,115 @@ def test_word_lm_bucket_parity_head_middle_tail(spark):
         ],
         "doc_id: long, text: string",
     )
-    scored = lm_score(docs, model, unit="word").filter(
-        F.col("lm_score").isNotNull()
-    )
-    w = Window.orderBy(F.col("lm_score").desc(), F.col("doc_id").asc())
-    ranked = scored.withColumn("__b", F.ntile(3).over(w))
-    th = ranked.groupBy().agg(
-        F.min(F.when(F.col("__b") == 1, F.col("lm_score"))).alias("t1"),
-        F.min(F.when(F.col("__b") == 2, F.col("lm_score"))).alias("t2"),
-    )
-    got = {
-        r.doc_id: r.bucket
-        for r in scored.crossJoin(F.broadcast(th))
-        .withColumn(
-            "bucket",
-            F.when(F.col("lm_score") >= F.col("t1"), "head")
-            .when(F.col("lm_score") >= F.col("t2"), "middle")
-            .otherwise("tail"),
-        )
-        .collect()
-    }
-    # independent pandas reference over the same scores
-    pdf = scored.toPandas().sort_values(
+
+
+def _pandas_terciles(scored_pdf):
+    """Independent reference bucketing mirroring CCNet's threshold
+    semantics: rank by (score desc, id asc) into exact terciles (when
+    evenly divisible), take each tile's min score as its cutoff, then
+    assign by score >= cutoff — so a score TIE straddling a tile
+    boundary lands whole in the higher bucket, same as the operator."""
+    pdf = scored_pdf.sort_values(
         ["lm_score", "doc_id"], ascending=[False, True]
     )
     n = len(pdf)
-    want = {}
-    for rank, (_, row) in enumerate(pdf.iterrows()):
-        tier = rank * 3 // n if n % 3 == 0 else None
-        want[row.doc_id] = tier
-    if n % 3 == 0:  # exact terciles only when evenly divisible
-        names = {0: "head", 1: "middle", 2: "tail"}
-        assert got == {k: names[v] for k, v in want.items()}
+    if n % 3 != 0:
+        return None
+    # itertuples keeps doc_id integral (iterrows coerces to float64)
+    rows = list(pdf.itertuples(index=False))
+    t1 = min(r.lm_score for i, r in enumerate(rows) if i * 3 // n == 0)
+    t2 = min(r.lm_score for i, r in enumerate(rows) if i * 3 // n == 1)
+    return {
+        int(r.doc_id): (
+            "head" if r.lm_score >= t1
+            else "middle" if r.lm_score >= t2
+            else "tail"
+        )
+        for r in rows
+    }
+
+
+def test_word_lm_bucket_parity_head_middle_tail(spark):
+    """CCNet's operational step works identically on word scores: the
+    lm_buckets operator (fixed calibration slice -> tercile cutoffs ->
+    broadcast comparison) applied to unit='word' scores must reproduce
+    a direct pandas bucketing of the same scores."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.lm_quality import lm_buckets
+
+    ref, model = _word_model(spark)
+    docs = _bucket_docs(spark)
+    scored = lm_score(docs, model, unit="word").filter(
+        F.col("lm_score").isNotNull()
+    )
+    got = {r.doc_id: r.bucket for r in lm_buckets(scored).collect()}
+    want = _pandas_terciles(scored.toPandas())
+    if want is not None:  # exact terciles only when evenly divisible
+        assert got == want
     assert set(got.values()) == {"head", "middle", "tail"}
+
+
+def test_lm_buckets_char_word_parity_and_scorers(spark):
+    """The bucket operator is scorer-agnostic: char-model scores,
+    word-model scores, and backoff scores each bucket per THEIR OWN
+    score ordering (the operator never looks at text), and two scorers
+    with the same ranking produce the same buckets."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.lm_quality import (
+        lm_buckets,
+        lm_score_backoff,
+        train_char_lm,
+        train_word_backoff_lm,
+    )
+
+    docs = _bucket_docs(spark)
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        "doc_id: long, text: string",
+    )
+    for scored in (
+        lm_score(docs, train_char_lm(ref), unit="char"),
+        lm_score_backoff(docs, train_word_backoff_lm(ref, vocab_size=100)),
+    ):
+        scored = scored.filter(F.col("lm_score").isNotNull())
+        got = {r.doc_id: r.bucket for r in lm_buckets(scored).collect()}
+        want = _pandas_terciles(scored.toPandas())
+        if want is not None:
+            assert got == want
+        assert set(got.values()) == {"head", "middle", "tail"}
+
+
+def test_lm_buckets_null_scores_and_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.lm_quality import lm_buckets
+
+    scored = spark.createDataFrame(
+        [(1, -1.0), (2, -2.0), (3, -3.0), (4, None)],
+        "doc_id: long, lm_score: double",
+    )
+    out = {r.doc_id: r.bucket for r in lm_buckets(scored).collect()}
+    # null score -> null bucket, row kept (split_corpus NULL convention)
+    assert out == {1: "head", 2: "middle", 3: "tail", 4: None}
+    # bounded calibration slice: cutoffs derive only from the slice
+    cal = {
+        r.doc_id: r.bucket
+        for r in lm_buckets(
+            scored, calibration=F.col("doc_id") <= 3
+        ).collect()
+    }
+    assert cal == out
+    with pytest.raises(ValueError, match="labels"):
+        lm_buckets(scored, labels=("a", "b"))
+    with pytest.raises(ValueError, match="n_buckets"):
+        lm_buckets(scored, n_buckets=1)
+    # n_buckets=2 with generated labels
+    # ntile(2) over 3 rows puts 2 in the first tile -> cutoff -2.0
+    two = {r.doc_id: r.bucket for r in lm_buckets(scored, n_buckets=2).collect()}
+    assert two == {1: "b1", 2: "b1", 3: "b2", 4: None}
 
 
 def test_backoff_lm_hand_computed_all_four_paths(spark):
