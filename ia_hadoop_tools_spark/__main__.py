@@ -564,9 +564,14 @@ def cmd_corpus_shuffle(args):
 
 def cmd_corpus_split(args):
     """corpus-split: deterministic train/val/test assignment written as
-    one partitioned parquet (outdir/split=train/...).  Cost: the write
-    scan plus ONE counting aggregation over the same lineage (assigned
-    and unassigned in a single pass — no output read-back to go wrong)."""
+    one partitioned parquet (outdir/split=train/...).  ONE pass: the
+    per-split and unassigned counts ride the write itself as an
+    ``Observation`` below the NULL filter (the write_shuffled_shards
+    pattern) — no second aggregation job over the input lineage, no
+    output read-back."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     from ia_hadoop_tools_spark.operators.sampling import split_corpus
 
     spark = _spark(args)
@@ -576,17 +581,32 @@ def cmd_corpus_split(args):
         out = split_corpus(docs, splits)
     except ValueError as e:
         raise SystemExit(f"bad --fractions: {e}")
-    out.filter("split IS NOT NULL").write.mode("overwrite").partitionBy(
-        "split"
-    ).parquet(args.output)
+    obs = Observation()
+    (
+        out.observe(
+            obs,
+            *[
+                F.sum(
+                    F.when(F.col("split") == name, 1).otherwise(0)
+                ).alias(f"n_{i}")
+                for i, (name, _) in enumerate(splits)
+            ],
+            F.sum(
+                F.when(F.col("split").isNull(), 1).otherwise(0)
+            ).alias("n_unassigned"),
+        )
+        .filter("split IS NOT NULL")
+        .write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(args.output)
+    )
+    got = obs.get
     counts = {
-        r.split: r.n
-        for r in out.groupBy("split")
-        .count()
-        .withColumnRenamed("count", "n")
-        .collect()
+        name: int(got[f"n_{i}"] or 0)
+        for i, (name, _) in enumerate(splits)
+        if (got[f"n_{i}"] or 0) > 0
     }
-    n_un = counts.pop(None, 0)
+    n_un = int(got["n_unassigned"] or 0)
     print(
         f"corpus-split: {counts} assigned, {n_un} unassigned -> {args.output}"
     )

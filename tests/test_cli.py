@@ -381,6 +381,29 @@ def test_corpus_split_cli(spark, tmp_path, capsys):
              "--fractions", "oops")
 
 
+def test_corpus_split_cli_single_job(spark, tmp_path, capsys):
+    """The printed counts ride the write as an Observation — ONE data
+    job (the old path ran a second aggregation over the input lineage:
+    a full extra input scan at 100 TB).  Budget is 2 jobs total:
+    read.parquet's schema-inference footer job + the write; a third job
+    means the aggregation pass is back."""
+    src = str(tmp_path / "sp1_docs")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(50)], "doc_id: long, text: string"
+    ).write.parquet(src)
+    sc = spark.sparkContext
+    group = "corpus-split-job-probe"
+    sc.setJobGroup(group, "schema read + ONE write job only")
+    try:
+        got = _run(capsys, "corpus-split", src, str(tmp_path / "sp1_out"),
+                   "--fractions", "train=0.5,val=0.5")
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup("", "")
+    assert "0 unassigned" in got
+    assert len(list(jobs or [])) <= 2
+
+
 def test_corpus_split_cli_all_unassigned(spark, tmp_path, capsys):
     src = str(tmp_path / "sp0_docs")
     spark.createDataFrame(
