@@ -67,6 +67,20 @@ def assemble_corpus(
     ``keep_versions`` prunes to the newest N published versions after a
     successful commit (the retention contract of
     ``versioned.prune_versions``).
+
+    SINGLE WRITER per root: the next-version choice is list-then-write,
+    so two concurrent assembles could pick the same number.  The second
+    writer fails fast here (the chosen version dir already exists)
+    instead of silently overwriting the first's uncommitted output —
+    serialize publishes per root externally.
+
+    Multi-epoch training loops call this per epoch with the same root,
+    inputs, seed, and a bumped ``epoch``: the split assignment is
+    epoch-independent (content-addressed on ``id_col``) while shard and
+    order decorrelate per epoch, each epoch's version stays
+    independently replayable, and ``keep_versions`` can prune mid-loop
+    without touching the newest versions (pinned by
+    tests/test_assemble.py's epoch-loop contract test).
     """
     from ia_hadoop_tools_spark.operators.sampling import (
         corpus_shuffle,
@@ -86,6 +100,13 @@ def assemble_corpus(
         raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     version = versioned.next_version(root)
     vdir = versioned.version_dir(root, version)
+    if fsio.exists(vdir):
+        # a concurrent assemble picked the same number between the
+        # listing and now — overwriting would tear ITS uncommitted write
+        raise RuntimeError(
+            f"{vdir} already exists: concurrent assemble_corpus on the "
+            "same root (single-writer protocol) — retry after it commits"
+        )
     # ONE pass for every split: split assignment is a codegen CASE,
     # corpus_shuffle's strata mode scopes (shard, pos) per split in a
     # single window (bit-identical to shuffling each split slice
@@ -122,6 +143,23 @@ def assemble_corpus(
             strata_col=("split", "shard"),
             id_col="pos",
         )
+        # pack-waste observability: in the concat-and-chunk layout every
+        # bin is exactly full EXCEPT each shard's tail bin, so a shard's
+        # wasted tokens = budget - fill(tail bin), read off the LAST row
+        # (lead(pos) null) whose stream end is seq_start + tokens.  The
+        # marker window shares the pack window's exact partition/order
+        # spec, so Catalyst folds it into the same window stage — no
+        # extra exchange; the per-split sums ride the write Observation.
+        from pyspark.sql import Window
+
+        w_tail = Window.partitionBy("split", "shard").orderBy("pos")
+        fill = (F.col("seq_start") + F.col(token_col) - 1) % budget + 1
+        shuf = shuf.withColumn(
+            "__waste",
+            F.when(
+                F.lead("pos").over(w_tail).isNull(), F.lit(budget) - fill
+            ).otherwise(F.lit(0)),
+        )
     # manifest counts ride the write itself via an Observation (one
     # conditional count per split — splits are a bounded list); a
     # read-back count would re-scan the freshly written version (the
@@ -131,9 +169,24 @@ def assemble_corpus(
         F.count(F.when(F.col("split") == name, True)).alias(f"n_{i}")
         for i, (name, _f) in enumerate(splits)
     ]
+    if budget is not None:
+        count_aggs += [
+            agg
+            for i, (name, _f) in enumerate(splits)
+            for agg in (
+                F.sum(
+                    F.when(F.col("split") == name, F.col("__waste")).otherwise(0)
+                ).alias(f"w_{i}"),
+                F.sum(
+                    F.when(F.col("split") == name, F.col(token_col)).otherwise(0)
+                ).alias(f"t_{i}"),
+            )
+        ]
+    out = shuf.observe(obs, *count_aggs)
+    if budget is not None:
+        out = out.drop("__waste")
     (
-        shuf.observe(obs, *count_aggs)
-        .repartition(n_shards * len(splits), "split", "shard")
+        out.repartition(n_shards * len(splits), "split", "shard")
         .sortWithinPartitions("split", "shard", "pos")
         .write.mode("overwrite")
         .partitionBy("split", "shard")
@@ -143,6 +196,18 @@ def assemble_corpus(
     counts: dict[str, int] = {
         name: int(got[f"n_{i}"]) for i, (name, _f) in enumerate(splits)
     }
+    pack_waste = None
+    if budget is not None:
+        pack_waste = {}
+        for i, (name, _f) in enumerate(splits):
+            wasted = int(got[f"w_{i}"] or 0)
+            toks = int(got[f"t_{i}"] or 0)
+            cap = wasted + toks  # bins * budget
+            pack_waste[name] = {
+                "wasted_tokens": wasted,
+                "capacity_tokens": cap,
+                "fraction": round(wasted / cap, 6) if cap else 0.0,
+            }
     unassigned = int(drop_obs.get["n_null"])
     manifest = {
         "version": version,
@@ -155,6 +220,9 @@ def assemble_corpus(
         "id_col": id_col,
         "counts": counts,
         "unassigned": unassigned,
+        # wasted-token fraction of the packed stream per split (tail-bin
+        # padding) — the pack-efficiency number a training team watches
+        "pack_waste": pack_waste,
     }
     with fsio.open_write_text(fsio.join(vdir, "MANIFEST.json")) as fh:
         fh.write(json.dumps(manifest, sort_keys=True) + "\n")

@@ -151,3 +151,124 @@ def test_assemble_records_unassigned_and_validates_keep(spark, tmp_path):
     os.makedirs(os.path.join(root, "v007"))
     with pytest.raises(FileNotFoundError):
         read_manifest(root, 7)
+
+
+def test_assemble_epoch_loop_contract(spark, tmp_path):
+    """The multi-epoch training loop: same root/inputs/seed, epoch
+    0..2.  Contract: (a) split assignment is invariant across epochs
+    (content-addressed on doc_id, epoch salts only the shuffle);
+    (b) epochs are DECORRELATED orders, not rotations; (c) every
+    epoch's version replays bit-identically from its params; (d)
+    keep_versions prunes safely mid-loop (newest versions stay
+    readable)."""
+    root = str(tmp_path / "corpus_epochs")
+    d = _docs(spark, n=240)
+    vdirs = [
+        assemble_corpus(d, root, SPLITS, n_shards=2, seed=7, epoch=e)
+        for e in range(3)
+    ]
+
+    def split_assign(vdir):
+        out = {}
+        for split in ("train", "val"):
+            for _shard, rs in _shard_rows(vdir, split).items():
+                for r in rs:
+                    out[r[0]] = split
+        return out
+
+    def train_order(vdir):
+        rows = _shard_rows(vdir, "train")
+        return [
+            r[0]
+            for shard in sorted(rows)
+            for r in sorted(rows[shard], key=lambda t: t[1])
+        ]
+
+    # (a) split-assignment invariance across epochs
+    s0 = split_assign(vdirs[0])
+    assert len(s0) == 240
+    assert all(split_assign(v) == s0 for v in vdirs[1:])
+    # (b) order decorrelation: each epoch pair orders train differently
+    orders = [train_order(v) for v in vdirs]
+    assert orders[0] != orders[1] != orders[2] and orders[0] != orders[2]
+    # not a rotation of each other either
+    double = orders[0] + orders[0]
+    assert all(
+        orders[k] != double[i:i + len(orders[0])]
+        for k in (1, 2)
+        for i in range(len(orders[0]))
+    )
+    # (c) per-epoch bit-identical replay (new version, same content)
+    replay = assemble_corpus(d, root, SPLITS, n_shards=2, seed=7, epoch=1)
+    for split in ("train", "val"):
+        assert _shard_rows(replay, split) == _shard_rows(vdirs[1], split)
+    # (d) prune mid-loop: the epoch-3 publish with keep_versions=2 drops
+    # everything but the newest two; those stay independently readable
+    assemble_corpus(
+        d, root, SPLITS, n_shards=2, seed=7, epoch=3, keep_versions=2
+    )
+    for gone in ("v000", "v001", "v002"):
+        assert not os.path.exists(os.path.join(root, gone))
+    for v in (3, 4):
+        man = read_manifest(root, v)
+        assert read_corpus_version(spark, root, "train", version=v).count() \
+            == man["counts"]["train"]
+    assert read_manifest(root, 4)["epoch"] == 3
+
+
+def test_assemble_refuses_concurrent_same_version(spark, tmp_path, monkeypatch):
+    """Single-writer protocol: if the chosen version dir already exists
+    (a racing assemble picked the same number), fail fast instead of
+    overwriting its uncommitted output."""
+    from ia_hadoop_tools_spark.streaming import versioned
+
+    root = str(tmp_path / "corpus_race")
+    d = _docs(spark, n=20)
+    assemble_corpus(d, root, SPLITS, n_shards=2, seed=1)
+    monkeypatch.setattr(versioned, "next_version", lambda r: 0)
+    with pytest.raises(RuntimeError, match="single-writer"):
+        assemble_corpus(d, root, SPLITS, n_shards=2, seed=1)
+
+
+def test_assemble_pack_waste_hand_computed(spark, tmp_path):
+    """pack_waste in the manifest: tail-bin padding per split.  One
+    shard, tokens 3+4+5=12, budget 5 -> 3 bins, capacity 15, waste 3."""
+    root = str(tmp_path / "corpus_waste")
+    d = spark.createDataFrame(
+        [(1, "a", 3), (2, "b", 4), (3, "c", 5)],
+        "doc_id: long, text: string, n_tokens: long",
+    )
+    assemble_corpus(d, root, [("train", 1.0)], n_shards=1, seed=0, budget=5)
+    man = read_manifest(root)
+    assert man["pack_waste"] == {
+        "train": {
+            "wasted_tokens": 3,
+            "capacity_tokens": 15,
+            "fraction": 0.2,
+        }
+    }
+    # no packing -> no pack_waste section
+    root2 = str(tmp_path / "corpus_nowaste")
+    assemble_corpus(d, root2, [("train", 1.0)], n_shards=1, seed=0)
+    assert read_manifest(root2)["pack_waste"] is None
+
+
+def test_assemble_pack_waste_multi_shard_matches_data(spark, tmp_path):
+    """Multi-shard waste equals the per-shard tail-bin formula computed
+    independently from the written rows."""
+    root = str(tmp_path / "corpus_waste2")
+    d = _docs(spark, n=120)
+    vdir = assemble_corpus(d, root, SPLITS, n_shards=3, seed=5, budget=64)
+    man = read_manifest(root)
+    for split in ("train", "val"):
+        expect = 0
+        cap = 0
+        for _shard, rs in _shard_rows(vdir, split).items():
+            t = sum(5 + doc_id % 37 for doc_id, *_ in rs)
+            if rs:
+                expect += 64 - ((t - 1) % 64 + 1)
+                cap += ((t - 1) // 64 + 1) * 64
+        got = man["pack_waste"][split]
+        assert got["wasted_tokens"] == expect
+        assert got["capacity_tokens"] == cap
+        assert got["fraction"] == round(expect / cap, 6)
