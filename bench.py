@@ -88,6 +88,7 @@ def main() -> None:
     reps_fast = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_FAST", "5")))
 
     timings: dict[str, float] = {}
+    reps_used: dict[str, int] = {}
     for name, fn in QUERIES.items():
         best = -1.0
         done = 0
@@ -112,6 +113,7 @@ def main() -> None:
             if best < fast_wall:
                 budget = reps_fast
         timings[name] = best
+        reps_used[name] = done
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -123,6 +125,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reps": reps,
+                # per-query rep count actually used (fast queries take
+                # extra reps) — cross-round diffs of sub-second queries
+                # must compare like-for-like protocols
+                "reps_used": reps_used,
                 "agg": "min",
                 "load_1m_start": load_start,
                 "load_1m_end": round(os.getloadavg()[0], 2),

@@ -478,12 +478,42 @@ def cmd_corpus_import(args):
 def cmd_corpus_export(args):
     """corpus-export: documents parquet -> sharded JSONL (optionally
     gzip), the interchange format downstream tokenizer/training stacks
-    read."""
+    read — or ``--codec zipnum``, the reference's own blocked-gzip
+    cluster format, for frames carrying split/shard/pos (a published
+    corpus version dir round-trips byte-exactly)."""
+    from ia_hadoop_tools_spark.sources import fsio
+
     spark = _spark(args)
-    df = spark.read.parquet(args.input)
+    # a corpus VERSION dir (corpus-assemble output) holds MANIFEST.json
+    # + _PUBLISHED beside the split=* dirs — read it through the
+    # version-frame helper so split/shard stay partition columns
+    if fsio.exists(fsio.join(args.input, "MANIFEST.json")):
+        from ia_hadoop_tools_spark.operators.assemble import (
+            read_version_frame,
+        )
+
+        df = read_version_frame(spark, args.input)
+    else:
+        df = spark.read.parquet(args.input)
+    if args.shards is not None and args.shards < 1:
+        raise SystemExit("--shards must be >= 1")
+    if getattr(args, "codec", "jsonl") == "zipnum":
+        from ia_hadoop_tools_spark.operators.assemble import (
+            export_corpus_zipnum,
+        )
+
+        try:
+            export_corpus_zipnum(
+                df,
+                args.output,
+                lines_per_block=args.lines_per_block,
+                num_shards=args.shards,
+            )
+        except ValueError as e:
+            raise SystemExit(f"corpus-export: {e}")
+        print(f"corpus-export: {args.input} -> {args.output} (zipnum)")
+        return
     if args.shards is not None:
-        if args.shards < 1:
-            raise SystemExit("--shards must be >= 1")
         df = df.repartition(args.shards)
     w = df.write.mode("overwrite")
     if args.compression != "none":
@@ -870,13 +900,17 @@ def main(argv=None):
     s.set_defaults(fn=cmd_corpus_import)
 
     s = sub.add_parser(
-        "corpus-export", help="docs parquet -> sharded JSONL"
+        "corpus-export", help="docs parquet -> sharded JSONL or ZipNum"
     )
     s.add_argument("input")
     s.add_argument("output")
+    s.add_argument("--codec", choices=("jsonl", "zipnum"), default="jsonl",
+                   help="zipnum needs split/shard/pos columns "
+                        "(a published corpus version dir)")
     s.add_argument("--compression", default="gzip",
-                   help="json codec, or 'none'")
+                   help="json codec, or 'none' (jsonl only)")
     s.add_argument("--shards", type=int, default=None)
+    s.add_argument("--lines-per-block", type=int, default=3000)
     s.set_defaults(fn=cmd_corpus_export)
 
     s = sub.add_parser(

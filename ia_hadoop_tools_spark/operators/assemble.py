@@ -258,6 +258,120 @@ def read_corpus_version(
     return spark.read.parquet(fsio.join(vdir, f"split={split}"))
 
 
+#: zero-pad widths for the ZipNum interchange key "{split}:{shard}:{pos}"
+#: — numeric components sort correctly as text at any corpus size
+_ZN_SHARD_W = 5
+_ZN_POS_W = 20
+_ZN_KEY_RE = rf"^(.*):(\d{{{_ZN_SHARD_W}}}):(\d{{{_ZN_POS_W}}})$"
+
+
+def export_corpus_zipnum(
+    df: DataFrame,
+    out_dir: str,
+    lines_per_block: int = 3000,
+    num_shards: int | None = None,
+) -> None:
+    """Export a corpus frame carrying (``split``, ``shard``, ``pos``) as
+    a ZipNum cluster — the reference's own interchange format
+    (mapreduce/ZipNumOutputFormat.java:32, cdx/notes.txt:1-36) — so a
+    published version round-trips through tooling that speaks blocked
+    gzip + idx sidecars.  Line format: one space-delimited record per
+    row, key ``{split}:{shard:05d}:{pos:020d}`` then a JSON object of
+    every other column.  Keys sort text-wise in training order, so the
+    cluster's sorted/indexed range scans work: ``zipnum_range(spark,
+    out, 'train', 'train~')`` streams one split without reading the
+    rest (the CDXCluster.getRangeBlockIterator semantics).
+    """
+    from ia_hadoop_tools_spark.sources.zipnum import write_zipnum
+
+    for c in ("split", "shard", "pos"):
+        if c not in df.columns:
+            raise ValueError(
+                f"export_corpus_zipnum needs column {c!r}; df has {df.columns}"
+            )
+    payload_cols = [c for c in df.columns if c not in ("split", "shard", "pos")]
+    line = F.concat_ws(
+        " ",
+        F.concat_ws(
+            ":",
+            F.col("split"),
+            F.format_string(f"%0{_ZN_SHARD_W}d", "shard"),
+            F.format_string(f"%0{_ZN_POS_W}d", "pos"),
+        ),
+        F.to_json(F.struct(*payload_cols)),
+    )
+    write_zipnum(
+        df.select(line.alias("value")),
+        out_dir,
+        lines_per_block=lines_per_block,
+        num_shards=num_shards,
+    )
+
+
+def export_version_zipnum(
+    spark: SparkSession,
+    root: str,
+    out_dir: str,
+    version: int | None = None,
+    lines_per_block: int = 3000,
+    num_shards: int | None = None,
+) -> str:
+    """Export one PUBLISHED corpus version (latest by default) as a
+    ZipNum cluster; returns the exported version dir.  Refuses torn
+    saves like every other version reader."""
+    vdir = _resolve_published_dir(root, version)
+    export_corpus_zipnum(
+        read_version_frame(spark, vdir),
+        out_dir,
+        lines_per_block=lines_per_block,
+        num_shards=num_shards,
+    )
+    return vdir
+
+
+def read_version_frame(spark: SparkSession, vdir: str) -> DataFrame:
+    """All splits of one version DIR as a frame with split/shard kept as
+    partition columns: glob only the ``split=*`` dirs (the version dir
+    also holds MANIFEST.json + _PUBLISHED, which a bare parquet read
+    trips over) with ``basePath`` so the glob level stays a column."""
+    return (
+        spark.read.option("basePath", vdir)
+        .parquet(fsio.join(vdir, "split=*"))
+    )
+
+
+def import_corpus_zipnum(
+    spark: SparkSession,
+    in_dir: str,
+    payload_schema,
+) -> DataFrame:
+    """Read an :func:`export_corpus_zipnum` cluster back into a corpus
+    frame (``split``, ``shard``, ``pos``, payload columns).
+
+    ``payload_schema`` is the payload columns' StructType or DDL string
+    (take it from the source version's parquet or your own contract —
+    inferring types from JSON samples would silently widen/narrow on
+    sparse columns).  The key regexp keeps split names containing ':'
+    intact (greedy prefix; only the two fixed-width numeric tails are
+    peeled off).
+    """
+    from ia_hadoop_tools_spark.sources.zipnum import read_zipnum
+
+    lines = read_zipnum(spark, in_dir)
+    key = F.substring_index("value", " ", 1)
+    body = F.expr("substring(value, instr(value, ' ') + 1)")
+    parsed = F.from_json(body, payload_schema).alias("__p")
+    return (
+        lines.select(
+            F.regexp_extract(key, _ZN_KEY_RE, 1).alias("split"),
+            F.regexp_extract(key, _ZN_KEY_RE, 2).cast("int").alias("shard"),
+            F.regexp_extract(key, _ZN_KEY_RE, 3).cast("long").alias("pos"),
+            parsed,
+        )
+        .select("split", "shard", "pos", "__p.*")
+    )
+
+
 def read_manifest(root: str, version: int | None = None) -> dict:
     """The MANIFEST.json of a published version (latest by default).
     Refuses unpublished versions like :func:`read_corpus_version` — a

@@ -363,6 +363,14 @@ def lm_score_backoff(
     Plan: skinny (id, w1, w2, w3) rows; THREE broadcast left joins (the
     model is vocab-bounded at every order); one aggregation back.  The
     doc text never shuffles.
+
+    Persist contract (same as :func:`lm_score`): the model plan is
+    consumed multiple times (unigram probe + three order slices), so an
+    unpersisted model is persisted internally with NO release handle —
+    loop callers passing fresh (plan-distinct) model frames would
+    accumulate cache entries; persist the model ONCE yourself in loops
+    (CacheManager dedups identical plans, so repeated calls on the SAME
+    frame don't stack).
     """
     from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
 

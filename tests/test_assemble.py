@@ -272,3 +272,46 @@ def test_assemble_pack_waste_multi_shard_matches_data(spark, tmp_path):
         assert got["wasted_tokens"] == expect
         assert got["capacity_tokens"] == cap
         assert got["fraction"] == round(expect / cap, 6)
+
+
+def test_corpus_version_zipnum_roundtrip(spark, tmp_path):
+    """A published version round-trips through the reference's own
+    interchange format (ZipNum blocked gzip + idx sidecars), and the
+    sorted key layout supports per-split indexed range scans."""
+    from ia_hadoop_tools_spark.operators.assemble import (
+        export_version_zipnum,
+        import_corpus_zipnum,
+    )
+    from ia_hadoop_tools_spark.sources.zipnum import zipnum_range
+
+    root = str(tmp_path / "corpus_zn")
+    d = _docs(spark, n=80)
+    vdir = assemble_corpus(d, root, SPLITS, n_shards=2, seed=3, budget=32)
+    out = str(tmp_path / "zn_cluster")
+    assert export_version_zipnum(spark, root, out) == vdir
+    assert os.path.exists(os.path.join(out, "ALL.summary"))
+    src = spark.read.option("basePath", vdir).parquet(
+        os.path.join(vdir, "split=*")
+    )
+    payload_cols = [c for c in src.columns if c not in ("split", "shard", "pos")]
+    schema = src.select(*payload_cols).schema
+    back = import_corpus_zipnum(spark, out, schema)
+    key = ["split", "shard", "pos"]
+    a = sorted(map(tuple, src.select(*key, *payload_cols).collect()))
+    b = sorted(map(tuple, back.select(*key, *payload_cols).collect()))
+    assert a == b and len(a) == 80
+    # indexed range scan streams exactly one split (':' < ';' bounds)
+    tr = zipnum_range(spark, out, "train:", "train;").count()
+    assert tr == read_manifest(root)["counts"]["train"]
+    # torn saves are refused like every other version reader
+    os.makedirs(os.path.join(root, "v009"))
+    with pytest.raises(FileNotFoundError):
+        export_version_zipnum(spark, root, str(tmp_path / "zn9"), version=9)
+
+
+def test_export_corpus_zipnum_validates_columns(spark, tmp_path):
+    from ia_hadoop_tools_spark.operators.assemble import export_corpus_zipnum
+
+    d = _docs(spark, n=5)
+    with pytest.raises(ValueError, match="split"):
+        export_corpus_zipnum(d, str(tmp_path / "zn_bad"))

@@ -473,3 +473,29 @@ def test_corpus_assemble_cli(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="token column"):
         _run(capsys, "corpus-assemble", src2, str(tmp_path / "asm_bad"),
              "--shards", "1", "--budget", "8")
+
+
+def test_corpus_export_zipnum_cli_roundtrip(spark, tmp_path, capsys):
+    """corpus-export --codec zipnum on a published version dir emits a
+    readable ZipNum cluster; frames without split/shard/pos are refused."""
+    from ia_hadoop_tools_spark.operators.assemble import (
+        assemble_corpus,
+        import_corpus_zipnum,
+    )
+
+    root = str(tmp_path / "znroot")
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id: long, text: string"
+    )
+    vdir = assemble_corpus(docs, root, [("train", 1.0)], n_shards=2, seed=1)
+    out = str(tmp_path / "zn_out")
+    got = _run(capsys, "corpus-export", vdir, out, "--codec", "zipnum")
+    assert "(zipnum)" in got
+    back = import_corpus_zipnum(spark, out, "doc_id bigint, text string")
+    assert back.count() == 40
+    # refusal: plain docs parquet has no split/shard/pos
+    src = str(tmp_path / "plain")
+    docs.write.parquet(src)
+    with pytest.raises(SystemExit, match="split"):
+        _run(capsys, "corpus-export", src, str(tmp_path / "zn_bad"),
+             "--codec", "zipnum")
