@@ -269,6 +269,23 @@ COMMENTARY = {
         "size. The split CASE is the same zero-Exchange codegen "
         "projection as corpus_split."
     ),
+    # --- round-8 pending entries (pending_queries.py) ---
+    "split_leakage_near": (
+        "The MinHash-LSH pair detector dominates and keeps its bucketed "
+        "shape (band self-join on skinny (id, bucket) rows, hot-bucket "
+        "cap, verify-once); the split labels are NOT joined back — the "
+        "content-addressed split CASE re-evaluates as a codegen "
+        "projection on each surviving pair side, so cross-split "
+        "filtering adds zero exchanges to the detector's plan."
+    ),
+    "lm_word_buckets": (
+        "The backoff scorer's three broadcast joins + integer micro-nat "
+        "aggregate feed the bucket step unchanged; the tercile cutoffs "
+        "come from the BOUNDED calibration slice (single-partition "
+        "window over <= LM_CAL_DOCS rows, never the corpus), broadcast "
+        "back as one row — the corpus side of bucketing is a pure "
+        "comparison, embarrassingly parallel."
+    ),
 }
 
 
