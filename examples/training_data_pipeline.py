@@ -103,14 +103,34 @@ def main() -> None:
     top = tfidf_topk(docs, k=3).filter(F.col("rank") == 1).limit(3)
     print("sample doc labels:", [(r.doc_id, r.token) for r in top.collect()])
 
-    # 8. publish the training corpus as an atomic, replayable VERSION:
+    # 8. eval-split contamination audits BEFORE publishing: exact
+    # (byte-identical text straddling splits) and near-duplicate (the
+    # leakage real corpora have after exact dedup — a val doc that is a
+    # 90%-Jaccard rewrite of a train doc)
+    from ia_hadoop_tools_spark.operators.sampling import (
+        split_leakage,
+        split_leakage_near,
+    )
+
+    splits = [("train", 0.98), ("val", 0.02)]
+    exact_leaks = split_leakage(docs, splits).count()
+    near = split_leakage_near(docs, splits, threshold=0.5)
+    near_leaks = near.count()
+    near.shingle_cache.unpersist()
+    print(f"split leakage: {exact_leaks} exact groups, {near_leaks} near-dup pairs")
+
+    # 9. publish the training corpus as an atomic, replayable VERSION:
     # split -> seeded shuffle into shards -> token-budget packing, all
     # committed under the _PUBLISHED marker (same seed+epoch replays the
-    # identical layout; epoch+1 is a fresh decorrelated order)
+    # identical layout; epoch+1 is a fresh decorrelated order). The
+    # manifest carries per-split counts AND pack_waste (tail-bin padding
+    # fraction — the pack-efficiency number a training team watches).
     import tempfile
 
     from ia_hadoop_tools_spark.operators.assemble import (
         assemble_corpus,
+        export_version_zipnum,
+        import_corpus_zipnum,
         read_manifest,
     )
 
@@ -119,12 +139,24 @@ def main() -> None:
         docs.join(counts.select("doc_id", "n_tokens"), "doc_id", "left")
         .fillna(0, subset=["n_tokens"]),
         root,
-        splits=[("train", 0.98), ("val", 0.02)],
+        splits=splits,
         n_shards=4,
         seed=1,
         budget=2048,
     )
-    print("published corpus version:", read_manifest(root)["counts"])
+    man = read_manifest(root)
+    print("published corpus version:", man["counts"])
+    print("pack waste:", {s: w["fraction"] for s, w in man["pack_waste"].items()})
+
+    # 10. interchange: the published version round-trips through the
+    # reference's own ZipNum format (training-order keys => indexed
+    # range scans can stream a single split)
+    zn = tempfile.mkdtemp(prefix="corpus_zipnum_")
+    export_version_zipnum(spark, root, zn)
+    back = import_corpus_zipnum(
+        spark, zn, "doc_id bigint, text string"
+    ).count()
+    print(f"zipnum round-trip rows: {back}")
     spark.stop()
 
 
