@@ -642,6 +642,101 @@ def cmd_corpus_split(args):
     )
 
 
+def cmd_corpus_buckets(args):
+    """corpus-buckets: CCNet-style quality bucketing (Wenzek et al.
+    2020) — train an n-gram LM on a reference corpus (default: the
+    corpus itself), score every doc, cut head/middle/tail from a
+    bounded calibration slice, write (doc_id, lm_score, bucket, ...)
+    parquet.  --unit char|word|backoff selects the scorer; the bucket
+    histogram rides the write as an Observation (no second pass)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.lm_quality import (
+        lm_buckets,
+        lm_score,
+        lm_score_backoff,
+        train_char_lm,
+        train_word_backoff_lm,
+        train_word_lm,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    ref = spark.read.parquet(args.reference) if args.reference else docs
+    if args.unit == "backoff":
+        model = train_word_backoff_lm(ref, vocab_size=args.vocab).persist()
+        scored = lm_score_backoff(docs, model, alpha=args.alpha)
+    elif args.unit == "word":
+        model = train_word_lm(ref, vocab_size=args.vocab).persist()
+        scored = lm_score(docs, model, unit="word")
+    else:
+        model = train_char_lm(ref).persist()
+        scored = lm_score(docs, model, unit="char")
+    # bounded calibration slice (the registered lm_buckets shape); 0
+    # calibrates on all scored rows — fine at CLI scale, not at 100 TB
+    cal = (F.col("doc_id") < args.cal_docs) if args.cal_docs else None
+    out = lm_buckets(
+        scored.filter(F.col("lm_score").isNotNull()), calibration=cal
+    )
+    obs = Observation()
+    (
+        out.observe(
+            obs,
+            *[
+                F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(b)
+                for b in ("head", "middle", "tail")
+            ],
+        )
+        .write.mode("overwrite")
+        .parquet(args.output)
+    )
+    model.unpersist()
+    got = obs.get
+    hist = {b: int(got[b] or 0) for b in ("head", "middle", "tail")}
+    print(f"corpus-buckets[{args.unit}]: {hist} -> {args.output}")
+
+
+def cmd_corpus_leakage(args):
+    """corpus-leakage: eval-split contamination audit — exact text
+    groups straddling splits (split_leakage), plus ``--near`` MinHash
+    near-dup pairs whose sides land in different splits
+    (split_leakage_near, the contamination mode real corpora have after
+    exact dedup).  Optionally writes the findings as parquet."""
+    from ia_hadoop_tools_spark.operators.sampling import (
+        split_leakage,
+        split_leakage_near,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    splits = _parse_fractions(args.fractions)
+    try:
+        exact = split_leakage(docs, splits, text_col=args.text_col)
+    except ValueError as e:
+        raise SystemExit(f"bad --fractions: {e}")
+    if args.output:
+        exact.write.mode("overwrite").parquet(args.output + "/exact")
+        n_exact = spark.read.parquet(args.output + "/exact").count()
+    else:
+        n_exact = exact.count()
+    print(f"corpus-leakage: {n_exact} exact cross-split text groups")
+    if args.near:
+        near = split_leakage_near(
+            docs, splits, text_col=args.text_col, threshold=args.threshold
+        )
+        if args.output:
+            near.write.mode("overwrite").parquet(args.output + "/near")
+            n_near = spark.read.parquet(args.output + "/near").count()
+        else:
+            n_near = near.count()
+        near.shingle_cache.unpersist()
+        print(
+            f"corpus-leakage: {n_near} near-dup cross-split pairs "
+            f"(jaccard >= {args.threshold})"
+        )
+
+
 def cmd_corpus_tokenize(args):
     """corpus-tokenize: per-doc BPE tokenization / token counting.
 
@@ -912,6 +1007,38 @@ def main(argv=None):
     s.add_argument("--shards", type=int, default=None)
     s.add_argument("--lines-per-block", type=int, default=3000)
     s.set_defaults(fn=cmd_corpus_export)
+
+    s = sub.add_parser(
+        "corpus-buckets",
+        help="CCNet quality buckets: LM-score docs, cut head/middle/tail",
+    )
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--unit", choices=("char", "word", "backoff"),
+                   default="word")
+    s.add_argument("--reference", default=None,
+                   help="clean reference corpus parquet (default: input)")
+    s.add_argument("--vocab", type=int, default=50_000)
+    s.add_argument("--alpha", type=float, default=0.4,
+                   help="stupid-backoff penalty (backoff unit only)")
+    s.add_argument("--cal-docs", type=int, default=10_000,
+                   help="calibration slice bound (doc_id < N); 0 = all")
+    s.set_defaults(fn=cmd_corpus_buckets)
+
+    s = sub.add_parser(
+        "corpus-leakage",
+        help="eval-split contamination audit (exact, --near for near-dup)",
+    )
+    s.add_argument("input")
+    s.add_argument("--fractions", required=True,
+                   help="ordered name=frac list, e.g. train=0.8,val=0.2")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--near", action="store_true",
+                   help="also audit MinHash near-dup cross-split pairs")
+    s.add_argument("--threshold", type=float, default=0.5)
+    s.add_argument("--output", default=None,
+                   help="write findings parquet under OUTPUT/exact[,near]")
+    s.set_defaults(fn=cmd_corpus_leakage)
 
     s = sub.add_parser(
         "corpus-split", help="deterministic train/val/test split"

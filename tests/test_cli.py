@@ -499,3 +499,53 @@ def test_corpus_export_zipnum_cli_roundtrip(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="split"):
         _run(capsys, "corpus-export", src, str(tmp_path / "zn_bad"),
              "--codec", "zipnum")
+
+
+def test_corpus_buckets_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "qb_docs")
+    rows = [(i, "the quick brown fox jumps over the lazy dog again and again")
+            for i in range(12)]
+    rows += [(100 + i, "zx qv jk wp zx qv jk wp zx qv") for i in range(6)]
+    spark.createDataFrame(rows, "doc_id: long, text: string").write.parquet(src)
+    # clean ENGLISH reference: without it a self-trained model can rank
+    # repetitive gibberish high (its bigrams are perfectly predictable)
+    ref = str(tmp_path / "qb_ref")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the lazy dog jumps over the quick brown fox again")],
+        "doc_id: long, text: string",
+    ).write.parquet(ref)
+    for unit in ("char", "word", "backoff"):
+        out = str(tmp_path / f"qb_out_{unit}")
+        got = _run(capsys, "corpus-buckets", src, out, "--unit", unit,
+                   "--reference", ref, "--vocab", "100", "--cal-docs", "0")
+        assert f"corpus-buckets[{unit}]:" in got
+        back = spark.read.parquet(out)
+        assert {"doc_id", "lm_score", "bucket"} <= set(back.columns)
+        by = {r.doc_id: r.bucket for r in back.collect()}
+        # reference-like docs outrank gibberish under every scorer
+        assert by[0] == "head" and by[100] == "tail"
+        # buckets are monotone in score
+        sc = {r.doc_id: r.lm_score for r in back.collect()}
+        lo = min(sc[i] for i, b in by.items() if b == "head")
+        hi = max(sc[i] for i, b in by.items() if b == "tail")
+        assert lo >= hi
+
+
+def test_corpus_leakage_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "lk_docs")
+    rows = [(i, "shared boilerplate text") for i in range(40)]
+    rows += [(100 + i, f"unique text number {i} entirely") for i in range(10)]
+    spark.createDataFrame(rows, "doc_id: long, text: string").write.parquet(src)
+    out = str(tmp_path / "lk_out")
+    got = _run(capsys, "corpus-leakage", src,
+               "--fractions", "train=0.5,val=0.5", "--near",
+               "--output", out)
+    assert "1 exact cross-split text groups" in got
+    assert "near-dup cross-split pairs" in got
+    exact = spark.read.parquet(out + "/exact")
+    assert exact.count() == 1 and exact.first().n_docs == 40
+    near = spark.read.parquet(out + "/near")
+    assert {"id_a", "id_b", "jaccard", "split_a", "split_b"} <= set(near.columns)
+    with pytest.raises(SystemExit, match="fractions"):
+        _run(capsys, "corpus-leakage", src, "--fractions", "train=2.0")
