@@ -300,6 +300,47 @@ def split_leakage(
     )
 
 
+def cap_per_stratum(
+    df: DataFrame,
+    n: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Keep at most ``n`` rows per stratum — the RefinedWeb/Gopher
+    "limit documents per domain" anti-boilerplate rule (one domain's
+    template pages must not dominate the mix), the documents-table
+    sibling of the CDX day-limit (operators/daylimit.py, which caps per
+    (urlkey, day) in TIMESTAMP order per
+    mapreduce/GlobalWaybackMergeMapper.java:20-83).
+
+    Selection inside a stratum is by salted content hash of ``id_col``
+    (ties: id asc) — a seeded uniform N-sample per stratum that is
+    deterministic at any parallelism and independent of input order,
+    NOT first-N-by-id (which would bias toward old docs).  Different
+    ``seed`` => a different representative sample.  Note: unlike
+    ``sample_hash``, a per-stratum COUNT cap cannot be growth-stable —
+    adding docs to a full stratum displaces whichever now hash-sort
+    last.
+
+    Scale shape: one window per stratum (rank over the stratum
+    partition, hash order) — the same shape as day_limit, eligible for
+    Spark's WindowGroupLimit pushdown (rank filter ``<= n`` prunes
+    map-side before the shuffle).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from ia_hadoop_tools_spark.functions.hashfns import hash32
+
+    key = hash32(F.col(id_col).cast("string"), salt=f"cap:{seed}:")
+    w = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def split_leakage_near(
     df: DataFrame,
     splits: list[tuple[str, float]],

@@ -29,6 +29,10 @@ at the round-9 freeze:
   registered char ``lm_buckets`` row's calibration shape applied to the
   word-trigram stupid-backoff scorer with the round-8-registered FIXED
   model, shared verbatim with the oracle.
+- ``source_cap`` — RefinedWeb-style per-source document cap
+  (operators/sampling.cap_per_stratum): seeded uniform N-sample per
+  stratum by salted content hash, exact value-level oracle via the one
+  hash mirror.
 """
 
 from __future__ import annotations
@@ -158,12 +162,47 @@ FROM lm, th
 SQL_LM_WORD_BUCKETS = _sql_lm_word_buckets()
 
 
+#: per-source document cap (RefinedWeb "limit per domain"); truncates
+#: every stratum at every SF (sf0.001 already has 25 docs/source)
+CAP_N = 10
+CAP_SEED = 0
+
+
+def q_source_cap(spark, sf_dir):
+    from ia_hadoop_tools_spark.operators.sampling import cap_per_stratum
+    from ia_hadoop_tools_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return cap_per_stratum(docs, CAP_N, seed=CAP_SEED).select(
+        "doc_id", "source"
+    )
+
+
+def _sql_source_cap() -> str:
+    from ia_hadoop_tools_spark.functions.hashfns import hash32_sql
+
+    h = hash32_sql("CAST(doc_id AS VARCHAR)", salt=f"cap:{CAP_SEED}:")
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+             PARTITION BY source ORDER BY {h}, doc_id) AS rn
+  FROM documents)
+WHERE rn <= {CAP_N}
+"""
+
+
+SQL_SOURCE_CAP = _sql_source_cap()
+
+
 PENDING_QUERIES: dict = {
     "split_leakage_near": q_split_leakage_near,
     "lm_word_buckets": q_lm_word_buckets,
+    "source_cap": q_source_cap,
 }
 
 PENDING_ORACLE_SQL: dict = {
     "split_leakage_near": SQL_SPLIT_LEAKAGE_NEAR,
     "lm_word_buckets": SQL_LM_WORD_BUCKETS,
+    "source_cap": SQL_SOURCE_CAP,
 }

@@ -286,6 +286,13 @@ COMMENTARY = {
         "back as one row — the corpus side of bucketing is a pure "
         "comparison, embarrassingly parallel."
     ),
+    "source_cap": (
+        "One window per stratum keyed on the salted content hash, and "
+        "the rank-<=-N filter plans as `WindowGroupLimit` (asserted in "
+        "test_sampling): each map task pre-prunes to its local top-N "
+        "per stratum BEFORE the exchange, so a 10k-page domain ships N "
+        "rows, not 10k — the day_limit shape on the documents table."
+    ),
 }
 
 

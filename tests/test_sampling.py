@@ -374,3 +374,38 @@ def test_output_column_clash_raises(spark):
         split_corpus(d, [("a", 1.0)])
     with pytest.raises(ValueError, match="corpus_shuffle.*pos"):
         corpus_shuffle(d, 4)
+
+
+def test_cap_per_stratum(spark):
+    import pytest
+
+    from ia_hadoop_tools_spark.operators.sampling import cap_per_stratum
+
+    d = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(90)], "doc_id: long, source: string"
+    )
+    out = cap_per_stratum(d, 5)
+    got = [(r.doc_id, r.source) for r in out.collect()]
+    per = {}
+    for doc_id, src in got:
+        per[src] = per.get(src, 0) + 1
+    assert per == {"src0": 5, "src1": 5, "src2": 5}
+    # deterministic at any parallelism / input order
+    again = sorted(
+        (r.doc_id, r.source)
+        for r in cap_per_stratum(d.repartition(13), 5).collect()
+    )
+    assert sorted(got) == again
+    # a different seed picks a different representative sample
+    other = sorted(
+        (r.doc_id, r.source) for r in cap_per_stratum(d, 5, seed=1).collect()
+    )
+    assert other != sorted(got)
+    # strata smaller than n pass through whole
+    assert cap_per_stratum(d, 100).count() == 90
+    with pytest.raises(ValueError, match="n must be"):
+        cap_per_stratum(d, 0)
+    # the rank filter is eligible for WindowGroupLimit pushdown (prunes
+    # map-side before the shuffle — the day_limit plan shape)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
