@@ -366,15 +366,32 @@ def cmd_corpus_clean(args):
 
 
 def cmd_corpus_sample(args):
-    """corpus-sample: deterministic (re-runnable) stratified sampling."""
+    """corpus-sample: deterministic (re-runnable) stratified sampling;
+    ``--temperature A --target N`` computes the per-stratum fractions
+    with the multilingual-LM temperature scheme (q_s ∝ p_s^alpha,
+    oversubscribed strata waterfilled) instead of taking them
+    literally."""
     from ia_hadoop_tools_spark.operators.sampling import (
         sample_hash,
         sample_stratified,
+        temperature_fractions,
     )
 
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
-    if args.fractions:
+    if args.temperature is not None:
+        if args.target is None:
+            raise SystemExit("--temperature needs --target N")
+        try:
+            fracs = temperature_fractions(
+                docs, args.temperature, args.target, args.strata_col
+            )
+        except ValueError as e:
+            raise SystemExit(f"corpus-sample: {e}")
+        shown = {k: round(v, 4) for k, v in fracs.items()}
+        print(f"corpus-sample: temperature fractions {shown}")
+        out = sample_stratified(docs, fracs, args.strata_col)
+    elif args.fractions:
         fracs = dict(
             (kv.split("=")[0], float(kv.split("=")[1]))
             for kv in args.fractions.split(",")
@@ -973,6 +990,10 @@ def main(argv=None):
     s.add_argument("--fraction", type=float, default=0.1)
     s.add_argument("--fractions", help="per-stratum, e.g. src0=0.9,src1=0.1")
     s.add_argument("--strata-col", default="source")
+    s.add_argument("--temperature", type=float, default=None,
+                   help="compute fractions: q_s ~ p_s^alpha (needs --target)")
+    s.add_argument("--target", type=int, default=None,
+                   help="expected kept rows for --temperature")
     s.set_defaults(fn=cmd_corpus_sample)
 
     s = sub.add_parser("corpus-pack", help="pack docs into token-budget bins")

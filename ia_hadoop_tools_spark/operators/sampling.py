@@ -65,6 +65,79 @@ def sample_stratified(
     return df.filter(_hash_bucket(id_col) < thr)
 
 
+def temperature_fractions(
+    df: DataFrame,
+    alpha: float,
+    target_rows: int,
+    strata_col: str = "source",
+    weight_col: str | None = None,
+) -> dict[str, float]:
+    """Per-stratum keep fractions implementing temperature sampling —
+    the multilingual-LM mixing scheme (XLM / mBERT style): stratum s
+    with share p_s of the corpus is sampled with probability
+    q_s ∝ p_s^alpha, renormalized.  alpha=1 keeps the natural mix,
+    alpha=0 equalizes strata, between damps the head.  Feed the result
+    to :func:`sample_stratified`:
+
+        fracs = temperature_fractions(docs, 0.7, 1_000_000)
+        mix = sample_stratified(docs, fracs)
+
+    ``weight_col`` weights by a column sum (e.g. ``n_tokens`` to hit a
+    TOKEN budget) instead of row count.  Oversubscribed strata
+    (q_s * target > size) cap at fraction 1.0 and their shortfall is
+    redistributed to the uncapped strata (waterfill, <= #strata
+    rounds), so the expected kept total meets ``target_rows`` whenever
+    the corpus can.
+
+    Scale shape: ONE map-side-combinable aggregation bounded by the
+    stratum count; everything after is driver arithmetic on that
+    bounded dict.  The expectation is exact; the realized sample varies
+    by the binomial noise of :func:`sample_hash`'s md5 buckets.
+    """
+    import math
+
+    if not (isinstance(alpha, (int, float)) and math.isfinite(alpha)):
+        raise ValueError(f"alpha must be finite, got {alpha!r}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if target_rows < 1:
+        raise ValueError(f"target_rows must be >= 1, got {target_rows}")
+    agg = (
+        F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    ).alias("__c")
+    sizes = {
+        r[strata_col]: float(r["__c"] or 0)
+        for r in df.groupBy(strata_col).agg(agg).collect()
+        if r[strata_col] is not None
+    }
+    sizes = {k: v for k, v in sizes.items() if v > 0}
+    if not sizes:
+        return {}
+    total = sum(sizes.values())
+    weights = {k: (v / total) ** alpha for k, v in sizes.items()}
+    fracs: dict[str, float] = {}
+    remaining = float(target_rows)
+    live = dict(weights)
+    # waterfill: strata whose quota exceeds their size cap at 1.0 and
+    # release the excess to the rest; terminates in <= len(sizes) rounds
+    while live and remaining > 0:
+        wsum = sum(live.values())
+        capped = {
+            k for k in live if sizes[k] <= remaining * live[k] / wsum
+        }
+        if not capped:
+            for k in live:
+                fracs[k] = (remaining * live[k] / wsum) / sizes[k]
+            remaining = 0
+            break
+        for k in capped:
+            fracs[k] = 1.0
+            remaining -= sizes[k]
+            del live[k]
+    # iteration order is dict order — make the output reproducible
+    return {k: round(min(f, 1.0), 9) for k, f in sorted(fracs.items())}
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -549,3 +549,24 @@ def test_corpus_leakage_cli(spark, tmp_path, capsys):
     assert {"id_a", "id_b", "jaccard", "split_a", "split_b"} <= set(near.columns)
     with pytest.raises(SystemExit, match="fractions"):
         _run(capsys, "corpus-leakage", src, "--fractions", "train=2.0")
+
+
+def test_corpus_sample_temperature_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "ts_docs")
+    spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id: long, source: string",
+    ).write.parquet(src)
+    out = str(tmp_path / "ts_out")
+    got = _run(capsys, "corpus-sample", src, out,
+               "--temperature", "0.0", "--target", "200")
+    assert "temperature fractions" in got
+    back = spark.read.parquet(out)
+    per = {r.source: r.n for r in back.groupBy("source")
+           .count().withColumnRenamed("count", "n").collect()}
+    # alpha=0 equalizes: small (100 docs) kept whole, big ~100 of 900
+    assert per["small"] == 100
+    assert 50 <= per["big"] <= 160
+    with pytest.raises(SystemExit, match="target"):
+        _run(capsys, "corpus-sample", src, str(tmp_path / "ts_bad"),
+             "--temperature", "1.0")

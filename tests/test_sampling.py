@@ -409,3 +409,46 @@ def test_cap_per_stratum(spark):
     # map-side before the shuffle — the day_limit plan shape)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_temperature_fractions_hand_computed(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.sampling import (
+        sample_stratified,
+        temperature_fractions,
+    )
+
+    # sizes: a=800, b=150, c=50 (total 1000)
+    d = spark.createDataFrame(
+        [(i, "a" if i < 800 else "b" if i < 950 else "c") for i in range(1000)],
+        "doc_id: long, source: string",
+    )
+    # alpha=1: natural mix — every stratum keeps target/total
+    f1 = temperature_fractions(d, 1.0, 500)
+    assert f1 == {"a": 0.5, "b": 0.5, "c": 0.5}
+    # alpha=0: equalize — target/3 each, but c (50 docs) caps at 1.0 and
+    # its shortfall (450/3 - 50 = 100) redistributes to a and b; b
+    # (150 < 200) then caps too, leaving a with 250/800
+    f0 = temperature_fractions(d, 0.0, 450)
+    assert f0["c"] == 1.0 and f0["b"] == 1.0
+    assert abs(f0["a"] - 250 / 800) < 1e-9
+    # expected kept rows meets the target
+    exp = sum(f0[s] * n for s, n in (("a", 800), ("b", 150), ("c", 50)))
+    assert abs(exp - 450) < 1e-6
+    # alpha between: head damped relative to natural share
+    fh = temperature_fractions(d, 0.5, 300)
+    assert fh["c"] > fh["b"] > fh["a"]
+    # composes with sample_stratified; realized size near expectation
+    kept = sample_stratified(d, f1, "source").count()
+    assert 400 <= kept <= 600
+    # weight_col: token-budget targeting
+    dt = d.withColumn("n_tokens", (F.col("doc_id") % 5 + 1).cast("long"))
+    ft = temperature_fractions(dt, 1.0, 1500, weight_col="n_tokens")
+    assert set(ft) == {"a", "b", "c"} and all(0 < v <= 1 for v in ft.values())
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_fractions(d, -1, 10)
+    with pytest.raises(ValueError, match="target_rows"):
+        temperature_fractions(d, 1.0, 0)
+    assert temperature_fractions(d.filter("doc_id < 0"), 1.0, 10) == {}
