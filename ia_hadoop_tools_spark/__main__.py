@@ -163,6 +163,28 @@ def cmd_cdx_generator(args):
     print(f"cdx written: {args.output}")
 
 
+def cmd_corpus_from_warc(args):
+    """corpus-from-warc: WARC archives -> the documents-table parquet
+    (content-addressed doc_id, text, lang, source/host, n_chars +
+    provenance) — the bridge from the web-archive extraction half of
+    the engine into the training-corpus half (clean/split/dedup/
+    assemble consume the output directly)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.extract import warc_to_documents
+
+    spark = _spark(args)
+    docs = warc_to_documents(_paths_df(spark, args.input))
+    obs = Observation()
+    (
+        docs.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(args.output)
+    )
+    print(f"corpus-from-warc: {int(obs.get['n'])} docs -> {args.output}")
+
+
 def cmd_wat_generator(args):
     from ia_hadoop_tools_spark.operators.extract import wat_generate
 
@@ -1163,6 +1185,14 @@ def main(argv=None):
     s.add_argument("cluster")
     s.add_argument("basenames", help="file of source basenames, one per line")
     s.set_defaults(fn=cmd_manifest_aggregator)
+
+    s = sub.add_parser(
+        "corpus-from-warc",
+        help="WARC files -> documents-table parquet (text, lang, host)",
+    )
+    s.add_argument("input", nargs="+")
+    s.add_argument("output")
+    s.set_defaults(fn=cmd_corpus_from_warc)
 
     s = sub.add_parser("CDXGenerator", help="WARC files -> CDX parquet")
     s.add_argument("input", nargs="+")

@@ -28,6 +28,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 try:  # optional, preferred parser
     from warcio.archiveiterator import ArchiveIterator  # type: ignore
@@ -897,3 +898,45 @@ def http_import(
                 )
 
     urls_df.foreachPartition(work)
+
+
+def warc_to_documents(paths_df: DataFrame) -> DataFrame:
+    """(W)ARC file paths -> the training-corpus ``documents`` table shape
+    — the bridge between the engine's two halves: the reference's
+    web-archive extraction (WARC -> WET plain text, :func:`wet_generate`
+    per jobs/WATGenerator.java:74's per-file map-only skeleton) feeding
+    the LLM-data-pipeline layer (split/clean/dedup/assemble all consume
+    this frame directly).
+
+    Output columns: ``doc_id`` (content-addressed xxhash64 of
+    (url, timestamp) — stable across re-extractions, so downstream
+    split_corpus/sample_hash assignments never churn), ``text``,
+    ``lang`` (stopword-vote heuristic), ``source`` (the capture's host —
+    the stratum cap_per_stratum/temperature_fractions expect),
+    ``n_chars``, plus provenance (``url``, ``ts``, ``warc_filename``,
+    ``warc_offset``).  Parse-error rows (error != null) are dropped —
+    run :func:`wet_generate` directly to audit them.
+
+    Pure composition: the only Python stage is wet_generate's existing
+    Arrow mapInPandas; id/lang/source/len are codegen projections.
+    """
+    from ia_hadoop_tools_spark.functions.textfns import lang_id
+
+    wet = wet_generate(paths_df).filter(
+        F.col("error").isNull()
+        & F.col("target_uri").isNotNull()
+        & (F.length("text") > 0)
+    )
+    return wet.select(
+        F.xxhash64("target_uri", "timestamp").alias("doc_id"),
+        F.col("text"),
+        lang_id(F.col("text")).alias("lang"),
+        F.coalesce(
+            F.expr("parse_url(target_uri, 'HOST')"), F.lit("unknown")
+        ).alias("source"),
+        F.col("n_chars"),
+        F.col("target_uri").alias("url"),
+        F.col("timestamp").alias("ts"),
+        F.col("filename").alias("warc_filename"),
+        F.col("offset").alias("warc_offset"),
+    )

@@ -388,3 +388,38 @@ def test_minimal_reader_mimetype_dash_parity(spark, tmp_path):
         fh.write(gzip.compress(rec))
     rows = cdx_generate(_paths_df(spark, str(p)), use_warcio=False).collect()
     assert len(rows) == 1 and rows[0].mimetype == "-"
+
+
+def test_warc_to_documents_bridge(spark, warc_path, tmp_path):
+    """WARC -> documents-table bridge: HTML responses become corpus rows
+    with content-addressed doc_id, host source, lang — consumable by
+    the training-pipeline verbs directly."""
+    from ia_hadoop_tools_spark.operators.extract import warc_to_documents
+    from ia_hadoop_tools_spark.operators.sampling import split_corpus
+
+    docs = warc_to_documents(_paths_df(spark, warc_path))
+    rows = docs.collect()
+    # only the HTML response survives (metadata + text/plain dropped)
+    assert len(rows) == 1
+    (r,) = rows
+    assert r.url == "http://example.com/" and r.ts == "20200102030405"
+    assert r.source == "example.com"
+    assert r.n_chars == len(r.text) and r.text  # stripped plain text
+    assert "<" not in r.text
+    assert isinstance(r.doc_id, int)
+    # content-addressed id: re-extraction yields the identical doc_id
+    again = warc_to_documents(_paths_df(spark, warc_path)).first()
+    assert again.doc_id == r.doc_id
+    # downstream pipeline verbs consume the frame as-is
+    assert split_corpus(docs, [("train", 1.0)]).first().split == "train"
+
+
+def test_corpus_from_warc_cli(spark, warc_path, tmp_path, capsys):
+    from ia_hadoop_tools_spark.__main__ import main
+
+    out = str(tmp_path / "warc_docs")
+    main(["corpus-from-warc", warc_path, out])
+    got = capsys.readouterr().out
+    assert "corpus-from-warc: 1 docs" in got
+    back = spark.read.parquet(out)
+    assert {"doc_id", "text", "lang", "source", "n_chars"} <= set(back.columns)
