@@ -403,6 +403,7 @@ def cap_per_stratum(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    _check_output_columns(df, ["__rn"], "cap_per_stratum")
     from ia_hadoop_tools_spark.functions.hashfns import hash32
 
     key = hash32(F.col(id_col).cast("string"), salt=f"cap:{seed}:")

@@ -452,3 +452,57 @@ def test_temperature_fractions_hand_computed(spark):
     with pytest.raises(ValueError, match="target_rows"):
         temperature_fractions(d, 1.0, 0)
     assert temperature_fractions(d.filter("doc_id < 0"), 1.0, 10) == {}
+
+
+def test_temperature_fractions_waterfill_invariants():
+    """Property test of the driver-side waterfill (pure function of the
+    size dict, so no Spark needed — exercised via a stub frame)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ia_hadoop_tools_spark.operators.sampling import (
+        temperature_fractions,
+    )
+
+    class _StubDF:
+        """Quacks like the one groupBy().agg().collect() call."""
+
+        def __init__(self, sizes):
+            self._sizes = sizes
+
+        def groupBy(self, col):
+            return self
+
+        def agg(self, *a):
+            return self
+
+        def collect(self):
+            return [
+                {"source": k, "__c": v} for k, v in self._sizes.items()
+            ]
+
+    @given(
+        sizes=st.dictionaries(
+            st.text(
+                alphabet="abcdefgh", min_size=1, max_size=3
+            ),
+            st.integers(min_value=1, max_value=10_000),
+            min_size=1,
+            max_size=8,
+        ),
+        alpha=st.floats(min_value=0.0, max_value=2.0),
+        target=st.integers(min_value=1, max_value=50_000),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(sizes, alpha, target):
+        fr = temperature_fractions(_StubDF(sizes), alpha, target)
+        assert set(fr) == set(sizes)
+        assert all(0.0 < v <= 1.0 for v in fr.values())
+        expected = sum(fr[k] * sizes[k] for k in sizes)
+        want = min(target, sum(sizes.values()))
+        # expectation meets the (achievable) target to rounding
+        assert abs(expected - want) <= 1e-4 * want + 1e-5
+        # determinism
+        assert fr == temperature_fractions(_StubDF(sizes), alpha, target)
+
+    check()
