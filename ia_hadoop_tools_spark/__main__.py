@@ -578,29 +578,36 @@ def cmd_corpus_assemble(args):
     """corpus-assemble: split -> shuffle -> (optional) pack, published
     atomically as root/vNNN with the _PUBLISHED commit protocol.  One
     invocation = one immutable corpus version; re-run after corpus
-    growth (or with --epoch bumped) publishes the next version."""
+    growth (or with --epoch bumped) publishes the next version.
+    ``--epochs K`` publishes K versions in one command (epoch
+    --epoch .. --epoch+K-1): the whole training run's data, each epoch
+    a decorrelated order of the SAME split assignment (the epoch-loop
+    contract pinned in tests/test_assemble.py)."""
     from ia_hadoop_tools_spark.operators.assemble import assemble_corpus
 
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
     if args.shards < 1:
         raise SystemExit("--shards must be >= 1")
-    try:
-        vdir = assemble_corpus(
-            docs,
-            args.root,
-            splits=_parse_fractions(args.fractions),
-            n_shards=args.shards,
-            seed=args.seed,
-            epoch=args.epoch,
-            budget=args.budget,
-            token_col=args.token_col,
-            id_col=args.id_col,
-            keep_versions=args.keep,
-        )
-    except ValueError as e:
-        raise SystemExit(f"corpus-assemble: {e}")
-    print(f"corpus-assemble: published {vdir}")
+    if args.epochs < 1:
+        raise SystemExit("--epochs must be >= 1")
+    for k in range(args.epochs):
+        try:
+            vdir = assemble_corpus(
+                docs,
+                args.root,
+                splits=_parse_fractions(args.fractions),
+                n_shards=args.shards,
+                seed=args.seed,
+                epoch=args.epoch + k,
+                budget=args.budget,
+                token_col=args.token_col,
+                id_col=args.id_col,
+                keep_versions=args.keep,
+            )
+        except ValueError as e:
+            raise SystemExit(f"corpus-assemble: {e}")
+        print(f"corpus-assemble: published {vdir} (epoch {args.epoch + k})")
 
 
 def cmd_corpus_shuffle(args):
@@ -1101,6 +1108,8 @@ def main(argv=None):
     s.add_argument("--shards", type=int, required=True)
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--epoch", type=int, default=0)
+    s.add_argument("--epochs", type=int, default=1,
+                   help="publish K versions, epochs --epoch..--epoch+K-1")
     s.add_argument("--budget", type=int, default=None)
     s.add_argument("--token-col", default="n_tokens")
     s.add_argument("--id-col", default="doc_id")

@@ -570,3 +570,23 @@ def test_corpus_sample_temperature_cli(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="target"):
         _run(capsys, "corpus-sample", src, str(tmp_path / "ts_bad"),
              "--temperature", "1.0")
+
+
+def test_corpus_assemble_epochs_cli(spark, tmp_path, capsys):
+    from ia_hadoop_tools_spark.operators.assemble import read_manifest
+
+    src = str(tmp_path / "ae_docs")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(30)], "doc_id: long, text: string"
+    ).write.parquet(src)
+    root = str(tmp_path / "ae_root")
+    got = _run(capsys, "corpus-assemble", src, root,
+               "--fractions", "train=1.0", "--shards", "2", "--seed", "3",
+               "--epochs", "3")
+    assert got.count("corpus-assemble: published") == 3
+    for v, epoch in ((0, 0), (1, 1), (2, 2)):
+        man = read_manifest(root, v)
+        assert man["epoch"] == epoch and man["counts"]["train"] == 30
+    with pytest.raises(SystemExit, match="epochs"):
+        _run(capsys, "corpus-assemble", src, root,
+             "--fractions", "train=1.0", "--shards", "2", "--epochs", "0")
