@@ -290,12 +290,31 @@ def export_corpus_zipnum(
                 f"export_corpus_zipnum needs column {c!r}; df has {df.columns}"
             )
     payload_cols = [c for c in df.columns if c not in ("split", "shard", "pos")]
+    # a shard id outside the fixed key width would silently break the
+    # text sort order AND the import regexp (rows would come back with
+    # null components) — fail the job loudly instead
+    shard_ok = (F.col("shard") >= 0) & (
+        F.col("shard") < 10**_ZN_SHARD_W
+    )
+    shard_str = F.when(
+        shard_ok, F.format_string(f"%0{_ZN_SHARD_W}d", "shard")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"export_corpus_zipnum: shard id out of [0, 1e{_ZN_SHARD_W}) "
+                    "key width: "
+                ),
+                F.col("shard").cast("string"),
+            )
+        )
+    )
     line = F.concat_ws(
         " ",
         F.concat_ws(
             ":",
             F.col("split"),
-            F.format_string(f"%0{_ZN_SHARD_W}d", "shard"),
+            shard_str,
             F.format_string(f"%0{_ZN_POS_W}d", "pos"),
         ),
         F.to_json(F.struct(*payload_cols)),

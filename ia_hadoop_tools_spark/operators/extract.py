@@ -910,7 +910,9 @@ def warc_to_documents(paths_df: DataFrame) -> DataFrame:
 
     Output columns: ``doc_id`` (content-addressed xxhash64 of
     (url, timestamp) — stable across re-extractions, so downstream
-    split_corpus/sample_hash assignments never churn), ``text``,
+    split_corpus/sample_hash assignments never churn; 64-bit, so expect
+    birthday collisions past ~10^9 captures — keep ``url``+``ts`` as
+    the true identity and treat doc_id as a join/sampling key), ``text``,
     ``lang`` (stopword-vote heuristic), ``source`` (the capture's host —
     the stratum cap_per_stratum/temperature_fractions expect),
     ``n_chars``, plus provenance (``url``, ``ts``, ``warc_filename``,

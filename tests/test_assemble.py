@@ -315,3 +315,17 @@ def test_export_corpus_zipnum_validates_columns(spark, tmp_path):
     d = _docs(spark, n=5)
     with pytest.raises(ValueError, match="split"):
         export_corpus_zipnum(d, str(tmp_path / "zn_bad"))
+
+
+def test_export_corpus_zipnum_rejects_out_of_width_shard(spark, tmp_path):
+    """A shard id outside the fixed key width must fail the export job
+    loudly (it would silently corrupt the sort order and come back with
+    null components on import)."""
+    from ia_hadoop_tools_spark.operators.assemble import export_corpus_zipnum
+
+    d = spark.createDataFrame(
+        [(1, "t", "train", 100000, 0)],
+        "doc_id: long, text: string, split: string, shard: int, pos: long",
+    )
+    with pytest.raises(Exception, match="key width"):
+        export_corpus_zipnum(d, str(tmp_path / "zn_wide"))
