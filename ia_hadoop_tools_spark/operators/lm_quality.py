@@ -509,6 +509,13 @@ def lm_buckets(
         )
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if "bucket" in scored.columns:
+        # withColumn would silently overwrite it (the sampling-operator
+        # output-clash rule)
+        raise ValueError(
+            "lm_buckets: input already has a 'bucket' column; rename or "
+            "drop it first"
+        )
     from pyspark.sql import Window
 
     cal = scored.filter(F.col(score_col).isNotNull())

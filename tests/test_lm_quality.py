@@ -407,3 +407,15 @@ def test_backoff_lm_ranks_and_empty_model(spark):
     for bad in (0.0, -0.1, 1.5):
         with _pytest.raises(ValueError, match="alpha"):
             lm_score_backoff(docs, model, alpha=bad)
+
+
+def test_lm_buckets_rejects_bucket_clash(spark):
+    import pytest
+
+    from ia_hadoop_tools_spark.operators.lm_quality import lm_buckets
+
+    scored = spark.createDataFrame(
+        [(1, -1.0, "x")], "doc_id: long, lm_score: double, bucket: string"
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        lm_buckets(scored)
