@@ -525,8 +525,18 @@ def cmd_corpus_export(args):
     spark = _spark(args)
     # a corpus VERSION dir (corpus-assemble output) holds MANIFEST.json
     # + _PUBLISHED beside the split=* dirs — read it through the
-    # version-frame helper so split/shard stay partition columns
+    # version-frame helper so split/shard stay partition columns.  The
+    # COMMIT marker is what gates readability: a torn save (crash after
+    # MANIFEST, before _PUBLISHED) must be refused here exactly like
+    # every other version reader.
+    from ia_hadoop_tools_spark.streaming.versioned import PUBLISHED_MARKER
+
     if fsio.exists(fsio.join(args.input, "MANIFEST.json")):
+        if not fsio.exists(fsio.join(args.input, PUBLISHED_MARKER)):
+            raise SystemExit(
+                f"corpus-export: {args.input} is an UNPUBLISHED (torn) "
+                "corpus version — no _PUBLISHED marker"
+            )
         from ia_hadoop_tools_spark.operators.assemble import (
             read_version_frame,
         )
@@ -719,9 +729,21 @@ def cmd_corpus_buckets(args):
     else:
         model = train_char_lm(ref).persist()
         scored = lm_score(docs, model, unit="char")
-    # bounded calibration slice (the registered lm_buckets shape); 0
-    # calibrates on all scored rows — fine at CLI scale, not at 100 TB
-    cal = (F.col("doc_id") < args.cal_docs) if args.cal_docs else None
+    # bounded calibration slice: content-addressed hash fraction sized
+    # from one cheap count, so it works for ANY doc_id type (a dense-id
+    # predicate like doc_id < N keeps half the corpus when ids are
+    # signed hashes, e.g. corpus-from-warc output).  0 calibrates on
+    # all scored rows — fine at CLI scale, not at 100 TB.
+    cal = None
+    if args.cal_docs:
+        from ia_hadoop_tools_spark.functions.hashfns import hash32
+
+        n_docs = docs.count()
+        frac = min(1.0, args.cal_docs / max(n_docs, 1))
+        cal = (
+            hash32(F.col("doc_id").cast("string"), salt="cal:") % 1_000_000
+            < int(frac * 1_000_000)
+        )
     out = lm_buckets(
         scored.filter(F.col("lm_score").isNotNull()), calibration=cal
     )
@@ -757,25 +779,33 @@ def cmd_corpus_leakage(args):
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
     splits = _parse_fractions(args.fractions)
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    def _emit(df, sub: str) -> int:
+        # counts ride the write as an Observation (the corpus-split
+        # rule: no second pass, no output read-back)
+        if not args.output:
+            return df.count()
+        obs = Observation()
+        (
+            df.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(args.output + "/" + sub)
+        )
+        return int(obs.get["n"])
+
     try:
         exact = split_leakage(docs, splits, text_col=args.text_col)
     except ValueError as e:
         raise SystemExit(f"bad --fractions: {e}")
-    if args.output:
-        exact.write.mode("overwrite").parquet(args.output + "/exact")
-        n_exact = spark.read.parquet(args.output + "/exact").count()
-    else:
-        n_exact = exact.count()
+    n_exact = _emit(exact, "exact")
     print(f"corpus-leakage: {n_exact} exact cross-split text groups")
     if args.near:
         near = split_leakage_near(
             docs, splits, text_col=args.text_col, threshold=args.threshold
         )
-        if args.output:
-            near.write.mode("overwrite").parquet(args.output + "/near")
-            n_near = spark.read.parquet(args.output + "/near").count()
-        else:
-            n_near = near.count()
+        n_near = _emit(near, "near")
         near.shingle_cache.unpersist()
         print(
             f"corpus-leakage: {n_near} near-dup cross-split pairs "

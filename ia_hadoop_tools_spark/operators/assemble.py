@@ -146,18 +146,28 @@ def assemble_corpus(
         # pack-waste observability: in the concat-and-chunk layout every
         # bin is exactly full EXCEPT each shard's tail bin, so a shard's
         # wasted tokens = budget - fill(tail bin), read off the LAST row
-        # (lead(pos) null) whose stream end is seq_start + tokens.  The
+        # (lead(pos) null) whose stream end is seq_start + tokens.  A
+        # shard whose stream is EMPTY (all zero-token rows) occupies no
+        # bins and wastes nothing — without the stream-end > 0 guard the
+        # signed %-arithmetic would report one fully-wasted bin.  The
         # marker window shares the pack window's exact partition/order
         # spec, so Catalyst folds it into the same window stage — no
         # extra exchange; the per-split sums ride the write Observation.
         from pyspark.sql import Window
 
+        from ia_hadoop_tools_spark.operators.sampling import (
+            _check_output_columns,
+        )
+
+        _check_output_columns(df, ["__waste"], "assemble_corpus")
         w_tail = Window.partitionBy("split", "shard").orderBy("pos")
-        fill = (F.col("seq_start") + F.col(token_col) - 1) % budget + 1
+        stream_end = F.col("seq_start") + F.col(token_col)
+        fill = (stream_end - 1) % budget + 1
         shuf = shuf.withColumn(
             "__waste",
             F.when(
-                F.lead("pos").over(w_tail).isNull(), F.lit(budget) - fill
+                F.lead("pos").over(w_tail).isNull() & (stream_end > 0),
+                F.lit(budget) - fill,
             ).otherwise(F.lit(0)),
         )
     # manifest counts ride the write itself via an Observation (one
@@ -290,32 +300,38 @@ def export_corpus_zipnum(
                 f"export_corpus_zipnum needs column {c!r}; df has {df.columns}"
             )
     payload_cols = [c for c in df.columns if c not in ("split", "shard", "pos")]
-    # a shard id outside the fixed key width would silently break the
+    # a shard/pos outside the fixed key width would silently break the
     # text sort order AND the import regexp (rows would come back with
-    # null components) — fail the job loudly instead
-    shard_ok = (F.col("shard") >= 0) & (
-        F.col("shard") < 10**_ZN_SHARD_W
-    )
-    shard_str = F.when(
-        shard_ok, F.format_string(f"%0{_ZN_SHARD_W}d", "shard")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"export_corpus_zipnum: shard id out of [0, 1e{_ZN_SHARD_W}) "
-                    "key width: "
-                ),
-                F.col("shard").cast("string"),
+    # null components) — fail the job loudly instead.  pos only needs
+    # the >= 0 check (a long cannot reach 1e20).
+    def _fixed_width(col_name: str, width: int):
+        # the bound literal goes through expr(): 1e20 exceeds a JVM long,
+        # so F.lit(10**20) cannot cross py4j
+        ok = (F.col(col_name) >= 0) & (
+            F.col(col_name)
+            < F.expr(f"CAST({10**width} AS DECIMAL(38,0))")
+        )
+        return F.when(
+            ok, F.format_string(f"%0{width}d", col_name)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"export_corpus_zipnum: {col_name} out of "
+                        f"[0, 1e{width}) key width: "
+                    ),
+                    F.col(col_name).cast("string"),
+                )
             )
         )
-    )
+
     line = F.concat_ws(
         " ",
         F.concat_ws(
             ":",
             F.col("split"),
-            shard_str,
-            F.format_string(f"%0{_ZN_POS_W}d", "pos"),
+            _fixed_width("shard", _ZN_SHARD_W),
+            _fixed_width("pos", _ZN_POS_W),
         ),
         F.to_json(F.struct(*payload_cols)),
     )

@@ -509,13 +509,15 @@ def lm_buckets(
         )
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    if "bucket" in scored.columns:
-        # withColumn would silently overwrite it (the sampling-operator
-        # output-clash rule)
-        raise ValueError(
-            "lm_buckets: input already has a 'bucket' column; rename or "
-            "drop it first"
-        )
+    from ia_hadoop_tools_spark.operators.sampling import (
+        _check_output_columns,
+    )
+
+    _check_output_columns(
+        scored,
+        ["bucket"] + [f"__t{k}" for k in range(1, n_buckets)],
+        "lm_buckets",
+    )
     from pyspark.sql import Window
 
     cal = scored.filter(F.col(score_col).isNotNull())
@@ -536,6 +538,21 @@ def lm_buckets(
         bucket = F.when(
             F.col(score_col) >= F.col(f"__t{k}"), labels[k - 1]
         ).otherwise(bucket)
+    # a calibration slice with fewer rows than buckets yields null
+    # cutoffs; the CASE would then silently bucket EVERY doc into the
+    # last label (and a CCNet filter would drop the whole corpus) —
+    # fail the job loudly instead, at zero extra jobs (raise_error
+    # evaluates inside the same action)
+    bucket = F.when(
+        F.col(f"__t{n_buckets - 1}").isNull(),
+        F.raise_error(
+            F.lit(
+                "lm_buckets: calibration slice has fewer rows than "
+                f"n_buckets={n_buckets} (cutoffs undefined) — widen the "
+                "calibration predicate"
+            )
+        ).cast("string"),
+    ).otherwise(bucket)
     bucket = F.when(F.col(score_col).isNotNull(), bucket)
     return (
         scored.crossJoin(F.broadcast(th))

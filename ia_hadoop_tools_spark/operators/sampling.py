@@ -115,6 +115,14 @@ def temperature_fractions(
         return {}
     total = sum(sizes.values())
     weights = {k: (v / total) ** alpha for k, v in sizes.items()}
+    if min(weights.values()) == 0.0:
+        # (share)^alpha underflowed for some stratum — the waterfill
+        # would divide by a zero weight sum (or silently assign keep
+        # fraction 0.0); an alpha this extreme is a caller error
+        raise ValueError(
+            f"alpha={alpha} underflows the weight of some stratum to 0 "
+            "(share^alpha < double min) — use a smaller alpha"
+        )
     fracs: dict[str, float] = {}
     remaining = float(target_rows)
     live = dict(weights)
@@ -176,6 +184,9 @@ def pack_sequences(
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
+    _check_output_columns(
+        df, ["seq_start", "bin", "bin_offset", "__pid"], "pack_sequences"
+    )
     if strata_col:
         # str or sequence of strata columns (e.g. ("split", "shard") in
         # assemble_corpus's one-pass plan) — same per-stratum window

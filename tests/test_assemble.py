@@ -329,3 +329,35 @@ def test_export_corpus_zipnum_rejects_out_of_width_shard(spark, tmp_path):
     )
     with pytest.raises(Exception, match="key width"):
         export_corpus_zipnum(d, str(tmp_path / "zn_wide"))
+
+
+def test_assemble_zero_token_shard_wastes_nothing(spark, tmp_path):
+    """An all-zero-token stream occupies no bins: waste and capacity 0
+    (signed %-arithmetic used to report one fully-wasted bin)."""
+    root = str(tmp_path / "corpus_zero")
+    d = spark.createDataFrame(
+        [(i, "t", 0) for i in range(8)],
+        "doc_id: long, text: string, n_tokens: long",
+    )
+    assemble_corpus(d, root, [("train", 1.0)], n_shards=1, seed=0, budget=16)
+    man = read_manifest(root)
+    assert man["pack_waste"]["train"] == {
+        "wasted_tokens": 0, "capacity_tokens": 0, "fraction": 0.0,
+    }
+
+
+def test_export_corpus_zipnum_rejects_negative_pos(spark, tmp_path):
+    from ia_hadoop_tools_spark.operators.assemble import export_corpus_zipnum
+
+    d = spark.createDataFrame(
+        [(1, "t", "train", 0, -1)],
+        "doc_id: long, text: string, split: string, shard: int, pos: long",
+    )
+    with pytest.raises(Exception, match="key width"):
+        export_corpus_zipnum(d, str(tmp_path / "zn_negpos"))
+
+
+def test_assemble_rejects_waste_scratch_clash(spark, tmp_path):
+    d = _docs(spark, n=5).withColumn("__waste", __import__("pyspark").sql.functions.lit(0))
+    with pytest.raises(ValueError, match="__waste"):
+        assemble_corpus(d, str(tmp_path / "cw"), SPLITS, n_shards=1, budget=8)

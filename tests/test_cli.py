@@ -530,6 +530,14 @@ def test_corpus_buckets_cli(spark, tmp_path, capsys):
         lo = min(sc[i] for i, b in by.items() if b == "head")
         hi = max(sc[i] for i, b in by.items() if b == "tail")
         assert lo >= hi
+    # hash-based bounded calibration slice (content-addressed: works for
+    # ANY doc_id type, unlike a dense doc_id < N predicate)
+    out = str(tmp_path / "qb_out_cal")
+    _run(capsys, "corpus-buckets", src, out, "--unit", "word",
+         "--reference", ref, "--vocab", "100", "--cal-docs", "12")
+    cal_back = spark.read.parquet(out)
+    assert set(cal_back.select("bucket").distinct().toPandas()["bucket"]) \
+        <= {"head", "middle", "tail"}
 
 
 def test_corpus_leakage_cli(spark, tmp_path, capsys):
@@ -590,3 +598,17 @@ def test_corpus_assemble_epochs_cli(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="epochs"):
         _run(capsys, "corpus-assemble", src, root,
              "--fractions", "train=1.0", "--shards", "2", "--epochs", "0")
+
+
+def test_corpus_export_refuses_torn_version(spark, tmp_path, capsys):
+    """A version dir with MANIFEST.json but no _PUBLISHED marker is a
+    crashed save — corpus-export must refuse it like every other
+    version reader."""
+    import json as _json
+
+    vdir = tmp_path / "torn_v000"
+    vdir.mkdir()
+    (vdir / "MANIFEST.json").write_text(_json.dumps({"version": 0}))
+    with pytest.raises(SystemExit, match="UNPUBLISHED"):
+        _run(capsys, "corpus-export", str(vdir), str(tmp_path / "torn_out"),
+             "--codec", "zipnum")

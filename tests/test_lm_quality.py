@@ -419,3 +419,34 @@ def test_lm_buckets_rejects_bucket_clash(spark):
     )
     with pytest.raises(ValueError, match="bucket"):
         lm_buckets(scored)
+
+
+def test_lm_buckets_empty_calibration_raises_at_action(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.lm_quality import lm_buckets
+
+    scored = spark.createDataFrame(
+        [(1, -1.0), (2, -2.0), (3, -3.0)], "doc_id: long, lm_score: double"
+    )
+    out = lm_buckets(scored, calibration=F.col("doc_id") > 100)
+    # silent all-'tail' bucketing would drop the whole corpus downstream
+    with pytest.raises(Exception, match="calibration slice"):
+        out.collect()
+    # a one-row slice cannot define tercile cutoffs either
+    out2 = lm_buckets(scored, calibration=F.col("doc_id") == 1)
+    with pytest.raises(Exception, match="calibration slice"):
+        out2.collect()
+
+
+def test_lm_buckets_rejects_scratch_clash(spark):
+    import pytest
+
+    from ia_hadoop_tools_spark.operators.lm_quality import lm_buckets
+
+    scored = spark.createDataFrame(
+        [(1, -1.0, 0.0)], "doc_id: long, lm_score: double, __t1: double"
+    )
+    with pytest.raises(ValueError, match="__t1"):
+        lm_buckets(scored)
