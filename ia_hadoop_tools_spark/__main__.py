@@ -404,14 +404,25 @@ def cmd_corpus_sample(args):
     if args.temperature is not None:
         if args.target is None:
             raise SystemExit("--temperature needs --target N")
+        if args.fractions:
+            raise SystemExit(
+                "--temperature computes the fractions itself; drop "
+                "--fractions (they would be silently ignored)"
+            )
         try:
             fracs = temperature_fractions(
                 docs, args.temperature, args.target, args.strata_col
             )
         except ValueError as e:
             raise SystemExit(f"corpus-sample: {e}")
-        shown = {k: round(v, 4) for k, v in fracs.items()}
-        print(f"corpus-sample: temperature fractions {shown}")
+        shown = dict(
+            list({k: round(v, 6) for k, v in fracs.items()}.items())[:20]
+        )
+        more = f" (+{len(fracs) - 20} more)" if len(fracs) > 20 else ""
+        print(
+            f"corpus-sample: temperature fractions over {len(fracs)} "
+            f"strata {shown}{more}; NULL-{args.strata_col} rows excluded"
+        )
         out = sample_stratified(docs, fracs, args.strata_col)
     elif args.fractions:
         fracs = dict(
@@ -732,18 +743,20 @@ def cmd_corpus_buckets(args):
     # bounded calibration slice: content-addressed hash fraction sized
     # from one cheap count, so it works for ANY doc_id type (a dense-id
     # predicate like doc_id < N keeps half the corpus when ids are
-    # signed hashes, e.g. corpus-from-warc output).  0 calibrates on
-    # all scored rows — fine at CLI scale, not at 100 TB.
+    # signed hashes, e.g. corpus-from-warc output).  The shared
+    # hash_fraction_predicate keeps >= one grid step for any nonzero
+    # fraction (raw truncation selected an EMPTY slice past 1e6x the
+    # cal size) and is the engine's one hash-sampling convention.
+    # 0 calibrates on all scored rows — fine at CLI scale, not 100 TB.
     cal = None
     if args.cal_docs:
-        from ia_hadoop_tools_spark.functions.hashfns import hash32
+        from ia_hadoop_tools_spark.operators.sampling import (
+            hash_fraction_predicate,
+        )
 
         n_docs = docs.count()
         frac = min(1.0, args.cal_docs / max(n_docs, 1))
-        cal = (
-            hash32(F.col("doc_id").cast("string"), salt="cal:") % 1_000_000
-            < int(frac * 1_000_000)
-        )
+        cal = hash_fraction_predicate("doc_id", frac, salt="cal:")
     out = lm_buckets(
         scored.filter(F.col("lm_score").isNotNull()), calibration=cal
     )

@@ -933,8 +933,12 @@ def warc_to_documents(paths_df: DataFrame) -> DataFrame:
         F.xxhash64("target_uri", "timestamp").alias("doc_id"),
         F.col("text"),
         lang_id(F.col("text")).alias("lang"),
+        # hostnames are case-insensitive (RFC 3986): lowercase so case
+        # variants of one domain share a stratum (cap_per_stratum /
+        # temperature_fractions treat distinct spellings as distinct)
         F.coalesce(
-            F.expr("parse_url(target_uri, 'HOST')"), F.lit("unknown")
+            F.lower(F.expr("parse_url(target_uri, 'HOST')")),
+            F.lit("unknown"),
         ).alias("source"),
         F.col("n_chars"),
         F.col("target_uri").alias("url"),

@@ -28,13 +28,29 @@ from pyspark.sql import functions as F
 _MOD = 1_000_000
 
 
-def _hash_bucket(id_col: str):
+def _hash_bucket(id_col: str, salt: str = ""):
     # hashfns.hash32 (the engine's ONE md5-prefix hash, byte-identical to
     # the previous inline copy) -> [0, _MOD); content-addressed and
     # reproducible in any engine with md5 (DuckDB oracle: hash32_sql)
     from ia_hadoop_tools_spark.functions.hashfns import hash32
 
-    return hash32(F.col(id_col).cast("string")) % _MOD
+    return hash32(F.col(id_col).cast("string"), salt=salt) % _MOD
+
+
+def hash_fraction_predicate(
+    id_col: str, fraction: float, salt: str = ""
+):
+    """Boolean Column keeping ~``fraction`` of rows, content-addressed on
+    ``id_col`` — the engine's ONE hash-sampling convention (md5-prefix
+    mod 1e6), exposed so callers (e.g. the corpus-buckets calibration
+    slice) never re-implement it.  ``salt`` decorrelates independent
+    samples.  Resolution is 1/_MOD: any nonzero fraction keeps at least
+    one grid step (a raw ``int()`` truncation silently kept NOTHING for
+    fractions under 1e-6)."""
+    thr = int(fraction * _MOD)
+    if fraction > 0:
+        thr = max(1, thr)
+    return _hash_bucket(id_col, salt=salt) < thr
 
 
 def sample_hash(
@@ -42,6 +58,11 @@ def sample_hash(
 ) -> DataFrame:
     """Deterministic ~``fraction`` sample keyed on ``id_col`` content."""
     return df.filter(_hash_bucket(id_col) < int(fraction * _MOD))
+
+
+#: above this many strata the CASE expression nests too deep (Catalyst
+#: stack) — switch to a broadcast threshold join, value-identical
+_STRATA_CASE_MAX = 64
 
 
 def sample_stratified(
@@ -54,15 +75,39 @@ def sample_stratified(
     """Per-stratum deterministic sampling (training-mix reweighting).
 
     ``fractions`` maps stratum value -> keep fraction; strata not listed
-    keep ``default_fraction``. One codegen filter, no shuffle: the
-    threshold lookup inlines as a CASE expression.
+    (including NULL strata) keep ``default_fraction``.  Up to
+    ``_STRATA_CASE_MAX`` strata the threshold lookup inlines as a CASE
+    expression (one codegen filter, no shuffle); past that — e.g.
+    per-HOST fractions from :func:`temperature_fractions` over a real
+    crawl — a nested CASE would overflow Catalyst's stack, so the
+    thresholds become a broadcast left join + the same filter,
+    value-identical by construction.
     """
-    thr = F.lit(int(default_fraction * _MOD))
-    for val, frac in sorted(fractions.items()):
-        thr = F.when(
-            F.col(strata_col) == val, F.lit(int(frac * _MOD))
-        ).otherwise(thr)
-    return df.filter(_hash_bucket(id_col) < thr)
+    bucket = _hash_bucket(id_col)
+    if len(fractions) <= _STRATA_CASE_MAX:
+        thr = F.lit(int(default_fraction * _MOD))
+        for val, frac in sorted(fractions.items()):
+            thr = F.when(
+                F.col(strata_col) == val, F.lit(int(frac * _MOD))
+            ).otherwise(thr)
+        return df.filter(bucket < thr)
+    spark = df.sparkSession
+    thr_df = spark.createDataFrame(
+        [(k, int(v * _MOD)) for k, v in sorted(fractions.items())],
+        "__stratum: string, __thr: int",
+    )
+    return (
+        df.join(
+            F.broadcast(thr_df),
+            df[strata_col] == thr_df["__stratum"],
+            "left",
+        )
+        .filter(
+            bucket
+            < F.coalesce(F.col("__thr"), F.lit(int(default_fraction * _MOD)))
+        )
+        .drop("__stratum", "__thr")
+    )
 
 
 def temperature_fractions(
@@ -91,7 +136,15 @@ def temperature_fractions(
 
     Scale shape: ONE map-side-combinable aggregation bounded by the
     stratum count; everything after is driver arithmetic on that
-    bounded dict.  The expectation is exact; the realized sample varies
+    bounded dict — so keep strata cardinality bounded (per registered
+    DOMAIN, not per raw host, for web corpora).  Rows whose stratum is
+    NULL are excluded from the shares (and, with
+    sample_stratified's default_fraction=0, from the sample) — assign
+    them a stratum first if they must participate.  The expectation is
+    exact up to the sampler's 1/1e6 hash-grid resolution: each nonzero
+    fraction is rounded UP to the grid so no stratum silently
+    contributes zero rows (truncation used to zero out fractions under
+    1e-6 — exactly the giant-stratum case); the realized sample varies
     by the binomial noise of :func:`sample_hash`'s md5 buckets.
     """
     import math
@@ -142,8 +195,13 @@ def temperature_fractions(
             fracs[k] = 1.0
             remaining -= sizes[k]
             del live[k]
-    # iteration order is dict order — make the output reproducible
-    return {k: round(min(f, 1.0), 9) for k, f in sorted(fracs.items())}
+    # quantize UP to the sampler's hash grid: int(frac * _MOD) in
+    # sample_stratified would truncate a sub-1e-6 fraction to a
+    # keep-nothing threshold, silently emptying the biggest stratum
+    return {
+        k: min(math.ceil(min(f, 1.0) * _MOD), _MOD) / _MOD
+        for k, f in sorted(fracs.items())
+    }
 
 
 def pack_sequences(

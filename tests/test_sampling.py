@@ -500,9 +500,71 @@ def test_temperature_fractions_waterfill_invariants():
         assert all(0.0 < v <= 1.0 for v in fr.values())
         expected = sum(fr[k] * sizes[k] for k in sizes)
         want = min(target, sum(sizes.values()))
-        # expectation meets the (achievable) target to rounding
-        assert abs(expected - want) <= 1e-4 * want + 1e-5
+        # expectation meets the (achievable) target; fractions quantize
+        # UP to the 1/1e6 sampler grid, so allow that one-grid-step
+        # overshoot per stratum (never undershoot past rounding)
+        slack = sum(sizes.values()) / 1_000_000 + 1e-4 * want + 1e-5
+        assert want - 1e-4 * want - 1e-5 <= expected <= want + slack
         # determinism
         assert fr == temperature_fractions(_StubDF(sizes), alpha, target)
 
     check()
+
+
+def test_sample_stratified_join_path_matches_case_path(spark):
+    """Past _STRATA_CASE_MAX strata the threshold lookup becomes a
+    broadcast join (a nested CASE overflows Catalyst's stack at crawl
+    host counts) — both paths must keep the identical rows."""
+    from ia_hadoop_tools_spark.operators import sampling
+    from ia_hadoop_tools_spark.operators.sampling import sample_stratified
+
+    d = spark.createDataFrame(
+        [(i, f"s{i % 100}") for i in range(2000)],
+        "doc_id: long, source: string",
+    )
+    fracs = {f"s{j}": (j % 10) / 10 for j in range(100)}  # 100 > 64 strata
+    joined = {r.doc_id for r in sample_stratified(d, fracs).collect()}
+    old_max = sampling._STRATA_CASE_MAX
+    sampling._STRATA_CASE_MAX = 1000  # force the CASE path
+    try:
+        cased = {r.doc_id for r in sample_stratified(d, fracs).collect()}
+    finally:
+        sampling._STRATA_CASE_MAX = old_max
+    assert joined == cased
+    # unlisted + NULL strata keep default_fraction
+    d2 = spark.createDataFrame(
+        [(1, None), (2, "zz")], "doc_id: long, source: string"
+    )
+    assert sample_stratified(d2, fracs).count() == 0
+    assert sample_stratified(d2, fracs, default_fraction=1.0).count() == 2
+
+
+def test_hash_fraction_predicate_floor_and_temperature_grid(spark):
+    """Sub-1e-6 fractions must keep SOMETHING: the predicate floors at
+    one hash-grid step, and temperature_fractions quantizes UP."""
+    from ia_hadoop_tools_spark.operators.sampling import (
+        hash_fraction_predicate,
+        temperature_fractions,
+    )
+    from pyspark.sql import functions as F
+
+    d = spark.range(0, 3_000_000).withColumnRenamed("id", "doc_id")
+    kept = d.filter(hash_fraction_predicate("doc_id", 4e-7)).count()
+    assert kept > 0  # raw int(4e-7 * 1e6) == 0 kept nothing
+
+    class _StubDF:
+        def __init__(self, sizes):
+            self._sizes = sizes
+
+        def groupBy(self, col):
+            return self
+
+        def agg(self, *a):
+            return self
+
+        def collect(self):
+            return [{"source": k, "__c": v} for k, v in self._sizes.items()]
+
+    fr = temperature_fractions(_StubDF({"web": 5_000_000}), 1.0, 2)
+    # exact frac 4e-7 quantizes UP to the 1e-6 grid, not down to zero
+    assert fr["web"] == 1e-6
