@@ -778,6 +778,101 @@ def cmd_corpus_buckets(args):
     print(f"corpus-buckets[{args.unit}]: {hist} -> {args.output}")
 
 
+def cmd_corpus_classify(args):
+    """corpus-classify: GPT-3-style linear quality filter (Brown et al.
+    2020 App. A) — train a Multinomial-NB token classifier on a
+    high-quality --pos reference vs a --neg reference (default: the
+    input corpus itself, the original setup: curated-vs-raw-web), score
+    every doc with the broadcast model, write (doc_id, nb_llr,
+    n_tokens) parquet.  The kept/dropped histogram at --threshold rides
+    the write as an Observation (no second pass)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.classifier import (
+        nb_quality_score,
+        train_nb_quality,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    pos = spark.read.parquet(args.pos)
+    neg = spark.read.parquet(args.neg) if args.neg else docs
+    model = train_nb_quality(pos, neg, vocab_size=args.vocab).persist()
+    out = nb_quality_score(docs, model)
+    obs = Observation()
+    (
+        out.observe(
+            obs,
+            F.sum(
+                F.when(F.col("nb_llr") > args.threshold, 1).otherwise(0)
+            ).alias("n_keep"),
+            F.count("*").alias("n_docs"),
+        )
+        .write.mode("overwrite")
+        .parquet(args.output)
+    )
+    model.unpersist()
+    got = obs.get
+    n_keep, n_docs = int(got["n_keep"] or 0), int(got["n_docs"] or 0)
+    print(
+        f"corpus-classify: {n_keep}/{n_docs} docs above "
+        f"llr={args.threshold} -> {args.output}"
+    )
+
+
+def cmd_corpus_prune(args):
+    """corpus-prune: D4-style cluster-aware pruning (Tirumala et al.
+    2023) over an embeddings parquet — train a spherical k-means
+    quantizer (or load --centroids), assign, rank by prototypicality,
+    write keep/drop verdicts.  Kept-count rides the write as an
+    Observation."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.similarity import (
+        prototype_prune,
+        train_ivf_centroids,
+    )
+
+    spark = _spark(args)
+    emb = spark.read.parquet(args.input)
+    if args.centroids:
+        cent = spark.read.parquet(args.centroids)
+    else:
+        cent = (
+            train_ivf_centroids(
+                emb, num_centroids=args.k, id_col=args.id_col,
+                vec_col=args.vec_col,
+            )
+            .select(
+                F.col("__cid").alias("centroid_id"),
+                F.col("__cvec").alias("centroid"),
+            )
+            .persist()
+        )
+    out = prototype_prune(
+        emb, cent, keep_frac=args.keep_frac, drop=args.drop,
+        id_col=args.id_col, vec_col=args.vec_col,
+    )
+    obs = Observation()
+    (
+        out.observe(
+            obs,
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+            F.count("*").alias("n_docs"),
+        )
+        .write.mode("overwrite")
+        .parquet(args.output)
+    )
+    got = obs.get
+    n_keep, n_docs = int(got["n_keep"] or 0), int(got["n_docs"] or 0)
+    print(
+        f"corpus-prune[{args.drop}]: keep {n_keep}/{n_docs} "
+        f"-> {args.output}"
+    )
+
+
 def cmd_corpus_leakage(args):
     """corpus-leakage: eval-split contamination audit — exact text
     groups straddling splits (split_leakage), plus ``--near`` MinHash
@@ -1117,6 +1212,38 @@ def main(argv=None):
     s.add_argument("--cal-docs", type=int, default=10_000,
                    help="calibration slice bound (doc_id < N); 0 = all")
     s.set_defaults(fn=cmd_corpus_buckets)
+
+    s = sub.add_parser(
+        "corpus-classify",
+        help="NB linear quality filter: train pos-vs-neg, score docs",
+    )
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--pos", required=True,
+                   help="high-quality reference corpus parquet")
+    s.add_argument("--neg", default=None,
+                   help="negative reference parquet (default: input)")
+    s.add_argument("--vocab", type=int, default=50_000)
+    s.add_argument("--threshold", type=float, default=0.0,
+                   help="keep-histogram cut on mean per-token llr")
+    s.set_defaults(fn=cmd_corpus_classify)
+
+    s = sub.add_parser(
+        "corpus-prune",
+        help="D4 prototypicality pruning over embeddings (k-means cells)",
+    )
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--centroids", default=None,
+                   help="centroid parquet (centroid_id, centroid); "
+                        "default: train k-means on the input")
+    s.add_argument("--k", type=int, default=64)
+    s.add_argument("--keep-frac", type=float, default=0.8)
+    s.add_argument("--drop", choices=("prototypes", "outliers"),
+                   default="prototypes")
+    s.add_argument("--id-col", default="vec_id")
+    s.add_argument("--vec-col", default="embedding")
+    s.set_defaults(fn=cmd_corpus_prune)
 
     s = sub.add_parser(
         "corpus-leakage",

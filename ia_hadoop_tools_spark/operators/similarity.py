@@ -864,3 +864,92 @@ def semdedup(
     out.assign_cache = assigned
     out.oversized_obs = oversized_obs
     return out
+
+
+def prototype_prune(
+    df: DataFrame,
+    centroids: DataFrame,
+    keep_frac: float = 0.8,
+    drop: str = "prototypes",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """Cluster-aware data pruning by prototypicality — the D4 step that
+    composes with :func:`semdedup` (Tirumala et al. 2023 "D4: Improving
+    LLM Pretraining via Document De-Duplication and Diversification";
+    Sorscher et al. 2022 "Beyond neural scaling laws" SSL-prototypes).
+
+    Assigns every vector to its nearest centroid (:func:`assign_clusters`
+    — broadcast, corpus never shuffles for the assignment), ranks within
+    each cluster by cosine-to-centroid, and keeps a ``keep_frac``
+    fraction of each cluster:
+
+    - ``drop='prototypes'`` (the D4 default): rank ASCENDING cosine —
+      near-centroid documents are the semantically redundant "templates"
+      (boilerplate, near-identical pages) and the FARTHEST survive.
+    - ``drop='outliers'`` (SSL-prototypes' easy-data regime / the noisy
+      web-tail cut): rank DESCENDING cosine — the CLOSEST survive.
+
+    Returns (``id_col``, ``cluster_id``, ``cos_to_centroid``,
+    ``cluster_rank``, ``keep``) — verdicts, not a filtered frame (the
+    :func:`~ia_hadoop_tools_spark.operators.components.dedup_groups`
+    shape), so callers can audit the cut before applying it.
+
+    Deterministic and engine-exact: cosines are rounded to 6 dp BEFORE
+    ranking (the :func:`assign_clusters` rule), rank ties break id-asc,
+    and the per-cluster keep count is pure 64-bit integer arithmetic —
+    ``(size * keep_ppm) div 1_000_000`` with ``keep_ppm =
+    round(keep_frac * 1e6)`` — so no float multiply can flip a boundary
+    row between engines.  floor semantics: a cluster smaller than
+    ``1/keep_frac`` can keep zero documents (documented; pass
+    ``keep_frac=1.0`` to keep all).
+
+    Scale shape (100 TB): the only exchange over corpus-sized data is
+    the window's hash partition on ``cluster_id`` of skinny
+    ``(id, cluster, cos)`` rows — text/embedding columns are projected
+    away before the shuffle.  Per-cluster sort is partition-local and
+    bounded by cluster size: k-means-trained centroids
+    (:func:`train_ivf_centroids`) keep cells balanced, and at larger
+    corpora the operator scales by raising k, not by skewing cells.
+    """
+    if not 0.0 <= keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in [0, 1], got {keep_frac}")
+    if drop not in ("prototypes", "outliers"):
+        raise ValueError(
+            f"drop must be 'prototypes' or 'outliers', got {drop!r}"
+        )
+    keep_ppm = int(round(keep_frac * 1e6))
+    assigned = assign_clusters(
+        df,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col,
+    )
+    order = (
+        F.col("cos_to_centroid").asc()
+        if drop == "prototypes"
+        else F.col("cos_to_centroid").desc()
+    )
+    w = Window.partitionBy("cluster_id").orderBy(order, F.col(id_col).asc())
+    wc = Window.partitionBy("cluster_id")
+    ranked = assigned.select(
+        id_col,
+        "cluster_id",
+        "cos_to_centroid",
+        F.row_number().over(w).alias("cluster_rank"),
+        F.count("*").over(wc).alias("__sz"),
+    )
+    return ranked.select(
+        id_col,
+        "cluster_id",
+        "cos_to_centroid",
+        "cluster_rank",
+        (
+            F.col("cluster_rank")
+            <= F.expr(f"(__sz * {keep_ppm}) div 1000000")
+        ).alias("keep"),
+    )

@@ -33,6 +33,17 @@ at the round-9 freeze:
   (operators/sampling.cap_per_stratum): seeded uniform N-sample per
   stratum by salted content hash, exact value-level oracle via the one
   hash mirror.
+- ``nb_quality`` — GPT-3-style linear quality filter
+  (operators/classifier.nb_quality_score): mean per-token
+  log-likelihood ratio under a FIXED Multinomial-NB model shared
+  verbatim with the oracle (the FIXED_WORD_LM pattern); integer
+  micro-nat aggregation makes the mean engine-exact.  Training is
+  pinned by tests/test_classifier.py's plain-Python weight mirror.
+- ``prototype_prune`` — D4-style cluster-aware pruning
+  (operators/similarity.prototype_prune): nearest-centroid assignment
+  (first-K-embeddings centroids, the semdedup-row trick),
+  within-cluster prototypicality rank, keep verdicts by pure integer
+  ppm arithmetic so no float multiply can flip a boundary row.
 """
 
 from __future__ import annotations
@@ -195,14 +206,146 @@ WHERE rn <= {CAP_N}
 SQL_SOURCE_CAP = _sql_source_cap()
 
 
+#: fixed NB quality model (token, llr at 6 dp) shared verbatim with the
+#: oracle — the FIXED_WORD_LM pattern: training is pinned separately by
+#: tests/test_classifier.py's plain-Python mirror; the registry row pins
+#: the SCORER (broadcast join + integer micro-nat mean) end-to-end.
+#: Tokens chosen from the synthetic documents vocabulary so every doc
+#: mixes in-model and out-of-model words.
+FIXED_NB_MODEL: list[tuple[str, float]] = [
+    ("spark", 0.693147),
+    ("scan", 0.405465),
+    ("merge", 0.223144),
+    ("fast", 0.105361),
+    ("slow", -0.105361),
+    ("batch", -0.223144),
+    ("table", -0.405465),
+    ("dup", -1.386294),
+]
+
+
+def q_nb_quality(spark, sf_dir):
+    """GPT-3-style linear quality filter (operators/classifier.py): mean
+    per-token log-likelihood ratio under the fixed NB model — the scorer
+    every pretraining corpus ships through, engine-exact via integer
+    micro-nats."""
+    from ia_hadoop_tools_spark.operators.classifier import nb_quality_score
+    from ia_hadoop_tools_spark.session import load_tables
+
+    model = spark.createDataFrame(FIXED_NB_MODEL, "token string, llr double")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return nb_quality_score(docs, model)
+
+
+def _sql_nb_quality() -> str:
+    vals = ",\n    ".join(
+        f"('{t}', CAST({int(round(llr * 1e6))} AS BIGINT))"
+        for t, llr in FIXED_NB_MODEL
+    )
+    return f"""
+WITH model(token, mi) AS (
+  VALUES
+    {vals}),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[ \\t\\n\\f\\r]+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(coalesce(m.mi, 0)) AS DOUBLE) / count(*) / 1e6
+           AS nb_llr,
+         count(*) AS n_tokens
+  FROM toks LEFT JOIN model m ON toks.w = m.token
+  GROUP BY doc_id)
+SELECT d.doc_id, s.nb_llr,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+SQL_NB_QUALITY = _sql_nb_quality()
+
+
+#: prototype_prune fixture: the semdedup-row trick (first-K embeddings
+#: as centroids) + ppm keep fraction
+PROTO_K = 8
+PROTO_KEEP_FRAC = 0.75
+
+
+def q_prototype_prune(spark, sf_dir):
+    """D4-style cluster-aware pruning (operators/similarity.py
+    prototype_prune): nearest-centroid assignment, within-cluster
+    prototypicality rank, integer-ppm keep verdicts."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.similarity import prototype_prune
+    from ia_hadoop_tools_spark.session import load_tables
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    centroids = e.filter(F.col("vec_id") < PROTO_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return prototype_prune(e, centroids, keep_frac=PROTO_KEEP_FRAC)
+
+
+def _sql_prototype_prune() -> str:
+    from ia_hadoop_tools_spark.driver_queries import (
+        _vec_dot_sql,
+        _vec_norm_sql,
+    )
+
+    ppm = int(round(PROTO_KEEP_FRAC * 1e6))
+    dot = _vec_dot_sql("e.embedding", "c.cvec")
+    ne, nc = _vec_norm_sql("e.embedding"), _vec_norm_sql("c.cvec")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {PROTO_K}
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         round({dot} / ({ne} * {nc}), 6) AS cos
+  FROM embeddings e, cent c
+  WHERE {ne} * {nc} <> 0
+),
+best AS (
+  SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, cos FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, cluster_id, cos AS cos_to_centroid,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY cos ASC, vec_id ASC) AS rnk,
+         count(*) OVER (PARTITION BY cluster_id) AS sz
+  FROM best)
+SELECT vec_id, cluster_id, cos_to_centroid,
+       CAST(rnk AS INTEGER) AS cluster_rank,
+       rnk <= (sz * {ppm}) // 1000000 AS keep
+FROM ranked
+"""
+
+
+SQL_PROTOTYPE_PRUNE = _sql_prototype_prune()
+
+
 PENDING_QUERIES: dict = {
     "split_leakage_near": q_split_leakage_near,
     "lm_word_buckets": q_lm_word_buckets,
     "source_cap": q_source_cap,
+    "nb_quality": q_nb_quality,
+    "prototype_prune": q_prototype_prune,
 }
 
 PENDING_ORACLE_SQL: dict = {
     "split_leakage_near": SQL_SPLIT_LEAKAGE_NEAR,
     "lm_word_buckets": SQL_LM_WORD_BUCKETS,
     "source_cap": SQL_SOURCE_CAP,
+    "nb_quality": SQL_NB_QUALITY,
+    "prototype_prune": SQL_PROTOTYPE_PRUNE,
 }

@@ -293,6 +293,24 @@ COMMENTARY = {
         "per stratum BEFORE the exchange, so a 10k-page domain ships N "
         "rows, not 10k — the day_limit shape on the documents table."
     ),
+    "nb_quality": (
+        "The (<= vocab_size)-row model `BroadcastHashJoin`s (left) "
+        "against the exploded tokens — the text column is projected "
+        "away before the only exchange, a partial-aggregated groupBy "
+        "of skinny (id, micro) LONG rows; per-token weights become "
+        "integer micro-nats before the sum (associative, engine-exact) "
+        "and the mean is one fixed-order division. A linear classifier "
+        "whose hot path is entirely codegen — no Python anywhere."
+    ),
+    "prototype_prune": (
+        "Nearest-centroid assignment is the broadcast crossJoin + "
+        "max_by aggregate (corpus scanned once, never shuffled for "
+        "assignment); the embedding column is projected away before "
+        "the single corpus-sized exchange — the per-cluster window over "
+        "skinny (id, cluster, cos) rows. Keep verdicts are pure 64-bit "
+        "integer ppm arithmetic inside the same window stage, so the "
+        "whole prune adds exactly one exchange to the assignment."
+    ),
 }
 
 

@@ -612,3 +612,47 @@ def test_corpus_export_refuses_torn_version(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="UNPUBLISHED"):
         _run(capsys, "corpus-export", str(vdir), str(tmp_path / "torn_out"),
              "--codec", "zipnum")
+
+
+def test_corpus_classify_cli(spark, tmp_path, capsys):
+    pos = str(tmp_path / "cls_pos")
+    docs = str(tmp_path / "cls_docs")
+    spark.createDataFrame(
+        [(i, "clean spark merge scan") for i in range(10)],
+        "doc_id: long, text: string",
+    ).write.parquet(pos)
+    rows = [(i, "clean spark merge scan extra") for i in range(5)]
+    rows += [(10 + i, "zz1 zz2 zz3 zz4") for i in range(5)]
+    spark.createDataFrame(rows, "doc_id: long, text: string").write.parquet(
+        docs
+    )
+    out = str(tmp_path / "cls_out")
+    got = _run(capsys, "corpus-classify", docs, out, "--pos", pos,
+               "--vocab", "100")
+    assert "corpus-classify: 5/10 docs above llr=0.0" in got
+    back = {r.doc_id: r.nb_llr for r in spark.read.parquet(out).collect()}
+    assert len(back) == 10
+    # reference-like docs score positive, junk negative
+    assert all(back[i] > 0 for i in range(5))
+    assert all(back[10 + i] < 0 for i in range(5))
+
+
+def test_corpus_prune_cli(spark, tmp_path, capsys):
+    emb = str(tmp_path / "pr_emb")
+    # two tight direction groups; k-means with k=2 separates them
+    rows = [(i, [1.0, 0.01 * i]) for i in range(10)]
+    rows += [(100 + i, [0.01 * i, 1.0]) for i in range(10)]
+    spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    ).write.parquet(emb)
+    out = str(tmp_path / "pr_out")
+    got = _run(capsys, "corpus-prune", emb, out, "--k", "2",
+               "--keep-frac", "0.5")
+    assert "corpus-prune[prototypes]: keep 10/20" in got
+    back = spark.read.parquet(out)
+    assert {"vec_id", "cluster_id", "cluster_rank", "keep"} <= set(
+        back.columns
+    )
+    # each trained cell keeps exactly half
+    kept = back.filter("keep").groupBy("cluster_id").count().collect()
+    assert sorted(r["count"] for r in kept) == [5, 5]
