@@ -865,6 +865,8 @@ def cmd_corpus_prune(args):
         .write.mode("overwrite")
         .parquet(args.output)
     )
+    if not args.centroids:
+        cent.unpersist()
     got = obs.get
     n_keep, n_docs = int(got["n_keep"] or 0), int(got["n_docs"] or 0)
     print(

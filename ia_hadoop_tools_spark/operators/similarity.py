@@ -913,6 +913,10 @@ def prototype_prune(
     bounded by cluster size: k-means-trained centroids
     (:func:`train_ivf_centroids`) keep cells balanced, and at larger
     corpora the operator scales by raising k, not by skewing cells.
+
+    Zero-norm vectors carry no direction to cluster by and are absent
+    from the output entirely (the :func:`assign_clusters` rule) — they
+    are neither kept nor dropped; audit them separately if they exist.
     """
     if not 0.0 <= keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in [0, 1], got {keep_frac}")

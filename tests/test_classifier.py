@@ -182,3 +182,23 @@ def test_prototype_prune_invariant_under_partitioning(spark, two_clusters):
         corpus.repartition(7), centroids, keep_frac=0.5
     ).collect()
     assert sorted(a) == sorted(b)
+
+
+def test_nb_scores_compose_with_lm_buckets(spark, tiny_model):
+    """The CCNet bucket step is scorer-agnostic (lm_buckets docstring):
+    head/middle/tail over NB llr scores is the classifier-backed quality
+    cut — pin the composition end-to-end."""
+    from ia_hadoop_tools_spark.operators.lm_quality import lm_buckets
+
+    docs = _docs(
+        spark,
+        ["good good spark"] * 4 + ["good spam"] * 4 + ["spam spam noise"] * 4,
+    )
+    scored = nb_quality_score(docs, tiny_model)
+    out = lm_buckets(scored, score_col="nb_llr").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["nb_llr"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    # buckets are monotone in score: every head score >= every tail score
+    assert min(by_bucket["head"]) >= max(by_bucket["tail"])
