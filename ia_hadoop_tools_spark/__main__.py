@@ -875,6 +875,33 @@ def cmd_corpus_prune(args):
     )
 
 
+def cmd_corpus_stats(args):
+    """corpus-stats: per-source corpus report card — docs, tokens
+    (the same word rule corpus-pack budgets against), chars, unique
+    texts, exact-dup fraction.  One aggregation job; output is bounded
+    by the number of sources, so the collect is metadata-sized."""
+    from ia_hadoop_tools_spark.operators.textops import corpus_stats
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    out = corpus_stats(
+        docs,
+        by=None if args.all else args.by,
+        text_col=args.text_col,
+        distinct="approx" if args.approx else "exact",
+    )
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+    for r in sorted(out.collect(), key=lambda r: str(r["source"])):
+        print(
+            f"corpus-stats: {r['source']}: docs={r['n_docs']} "
+            f"tokens={r['n_tokens']} mean={r['mean_tokens']:.1f} "
+            f"max={r['max_tokens']} chars={r['n_chars']} "
+            f"unique={r['n_unique_texts']} dup_frac={r['dup_frac']:.4f}"
+        )
+
+
 def cmd_corpus_leakage(args):
     """corpus-leakage: eval-split contamination audit — exact text
     groups straddling splits (split_leakage), plus ``--near`` MinHash
@@ -1246,6 +1273,21 @@ def main(argv=None):
     s.add_argument("--id-col", default="vec_id")
     s.add_argument("--vec-col", default="embedding")
     s.set_defaults(fn=cmd_corpus_prune)
+
+    s = sub.add_parser(
+        "corpus-stats",
+        help="per-source corpus report: docs/tokens/chars/dup fraction",
+    )
+    s.add_argument("input")
+    s.add_argument("--by", default="source")
+    s.add_argument("--all", action="store_true",
+                   help="one corpus-wide row instead of per-source")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--approx", action="store_true",
+                   help="HLL unique-text count (the no-distinct-shuffle "
+                        "scale path)")
+    s.add_argument("--output", default=None)
+    s.set_defaults(fn=cmd_corpus_stats)
 
     s = sub.add_parser(
         "corpus-leakage",

@@ -701,3 +701,64 @@ def collocation_scores(
             ).alias("score"),
         )
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    by: str | None = "source",
+    text_col: str = "text",
+    distinct: str = "exact",
+) -> DataFrame:
+    """Per-source corpus report card — the numbers a training team
+    watches per ingest: (``source``, ``n_docs``, ``n_tokens``,
+    ``mean_tokens``, ``max_tokens``, ``n_chars``, ``n_unique_texts``,
+    ``dup_frac``).
+
+    One aggregation job over the corpus; ``by=None`` rolls the whole
+    corpus into a single ``source='ALL'`` row.  Tokens use the engine's
+    one word rule (lowercase + WORD_SPLIT, empties dropped — the
+    lm_quality/classifier tokenizer), so ``n_tokens`` here is the same
+    count `corpus-pack` budgets against.  NULL text counts as an empty
+    document (0 tokens / 0 chars), not a dropped row.
+
+    ``mean_tokens`` and ``dup_frac`` are fixed-order divisions of exact
+    long aggregates (no float accumulation), so the row is engine-exact
+    and oracle-checkable.  ``distinct='exact'`` counts unique texts via
+    ``count_distinct(md5)`` — the shuffle carries one skinny
+    (source, digest) row per distinct document (the dedup_exact_text
+    digest-identity assumption); ``distinct='approx'`` is the 100 TB
+    path (HLL++ ``approx_count_distinct``, one pass, no distinct
+    shuffle — pair it with the kmv/hll sketch rows when the bound
+    matters).
+    """
+    if distinct not in ("exact", "approx"):
+        raise ValueError(
+            f"distinct must be 'exact' or 'approx', got {distinct!r}"
+        )
+    from ia_hadoop_tools_spark.operators.bpe import WORD_SPLIT
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.size(F.filter(F.split(F.lower(t), WORD_SPLIT), lambda x: x != ""))
+    src = F.col(by) if by is not None else F.lit("ALL")
+    rows = df.select(
+        src.alias("source"),
+        toks.alias("__t"),
+        F.length(t).alias("__c"),
+        F.md5(t).alias("__h"),
+    )
+    uniq = (
+        F.count_distinct("__h")
+        if distinct == "exact"
+        else F.approx_count_distinct("__h")
+    )
+    return rows.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__t").alias("n_tokens"),
+        (F.sum("__t").cast("double") / F.count("*")).alias("mean_tokens"),
+        F.max("__t").cast("long").alias("max_tokens"),
+        F.sum("__c").alias("n_chars"),
+        uniq.alias("n_unique_texts"),
+        (
+            (F.count("*") - uniq).cast("double") / F.count("*")
+        ).alias("dup_frac"),
+    )

@@ -44,6 +44,10 @@ at the round-9 freeze:
   (first-K-embeddings centroids, the semdedup-row trick),
   within-cluster prototypicality rank, keep verdicts by pure integer
   ppm arithmetic so no float multiply can flip a boundary row.
+- ``corpus_stats`` — per-source corpus report card
+  (operators/textops.corpus_stats): docs/tokens/chars/unique-texts/dup
+  fraction in one aggregation job; every column an exact long or a
+  fixed-order division of exact longs.
 """
 
 from __future__ import annotations
@@ -334,12 +338,46 @@ FROM ranked
 SQL_PROTOTYPE_PRUNE = _sql_prototype_prune()
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Per-source corpus report card (operators/textops.corpus_stats):
+    docs, tokens under the engine's one word rule, chars, exact unique
+    texts, dup fraction — every aggregate either an exact long or a
+    fixed-order division of exact longs, so the row is engine-exact."""
+    from ia_hadoop_tools_spark.operators.textops import corpus_stats
+    from ia_hadoop_tools_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return corpus_stats(docs)
+
+
+SQL_CORPUS_STATS = r"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS n_tokens,
+       CAST(sum(t) AS DOUBLE) / count(*) AS mean_tokens,
+       CAST(max(t) AS BIGINT) AS max_tokens,
+       CAST(sum(c) AS BIGINT) AS n_chars,
+       count(DISTINCT h) AS n_unique_texts,
+       CAST(count(*) - count(DISTINCT h) AS DOUBLE) / count(*) AS dup_frac
+FROM (
+  SELECT source,
+         len(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                               '[ \t\n\f\r]+'),
+                         x -> x <> '')) AS t,
+         length(coalesce(text, '')) AS c,
+         md5(coalesce(text, '')) AS h
+  FROM documents)
+GROUP BY source
+"""
+
+
 PENDING_QUERIES: dict = {
     "split_leakage_near": q_split_leakage_near,
     "lm_word_buckets": q_lm_word_buckets,
     "source_cap": q_source_cap,
     "nb_quality": q_nb_quality,
     "prototype_prune": q_prototype_prune,
+    "corpus_stats": q_corpus_stats,
 }
 
 PENDING_ORACLE_SQL: dict = {
@@ -348,4 +386,5 @@ PENDING_ORACLE_SQL: dict = {
     "source_cap": SQL_SOURCE_CAP,
     "nb_quality": SQL_NB_QUALITY,
     "prototype_prune": SQL_PROTOTYPE_PRUNE,
+    "corpus_stats": SQL_CORPUS_STATS,
 }

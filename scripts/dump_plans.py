@@ -311,6 +311,14 @@ COMMENTARY = {
         "integer ppm arithmetic inside the same window stage, so the "
         "whole prune adds exactly one exchange to the assignment."
     ),
+    "corpus_stats": (
+        "ONE aggregation job: the token/char/digest projections are "
+        "codegen map-side work, the groupBy keys on the bounded source "
+        "set with partial aggregation, and the only distinct-sized "
+        "shuffle is the skinny (source, md5) pairs for the exact "
+        "unique count — `distinct='approx'` (HLL++) removes even that "
+        "at 100 TB. Output rows = number of sources, metadata-sized."
+    ),
 }
 
 

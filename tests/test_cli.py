@@ -656,3 +656,19 @@ def test_corpus_prune_cli(spark, tmp_path, capsys):
     # each trained cell keeps exactly half
     kept = back.filter("keep").groupBy("cluster_id").count().collect()
     assert sorted(r["count"] for r in kept) == [5, 5]
+
+
+def test_corpus_stats_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "st_docs")
+    rows = [(0, "a", "one two"), (1, "a", "one two"), (2, "b", "three")]
+    spark.createDataFrame(
+        rows, "doc_id: long, source: string, text: string"
+    ).write.parquet(src)
+    out = str(tmp_path / "st_out")
+    got = _run(capsys, "corpus-stats", src, "--output", out)
+    assert "corpus-stats: a: docs=2 tokens=4 mean=2.0 max=2 chars=14 " \
+           "unique=1 dup_frac=0.5000" in got
+    assert "corpus-stats: b: docs=1" in got
+    assert spark.read.parquet(out).count() == 2
+    got_all = _run(capsys, "corpus-stats", src, "--all", "--approx")
+    assert "corpus-stats: ALL: docs=3" in got_all

@@ -234,3 +234,35 @@ def test_band_key_array_rejects_bad_band_split(spark):
         band_key_array(16, 32)
     with pytest.raises(ValueError, match="divide num_perm"):
         band_key_array(16, 3)
+
+
+def test_corpus_stats_hand_computed(spark):
+    from ia_hadoop_tools_spark.operators.textops import corpus_stats
+
+    rows = [
+        (0, "a", "one two three"),
+        (1, "a", "one two three"),   # exact dup of doc 0
+        (2, "a", "four"),
+        (3, "b", None),              # NULL text counts as empty doc
+        (4, "b", "five six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    out = {r["source"]: r for r in corpus_stats(df).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_docs"], a["n_tokens"], a["max_tokens"]) == (3, 7, 3)
+    assert a["mean_tokens"] == 7 / 3
+    assert a["n_chars"] == 13 + 13 + 4
+    assert a["n_unique_texts"] == 2 and a["dup_frac"] == 1 / 3
+    assert (b["n_docs"], b["n_tokens"], b["n_chars"]) == (2, 2, 8)
+    assert b["n_unique_texts"] == 2 and b["dup_frac"] == 0.0
+    # corpus-wide rollup
+    (tot,) = corpus_stats(df, by=None).collect()
+    assert tot["source"] == "ALL" and tot["n_docs"] == 5
+    assert tot["n_tokens"] == 9 and tot["n_unique_texts"] == 4
+    # approx path keeps the schema; HLL exact at tiny cardinality
+    (ap,) = corpus_stats(df, by=None, distinct="approx").collect()
+    assert ap["n_unique_texts"] == 4
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="distinct"):
+        corpus_stats(df, distinct="bogus")
