@@ -39,9 +39,38 @@ def main() -> None:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     n0 = docs.count()
 
+    # 0. per-source report card — the numbers to watch per ingest
+    from ia_hadoop_tools_spark.operators.textops import corpus_stats
+
+    for r in sorted(
+        corpus_stats(docs).collect(), key=lambda r: str(r["source"])
+    )[:3]:
+        print(
+            f"  {r['source']}: docs={r['n_docs']} tokens={r['n_tokens']} "
+            f"dup_frac={r['dup_frac']:.3f}"
+        )
+
     # 1. shape-based quality rules (Gopher-style)
     docs = docs.join(
         quality_filter(docs).filter("passes").select("doc_id"), "doc_id"
+    )
+
+    # 1b. linear quality classifier (GPT-3 App. A): train curated-vs-raw
+    # — the English slice stands in for the curated reference — and keep
+    # docs the model scores at least reference-neutral
+    from ia_hadoop_tools_spark.operators.classifier import (
+        nb_quality_score,
+        train_nb_quality,
+    )
+
+    nb_model = train_nb_quality(
+        docs.filter(F.col("lang") == "en"), docs, vocab_size=5000
+    ).persist()
+    docs = docs.join(
+        nb_quality_score(docs, nb_model)
+        .filter(F.col("nb_llr") >= 0)
+        .select("doc_id"),
+        "doc_id",
     )
 
     # 2. exact dedup (projects to id+text, so re-join the metadata), then
@@ -58,6 +87,11 @@ def main() -> None:
         dsir_select(docs, F.col("lang") == "en", 1, 2).select("doc_id"),
         "doc_id",
     )
+    # the curated frame now carries five stacked filter joins and feeds
+    # an ITERATIVE trainer below (BPE rounds re-plan their input every
+    # round) — cut the accumulated lineage once, the engine's own loop
+    # rule (components._truncate_lineage)
+    docs = docs.localCheckpoint(eager=False)
     n1 = docs.count()
 
     # 4. corpus stats: length percentiles per language + distinct sources
@@ -68,6 +102,26 @@ def main() -> None:
         print(f"  {r['lang']}: p50={r['p50']} p90={r['p90']} p99={r['p99']}")
     for r in kmv_distinct(docs, ["lang"], F.col("source"), k=64).collect():
         print(f"  {r['lang']}: ~{r['est_distinct']} distinct sources")
+
+    # 4b. embedding-space diversification (D4): k-means cells over the
+    # embeddings table, drop the most prototypical 20% per cell — the
+    # semantically redundant near-centroid templates
+    from ia_hadoop_tools_spark.operators.similarity import (
+        prototype_prune,
+        train_ivf_centroids,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cent = train_ivf_centroids(emb, num_centroids=8).select(
+        F.col("__cid").alias("centroid_id"),
+        F.col("__cvec").alias("centroid"),
+    ).persist()
+    verdicts = prototype_prune(emb, cent, keep_frac=0.8)
+    print(
+        f"prototype prune: keep {verdicts.filter('keep').count()}"
+        f"/{verdicts.count()} embeddings"
+    )
+    cent.unpersist()
 
     # 5. tokenizer: learn BPE merges from the CURATED corpus (pair work
     # is vocabulary-bounded, so this costs the same at any corpus size

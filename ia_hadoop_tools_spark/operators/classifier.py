@@ -157,7 +157,15 @@ def nb_quality_score(
     vocab_size rows) + one partial-aggregated groupBy of skinny
     ``(id, micro)`` rows; the text column never shuffles.
     """
-    model = model.persist()
+    # CacheManager dedups identical plans, so repeated calls on the SAME
+    # model frame don't stack entries (the lm_score persist convention)
+    if not model.is_cached:
+        model = model.persist()
+    if model.select("token").first() is None:
+        # an empty model scores every doc exactly 0.0 — NEUTRAL — which
+        # silently turns the filter into keep-all or drop-all depending
+        # on the threshold's sign (the lm_score empty-model rule)
+        raise ValueError("nb_quality_score: model is empty (no token rows)")
     m = model.select(
         F.col("token").alias("__w"),
         F.round(F.col("llr") * F.lit(1e6), 0).cast("long").alias("__mi"),

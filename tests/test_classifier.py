@@ -202,3 +202,11 @@ def test_nb_scores_compose_with_lm_buckets(spark, tiny_model):
     assert set(by_bucket) == {"head", "middle", "tail"}
     # buckets are monotone in score: every head score >= every tail score
     assert min(by_bucket["head"]) >= max(by_bucket["tail"])
+
+
+def test_scorer_rejects_empty_model(spark):
+    docs = _docs(spark, ["anything"])
+    nothing = spark.createDataFrame([], "doc_id: long, text: string")
+    empty = train_nb_quality(nothing, nothing)
+    with pytest.raises(ValueError, match="model is empty"):
+        nb_quality_score(docs, empty)
