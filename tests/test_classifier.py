@@ -210,3 +210,97 @@ def test_scorer_rejects_empty_model(spark):
     empty = train_nb_quality(nothing, nothing)
     with pytest.raises(ValueError, match="model is empty"):
         nb_quality_score(docs, empty)
+
+
+# ------------------------------------------------------- differential tests
+
+
+def _py_nb_model(pos_texts, neg_texts, vocab_size, k=0.5):
+    """From-scratch NB trainer reference: plain dicts + loops, shares no
+    code with the operator (the test_analytics_properties convention)."""
+    import math
+    from collections import Counter
+
+    def toks(texts):
+        out = []
+        for t in texts:
+            out.extend(w for w in t.lower().split() if w)
+        return out
+
+    pooled = Counter(toks(pos_texts) + toks(neg_texts))
+    vocab = sorted(pooled, key=lambda w: (-pooled[w], w))[:vocab_size]
+    vs = set(vocab)
+    cp = Counter(w for w in toks(pos_texts) if w in vs)
+    cn = Counter(w for w in toks(neg_texts) if w in vs)
+    tp, tn, v = sum(cp.values()), sum(cn.values()), len(vocab)
+    return {
+        w: round(
+            math.log((cp[w] + k) / (tp + k * v))
+            - math.log((cn[w] + k) / (tn + k * v)),
+            6,
+        )
+        for w in vocab
+    }
+
+
+def test_nb_trainer_matches_python_reference_random_corpora(spark):
+    import random as _random
+
+    rng = _random.Random(11)
+    words = [f"w{i}" for i in range(12)]
+    for trial in range(3):
+        mk = lambda n: [
+            " ".join(rng.choices(words, k=rng.randrange(0, 9)))
+            for _ in range(n)
+        ]
+        pos_texts, neg_texts = mk(15), mk(15)
+        got = {
+            r["token"]: r["llr"]
+            for r in train_nb_quality(
+                _docs(spark, pos_texts), _docs(spark, neg_texts),
+                vocab_size=8,
+            ).collect()
+        }
+        assert got == _py_nb_model(pos_texts, neg_texts, 8), f"trial {trial}"
+
+
+def test_prototype_prune_keep_rule_matches_python_reference(spark):
+    """The NEW logic (within-cluster rank + integer-ppm keep) against a
+    plain-Python reference over the operator's own assignment output
+    (assignment itself is oracle-pinned via the semdedup registry row)."""
+    import random as _random
+
+    rng = _random.Random(23)
+    corpus = _vecs(
+        spark,
+        [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(60)],
+    )
+    centroids = spark.createDataFrame(
+        [
+            Row(centroid_id=c, centroid=[rng.uniform(-1, 1) for _ in range(4)])
+            for c in range(5)
+        ]
+    )
+    for keep_frac, drop in ((0.8, "prototypes"), (0.33, "outliers")):
+        ppm = int(round(keep_frac * 1e6))
+        rows = prototype_prune(
+            corpus, centroids, keep_frac=keep_frac, drop=drop
+        ).collect()
+        by_cluster: dict = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+        expect_keep = set()
+        for cid, members in by_cluster.items():
+            sign = 1 if drop == "prototypes" else -1
+            ordered = sorted(
+                members,
+                key=lambda r: (sign * r["cos_to_centroid"], r["vec_id"]),
+            )
+            n_keep = (len(members) * ppm) // 1_000_000
+            expect_keep |= {r["vec_id"] for r in ordered[:n_keep]}
+            # ranks are 1..n with no gaps
+            assert sorted(r["cluster_rank"] for r in members) == list(
+                range(1, len(members) + 1)
+            )
+        got_keep = {r["vec_id"] for r in rows if r["keep"]}
+        assert got_keep == expect_keep, (keep_frac, drop)
