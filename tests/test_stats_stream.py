@@ -1,0 +1,98 @@
+"""Incremental corpus-stats maintenance: streamed-in batches must yield
+the EXACT report card of the full corpus (additive folds + min-k merge),
+and the batch-id ledger must make replays no-ops."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ia_hadoop_tools_spark.operators.textops import corpus_stats
+from ia_hadoop_tools_spark.streaming.stats_stream import (
+    corpus_stats_stream,
+    current_stats,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run_cycle(spark, inp, root, ckpt):
+    q = corpus_stats_stream(spark, inp, root, ckpt, SCHEMA, k=32)
+    q.awaitTermination(60)
+    time.sleep(0.2)
+
+
+def test_streamed_stats_equal_direct_stats(spark, tmp_path):
+    inp, root, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "stats"),
+        str(tmp_path / "ckpt"),
+    )
+    all_rows = []
+    cycles = [
+        [(i, "a", f"one two doc {i}") for i in range(20)],
+        [(100 + i, "a", "one two doc 3") for i in range(5)]  # dups of doc 3
+        + [(200 + i, "b", f"three four {i} x") for i in range(8)],
+        [(300, "b", None), (301, "c", "five")],  # NULL text + new source
+    ]
+    for rows in cycles:
+        all_rows.extend(rows)
+        _write_batch(spark, inp, rows)
+        _run_cycle(spark, inp, root, ckpt)
+
+    got = {r["source"]: r for r in current_stats(spark, root, k=32).collect()}
+    direct = {
+        r["source"]: r
+        for r in corpus_stats(
+            spark.createDataFrame(all_rows, SCHEMA)
+        ).collect()
+    }
+    assert set(got) == set(direct) == {"a", "b", "c"}
+    for s in got:
+        for c in ("n_docs", "n_tokens", "n_chars", "max_tokens"):
+            assert got[s][c] == direct[s][c], (s, c)
+        assert got[s]["mean_tokens"] == direct[s]["mean_tokens"], s
+        # every source is far below k=32 distinct texts: KMV is EXACT
+        assert got[s]["est_unique_texts"] == direct[s]["n_unique_texts"], s
+        assert got[s]["dup_frac_est"] == direct[s]["dup_frac"], s
+
+
+def test_replay_is_a_noop(spark, tmp_path):
+    """Folding is guarded by the batch-id ledger: re-running the stream
+    over an already-processed input (fresh checkpoint, same root —
+    batch ids restart at 0 <= the published id) must not double-count."""
+    inp, root = str(tmp_path / "in"), str(tmp_path / "stats")
+    rows = [(i, "a", f"text {i}") for i in range(10)]
+    _write_batch(spark, inp, rows)
+    _run_cycle(spark, inp, root, str(tmp_path / "ckpt1"))
+    before = {
+        r["source"]: r["n_docs"]
+        for r in current_stats(spark, root, k=32).collect()
+    }
+    # same input replayed from scratch against the same published root
+    _run_cycle(spark, inp, root, str(tmp_path / "ckpt2"))
+    after = {
+        r["source"]: r["n_docs"]
+        for r in current_stats(spark, root, k=32).collect()
+    }
+    assert before == after == {"a": 10}
+
+
+def test_empty_root_raises(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="no published stats"):
+        current_stats(spark, str(tmp_path / "nope"))
