@@ -652,9 +652,13 @@ def cmd_corpus_shuffle(args):
         seed=args.seed,
         epoch=args.epoch,
         id_col=args.id_col,
+        phase_col=args.curriculum_col,
+    )
+    mode = (
+        f"curriculum[{args.curriculum_col}]" if args.curriculum_col else "seeded"
     )
     print(
-        f"corpus-shuffle: {n} rows -> {args.shards} shards "
+        f"corpus-shuffle: {n} rows -> {args.shards} {mode} shards "
         f"(seed={args.seed}, epoch={args.epoch}) -> {args.output}"
     )
 
@@ -1339,6 +1343,9 @@ def main(argv=None):
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--epoch", type=int, default=0)
     s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--curriculum-col", default=None,
+                   help="phase column for phase-major (annealing) order; "
+                        "seeded shuffle stays within each phase")
     s.set_defaults(fn=cmd_corpus_shuffle)
 
     s = sub.add_parser(

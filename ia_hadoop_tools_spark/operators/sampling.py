@@ -632,6 +632,7 @@ def write_shuffled_shards(
     seed: int = 0,
     epoch: int = 0,
     id_col: str = "doc_id",
+    phase_col: str | None = None,
 ) -> int:
     """Materialize :func:`corpus_shuffle` as ``shard=<i>/`` parquet dirs,
     one file per shard, rows stored in shuffle order; returns the row
@@ -643,10 +644,19 @@ def write_shuffled_shards(
     contract order (``sortWithinPartitions`` on (shard, pos)).  Readers
     that stream a shard file sequentially replay the training order
     without re-sorting.
+
+    ``phase_col`` switches the order to :func:`curriculum_shuffle` —
+    phase-major across the shard sequence, seeded shuffle within each
+    phase — for curriculum / annealing-phase training runs.
     """
     from pyspark.sql import Observation
 
-    out = corpus_shuffle(df, n_shards, seed=seed, epoch=epoch, id_col=id_col)
+    if phase_col is not None:
+        out = curriculum_shuffle(
+            df, n_shards, phase_col, seed=seed, epoch=epoch, id_col=id_col
+        )
+    else:
+        out = corpus_shuffle(df, n_shards, seed=seed, epoch=epoch, id_col=id_col)
     obs = Observation()
     (
         out.observe(obs, F.count(F.lit(1)).alias("n"))
@@ -657,3 +667,103 @@ def write_shuffled_shards(
         .parquet(path)
     )
     return int(obs.get["n"])
+
+
+def curriculum_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    phase_col: str,
+    seed: int = 0,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Phase-major deterministic training order — the data-ordering step
+    of curriculum / annealing-phase training (Bengio et al. 2009
+    curriculum learning; the end-of-run high-quality annealing mix
+    modern pretraining recipes schedule): global order is ``phase_col``
+    ascending, seeded-shuffled WITHIN each phase, emitted in the same
+    (``shard``, ``pos``) shape as :func:`corpus_shuffle` so shard
+    readers replay it unchanged.
+
+    Each phase owns a CONTIGUOUS shard range sized by exact phase
+    counts: every nonempty phase gets one shard, and the remaining
+    ``n_shards - P`` distribute by largest remainder of the exact
+    integer quota (ties to the earlier phase) — deterministic Hamilton
+    apportionment, no float in the allocation.  Within a phase the
+    shard is the :func:`corpus_shuffle` fixed-width hash slice over the
+    phase's own range, so the determinism contract carries over: same
+    (seed, epoch) => identical (shard, pos) at ANY parallelism; an
+    epoch bump decorrelates the within-phase order while the phase
+    ranges stay put (the phase assignment is the caller's column, e.g.
+    an ``lm_buckets``/``nb_quality`` cut — content-addressed when the
+    scorer is).
+
+    Cost over :func:`corpus_shuffle`: ONE extra map-side-combinable
+    count aggregation whose driver collect is bounded by the number of
+    phases (curriculum phases are buckets, not ids — the operator
+    rejects more phases than shards), plus a broadcast join of the
+    P-row allocation table.  NULL phases are rejected — a silent
+    "last phase" default would reorder data on a data-quality bug.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    _check_output_columns(
+        df,
+        ["__shuffle_key", "__p", "__pstart", "__palloc", "shard", "pos"],
+        "curriculum_shuffle",
+    )
+    rows = (
+        df.groupBy(F.col(phase_col).alias("__p"))
+        .agg(F.count("*").alias("__c"))
+        .collect()
+    )
+    if any(r["__p"] is None for r in rows):
+        raise ValueError(
+            "curriculum_shuffle: phase_col contains NULLs — assign every "
+            "document a phase (or filter) before ordering"
+        )
+    phases = sorted((r["__p"], r["__c"]) for r in rows)
+    n_phases = len(phases)
+    if n_phases == 0:
+        # empty corpus: same output shape, no allocation to compute
+        return corpus_shuffle(df, n_shards, seed=seed, epoch=epoch, id_col=id_col)
+    if n_phases > n_shards:
+        raise ValueError(
+            f"curriculum_shuffle: {n_phases} phases need at least that "
+            f"many shards, got n_shards={n_shards}"
+        )
+    total = sum(c for _, c in phases)
+    spare = n_shards - n_phases
+    base = [(c * spare) // total for _, c in phases]
+    rem = [(c * spare) % total for _, c in phases]
+    leftover = spare - sum(base)
+    by_rem = sorted(range(n_phases), key=lambda i: (-rem[i], i))
+    bonus = set(by_rem[:leftover])
+    alloc = [1 + base[i] + (1 if i in bonus else 0) for i in range(n_phases)]
+    starts, acc = [], 0
+    for a in alloc:
+        starts.append(acc)
+        acc += a
+    amap = df.sparkSession.createDataFrame(
+        [
+            (p, s, a)
+            for (p, _), s, a in zip(phases, starts, alloc)
+        ],
+        ["__p", "__pstart", "__palloc"],
+    )
+    key = _shuffle_key(id_col, seed, epoch)
+    w = Window.partitionBy("shard").orderBy("__shuffle_key", F.col(id_col))
+    return (
+        df.join(F.broadcast(amap), F.col(phase_col) == F.col("__p"))
+        .drop("__p")
+        .withColumn("__shuffle_key", key)
+        .withColumn(
+            "shard",
+            (
+                F.col("__pstart")
+                + F.expr(f"__shuffle_key * __palloc div {_HASH_SPACE}")
+            ).cast("int"),
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__shuffle_key", "__pstart", "__palloc")
+    )

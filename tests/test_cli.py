@@ -672,3 +672,22 @@ def test_corpus_stats_cli(spark, tmp_path, capsys):
     assert spark.read.parquet(out).count() == 2
     got_all = _run(capsys, "corpus-stats", src, "--all", "--approx")
     assert "corpus-stats: ALL: docs=3" in got_all
+
+
+def test_corpus_shuffle_curriculum_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "cu_docs")
+    rows = [(i, i % 2, f"text {i}") for i in range(40)]
+    spark.createDataFrame(
+        rows, "doc_id: long, phase: int, text: string"
+    ).write.parquet(src)
+    out = str(tmp_path / "cu_out")
+    got = _run(capsys, "corpus-shuffle", src, out, "--shards", "4",
+               "--curriculum-col", "phase")
+    assert "corpus-shuffle: 40 rows -> 4 curriculum[phase] shards" in got
+    back = spark.read.parquet(out)
+    # phase 0 owns the low shard range, phase 1 the high — shard-major
+    # replay is phase-major
+    pairs = {(r["phase"], r["shard"]) for r in back.collect()}
+    assert max(s for p, s in pairs if p == 0) < min(
+        s for p, s in pairs if p == 1
+    )

@@ -568,3 +568,103 @@ def test_hash_fraction_predicate_floor_and_temperature_grid(spark):
     fr = temperature_fractions(_StubDF({"web": 5_000_000}), 1.0, 2)
     # exact frac 4e-7 quantizes UP to the 1e-6 grid, not down to zero
     assert fr["web"] == 1e-6
+
+
+def _cur_docs(spark, counts):
+    """counts: {phase: n} -> (doc_id, phase) frame with dense ids."""
+    rows, i = [], 0
+    for p, n in counts.items():
+        for _ in range(n):
+            rows.append((i, p))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, phase int")
+
+
+def test_curriculum_shuffle_phase_major_order(spark):
+    from ia_hadoop_tools_spark.operators.sampling import curriculum_shuffle
+
+    df = _cur_docs(spark, {0: 30, 1: 30, 2: 30})
+    out = curriculum_shuffle(df, 6, "phase", seed=1).collect()
+    assert len(out) == 90
+    # every shard holds exactly one phase, and shard ranges follow
+    # phase order (the phase-major global (shard, pos) order)
+    shard_phase = {}
+    for r in out:
+        shard_phase.setdefault(r["shard"], set()).add(r["phase"])
+    assert all(len(ps) == 1 for ps in shard_phase.values())
+    bounds = {
+        p: (
+            min(s for s, ps in shard_phase.items() if ps == {p}),
+            max(s for s, ps in shard_phase.items() if ps == {p}),
+        )
+        for p in (0, 1, 2)
+    }
+    assert bounds[0][1] < bounds[1][0] <= bounds[1][1] < bounds[2][0]
+    # pos is a contiguous 0..k-1 run within every shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_curriculum_shuffle_apportionment_and_min_one(spark):
+    from ia_hadoop_tools_spark.operators.sampling import curriculum_shuffle
+
+    # 90/10 split over 10 shards: 1 guaranteed each + 8 spare by largest
+    # remainder of exact quotas -> 8 and 2
+    df = _cur_docs(spark, {0: 90, 1: 10})
+    out = curriculum_shuffle(df, 10, "phase").collect()
+    shards = {p: set() for p in (0, 1)}
+    for r in out:
+        shards[r["phase"]].add(r["shard"])
+    assert len(shards[0]) == 8 and len(shards[1]) == 2
+    # a tiny phase still owns a full shard
+    df2 = _cur_docs(spark, {0: 99, 1: 1})
+    out2 = curriculum_shuffle(df2, 4, "phase").collect()
+    tiny = {r["shard"] for r in out2 if r["phase"] == 1}
+    big = {r["shard"] for r in out2 if r["phase"] == 0}
+    assert len(tiny) == 1 and not (tiny & big)
+
+
+def test_curriculum_shuffle_determinism_and_epochs(spark):
+    from ia_hadoop_tools_spark.operators.sampling import curriculum_shuffle
+
+    df = _cur_docs(spark, {0: 40, 1: 40})
+    a = sorted(map(tuple, curriculum_shuffle(df, 4, "phase", seed=7).collect()))
+    b = sorted(
+        map(
+            tuple,
+            curriculum_shuffle(
+                df.repartition(13), 4, "phase", seed=7
+            ).collect(),
+        )
+    )
+    assert a == b  # any-parallelism determinism (the corpus_shuffle contract)
+    e0 = {r["doc_id"]: (r["shard"], r["pos"])
+          for r in curriculum_shuffle(df, 4, "phase", seed=7).collect()}
+    e1 = curriculum_shuffle(df, 4, "phase", seed=7, epoch=1).collect()
+    moved = sum(1 for r in e1 if (r["shard"], r["pos"]) != e0[r["doc_id"]])
+    assert moved > 30  # epoch bump decorrelates the within-phase order
+    # ...but the phase shard-ranges stay put (phase 0 owns shards < 2)
+    assert all((r["phase"] == 0) == (r["shard"] < 2) for r in e1)
+
+
+def test_curriculum_shuffle_validation(spark):
+    import pytest as _pt
+
+    from ia_hadoop_tools_spark.operators.sampling import curriculum_shuffle
+
+    df = _cur_docs(spark, {0: 5, 1: 5, 2: 5})
+    with _pt.raises(ValueError, match="phases"):
+        curriculum_shuffle(df, 2, "phase")
+    withnull = spark.createDataFrame(
+        [(0, 0), (1, None)], "doc_id long, phase int"
+    )
+    with _pt.raises(ValueError, match="NULL"):
+        curriculum_shuffle(withnull, 4, "phase")
+    # empty corpus keeps the output shape
+    empty = spark.createDataFrame([], "doc_id long, phase int")
+    assert curriculum_shuffle(empty, 4, "phase").columns == [
+        "doc_id", "phase", "shard", "pos",
+    ]
