@@ -48,6 +48,11 @@ at the round-9 freeze:
   (operators/textops.corpus_stats): docs/tokens/chars/unique-texts/dup
   fraction in one aggregation job; every column an exact long or a
   fixed-order division of exact longs.
+- ``curriculum_shuffle`` — phase-major annealing training order
+  (operators/sampling.curriculum_shuffle): exact-count Hamilton shard
+  apportionment (pure integer math) + the corpus_shuffle hash slice
+  within each phase's contiguous range; the oracle recomputes the whole
+  allocation in SQL CTEs — full value-level parity on (shard, pos).
 """
 
 from __future__ import annotations
@@ -371,6 +376,67 @@ GROUP BY source
 """
 
 
+#: curriculum fixture: language as the phase (any content-derived
+#: bucket works — the oracle only needs determinism)
+CURR_SHARDS = 8
+CURR_SEED = 3
+
+
+def q_curriculum_shuffle(spark, sf_dir):
+    """Phase-major annealing order (operators/sampling.curriculum_shuffle):
+    exact-count Hamilton shard apportionment + the corpus_shuffle hash
+    slice within each phase's contiguous range — the whole allocation is
+    integer math, so the oracle recomputes it verbatim in SQL CTEs."""
+    from ia_hadoop_tools_spark.operators.sampling import curriculum_shuffle
+    from ia_hadoop_tools_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return curriculum_shuffle(
+        docs, CURR_SHARDS, "lang", seed=CURR_SEED
+    ).select("doc_id", "lang", "shard", "pos")
+
+
+def _sql_curriculum_shuffle() -> str:
+    from ia_hadoop_tools_spark.functions.hashfns import hash32_sql
+    from ia_hadoop_tools_spark.operators.sampling import _HASH_SPACE
+
+    h = hash32_sql("CAST(doc_id AS VARCHAR)", salt=f"shuffle:{CURR_SEED}:0:")
+    n = CURR_SHARDS
+    return f"""
+WITH counts AS (
+  SELECT lang AS p, count(*) AS c FROM documents GROUP BY lang),
+tot AS (SELECT sum(c) AS t, count(*) AS np FROM counts),
+quota AS (
+  SELECT p, c, ((c * ({n} - np)) // t) AS fl, ((c * ({n} - np)) % t) AS rem
+  FROM counts, tot),
+lo AS (
+  SELECT ({n} - any_value(np)) - sum(fl) AS leftover FROM quota, tot),
+ranked AS (
+  SELECT p, fl, rem,
+         row_number() OVER (ORDER BY rem DESC, p ASC) AS rk
+  FROM quota),
+alloc AS (
+  SELECT p, 1 + fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS a
+  FROM ranked, lo),
+starts AS (
+  SELECT p, a,
+         sum(a) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) - a AS st
+  FROM alloc),
+keyed AS (SELECT doc_id, lang, {h} AS h FROM documents),
+assigned AS (
+  SELECT k.doc_id, k.lang, k.h,
+         CAST(s.st + (k.h * s.a) // {_HASH_SPACE} AS INTEGER) AS shard
+  FROM keyed k JOIN starts s ON k.lang = s.p)
+SELECT doc_id, lang, shard,
+       CAST(row_number() OVER (
+           PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM assigned
+"""
+
+
+SQL_CURRICULUM_SHUFFLE = _sql_curriculum_shuffle()
+
+
 PENDING_QUERIES: dict = {
     "split_leakage_near": q_split_leakage_near,
     "lm_word_buckets": q_lm_word_buckets,
@@ -378,6 +444,7 @@ PENDING_QUERIES: dict = {
     "nb_quality": q_nb_quality,
     "prototype_prune": q_prototype_prune,
     "corpus_stats": q_corpus_stats,
+    "curriculum_shuffle": q_curriculum_shuffle,
 }
 
 PENDING_ORACLE_SQL: dict = {
@@ -387,4 +454,5 @@ PENDING_ORACLE_SQL: dict = {
     "nb_quality": SQL_NB_QUALITY,
     "prototype_prune": SQL_PROTOTYPE_PRUNE,
     "corpus_stats": SQL_CORPUS_STATS,
+    "curriculum_shuffle": SQL_CURRICULUM_SHUFFLE,
 }

@@ -319,6 +319,15 @@ COMMENTARY = {
         "unique count — `distinct='approx'` (HLL++) removes even that "
         "at 100 TB. Output rows = number of sources, metadata-sized."
     ),
+    "curriculum_shuffle": (
+        "corpus_shuffle's plan plus one bounded count aggregation (the "
+        "phase census — driver collect bounded by the phase count) and "
+        "a broadcast join of the P-row allocation table; the shard "
+        "expression stays pure integer codegen and the only "
+        "corpus-sized exchange remains the per-shard position window. "
+        "Phase ranges come from exact counts, so the plan has no "
+        "sampling pass and honors the any-parallelism contract."
+    ),
 }
 
 
