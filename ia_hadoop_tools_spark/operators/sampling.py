@@ -712,11 +712,21 @@ def curriculum_shuffle(
         ["__shuffle_key", "__p", "__pstart", "__palloc", "shard", "pos"],
         "curriculum_shuffle",
     )
+    # bounded census: take(n_shards + 1) caps the driver transfer even
+    # when phase_col is pathologically high-cardinality (e.g. an id
+    # column by mistake) — if a row over the cap exists, the phase set
+    # can't fit the shard sequence and we fail before collecting it
     rows = (
         df.groupBy(F.col(phase_col).alias("__p"))
         .agg(F.count("*").alias("__c"))
-        .collect()
+        .take(n_shards + 1)
     )
+    if len(rows) > n_shards:
+        raise ValueError(
+            f"curriculum_shuffle: more than n_shards={n_shards} distinct "
+            f"phases — every phase needs at least one shard (and an id-like "
+            f"phase_col is a bug, not a curriculum)"
+        )
     if any(r["__p"] is None for r in rows):
         raise ValueError(
             "curriculum_shuffle: phase_col contains NULLs — assign every "
@@ -727,11 +737,6 @@ def curriculum_shuffle(
     if n_phases == 0:
         # empty corpus: same output shape, no allocation to compute
         return corpus_shuffle(df, n_shards, seed=seed, epoch=epoch, id_col=id_col)
-    if n_phases > n_shards:
-        raise ValueError(
-            f"curriculum_shuffle: {n_phases} phases need at least that "
-            f"many shards, got n_shards={n_shards}"
-        )
     total = sum(c for _, c in phases)
     spare = n_shards - n_phases
     base = [(c * spare) // total for _, c in phases]

@@ -906,13 +906,15 @@ def prototype_prune(
     ``1/keep_frac`` can keep zero documents (documented; pass
     ``keep_frac=1.0`` to keep all).
 
-    Scale shape (100 TB): the only exchange over corpus-sized data is
-    the window's hash partition on ``cluster_id`` of skinny
-    ``(id, cluster, cos)`` rows — text/embedding columns are projected
-    away before the shuffle.  Per-cluster sort is partition-local and
-    bounded by cluster size: k-means-trained centroids
-    (:func:`train_ivf_centroids`) keep cells balanced, and at larger
-    corpora the operator scales by raising k, not by skewing cells.
+    Scale shape (100 TB): two skinny corpus-sized exchanges — the
+    assignment's partial-aggregated ``max_by`` groupBy on the id (one
+    row per id survives map-side) and the window's hash partition on
+    ``cluster_id`` of ``(id, cluster, cos)`` rows; the embedding column
+    is projected away before either shuffle.  Per-cluster sort is
+    partition-local and bounded by cluster size: k-means-trained
+    centroids (:func:`train_ivf_centroids`) keep cells balanced, and at
+    larger corpora the operator scales by raising k, not by skewing
+    cells.
 
     Zero-norm vectors carry no direction to cluster by and are absent
     from the output entirely (the :func:`assign_clusters` rule) — they

@@ -303,13 +303,13 @@ COMMENTARY = {
         "whose hot path is entirely codegen — no Python anywhere."
     ),
     "prototype_prune": (
-        "Nearest-centroid assignment is the broadcast crossJoin + "
-        "max_by aggregate (corpus scanned once, never shuffled for "
-        "assignment); the embedding column is projected away before "
-        "the single corpus-sized exchange — the per-cluster window over "
-        "skinny (id, cluster, cos) rows. Keep verdicts are pure 64-bit "
-        "integer ppm arithmetic inside the same window stage, so the "
-        "whole prune adds exactly one exchange to the assignment."
+        "Nearest-centroid assignment is the broadcast join + a "
+        "partial-aggregated max_by groupBy (one skinny row per id "
+        "survives map-side combine); the prune itself adds exactly one "
+        "more exchange — the per-cluster window over (id, cluster, cos) "
+        "rows, the embedding column projected away first. Keep verdicts "
+        "are pure 64-bit integer ppm arithmetic inside the same window "
+        "stage."
     ),
     "corpus_stats": (
         "ONE aggregation job: the token/char/digest projections are "
