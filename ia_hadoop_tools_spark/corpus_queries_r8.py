@@ -124,8 +124,12 @@ dbg AS (
   FROM toks, UNNEST(range(1, len(ws))) AS u(i)
   WHERE len(ws) >= 2),
 scored AS (
+  -- integer micro-nats mirror lm_score's engine-exact aggregation: a
+  -- float avg drifts a ULP at the 6-dp rounding boundary cross-engine
   SELECT doc_id,
-         round(avg(coalesce(m.logp, f.logp_unseen, nc.logp_nocontext)), 6)
+         round(CAST(sum(CAST(round(
+                 coalesce(m.logp, f.logp_unseen, nc.logp_nocontext) * 1e6,
+               0) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6)
            AS lm_score,
          count(*) AS n_bigrams
   FROM dbg

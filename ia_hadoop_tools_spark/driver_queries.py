@@ -2562,8 +2562,12 @@ dbg AS (
   WHERE length(text) >= 2
 ),
 scored AS (
+  -- integer micro-nats mirror lm_score's engine-exact aggregation: a
+  -- float avg drifts a ULP at the 6-dp rounding boundary cross-engine
   SELECT doc_id,
-         round(avg(coalesce(m.logp, f.logp_unseen, nc.logp_nocontext)), 6)
+         round(CAST(sum(CAST(round(
+                 coalesce(m.logp, f.logp_unseen, nc.logp_nocontext) * 1e6,
+               0) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6)
            AS lm_score,
          count(*) AS n_bigrams
   FROM dbg
@@ -3016,9 +3020,18 @@ def q_lm_buckets(spark, sf_dir):
     bucketed = lm_buckets(scored, calibration=F.col("doc_id") < LM_CAL_DOCS)
     return (
         bucketed.groupBy("bucket")
+        # lm_score is 6-dp rounded, so the bucket mean aggregates as
+        # integer micro-nats too (tie-free, associative) — a float avg
+        # here has the same cross-engine ULP drift the scorer fixed
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("lm_score"), 6).alias("avg_score"),
+            F.round(
+                F.sum(F.round(F.col("lm_score") * 1e6, 0).cast("long"))
+                .cast("double")
+                / F.count("*")
+                / F.lit(1e6),
+                6,
+            ).alias("avg_score"),
         )
         .orderBy("bucket")
     )
@@ -3036,7 +3049,9 @@ th AS (
          min(CASE WHEN b = 2 THEN lm_score END) AS t2
   FROM cal
 )
-SELECT bucket, count(*) AS n_docs, round(avg(lm_score), 6) AS avg_score
+SELECT bucket, count(*) AS n_docs,
+       round(CAST(sum(CAST(round(lm_score * 1e6, 0) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1e6, 6) AS avg_score
 FROM (
   SELECT CASE WHEN lm_score >= t1 THEN 'head'
               WHEN lm_score >= t2 THEN 'middle'

@@ -609,13 +609,30 @@ def lm_score(
         .join(F.broadcast(floors), "ctx", "left")
         .select(
             id_col,
-            F.coalesce(
-                "logp", "logp_unseen", F.lit(nc).cast("double")
-            ).alias("__lp"),
+            # integer MICRO-NATS per bigram (the lm_score_backoff rule):
+            # every path value is a 6-dp model constant, so *1e6 is
+            # within 1 ULP of an integer — the rounding is tie-free, the
+            # LONG sum is associative, and the mean is one fixed-order
+            # division of exact operands.  The previous float avg
+            # drifted a ULP at the 6-dp rounding boundary cross-engine
+            # (first surfaced at sf0.1: ~60 of 5000 docs), the same
+            # failure the backoff scorer closed structurally in round 7.
+            F.round(
+                F.coalesce(
+                    "logp", "logp_unseen", F.lit(nc).cast("double")
+                )
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("__micro"),
         )
         .groupBy(id_col)
         .agg(
-            F.round(F.avg("__lp"), 6).alias("lm_score"),
+            F.round(
+                F.sum("__micro").cast("double") / F.count("*") / F.lit(1e6),
+                6,
+            ).alias("lm_score"),
             F.count("*").alias("n_bigrams"),
         )
     )
