@@ -97,8 +97,13 @@ def main() -> int:
     spark = get_spark("oracle-check", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata ships single parquet FILES; Spark-written sf1
+        # replicas (scripts/make_sf1.py) are parquet DIRECTORIES — glob
+        # the parts so the sweep runs against either layout
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
 
     qs = entrymod.queries()

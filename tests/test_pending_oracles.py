@@ -45,8 +45,11 @@ def _duck(sf_dir: str, sql: str) -> pd.DataFrame:
         for t in TABLES:
             path = os.path.join(sf_dir, f"{t}.parquet")
             if os.path.exists(path):
+                # single files (driver testdata) or Spark-written parquet
+                # DIRECTORIES (scripts/make_sf1.py replicas)
+                src = f"{path}/*.parquet" if os.path.isdir(path) else path
                 con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
                 )
         return con.execute(sql).fetchdf()
     finally:
