@@ -1909,6 +1909,8 @@ FROM (
 # self-join + Hamming verification), fully oracle-checked
 
 SIMHASH_MAX_HAMMING = 3
+#: operator hot-bucket cap, shared with the oracle's kept-buckets CTE
+SIMHASH_MAX_BUCKET = 5000
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -1916,11 +1918,17 @@ def q_simhash_pairs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return simhash_neardup_pairs(
-        d, bits=32, max_hamming=SIMHASH_MAX_HAMMING, band_bits=8
+        d, bits=32, max_hamming=SIMHASH_MAX_HAMMING, band_bits=8,
+        max_bucket=SIMHASH_MAX_BUCKET,
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def _simhash_pairs_sql() -> str:
+    # the oracle mirrors the operator's hot-bucket cap (the pigeonhole
+    # banding itself is exact for hamming <= max_hamming, but buckets
+    # over max_bucket are DROPPED by contract — an uncapped oracle
+    # over-demands pairs that agree only on a dropped boilerplate band,
+    # which is exactly what sf1's replica density produces)
     sims = _simhash_sql(32).strip()
     return f"""
 WITH sims AS ({sims}),
@@ -1929,11 +1937,17 @@ bands AS (
     CAST(b AS VARCHAR) || '_' ||
       CAST((simhash >> CAST(b * 8 AS INT)) % 256 AS VARCHAR) AS bkey
   FROM sims CROSS JOIN range(4) t(b)
+),
+kept AS (
+  SELECT bkey FROM bands GROUP BY bkey
+  HAVING count(*) <= {SIMHASH_MAX_BUCKET}
 )
 SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
     bit_count(xor(l.simhash, r.simhash)) AS hamming
-  FROM bands l JOIN bands r ON l.bkey = r.bkey AND l.doc_id < r.doc_id
+  FROM bands l
+  JOIN kept k ON l.bkey = k.bkey
+  JOIN bands r ON l.bkey = r.bkey AND l.doc_id < r.doc_id
 ) WHERE hamming <= {SIMHASH_MAX_HAMMING}
 """
 
@@ -2206,6 +2220,13 @@ FROM range(0, 20) t(i)
 
 NOVEL_BATCH = ("src0", "src1", "src2", "src3")
 NOVEL_THRESHOLD = 0.5
+#: novel_docs_indexed build/probe params — shared by the Spark query and
+#: its oracle, which mirrors the LSH candidate step param-for-param (the
+#: operator's documented contract is band recall, NOT exhaustive search:
+#: an exact-count oracle silently over-demands recall 1 and broke at sf1)
+NOVEL_PERMS = 32
+NOVEL_BANDS = 8
+NOVEL_MAX_BUCKET = 5000
 
 
 def q_novel_docs(spark, sf_dir):
@@ -2274,10 +2295,23 @@ def q_novel_docs_indexed(spark, sf_dir):
     tag = f"{_os.path.basename(sf_dir.rstrip('/'))}_{fp.n}_{str(fp.h)[-12:]}"
     fixture = f"/tmp/iht_dedup_index_{tag}"
     if not _os.path.exists(_os.path.join(fixture, "params")):
-        build_corpus_index(corpus, num_perm=32, bands=8).save(fixture)
+        build_corpus_index(
+            corpus, num_perm=NOVEL_PERMS, bands=NOVEL_BANDS
+        ).save(fixture)
     idx = CorpusDedupIndex.load(spark, fixture)
-    return novel_docs_indexed(planted, idx, threshold=NOVEL_THRESHOLD)
+    return novel_docs_indexed(
+        planted, idx, threshold=NOVEL_THRESHOLD, max_bucket=NOVEL_MAX_BUCKET
+    )
 
+
+#: the oracle's LSH mirror shares the operator's exact parameters: the
+#: fixed permutation family, band width, and corpus-side hot-bucket cap
+_NOVEL_VALS = ", ".join(
+    f"({j}, {a}, {b})"
+    for j, (a, b) in enumerate(minhash_permutations(NOVEL_PERMS))
+)
+_NOVEL_ROWS = NOVEL_PERMS // NOVEL_BANDS
+_NOVEL_H = hash32_sql("s")
 
 SQL_NOVEL_DOCS = f"""
 WITH batch0 AS (
@@ -2318,19 +2352,52 @@ csh AS (
 ),
 binv AS (SELECT doc_id, unnest(shingles) AS s FROM bsh),
 cinv AS (SELECT doc_id, unnest(shingles) AS s FROM csh),
-shared AS (
-  SELECT b.doc_id AS id, c.doc_id AS cid, count(*) AS inter
-  FROM binv b JOIN cinv c ON b.s = c.s
-  GROUP BY b.doc_id, c.doc_id
+bsig AS (
+  SELECT doc_id, CAST(p.j AS INTEGER) AS j,
+         min((p.a * ({_NOVEL_H} % {MERSENNE_P}) + p.b) % {MERSENNE_P})
+           AS sigv
+  FROM binv CROSS JOIN (VALUES {_NOVEL_VALS}) AS p(j, a, b)
+  GROUP BY doc_id, p.j
+),
+csig AS (
+  SELECT doc_id, CAST(p.j AS INTEGER) AS j,
+         min((p.a * ({_NOVEL_H} % {MERSENNE_P}) + p.b) % {MERSENNE_P})
+           AS sigv
+  FROM cinv CROSS JOIN (VALUES {_NOVEL_VALS}) AS p(j, a, b)
+  GROUP BY doc_id, p.j
+),
+bbuck AS (
+  SELECT doc_id, CAST(j // {_NOVEL_ROWS} AS VARCHAR) || '_' ||
+         string_agg(CAST(sigv AS VARCHAR), '_' ORDER BY j) AS bucket
+  FROM bsig GROUP BY doc_id, j // {_NOVEL_ROWS}
+),
+cbuck AS (
+  SELECT doc_id, CAST(j // {_NOVEL_ROWS} AS VARCHAR) || '_' ||
+         string_agg(CAST(sigv AS VARCHAR), '_' ORDER BY j) AS bucket
+  FROM csig GROUP BY doc_id, j // {_NOVEL_ROWS}
+),
+ckept AS (
+  SELECT bucket FROM cbuck GROUP BY bucket
+  HAVING count(*) <= {NOVEL_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS id, c.doc_id AS cid
+  FROM bbuck b
+  JOIN ckept k ON b.bucket = k.bucket
+  JOIN cbuck c ON c.bucket = b.bucket
 ),
 near AS (
-  SELECT id AS doc_id, count(*) AS n_near
-  FROM shared
-  JOIN (SELECT doc_id, len(shingles) AS n_a FROM bsh) na ON na.doc_id = id
-  JOIN (SELECT doc_id, len(shingles) AS n_b FROM csh) nb ON nb.doc_id = cid
-  WHERE round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6)
+  SELECT cand.id AS doc_id, count(*) AS n_near
+  FROM cand
+  JOIN bsh ON bsh.doc_id = cand.id
+  JOIN csh ON csh.doc_id = cand.cid
+  WHERE round(
+          CAST(len(list_intersect(bsh.shingles, csh.shingles)) AS DOUBLE)
+          / CAST(len(bsh.shingles) + len(csh.shingles)
+                 - len(list_intersect(bsh.shingles, csh.shingles))
+                 AS DOUBLE), 6)
         >= {NOVEL_THRESHOLD}
-  GROUP BY id
+  GROUP BY cand.id
 )
 SELECT b.doc_id,
        coalesce(ex.doc_id IS NOT NULL, FALSE) AS exact_dup,
