@@ -2313,7 +2313,8 @@ _NOVEL_VALS = ", ".join(
 _NOVEL_ROWS = NOVEL_PERMS // NOVEL_BANDS
 _NOVEL_H = hash32_sql("s")
 
-SQL_NOVEL_DOCS = f"""
+#: shared batch/corpus/shingle CTE prefix of the two novel oracles
+_NOVEL_PREFIX = f"""
 WITH batch0 AS (
   SELECT doc_id, text FROM documents
   WHERE source IN ('src0', 'src1', 'src2', 'src3')
@@ -2352,6 +2353,39 @@ csh AS (
 ),
 binv AS (SELECT doc_id, unnest(shingles) AS s FROM bsh),
 cinv AS (SELECT doc_id, unnest(shingles) AS s FROM csh),
+"""
+
+#: novel_docs (textops.novel_docs) is the EXACT inverted-index path —
+#: its oracle counts near matches exhaustively
+SQL_NOVEL_DOCS = f"""
+{_NOVEL_PREFIX.strip()}
+shared AS (
+  SELECT b.doc_id AS id, c.doc_id AS cid, count(*) AS inter
+  FROM binv b JOIN cinv c ON b.s = c.s
+  GROUP BY b.doc_id, c.doc_id
+),
+near AS (
+  SELECT id AS doc_id, count(*) AS n_near
+  FROM shared
+  JOIN (SELECT doc_id, len(shingles) AS n_a FROM bsh) na ON na.doc_id = id
+  JOIN (SELECT doc_id, len(shingles) AS n_b FROM csh) nb ON nb.doc_id = cid
+  WHERE round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6)
+        >= {NOVEL_THRESHOLD}
+  GROUP BY id
+)
+SELECT b.doc_id,
+       coalesce(ex.doc_id IS NOT NULL, FALSE) AS exact_dup,
+       coalesce(near.n_near, 0) AS n_near,
+       (ex.doc_id IS NULL AND coalesce(near.n_near, 0) = 0) AS is_novel
+FROM batch b
+LEFT JOIN ex ON ex.doc_id = b.doc_id
+LEFT JOIN near ON near.doc_id = b.doc_id
+"""
+
+#: novel_docs_indexed is MinHash-band-based with a corpus-side
+#: hot-bucket cap — its oracle mirrors that contract param-for-param
+SQL_NOVEL_DOCS_INDEXED = f"""
+{_NOVEL_PREFIX.strip()}
 bsig AS (
   SELECT doc_id, CAST(p.j AS INTEGER) AS j,
          min((p.a * ({_NOVEL_H} % {MERSENNE_P}) + p.b) % {MERSENNE_P})
@@ -3395,7 +3429,7 @@ ORACLES = {
     "wet_text": SQL_WET_TEXT,
     "wet_extract": SQL_WET_EXTRACT,
     "novel_docs": SQL_NOVEL_DOCS,
-    "novel_docs_indexed": SQL_NOVEL_DOCS,
+    "novel_docs_indexed": SQL_NOVEL_DOCS_INDEXED,
     "kvstore_scan": SQL_KVSTORE_SCAN,
     "decontam": SQL_DECONTAM,
     "tpch_q4": SQL_TPCH_Q4,
