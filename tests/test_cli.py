@@ -436,7 +436,7 @@ def test_corpus_shuffle_cli(spark, tmp_path, capsys):
     out = str(tmp_path / "shuf_out")
     got = _run(capsys, "corpus-shuffle", src, out, "--shards", "4",
                "--seed", "9")
-    assert "120 rows -> 4 shards" in got
+    assert "120 rows -> 4 seeded shards" in got
     back = spark.read.parquet(out)
     expect = {
         r.doc_id: (r.shard, r.pos)
