@@ -2253,9 +2253,12 @@ def q_novel_docs(spark, sf_dir):
 # 58. novel_docs_indexed — the rolling-pipeline form of #55: the corpus side
 # comes from a prebuilt CorpusDedupIndex (exact-digest table + MinHash band
 # buckets + shingle sets), so the per-batch cost excludes any corpus
-# re-derivation. Oracle: identical exact-Jaccard SQL as novel_docs — valid
-# because every qualifying pair in this data has Jaccard >= 0.97 and the
-# 32-perm/8-band index catches those deterministically (fixed seed).
+# re-derivation. Oracle: SQL_NOVEL_DOCS_INDEXED — mirrors the operator's
+# documented contract (MinHash band candidates from the SAME fixed
+# permutation family + the corpus-side hot-bucket cap, then exact-Jaccard
+# verify), NOT the exhaustive count: at sf1's replica density, borderline
+# jaccard~0.5 pairs legitimately miss all 8 bands (~40% each), so an
+# exact-count oracle over-demands recall the operator never promises.
 
 
 def q_novel_docs_indexed(spark, sf_dir):

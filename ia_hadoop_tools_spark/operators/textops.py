@@ -758,7 +758,12 @@ def corpus_stats(
         F.max("__t").cast("long").alias("max_tokens"),
         F.sum("__c").alias("n_chars"),
         uniq.alias("n_unique_texts"),
-        (
-            (F.count("*") - uniq).cast("double") / F.count("*")
+        # clamped at 0: the approx path's HLL estimate can overshoot
+        # n_docs on mostly-distinct sources (the current_stats rule in
+        # streaming/stats_stream.py); a no-op for the exact path, so the
+        # oracle's unclamped division still matches
+        F.greatest(
+            F.lit(0.0),
+            (F.count("*") - uniq).cast("double") / F.count("*"),
         ).alias("dup_frac"),
     )

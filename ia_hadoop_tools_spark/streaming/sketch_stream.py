@@ -75,7 +75,8 @@ def kmv_sketch_stream(
 ):
     """``availableNow`` stream: fold each arriving parquet file's rows into
     the published sketch table, pruning to the newest ``keep_versions``
-    sketch versions. Returns the finished StreamingQuery."""
+    sketch versions. Returns the STARTED StreamingQuery — call
+    ``awaitTermination()`` before reading :func:`current_estimates`."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # persist before the emptiness probe: take(1) and the sketch job

@@ -134,7 +134,11 @@ def corpus_stats_stream(
 ):
     """``availableNow`` stream: fold each arriving parquet file's rows
     into the published per-source stats, replay-safe via the batch-id
-    ledger.  Returns the finished StreamingQuery."""
+    ledger.  Returns the STARTED StreamingQuery — ``.start()`` is
+    asynchronous, so call ``awaitTermination()`` before reading
+    :func:`current_stats` (an un-awaited read raises "no published
+    stats" on the first cycle or silently returns the previous
+    version on later ones)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # persist before the emptiness probe: take(1), the counts agg and
