@@ -669,6 +669,38 @@ def write_shuffled_shards(
     return int(obs.get["n"])
 
 
+def hamilton_alloc(counts: list, n_shards: int) -> list:
+    """Largest-remainder (Hamilton) apportionment of ``n_shards`` whole
+    shards to phases by ``counts``, with a minimum of ONE shard per
+    (nonempty) phase — the :func:`curriculum_shuffle` allocation as a
+    pure function, mirrored verbatim by its SQL oracle's CTEs.
+
+    Pure integer arithmetic (exact quotas, remainder ranks with ties to
+    the earlier phase), so the result is deterministic and
+    engine-portable.  Invariants (property-tested): allocations sum to
+    exactly ``n_shards``; every phase gets >= 1; after the min-1 floor
+    the extras deviate from the exact proportional quota by < 1 shard
+    (the Hamilton quota property on the spare pool).
+    """
+    n_phases = len(counts)
+    if n_phases == 0:
+        return []
+    if n_phases > n_shards:
+        raise ValueError(
+            f"hamilton_alloc: {n_phases} phases > {n_shards} shards"
+        )
+    if any(c <= 0 for c in counts):
+        raise ValueError("hamilton_alloc: counts must be positive")
+    total = sum(counts)
+    spare = n_shards - n_phases
+    base = [(c * spare) // total for c in counts]
+    rem = [(c * spare) % total for c in counts]
+    leftover = spare - sum(base)
+    by_rem = sorted(range(n_phases), key=lambda i: (-rem[i], i))
+    bonus = set(by_rem[:leftover])
+    return [1 + base[i] + (1 if i in bonus else 0) for i in range(n_phases)]
+
+
 def curriculum_shuffle(
     df: DataFrame,
     n_shards: int,
@@ -737,14 +769,7 @@ def curriculum_shuffle(
     if n_phases == 0:
         # empty corpus: same output shape, no allocation to compute
         return corpus_shuffle(df, n_shards, seed=seed, epoch=epoch, id_col=id_col)
-    total = sum(c for _, c in phases)
-    spare = n_shards - n_phases
-    base = [(c * spare) // total for _, c in phases]
-    rem = [(c * spare) % total for _, c in phases]
-    leftover = spare - sum(base)
-    by_rem = sorted(range(n_phases), key=lambda i: (-rem[i], i))
-    bonus = set(by_rem[:leftover])
-    alloc = [1 + base[i] + (1 if i in bonus else 0) for i in range(n_phases)]
+    alloc = hamilton_alloc([c for _, c in phases], n_shards)
     starts, acc = [], 0
     for a in alloc:
         starts.append(acc)

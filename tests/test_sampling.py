@@ -668,3 +668,42 @@ def test_curriculum_shuffle_validation(spark):
     assert curriculum_shuffle(empty, 4, "phase").columns == [
         "doc_id", "phase", "shard", "pos",
     ]
+
+
+def test_hamilton_alloc_properties():
+    """Property-test the pure apportionment (the fuzz the round-8 review
+    ran once, made permanent): sums exact, min one, quota deviation < 1
+    on the spare pool, determinism."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ia_hadoop_tools_spark.operators.sampling import hamilton_alloc
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        counts=st.lists(st.integers(1, 10_000), min_size=1, max_size=24),
+        extra=st.integers(0, 200),
+    )
+    def check(counts, extra):
+        n_shards = len(counts) + extra
+        alloc = hamilton_alloc(counts, n_shards)
+        assert sum(alloc) == n_shards
+        assert all(a >= 1 for a in alloc)
+        # Hamilton quota property on the spare pool: each phase's extras
+        # are floor(quota) or floor(quota) + 1
+        total, spare = sum(counts), n_shards - len(counts)
+        for c, a in zip(counts, alloc):
+            fl = (c * spare) // total
+            assert a - 1 in (fl, fl + 1), (counts, n_shards, alloc)
+        # deterministic
+        assert alloc == hamilton_alloc(counts, n_shards)
+
+    check()
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="phases"):
+        hamilton_alloc([1, 1, 1], 2)
+    with _pt.raises(ValueError, match="positive"):
+        hamilton_alloc([1, 0], 4)
+    assert hamilton_alloc([], 4) == []
