@@ -96,3 +96,38 @@ def test_empty_root_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no published stats"):
         current_stats(spark, str(tmp_path / "nope"))
+
+
+def test_torn_publish_is_skipped_and_never_reused(spark, tmp_path):
+    """Crash-partial discipline (streaming/versioned.py): an UNMARKED
+    version dir — payload written, crash before the _PUBLISHED marker —
+    must be invisible to readers, and the next publish must skip past
+    its number rather than reuse it."""
+    import os
+
+    from ia_hadoop_tools_spark.streaming.stats_stream import (
+        corpus_stats_stream,
+        current_stats,
+    )
+
+    inp, root = str(tmp_path / "in"), str(tmp_path / "stats")
+    _write_batch(spark, inp, [(i, "a", f"text {i}") for i in range(5)])
+    _run_cycle(spark, inp, root, str(tmp_path / "ck1"))
+    assert os.path.isdir(os.path.join(root, "v000"))
+
+    # simulate a torn save: v001 payload exists, marker missing
+    torn = os.path.join(root, "v001", "counts")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "garbage.parquet"), "w") as fh:
+        fh.write("not parquet")
+
+    # reader resolves the last MARKED version, not the torn one
+    got = {r["source"]: r["n_docs"] for r in current_stats(spark, root, k=32).collect()}
+    assert got == {"a": 5}
+
+    # next fold publishes v002 (number not reused), readers see it
+    _write_batch(spark, inp, [(100 + i, "b", f"new {i}") for i in range(3)])
+    _run_cycle(spark, inp, root, str(tmp_path / "ck1"))
+    assert os.path.exists(os.path.join(root, "v002", "_PUBLISHED"))
+    got2 = {r["source"]: r["n_docs"] for r in current_stats(spark, root, k=32).collect()}
+    assert got2 == {"a": 5, "b": 3}
