@@ -906,6 +906,26 @@ def cmd_corpus_stats(args):
         )
 
 
+def cmd_corpus_verify(args):
+    """corpus-verify: fsck a published corpus version before pointing a
+    training run at it — counts vs manifest, split/shard domains, dense
+    per-shard pos, optional id uniqueness.  Exits nonzero on failure."""
+    import json as _json
+
+    from ia_hadoop_tools_spark.operators.assemble import (
+        verify_corpus_version,
+    )
+
+    spark = _spark(args)
+    report = verify_corpus_version(
+        spark, args.root, version=args.version,
+        id_col=args.id_col or None,
+    )
+    print(f"corpus-verify: {_json.dumps(report, sort_keys=True)}")
+    if not report["ok"]:
+        raise SystemExit(1)
+
+
 def cmd_corpus_leakage(args):
     """corpus-leakage: eval-split contamination audit — exact text
     groups straddling splits (split_leakage), plus ``--near`` MinHash
@@ -1292,6 +1312,16 @@ def main(argv=None):
                         "scale path)")
     s.add_argument("--output", default=None)
     s.set_defaults(fn=cmd_corpus_stats)
+
+    s = sub.add_parser(
+        "corpus-verify",
+        help="fsck a published corpus version against its manifest",
+    )
+    s.add_argument("root")
+    s.add_argument("--version", type=int, default=None)
+    s.add_argument("--id-col", default="doc_id",
+                   help="check id uniqueness; pass '' to skip")
+    s.set_defaults(fn=cmd_corpus_verify)
 
     s = sub.add_parser(
         "corpus-leakage",

@@ -416,3 +416,94 @@ def read_manifest(root: str, version: int | None = None) -> dict:
     vdir = _resolve_published_dir(root, version)
     with fsio.open_read_text(fsio.join(vdir, "MANIFEST.json")) as fh:
         return json.load(fh)
+
+
+def verify_corpus_version(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    id_col: str | None = None,
+) -> dict:
+    """fsck for a published corpus version: re-derive the invariants a
+    training job depends on and compare them to the MANIFEST — the
+    operational check to run before pointing a multi-week training run
+    at ``root/vNNN``.
+
+    Checks (ONE aggregation pass over the version, plus one bounded
+    per-(split, shard) groupBy):
+
+    - the version resolves through the ``_PUBLISHED`` protocol and its
+      MANIFEST parses with a matching version number;
+    - per-split row counts equal the manifest's (the counts were
+      observed ON the original write; equality proves the files on disk
+      are the ones the manifest describes — no lost/duplicated leaf);
+    - every ``split`` value is a manifest split, every ``shard`` is in
+      ``[0, n_shards)``;
+    - within every (split, shard): ``pos`` is dense 0..n-1 (max ==
+      count-1 AND distinct == count — a replay/partial-overwrite that
+      duplicated or dropped a row breaks one of the two);
+    - with ``id_col``: ids are unique across the whole version (a
+      doubly-assigned document means a torn/overlapping write).
+
+    Returns a report dict with ``ok`` plus per-check details; never
+    raises on a FAILED check (only on an unreadable version) so the CLI
+    can print the full diagnosis.  Cost: the version is scanned once;
+    the groupBy output is bounded by splits x shards.
+    """
+    vdir = _resolve_published_dir(root, version)
+    manifest = read_manifest(root, version)
+    frame = read_version_frame(spark, vdir)
+    split_names = [n for n, _f in manifest["splits"]]
+    n_shards = int(manifest["n_shards"])
+
+    aggs = [
+        F.count(F.when(F.col("split") == n, True)).alias(f"n_{i}")
+        for i, n in enumerate(split_names)
+    ] + [
+        F.count("*").alias("__total"),
+        F.count(
+            F.when(~F.col("split").isin(*split_names), True)
+        ).alias("__alien_split"),
+        F.count(
+            F.when(
+                (F.col("shard") < 0) | (F.col("shard") >= n_shards), True
+            )
+        ).alias("__alien_shard"),
+    ]
+    if id_col is not None:
+        aggs.append(F.count_distinct(F.col(id_col)).alias("__ids"))
+    per_shard = (
+        frame.groupBy("split", "shard")
+        .agg(
+            F.count("*").alias("__n"),
+            F.max("pos").alias("__maxp"),
+            F.count_distinct("pos").alias("__dp"),
+        )
+        .filter(
+            (F.col("__maxp") != F.col("__n") - 1)
+            | (F.col("__dp") != F.col("__n"))
+        )
+    )
+    got = frame.agg(*aggs).first()
+    bad_shards = [
+        (r["split"], int(r["shard"])) for r in per_shard.collect()
+    ]
+    counts = {n: int(got[f"n_{i}"]) for i, n in enumerate(split_names)}
+    manifest_counts = {k: int(v) for k, v in manifest["counts"].items()}
+    checks = {
+        "counts_match": counts == manifest_counts,
+        "no_alien_splits": int(got["__alien_split"]) == 0,
+        "shards_in_range": int(got["__alien_shard"]) == 0,
+        "pos_dense_per_shard": not bad_shards,
+    }
+    if id_col is not None:
+        checks["ids_unique"] = int(got["__ids"]) == int(got["__total"])
+    return {
+        "ok": all(checks.values()),
+        "version_dir": vdir,
+        "checks": checks,
+        "counts": counts,
+        "manifest_counts": manifest_counts,
+        "bad_shards": bad_shards,
+        "rows": int(got["__total"]),
+    }

@@ -361,3 +361,53 @@ def test_assemble_rejects_waste_scratch_clash(spark, tmp_path):
     d = _docs(spark, n=5).withColumn("__waste", __import__("pyspark").sql.functions.lit(0))
     with pytest.raises(ValueError, match="__waste"):
         assemble_corpus(d, str(tmp_path / "cw"), SPLITS, n_shards=1, budget=8)
+
+
+def test_verify_corpus_version_ok_and_detects_lost_leaf(spark, tmp_path):
+    """corpus-verify fsck: a freshly published version passes every
+    check; deleting one shard leaf's parquet file breaks counts_match
+    (and only that) — the pre-training-run gate."""
+    import glob as _glob
+
+    from ia_hadoop_tools_spark.operators.assemble import (
+        assemble_corpus,
+        verify_corpus_version,
+    )
+
+    d = _docs(spark, 120)
+    root = str(tmp_path / "versions")
+    vdir = assemble_corpus(d, root, SPLITS, n_shards=2, seed=3, budget=64)
+
+    rep = verify_corpus_version(spark, root, id_col="doc_id")
+    assert rep["ok"], rep
+    assert rep["version_dir"] == vdir
+    assert rep["counts"] == rep["manifest_counts"]
+    assert rep["rows"] == sum(rep["counts"].values())
+    assert set(rep["checks"]) == {
+        "counts_match", "no_alien_splits", "shards_in_range",
+        "pos_dense_per_shard", "ids_unique",
+    }
+
+    # lose one leaf file (a torn copy / accidental delete)
+    leaf = sorted(
+        _glob.glob(os.path.join(vdir, "split=*", "shard=*", "*.parquet"))
+    )[0]
+    os.remove(leaf)
+    rep2 = verify_corpus_version(spark, root, id_col="doc_id")
+    assert not rep2["ok"]
+    assert not rep2["checks"]["counts_match"]
+    # dense-pos check also fires only if the lost leaf held pos>0 rows
+    # of a shard; id uniqueness still holds
+    assert rep2["checks"]["ids_unique"]
+
+
+def test_corpus_verify_cli(spark, tmp_path, capsys):
+    from ia_hadoop_tools_spark.operators.assemble import assemble_corpus
+    from ia_hadoop_tools_spark.__main__ import main
+
+    d = _docs(spark, 60)
+    root = str(tmp_path / "versions")
+    assemble_corpus(d, root, SPLITS, n_shards=2, seed=4)
+    main(["corpus-verify", root])
+    out = capsys.readouterr().out
+    assert '"ok": true' in out
