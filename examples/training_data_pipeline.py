@@ -202,6 +202,14 @@ def main() -> None:
     print("published corpus version:", man["counts"])
     print("pack waste:", {s: w["fraction"] for s, w in man["pack_waste"].items()})
 
+    # 9b. fsck the version BEFORE a training run pins it: counts vs
+    # manifest, split/shard domains, dense per-shard pos, unique ids
+    from ia_hadoop_tools_spark.operators.assemble import verify_corpus_version
+
+    rep = verify_corpus_version(spark, root, id_col="doc_id")
+    print("corpus-verify:", "OK" if rep["ok"] else rep["checks"])
+    assert rep["ok"], rep
+
     # 10. interchange: the published version round-trips through the
     # reference's own ZipNum format (training-order keys => indexed
     # range scans can stream a single split)
