@@ -625,6 +625,7 @@ def cmd_corpus_assemble(args):
                 token_col=args.token_col,
                 id_col=args.id_col,
                 keep_versions=args.keep,
+                phase_col=args.curriculum_col,
             )
         except ValueError as e:
             raise SystemExit(f"corpus-assemble: {e}")
@@ -1362,6 +1363,9 @@ def main(argv=None):
     s.add_argument("--token-col", default="n_tokens")
     s.add_argument("--id-col", default="doc_id")
     s.add_argument("--keep", type=int, default=None)
+    s.add_argument("--curriculum-col", default=None,
+                   help="phase column: publish an annealing version "
+                        "(phase-major shard order within every split)")
     s.set_defaults(fn=cmd_corpus_assemble)
 
     s = sub.add_parser(

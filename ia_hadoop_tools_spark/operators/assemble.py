@@ -58,8 +58,17 @@ def assemble_corpus(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     keep_versions: int | None = None,
+    phase_col: str | None = None,
 ) -> str:
     """Assemble one corpus version; returns the committed version dir.
+
+    ``phase_col`` (optional) publishes an ANNEALING/curriculum version:
+    within every split the shard sequence is phase-major
+    (:func:`~ia_hadoop_tools_spark.operators.sampling.curriculum_shuffle`
+    with the split as the stratum — exact-count Hamilton shard ranges
+    per split, seeded shuffle within each phase), so a shard-ordered
+    reader replays the curriculum. Same determinism contract; the
+    manifest records the column.
 
     ``budget`` (optional) additionally packs each shard's token stream
     into fixed-budget training bins (``seq_start``/``bin``/
@@ -129,10 +138,20 @@ def assemble_corpus(
         )
         .filter(F.col("split").isNotNull())
     )
-    shuf = corpus_shuffle(
-        assigned, n_shards, seed=seed, epoch=epoch, id_col=id_col,
-        strata_col="split",
-    )
+    if phase_col is not None:
+        from ia_hadoop_tools_spark.operators.sampling import (
+            curriculum_shuffle,
+        )
+
+        shuf = curriculum_shuffle(
+            assigned, n_shards, phase_col, seed=seed, epoch=epoch,
+            id_col=id_col, strata_col="split",
+        )
+    else:
+        shuf = corpus_shuffle(
+            assigned, n_shards, seed=seed, epoch=epoch, id_col=id_col,
+            strata_col="split",
+        )
     if budget is not None:
         # pack in SHUFFLE order: per-(split, shard) prefix sum over pos,
         # so bins follow the training order, not the id order
@@ -228,6 +247,7 @@ def assemble_corpus(
         "budget": budget,
         "token_col": token_col if budget is not None else None,
         "id_col": id_col,
+        "phase_col": phase_col,
         "counts": counts,
         "unassigned": unassigned,
         # wasted-token fraction of the packed stream per split (tail-bin

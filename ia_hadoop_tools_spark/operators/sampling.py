@@ -554,6 +554,8 @@ def split_leakage_near(
 
 
 _HASH_SPACE = 1 << 32  # hash32 range
+#: curriculum strata-census bound: strata x phases rows collected
+_CENSUS_CAP = 8192
 
 
 def _shuffle_key(id_col: str, seed: int, epoch: int):
@@ -708,6 +710,7 @@ def curriculum_shuffle(
     seed: int = 0,
     epoch: int = 0,
     id_col: str = "doc_id",
+    strata_col: str | None = None,
 ) -> DataFrame:
     """Phase-major deterministic training order — the data-ordering step
     of curriculum / annealing-phase training (Bengio et al. 2009
@@ -719,9 +722,9 @@ def curriculum_shuffle(
 
     Each phase owns a CONTIGUOUS shard range sized by exact phase
     counts: every nonempty phase gets one shard, and the remaining
-    ``n_shards - P`` distribute by largest remainder of the exact
-    integer quota (ties to the earlier phase) — deterministic Hamilton
-    apportionment, no float in the allocation.  Within a phase the
+    ``n_shards - P`` distribute by :func:`hamilton_alloc` (largest
+    remainder of the exact integer quota, ties to the earlier phase) —
+    deterministic, no float in the allocation.  Within a phase the
     shard is the :func:`corpus_shuffle` fixed-width hash slice over the
     phase's own range, so the determinism contract carries over: same
     (seed, epoch) => identical (shard, pos) at ANY parallelism; an
@@ -730,62 +733,94 @@ def curriculum_shuffle(
     an ``lm_buckets``/``nb_quality`` cut — content-addressed when the
     scorer is).
 
+    ``strata_col`` (the :func:`corpus_shuffle` strata contract) scopes
+    the WHOLE construction per stratum in one pass: counts, allocation,
+    shard ranges, and ``pos`` are all per (stratum) — bit-identical to
+    running curriculum_shuffle on each stratum slice separately, which
+    is how :func:`~ia_hadoop_tools_spark.operators.assemble.
+    assemble_corpus` orders every split of an annealing version in a
+    single scan.
+
     Cost over :func:`corpus_shuffle`: ONE extra map-side-combinable
-    count aggregation whose driver collect is bounded by the number of
-    phases (curriculum phases are buckets, not ids — the operator
-    rejects more phases than shards), plus a broadcast join of the
-    P-row allocation table.  NULL phases are rejected — a silent
-    "last phase" default would reorder data on a data-quality bug.
+    count aggregation whose driver transfer is bounded (phases are
+    buckets, not ids — more phases than shards is rejected, and the
+    strata census is capped at ``_CENSUS_CAP`` rows), plus a broadcast
+    join of the allocation table.  NULL phases (or strata) are
+    rejected — a silent "last phase" default would reorder data on a
+    data-quality bug.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     _check_output_columns(
         df,
-        ["__shuffle_key", "__p", "__pstart", "__palloc", "shard", "pos"],
+        ["__shuffle_key", "__p", "__s", "__pstart", "__palloc", "shard", "pos"],
         "curriculum_shuffle",
     )
-    # bounded census: take(n_shards + 1) caps the driver transfer even
-    # when phase_col is pathologically high-cardinality (e.g. an id
-    # column by mistake) — if a row over the cap exists, the phase set
-    # can't fit the shard sequence and we fail before collecting it
-    rows = (
-        df.groupBy(F.col(phase_col).alias("__p"))
-        .agg(F.count("*").alias("__c"))
-        .take(n_shards + 1)
-    )
-    if len(rows) > n_shards:
+    # bounded census: the take() caps the driver transfer even when
+    # phase_col is pathologically high-cardinality (e.g. an id column
+    # by mistake) — if a row over the cap exists, some stratum's phase
+    # set can't fit the shard sequence (or the strata census is absurd)
+    # and we fail before collecting it
+    cap = (n_shards + 1) if strata_col is None else _CENSUS_CAP
+    gcols = ([F.col(strata_col).alias("__s")] if strata_col else []) + [
+        F.col(phase_col).alias("__p")
+    ]
+    rows = df.groupBy(*gcols).agg(F.count("*").alias("__c")).take(cap + 1)
+    if len(rows) > cap:
         raise ValueError(
-            f"curriculum_shuffle: more than n_shards={n_shards} distinct "
-            f"phases — every phase needs at least one shard (and an id-like "
-            f"phase_col is a bug, not a curriculum)"
+            f"curriculum_shuffle: census exceeds {cap} (stratum, phase) "
+            f"rows — every phase needs at least one of the {n_shards} "
+            f"shards per stratum (an id-like phase_col is a bug, not a "
+            f"curriculum)"
         )
-    if any(r["__p"] is None for r in rows):
+    if any(r["__p"] is None for r in rows) or (
+        strata_col is not None and any(r["__s"] is None for r in rows)
+    ):
         raise ValueError(
-            "curriculum_shuffle: phase_col contains NULLs — assign every "
-            "document a phase (or filter) before ordering"
+            "curriculum_shuffle: phase_col/strata_col contain NULLs — "
+            "assign every document a phase (or filter) before ordering"
         )
-    phases = sorted((r["__p"], r["__c"]) for r in rows)
-    n_phases = len(phases)
-    if n_phases == 0:
+    if not rows:
         # empty corpus: same output shape, no allocation to compute
-        return corpus_shuffle(df, n_shards, seed=seed, epoch=epoch, id_col=id_col)
-    alloc = hamilton_alloc([c for _, c in phases], n_shards)
-    starts, acc = [], 0
-    for a in alloc:
-        starts.append(acc)
-        acc += a
-    amap = df.sparkSession.createDataFrame(
-        [
-            (p, s, a)
-            for (p, _), s, a in zip(phases, starts, alloc)
-        ],
-        ["__p", "__pstart", "__palloc"],
-    )
+        return corpus_shuffle(
+            df, n_shards, seed=seed, epoch=epoch, id_col=id_col,
+            strata_col=strata_col,
+        )
+    by_stratum: dict = {}
+    for r in rows:
+        st = r["__s"] if strata_col is not None else None
+        by_stratum.setdefault(st, []).append((r["__p"], r["__c"]))
+    amap_rows = []
+    for st, pcs in by_stratum.items():
+        pcs.sort()
+        if len(pcs) > n_shards:
+            raise ValueError(
+                f"curriculum_shuffle: {len(pcs)} phases in stratum "
+                f"{st!r} need at least that many shards, got "
+                f"n_shards={n_shards}"
+            )
+        alloc = hamilton_alloc([c for _, c in pcs], n_shards)
+        acc = 0
+        for (ph, _c), a in zip(pcs, alloc):
+            amap_rows.append((st, ph, acc, a))
+            acc += a
+    cond = F.col(phase_col) == F.col("__p")
+    if strata_col is not None:
+        amap = df.sparkSession.createDataFrame(
+            amap_rows, ["__s", "__p", "__pstart", "__palloc"]
+        )
+        cond = cond & (F.col(strata_col) == F.col("__s"))
+    else:
+        # no strata: an all-None __s column would defeat schema inference
+        amap = df.sparkSession.createDataFrame(
+            [r[1:] for r in amap_rows], ["__p", "__pstart", "__palloc"]
+        )
     key = _shuffle_key(id_col, seed, epoch)
-    w = Window.partitionBy("shard").orderBy("__shuffle_key", F.col(id_col))
+    parts = ([strata_col] if strata_col else []) + ["shard"]
+    w = Window.partitionBy(*parts).orderBy("__shuffle_key", F.col(id_col))
     return (
-        df.join(F.broadcast(amap), F.col(phase_col) == F.col("__p"))
-        .drop("__p")
+        df.join(F.broadcast(amap), cond)
+        .drop("__p", "__s")
         .withColumn("__shuffle_key", key)
         .withColumn(
             "shard",

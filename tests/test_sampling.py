@@ -707,3 +707,73 @@ def test_hamilton_alloc_properties():
     with _pt.raises(ValueError, match="positive"):
         hamilton_alloc([1, 0], 4)
     assert hamilton_alloc([], 4) == []
+
+
+def test_curriculum_shuffle_strata_mode_equals_per_stratum(spark):
+    """strata_col scopes counts/allocation/ranges/pos per stratum in one
+    pass — bit-identical to running curriculum_shuffle on each stratum
+    slice separately (the corpus_shuffle strata contract)."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.sampling import curriculum_shuffle
+
+    rows = [(i, "a" if i < 70 else "b", i % 3) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, split string, phase int")
+    joint = {
+        (r["split"], r["doc_id"]): (r["shard"], r["pos"])
+        for r in curriculum_shuffle(
+            df, 6, "phase", seed=9, strata_col="split"
+        ).collect()
+    }
+    for s in ("a", "b"):
+        solo = {
+            (s, r["doc_id"]): (r["shard"], r["pos"])
+            for r in curriculum_shuffle(
+                df.filter(F.col("split") == s), 6, "phase", seed=9
+            ).collect()
+        }
+        assert solo == {k: v for k, v in joint.items() if k[0] == s}, s
+
+
+def test_assemble_curriculum_version(spark, tmp_path):
+    """phase_col publishes an annealing version: within every split the
+    shard sequence is phase-major, replay is content-identical, and the
+    manifest records the column."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.assemble import (
+        assemble_corpus,
+        read_manifest,
+        read_version_frame,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"text {i}", 5 + i % 11, i % 2) for i in range(200)],
+        "doc_id: long, text: string, n_tokens: long, phase: int",
+    )
+    root = str(tmp_path / "ann")
+    splits = [("train", 0.8), ("val", 0.2)]
+    vdir = assemble_corpus(
+        d, root, splits, n_shards=4, seed=6, phase_col="phase"
+    )
+    man = read_manifest(root)
+    assert man["phase_col"] == "phase"
+    frame = read_version_frame(spark, vdir)
+    for s in ("train", "val"):
+        got = frame.filter(F.col("split") == s).collect()
+        if not got:
+            continue
+        lo = max(r["shard"] for r in got if r["phase"] == 0)
+        hi = min(r["shard"] for r in got if r["phase"] == 1)
+        assert lo < hi, (s, lo, hi)  # phase-major within the split
+    # replay: same params => identical (split, shard, pos) assignment
+    vdir2 = assemble_corpus(
+        d, root, splits, n_shards=4, seed=6, phase_col="phase"
+    )
+    a = {r["doc_id"]: (r["split"], r["shard"], r["pos"])
+         for r in frame.collect()}
+    b = {r["doc_id"]: (r["split"], r["shard"], r["pos"])
+         for r in read_version_frame(spark, vdir2).collect()}
+    assert a == b
