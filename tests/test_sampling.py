@@ -777,3 +777,10 @@ def test_assemble_curriculum_version(spark, tmp_path):
     b = {r["doc_id"]: (r["split"], r["shard"], r["pos"])
          for r in read_version_frame(spark, vdir2).collect()}
     assert a == b
+    # the fsck holds for annealing versions too (dense pos per shard,
+    # counts vs manifest, unique ids)
+    from ia_hadoop_tools_spark.operators.assemble import (
+        verify_corpus_version,
+    )
+
+    assert verify_corpus_version(spark, root, id_col="doc_id")["ok"]
