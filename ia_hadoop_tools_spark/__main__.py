@@ -920,6 +920,7 @@ def cmd_corpus_verify(args):
     spark = _spark(args)
     report = verify_corpus_version(
         spark, args.root, version=args.version,
+        # 'auto' = the manifest's own recorded id column; '' skips
         id_col=args.id_col or None,
     )
     print(f"corpus-verify: {_json.dumps(report, sort_keys=True)}")
@@ -1320,8 +1321,9 @@ def main(argv=None):
     )
     s.add_argument("root")
     s.add_argument("--version", type=int, default=None)
-    s.add_argument("--id-col", default="doc_id",
-                   help="check id uniqueness; pass '' to skip")
+    s.add_argument("--id-col", default="auto",
+                   help="id-uniqueness column (default: the manifest's "
+                        "recorded id_col); pass '' to skip")
     s.set_defaults(fn=cmd_corpus_verify)
 
     s = sub.add_parser(

@@ -442,88 +442,103 @@ def verify_corpus_version(
     spark: SparkSession,
     root: str,
     version: int | None = None,
-    id_col: str | None = None,
+    id_col: str | None = "auto",
 ) -> dict:
     """fsck for a published corpus version: re-derive the invariants a
     training job depends on and compare them to the MANIFEST — the
     operational check to run before pointing a multi-week training run
     at ``root/vNNN``.
 
-    Checks (ONE aggregation pass over the version, plus one bounded
-    per-(split, shard) groupBy):
+    The version directory is resolved ONCE and its own MANIFEST.json is
+    read from inside it (a concurrent publish between two independent
+    "latest" resolutions could otherwise pair one version's data with
+    another's manifest); the manifest's recorded version number must
+    match the directory.
 
-    - the version resolves through the ``_PUBLISHED`` protocol and its
-      MANIFEST parses with a matching version number;
+    Checks (ONE scan of the version — a per-(split, shard) groupBy
+    whose output is bounded by splits x shards, everything else derived
+    driver-side from those rows — plus a second scan only when id
+    uniqueness is requested):
+
     - per-split row counts equal the manifest's (the counts were
-      observed ON the original write; equality proves the files on disk
-      are the ones the manifest describes — no lost/duplicated leaf);
-    - every ``split`` value is a manifest split, every ``shard`` is in
-      ``[0, n_shards)``;
+      observed ON the original write; equality proves the on-disk
+      leaves are the ones the manifest describes — no lost/duplicated
+      leaf);
+    - every ``split`` value is a manifest split and every ``shard`` is
+      in ``[0, n_shards)`` — NULLs (a stray
+      ``__HIVE_DEFAULT_PARTITION__`` dir, a schema-drifted leaf) count
+      as alien, not as silently-skipped;
     - within every (split, shard): ``pos`` is dense 0..n-1 (max ==
-      count-1 AND distinct == count — a replay/partial-overwrite that
-      duplicated or dropped a row breaks one of the two);
-    - with ``id_col``: ids are unique across the whole version (a
-      doubly-assigned document means a torn/overlapping write).
+      count-1 AND distinct == count, with NULL ``pos`` failing the
+      check — a replay/partial-overwrite that duplicated or dropped a
+      row breaks one of the two);
+    - id uniqueness across the whole version (a doubly-assigned
+      document means a torn/overlapping write): ``id_col='auto'``
+      (default) checks the manifest's own recorded id column, an
+      explicit name overrides, ``None`` skips.  An 'auto' id column
+      missing from the frame is itself a failed check.
 
     Returns a report dict with ``ok`` plus per-check details; never
     raises on a FAILED check (only on an unreadable version) so the CLI
-    can print the full diagnosis.  Cost: the version is scanned once;
-    the groupBy output is bounded by splits x shards.
+    can print the full diagnosis.
     """
     vdir = _resolve_published_dir(root, version)
-    manifest = read_manifest(root, version)
+    with fsio.open_read_text(fsio.join(vdir, "MANIFEST.json")) as fh:
+        manifest = json.loads(fh.read())
+    dir_version = int(vdir.rstrip("/").rsplit("v", 1)[1])
     frame = read_version_frame(spark, vdir)
     split_names = [n for n, _f in manifest["splits"]]
     n_shards = int(manifest["n_shards"])
 
-    aggs = [
-        F.count(F.when(F.col("split") == n, True)).alias(f"n_{i}")
-        for i, n in enumerate(split_names)
-    ] + [
-        F.count("*").alias("__total"),
-        F.count(
-            F.when(~F.col("split").isin(*split_names), True)
-        ).alias("__alien_split"),
-        F.count(
-            F.when(
-                (F.col("shard") < 0) | (F.col("shard") >= n_shards), True
-            )
-        ).alias("__alien_shard"),
-    ]
-    if id_col is not None:
-        aggs.append(F.count_distinct(F.col(id_col)).alias("__ids"))
-    per_shard = (
-        frame.groupBy("split", "shard")
-        .agg(
-            F.count("*").alias("__n"),
-            F.max("pos").alias("__maxp"),
-            F.count_distinct("pos").alias("__dp"),
-        )
-        .filter(
-            (F.col("__maxp") != F.col("__n") - 1)
-            | (F.col("__dp") != F.col("__n"))
-        )
+    pos_ok = F.coalesce(
+        (F.max("pos") == F.count("*") - 1)
+        & (F.count_distinct("pos") == F.count("*")),
+        F.lit(False),
     )
-    got = frame.agg(*aggs).first()
-    bad_shards = [
-        (r["split"], int(r["shard"])) for r in per_shard.collect()
-    ]
-    counts = {n: int(got[f"n_{i}"]) for i, n in enumerate(split_names)}
+    rows = (
+        frame.groupBy("split", "shard")
+        .agg(F.count("*").alias("__n"), pos_ok.alias("__pos_ok"))
+        .collect()
+    )
+    counts: dict = {}
+    alien_splits, alien_shards, bad_shards = 0, 0, []
+    total = 0
+    for r in rows:
+        sp, sh, n = r["split"], r["shard"], int(r["__n"])
+        total += n
+        if sp is None or sp not in split_names:
+            alien_splits += n
+        else:
+            counts[sp] = counts.get(sp, 0) + n
+        if sh is None or not (0 <= sh < n_shards):
+            alien_shards += n
+        if not r["__pos_ok"]:
+            bad_shards.append((sp, None if sh is None else int(sh)))
     manifest_counts = {k: int(v) for k, v in manifest["counts"].items()}
     checks = {
+        "manifest_version_matches_dir": int(manifest["version"]) == dir_version,
         "counts_match": counts == manifest_counts,
-        "no_alien_splits": int(got["__alien_split"]) == 0,
-        "shards_in_range": int(got["__alien_shard"]) == 0,
+        "no_alien_splits": alien_splits == 0,
+        "shards_in_range": alien_shards == 0,
         "pos_dense_per_shard": not bad_shards,
     }
+    if id_col == "auto":
+        id_col = manifest.get("id_col")
     if id_col is not None:
-        checks["ids_unique"] = int(got["__ids"]) == int(got["__total"])
+        if id_col not in frame.columns:
+            checks["ids_unique"] = False
+        else:
+            got = frame.agg(
+                F.count_distinct(F.col(id_col)).alias("__ids"),
+                F.count("*").alias("__t"),
+            ).first()
+            checks["ids_unique"] = int(got["__ids"]) == int(got["__t"])
     return {
         "ok": all(checks.values()),
         "version_dir": vdir,
         "checks": checks,
         "counts": counts,
         "manifest_counts": manifest_counts,
-        "bad_shards": bad_shards,
-        "rows": int(got["__total"]),
+        "bad_shards": sorted(bad_shards, key=lambda t: (str(t[0]), str(t[1]))),
+        "rows": total,
     }

@@ -794,10 +794,10 @@ def curriculum_shuffle(
     for st, pcs in by_stratum.items():
         pcs.sort()
         if len(pcs) > n_shards:
+            where = f" in stratum {st!r}" if strata_col is not None else ""
             raise ValueError(
-                f"curriculum_shuffle: {len(pcs)} phases in stratum "
-                f"{st!r} need at least that many shards, got "
-                f"n_shards={n_shards}"
+                f"curriculum_shuffle: {len(pcs)} phases{where} need at "
+                f"least that many shards, got n_shards={n_shards}"
             )
         alloc = hamilton_alloc([c for _, c in pcs], n_shards)
         acc = 0

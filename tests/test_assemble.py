@@ -384,9 +384,20 @@ def test_verify_corpus_version_ok_and_detects_lost_leaf(spark, tmp_path):
     assert rep["counts"] == rep["manifest_counts"]
     assert rep["rows"] == sum(rep["counts"].values())
     assert set(rep["checks"]) == {
-        "counts_match", "no_alien_splits", "shards_in_range",
+        "manifest_version_matches_dir", "counts_match",
+        "no_alien_splits", "shards_in_range",
         "pos_dense_per_shard", "ids_unique",
     }
+    # id_col defaults to 'auto' = the manifest's own recorded column
+    rep_auto = verify_corpus_version(spark, root)
+    assert rep_auto["ok"] and rep_auto["checks"]["ids_unique"]
+    # an id column missing from the frame is itself a failed check
+    rep_missing = verify_corpus_version(spark, root, id_col="nope")
+    assert not rep_missing["ok"] and not rep_missing["checks"]["ids_unique"]
+    # and None skips the uniqueness check entirely
+    assert "ids_unique" not in verify_corpus_version(
+        spark, root, id_col=None
+    )["checks"]
 
     # lose one leaf file (a torn copy / accidental delete)
     leaf = sorted(
