@@ -3487,3 +3487,15 @@ from ia_hadoop_tools_spark.corpus_queries_r8 import (  # noqa: E402
 
 QUERIES.update(R8_QUERIES)
 ORACLES.update(R8_ORACLES)
+
+# 96. Round-9 freeze registrations: the seven training-corpus queries
+# staged as round-8 pending entries (split_leakage_near, lm_word_buckets,
+# source_cap, nb_quality, prototype_prune, corpus_stats,
+# curriculum_shuffle) — corpus_queries_r9.py.
+from ia_hadoop_tools_spark.corpus_queries_r9 import (  # noqa: E402
+    R9_ORACLES,
+    R9_QUERIES,
+)
+
+QUERIES.update(R9_QUERIES)
+ORACLES.update(R9_ORACLES)

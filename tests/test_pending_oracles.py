@@ -25,13 +25,27 @@ from ia_hadoop_tools_spark.corpus_queries_r8 import (
     R8_ORACLES,
     R8_QUERIES,
 )
+from ia_hadoop_tools_spark.corpus_queries_r9 import (
+    R9_ORACLES,
+    R9_QUERIES,
+)
 from ia_hadoop_tools_spark.pending_queries import (
     PENDING_ORACLE_SQL,
     PENDING_QUERIES,
 )
 
-GATED_QUERIES = {**CORPUS_QUERIES, **R8_QUERIES, **PENDING_QUERIES}
-GATED_ORACLES = {**CORPUS_ORACLES, **R8_ORACLES, **PENDING_ORACLE_SQL}
+GATED_QUERIES = {
+    **CORPUS_QUERIES,
+    **R8_QUERIES,
+    **R9_QUERIES,
+    **PENDING_QUERIES,
+}
+GATED_ORACLES = {
+    **CORPUS_ORACLES,
+    **R8_ORACLES,
+    **R9_ORACLES,
+    **PENDING_ORACLE_SQL,
+}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents "
