@@ -28,6 +28,49 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+#: The driver records only the LAST 2000 characters of bench stdout
+#: (BENCH_r04..r08 all carry `parsed: None` because the one JSON line
+#: outgrew that window once the registry passed ~80 queries — the tail
+#: starts mid-line and nothing parses).  At 122 queries the full
+#: per-query map alone needs ~2300+ chars (1349 chars of query names
+#: before a single digit), so "reorder the keys" cannot fix it: the
+#: stdout line is instead guaranteed to fit the window, carrying the
+#: headline metric plus the slowest/failed queries that fit, and the
+#: COMPLETE result (all timings + reps_used + loads) is written to the
+#: sidecar file BENCH_FULL.json next to this script
+#: ($SPARK_GRAFT_BENCH_FULL_OUT overrides).  tests/test_bench_line.py
+#: pins the layout: parseable, <= LINE_BUDGET, "queries" the last key,
+#: failed queries always included.
+LINE_BUDGET = 1990
+
+
+def build_line(head: dict, timings: dict[str, float], budget: int = LINE_BUDGET) -> str:
+    """One JSON line <= budget chars: ``head`` keys first, ``queries``
+    LAST (so a tail capture that clips the front loses metadata, not
+    timings), populated with failed queries (timing < 0) first and then
+    the slowest, as many as fit."""
+    # failures first (they must never be clipped out), then slowest-first
+    order = sorted(timings, key=lambda n: (timings[n] >= 0, -timings[n], n))
+    kept: dict[str, float] = {}
+    head = dict(head)
+    head["n_queries"] = len(timings)
+    line = ""
+    for name in order:
+        trial = dict(kept)
+        trial[name] = timings[name]
+        head["queries_shown"] = len(trial)
+        cand = json.dumps(
+            {**head, "queries": trial}, separators=(",", ":")
+        )
+        if len(cand) > budget:
+            break
+        kept = trial
+        line = cand
+    if not line:  # pathological budget — emit head only
+        head["queries_shown"] = 0
+        line = json.dumps({**head, "queries": {}}, separators=(",", ":"))
+    return line
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -116,25 +159,35 @@ def main() -> None:
         reps_used[name] = done
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "reps": reps,
-                # per-query rep count actually used (fast queries take
-                # extra reps) — cross-round diffs of sub-second queries
-                # must compare like-for-like protocols
-                "reps_used": reps_used,
-                "agg": "min",
-                "load_1m_start": load_start,
-                "load_1m_end": round(os.getloadavg()[0], 2),
-            }
-        )
+    head = {
+        "metric": "registry_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "reps": reps,
+        "agg": "min",
+        "load_1m_start": load_start,
+        "load_1m_end": round(os.getloadavg()[0], 2),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+        "full": "BENCH_FULL.json",
+    }
+    # complete result (all timings + per-query rep counts — cross-round
+    # diffs of sub-second queries must compare like-for-like protocols)
+    full_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        ),
     )
+    with open(full_out, "w") as f:
+        json.dump(
+            {**head, "queries": timings, "reps_used": reps_used},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+        f.write("\n")
+    print(build_line(head, timings))
     spark.stop()
 
 
