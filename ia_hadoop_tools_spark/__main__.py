@@ -826,6 +826,63 @@ def cmd_corpus_classify(args):
     )
 
 
+def cmd_corpus_langid(args):
+    """corpus-langid: language identification over a documents parquet.
+    Default is the zero-model stopword-vote heuristic; --model (a
+    train_lang_nb parquet: lang, ngram, logp) or --train (a labeled
+    parquet with --label-col) switches to the trained char n-gram NB
+    path (CCNet/fastText-style, operators/langid.py).  Writes (doc_id,
+    lang_pred[, lang_score, n_grams]); the per-language histogram rides
+    the write as an Observation (no second pass)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if args.model and args.train:
+        raise SystemExit("corpus-langid: pass --model OR --train, not both")
+    if args.model or args.train:
+        from ia_hadoop_tools_spark.operators.langid import (
+            lang_nb,
+            train_lang_nb,
+        )
+
+        if args.model:
+            model = spark.read.parquet(args.model)
+        else:
+            labeled = spark.read.parquet(args.train)
+            model = train_lang_nb(
+                labeled,
+                label_col=args.label_col,
+                n=args.n,
+                vocab_size=args.vocab,
+                max_chars=args.max_chars,
+            )
+        model = model.persist()
+        out = lang_nb(docs, model, n=args.n, max_chars=args.max_chars)
+        if args.model_out:
+            model.write.mode("overwrite").parquet(args.model_out)
+    else:
+        from ia_hadoop_tools_spark.operators.textops import language_id
+
+        out = language_id(docs).select("doc_id", "lang_pred")
+    obs = Observation()
+    (
+        # Observations reject DISTINCT aggregates; the HLL estimate is
+        # exact at these cardinalities (n_langs is tiny by construction)
+        out.observe(
+            obs, F.approx_count_distinct("lang_pred").alias("n_langs"),
+            F.count("*").alias("n_docs"),
+        )
+        .write.mode("overwrite")
+        .parquet(args.output)
+    )
+    print(
+        f"corpus-langid: {obs.get['n_docs']} docs, "
+        f"{obs.get['n_langs']} languages -> {args.output}"
+    )
+
+
 def cmd_corpus_prune(args):
     """corpus-prune: D4-style cluster-aware pruning (Tirumala et al.
     2023) over an embeddings parquet — train a spherical k-means
@@ -1282,6 +1339,25 @@ def main(argv=None):
     s.add_argument("--threshold", type=float, default=0.0,
                    help="keep-histogram cut on mean per-token llr")
     s.set_defaults(fn=cmd_corpus_classify)
+
+    s = sub.add_parser(
+        "corpus-langid",
+        help="language ID: stopword heuristic or trained char-ngram NB",
+    )
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--model", default=None,
+                   help="trained model parquet (lang, ngram, logp)")
+    s.add_argument("--train", default=None,
+                   help="labeled corpus parquet to train on")
+    s.add_argument("--label-col", default="lang")
+    s.add_argument("--model-out", default=None,
+                   help="also write the (trained) model parquet here")
+    s.add_argument("--n", type=int, default=3, help="char n-gram order")
+    s.add_argument("--vocab", type=int, default=10_000)
+    s.add_argument("--max-chars", type=int, default=1000,
+                   help="score the first N chars of each doc")
+    s.set_defaults(fn=cmd_corpus_langid)
 
     s = sub.add_parser(
         "corpus-prune",

@@ -72,9 +72,30 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add a ``lang_pred`` column (stopword-vote heuristic)."""
-    return df.withColumn("lang_pred", lang_id(F.col(text_col)))
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    **lang_nb_kwargs,
+) -> DataFrame:
+    """Add a ``lang_pred`` column.
+
+    Default: the zero-model stopword-vote heuristic (pure column
+    expression, no join).  With ``model`` (a ``train_lang_nb`` frame):
+    the trained char n-gram NB path (``operators/langid.lang_nb``) —
+    CCNet/fastText-style classification; extra kwargs (``n``,
+    ``max_chars``) pass through and must match training.  The trained
+    path joins predictions back by ``id_col`` (broadcast model, skinny
+    prediction rows — the text column still never shuffles)."""
+    if model is None:
+        return df.withColumn("lang_pred", lang_id(F.col(text_col)))
+    from ia_hadoop_tools_spark.operators.langid import lang_nb
+
+    preds = lang_nb(
+        df, model, text_col=text_col, id_col=id_col, **lang_nb_kwargs
+    ).select(id_col, "lang_pred")
+    return df.join(preds, id_col, "left")
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:

@@ -18,6 +18,98 @@ below during round 9 register at the round-10 freeze.
 
 from __future__ import annotations
 
-PENDING_QUERIES: dict = {}
+#: fixed dense char-trigram NB langid model (lang, ngram, logp at 6 dp)
+#: shared verbatim with the oracle — the FIXED_NB_MODEL pattern: training
+#: is pinned by tests/test_langid.py's plain-Python mirror; this row pins
+#: the SCORER (broadcast dense join + OOV floor + prior + integer
+#: micro-nat argmax) end-to-end.  Trigrams chosen from the synthetic
+#: documents vocabulary so predictions vary with content; '__floor__' is
+#: the per-OOV-gram cost, '__prior__' the ln class prior (langid.py).
+FIXED_LANG_NB: list[tuple[str, str, float]] = [
+    ("en", "the", -2.0), ("en", "tab", -5.0), ("en", "que", -5.5),
+    ("en", "sca", -4.0), ("en", "mer", -4.5), ("en", "bat", -4.8),
+    ("en", "__floor__", -8.0), ("en", "__prior__", -0.7),
+    ("de", "the", -6.0), ("de", "tab", -3.0), ("de", "que", -6.5),
+    ("de", "sca", -5.0), ("de", "mer", -2.5), ("de", "bat", -3.5),
+    ("de", "__floor__", -7.5), ("de", "__prior__", -1.2),
+    ("fr", "the", -5.5), ("fr", "tab", -4.5), ("fr", "que", -2.0),
+    ("fr", "sca", -6.0), ("fr", "mer", -3.0), ("fr", "bat", -5.2),
+    ("fr", "__floor__", -7.8), ("fr", "__prior__", -1.4),
+]
 
-PENDING_ORACLE_SQL: dict = {}
+LANG_NB_N = 3
+LANG_NB_MAX_CHARS = 1000
+
+
+def q_lang_nb(spark, sf_dir):
+    """Trained char-trigram NB language ID (operators/langid.py — the
+    CCNet/fastText-style classification the heuristic stopword vote
+    approximates): per-doc argmax over integer micro-nat class scores
+    under the FIXED dense model."""
+    from ia_hadoop_tools_spark.operators.langid import lang_nb
+    from ia_hadoop_tools_spark.session import load_tables
+
+    model = spark.createDataFrame(
+        FIXED_LANG_NB, "lang string, ngram string, logp double"
+    )
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return lang_nb(docs, model, n=LANG_NB_N, max_chars=LANG_NB_MAX_CHARS)
+
+
+def _sql_lang_nb() -> str:
+    vals = ",\n    ".join(
+        f"('{lang}', '{g}', CAST({int(round(lp * 1e6))} AS BIGINT))"
+        for lang, g, lp in FIXED_LANG_NB
+    )
+    n, mx = LANG_NB_N, LANG_NB_MAX_CHARS
+    return f"""
+WITH model(lang, ngram, mi) AS (
+  VALUES
+    {vals}),
+floors AS (SELECT lang, mi FROM model WHERE ngram = '__floor__'),
+priors AS (SELECT lang, mi FROM model WHERE ngram = '__prior__'),
+real_m AS (SELECT * FROM model WHERE ngram NOT IN ('__floor__', '__prior__')),
+pre AS (
+  SELECT doc_id, substr(lower(coalesce(text, '')), 1, {mx}) AS p
+  FROM documents),
+base AS (
+  SELECT doc_id, greatest(length(p) - {n - 1}, 0) AS nt FROM pre),
+grams AS (
+  SELECT doc_id, substr(p, i, {n}) AS g FROM (
+    SELECT doc_id, p,
+           CAST(unnest(range(1, greatest(length(p) - {n - 1}, 0) + 1))
+                AS INTEGER) AS i
+    FROM pre)),
+inv AS (
+  SELECT g.doc_id, m.lang, sum(m.mi) AS sm, count(*) AS ni
+  FROM grams g JOIN real_m m ON g.g = m.ngram
+  GROUP BY g.doc_id, m.lang),
+scored AS (
+  SELECT b.doc_id, f.lang,
+         coalesce(i.sm, 0) + (b.nt - coalesce(i.ni, 0)) * f.mi + p.mi AS sc,
+         b.nt
+  FROM base b
+  CROSS JOIN floors f
+  JOIN priors p ON p.lang = f.lang
+  LEFT JOIN inv i ON i.doc_id = b.doc_id AND i.lang = f.lang)
+SELECT doc_id, lang AS lang_pred,
+       CAST(sc AS DOUBLE) / 1e6 AS lang_score,
+       CAST(nt AS BIGINT) AS n_grams
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY sc DESC, lang ASC) AS rn
+  FROM scored)
+WHERE rn = 1
+"""
+
+
+SQL_LANG_NB = _sql_lang_nb()
+
+
+PENDING_QUERIES: dict = {
+    "lang_nb": q_lang_nb,
+}
+
+PENDING_ORACLE_SQL: dict = {
+    "lang_nb": SQL_LANG_NB,
+}

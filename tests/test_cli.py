@@ -637,6 +637,37 @@ def test_corpus_classify_cli(spark, tmp_path, capsys):
     assert all(back[10 + i] < 0 for i in range(5))
 
 
+def test_corpus_langid_cli(spark, tmp_path, capsys):
+    train = str(tmp_path / "lid_train")
+    docs = str(tmp_path / "lid_docs")
+    spark.createDataFrame(
+        [(i, "en", "the thing and the other thing") for i in range(5)]
+        + [(10 + i, "de", "der und die aber der und die") for i in range(5)],
+        "doc_id: long, lang: string, text: string",
+    ).write.parquet(train)
+    spark.createDataFrame(
+        [(0, "the thing and stuff"), (1, "der und die sache")],
+        "doc_id: long, text: string",
+    ).write.parquet(docs)
+    out = str(tmp_path / "lid_out")
+    model_out = str(tmp_path / "lid_model")
+    got = _run(capsys, "corpus-langid", docs, out, "--train", train,
+               "--vocab", "200", "--model-out", model_out)
+    assert "corpus-langid: 2 docs, 2 languages" in got
+    back = {r.doc_id: r.lang_pred for r in spark.read.parquet(out).collect()}
+    assert back == {0: "en", 1: "de"}
+    # heuristic path (no model): runs, writes only (doc_id, lang_pred)
+    out2 = str(tmp_path / "lid_out2")
+    got = _run(capsys, "corpus-langid", docs, out2)
+    assert "corpus-langid: 2 docs" in got
+    assert spark.read.parquet(out2).columns == ["doc_id", "lang_pred"]
+    # saved model reloads byte-identically through --model
+    out3 = str(tmp_path / "lid_out3")
+    _run(capsys, "corpus-langid", docs, out3, "--model", model_out)
+    back3 = {r.doc_id: r.lang_pred for r in spark.read.parquet(out3).collect()}
+    assert back3 == back
+
+
 def test_corpus_prune_cli(spark, tmp_path, capsys):
     emb = str(tmp_path / "pr_emb")
     # two tight direction groups; k-means with k=2 separates them
