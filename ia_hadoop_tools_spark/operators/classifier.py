@@ -31,10 +31,12 @@ in ``operators/lm_quality.py`` and sharing their conventions:
   only exchange is the skinny ``(id, micro)`` partial-aggregated
   groupBy.  The document text column itself never crosses the wire.
 
-PERSIST CONTRACT (same as ``lm_score``): an unpersisted model passed to
-:func:`nb_quality_score` is persisted internally with NO release
-handle — loop callers passing fresh (plan-distinct) model frames will
-accumulate cache entries; persist the model ONCE yourself in loops.
+PERSIST CONTRACT: an unpersisted model passed to
+:func:`nb_quality_score` is persisted internally; the returned frame
+carries the persisted model as ``.model_cache`` (the semdedup
+``assign_cache`` convention) so loop callers passing fresh
+(plan-distinct) model frames can unpersist each one — or persist the
+model ONCE themselves.
 """
 
 from __future__ import annotations
@@ -161,11 +163,14 @@ def nb_quality_score(
     # model frame don't stack entries (the lm_score persist convention)
     if not model.is_cached:
         model = model.persist()
-    if model.select("token").first() is None:
-        # an empty model scores every doc exactly 0.0 — NEUTRAL — which
-        # silently turns the filter into keep-all or drop-all depending
-        # on the threshold's sign (the lm_score empty-model rule)
-        raise ValueError("nb_quality_score: model is empty (no token rows)")
+    # LAZY empty-model guard (ADVICE r8: the old first() probe launched
+    # a Spark job at plan-BUILD time, breaking the lazy-construction
+    # convention train_nb_quality advertises): an empty model scores
+    # every doc exactly 0.0 — NEUTRAL — which silently turns the filter
+    # into keep-all or drop-all depending on the threshold's sign, so a
+    # broadcast 1-row token count rides the plan and raise_error fires
+    # at first execution instead.
+    guard = model.agg(F.count("*").alias("__mc"))
     m = model.select(
         F.col("token").alias("__w"),
         F.round(F.col("llr") * F.lit(1e6), 0).cast("long").alias("__mi"),
@@ -192,15 +197,27 @@ def nb_quality_score(
             "n_tokens",
         )
     )
-    return (
+    out = (
         docs.select(id_col)
         .join(scored, id_col, "left")
+        .crossJoin(F.broadcast(guard))
         .select(
             id_col,
-            "nb_llr",
+            F.when(
+                F.col("__mc") < 1,
+                F.raise_error(
+                    F.lit("nb_quality_score: model is empty (no token rows)")
+                ).cast("double"),
+            )
+            .otherwise(F.col("nb_llr"))
+            .alias("nb_llr"),
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         )
     )
+    # release handle (the semdedup assign_cache convention): loop callers
+    # passing plan-distinct model frames unpersist via out.model_cache
+    out.model_cache = model
+    return out
 
 
 def expected_llr(

@@ -556,6 +556,11 @@ def split_leakage_near(
 _HASH_SPACE = 1 << 32  # hash32 range
 #: curriculum strata-census bound: strata x phases rows collected
 _CENSUS_CAP = 8192
+#: strata-mode auto-escalation bound (curriculum_shuffle): a validated
+#: large census is accepted up to this many (stratum, phase) rows
+#: (~50 MB of driver transfer at ~50 B/row); past it the caller must
+#: opt in with census_cap=
+_CENSUS_HARD_CAP = 1 << 20
 
 
 def _shuffle_key(id_col: str, seed: int, epoch: int):
@@ -711,6 +716,7 @@ def curriculum_shuffle(
     epoch: int = 0,
     id_col: str = "doc_id",
     strata_col: str | None = None,
+    census_cap: int | None = None,
 ) -> DataFrame:
     """Phase-major deterministic training order — the data-ordering step
     of curriculum / annealing-phase training (Bengio et al. 2009
@@ -743,11 +749,18 @@ def curriculum_shuffle(
 
     Cost over :func:`corpus_shuffle`: ONE extra map-side-combinable
     count aggregation whose driver transfer is bounded (phases are
-    buckets, not ids — more phases than shards is rejected, and the
-    strata census is capped at ``_CENSUS_CAP`` rows), plus a broadcast
-    join of the allocation table.  NULL phases (or strata) are
-    rejected — a silent "last phase" default would reorder data on a
-    data-quality bug.
+    buckets, not ids — more phases than shards is rejected), plus a
+    broadcast join of the allocation table.  The strata-mode census is
+    soft-capped at ``_CENSUS_CAP`` rows: past it, a 1-row validation
+    aggregate distinguishes a LEGITIMATE large census (many strata,
+    each within ``n_shards`` phases — accepted up to
+    ``_CENSUS_HARD_CAP``, the driver-transfer bound) from an id-like
+    ``phase_col`` (rejected).  ``census_cap`` overrides both bounds
+    when set — the explicit opt-in for driver transfers past the hard
+    cap (the allocation is computed driver-side; budget ~50 bytes per
+    (stratum, phase) row).  NULL phases (or strata) are rejected — a
+    silent "last phase" default would reorder data on a data-quality
+    bug.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
@@ -758,14 +771,52 @@ def curriculum_shuffle(
     )
     # bounded census: the take() caps the driver transfer even when
     # phase_col is pathologically high-cardinality (e.g. an id column
-    # by mistake) — if a row over the cap exists, some stratum's phase
-    # set can't fit the shard sequence (or the strata census is absurd)
-    # and we fail before collecting it
-    cap = (n_shards + 1) if strata_col is None else _CENSUS_CAP
+    # by mistake) — if a row over the cap exists we either fail or (in
+    # strata mode) validate before collecting more
+    if census_cap is not None and census_cap < 1:
+        raise ValueError(f"census_cap must be >= 1, got {census_cap}")
+    if strata_col is None:
+        cap = n_shards + 1 if census_cap is None else census_cap
+    else:
+        cap = _CENSUS_CAP if census_cap is None else census_cap
     gcols = ([F.col(strata_col).alias("__s")] if strata_col else []) + [
         F.col(phase_col).alias("__p")
     ]
-    rows = df.groupBy(*gcols).agg(F.count("*").alias("__c")).take(cap + 1)
+    census = df.groupBy(*gcols).agg(F.count("*").alias("__c"))
+    rows = census.take(cap + 1)
+    if len(rows) > cap and strata_col is not None and census_cap is None:
+        # soft cap exceeded (ADVICE r8): many strata x a valid per-
+        # stratum phase count can legitimately outgrow _CENSUS_CAP
+        # (e.g. 20 strata x 500 phases at n_shards=512).  ONE 1-row
+        # aggregate decides: legitimate censuses (max phases per
+        # stratum <= n_shards) are accepted up to the hard driver-
+        # transfer bound; id-like phase columns are rejected here
+        # without ever collecting them.
+        stats = (
+            df.groupBy(F.col(strata_col).alias("__s"))
+            .agg(F.count_distinct(F.col(phase_col)).alias("__np"))
+            .agg(
+                F.max("__np").alias("__mx"),
+                F.sum("__np").alias("__tot"),
+            )
+            .first()
+        )
+        if stats["__mx"] > n_shards:
+            raise ValueError(
+                f"curriculum_shuffle: a stratum has {stats['__mx']} "
+                f"phases — every phase needs at least one of the "
+                f"{n_shards} shards per stratum (an id-like phase_col "
+                f"is a bug, not a curriculum)"
+            )
+        if stats["__tot"] > _CENSUS_HARD_CAP:
+            raise ValueError(
+                f"curriculum_shuffle: census has {stats['__tot']} "
+                f"(stratum, phase) rows, past the driver-transfer "
+                f"bound {_CENSUS_HARD_CAP}; pass "
+                f"census_cap={stats['__tot']} to opt in"
+            )
+        cap = int(stats["__tot"])
+        rows = census.take(cap + 1)
     if len(rows) > cap:
         raise ValueError(
             f"curriculum_shuffle: census exceeds {cap} (stratum, phase) "

@@ -16,10 +16,20 @@ foreachBatch is at-least-once, and folding the same batch twice would
 double-count — so each published version records the batch id it
 folded and the sink SKIPS any batch at or below the latest published id
 (the transactional foreachBatch ledger pattern; batch ids are
-monotonic per checkpoint).  Consequence: ``stats_root`` and
-``checkpoint_dir`` are paired for the stream's lifetime — restarting
-with a fresh checkpoint against an existing stats root would reset
-batch ids to 0 and skip real data; start a fresh root too.
+monotonic per checkpoint).
+
+Batch ids are only comparable WITHIN one checkpoint, so each published
+version also records the stream identity (the checkpoint's Spark query
+id, ``versioned.stream_identity``) and the sink FAILS LOUDLY when the
+identity changes: restarting with a fresh checkpoint against an
+existing stats root restarts batch ids at 0, and without the identity
+stamp every new batch would be silently skipped by the ledger — an
+invisible under-count after a routine ops event (checkpoint corruption
+or cleanup).  Recovery is explicit: restore the original checkpoint,
+or start a fresh stats_root (re-folding everything from scratch is the
+only safe way to re-pair — additive counts cannot be reconciled across
+checkpoints).  Versions published before this stamp existed (no
+``_STREAM`` file) keep the old skip-only behavior.
 """
 
 from __future__ import annotations
@@ -38,10 +48,12 @@ from ia_hadoop_tools_spark.streaming.versioned import (
     latest_published_dir,
     next_version,
     prune_versions,
+    stream_identity,
     version_dir,
 )
 
 _BATCH_FILE = "_BATCH"
+_STREAM_FILE = "_STREAM"
 _COUNT_COLS = ("n_docs", "n_tokens", "n_chars")
 
 
@@ -100,21 +112,36 @@ def _read_batch_id(vdir: str) -> int:
         return int(fh.read().strip())
 
 
+def _read_stream_id(vdir: str) -> str | None:
+    """The identity stamped at publish time; None for versions published
+    before the stamp existed (pre-round-9 roots)."""
+    try:
+        with fsio.open_read_text(fsio.join(vdir, _STREAM_FILE)) as fh:
+            return fh.read().strip() or None
+    except OSError:
+        return None
+
+
 def publish_stats(
     counts: DataFrame,
     sketch: DataFrame,
     root: str,
     batch_id: int,
     keep_versions: int | None = None,
+    stream_id: str | None = None,
 ) -> str:
-    """Write (counts, sketch, folded batch id) as the next ``vNNN``
-    version; marker committed last; older versions pruned when set."""
+    """Write (counts, sketch, folded batch id, stream identity) as the
+    next ``vNNN`` version; marker committed last; older versions pruned
+    when set."""
     v = next_version(root)
     vdir = version_dir(root, v)
     counts.write.mode("overwrite").parquet(fsio.join(vdir, "counts"))
     sketch.write.mode("overwrite").parquet(fsio.join(vdir, "sketch"))
     with fsio.open_write_text(fsio.join(vdir, _BATCH_FILE)) as fh:
         fh.write(f"{batch_id}\n")
+    if stream_id is not None:
+        with fsio.open_write_text(fsio.join(vdir, _STREAM_FILE)) as fh:
+            fh.write(f"{stream_id}\n")
     commit_version(root, v)
     if keep_versions is not None:
         prune_versions(root, keep_versions)
@@ -148,12 +175,27 @@ def corpus_stats_stream(
             if not batch_df.take(1):
                 return
             sess = batch_df.sparkSession
+            ident = stream_identity(checkpoint_dir)
             cur_dir = latest_published_dir(stats_root)
-            if cur_dir is not None and _read_batch_id(cur_dir) >= batch_id:
-                # at-least-once replay of an already-folded batch: the
-                # published state is already past it, folding again
-                # would double-count — skip (min-k alone can't save sums)
-                return
+            if cur_dir is not None:
+                rec = _read_stream_id(cur_dir)
+                if rec is not None and ident is not None and rec != ident:
+                    raise ValueError(
+                        f"corpus_stats_stream: stats root {stats_root} was "
+                        f"published by stream {rec}, but checkpoint "
+                        f"{checkpoint_dir} has identity {ident}. Batch ids "
+                        "are not comparable across checkpoints, so folding "
+                        "would double-count (and the ledger would silently "
+                        "skip new data). Restore the original checkpoint, "
+                        "or start a fresh stats_root to re-fold from "
+                        "scratch."
+                    )
+                if _read_batch_id(cur_dir) >= batch_id:
+                    # at-least-once replay of an already-folded batch: the
+                    # published state is already past it, folding again
+                    # would double-count — skip (min-k alone can't save
+                    # sums)
+                    return
             delta_c = _delta_counts(batch_df, by, text_col)
             delta_s = kmv_sketch(
                 batch_df.select(
@@ -177,7 +219,7 @@ def corpus_stats_stream(
                 )
             publish_stats(
                 counts, sketch, stats_root, batch_id,
-                keep_versions=keep_versions,
+                keep_versions=keep_versions, stream_id=ident,
             )
         finally:
             batch_df.unpersist()

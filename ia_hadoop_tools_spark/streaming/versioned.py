@@ -129,3 +129,24 @@ def prune_versions(root: str, keep: int) -> int:
         except OSError:
             continue  # best-effort: the next publish retries
     return removed
+
+
+def stream_identity(checkpoint_dir: str) -> str | None:
+    """The Spark streaming-query id recorded in the checkpoint's
+    ``metadata`` file (written once at first query start) — stable
+    across restarts on the SAME checkpoint, fresh for a new checkpoint
+    dir.  Sinks whose folds are NOT idempotent (additive counts) stamp
+    this into each published version and refuse to fold under a
+    different identity: batch ids restart at 0 on a fresh checkpoint,
+    so a ledger comparison across identities silently skips (or
+    double-counts) real data.  Returns None when unreadable (no stream
+    started yet, foreign layout) — callers treat None as "unknown",
+    never as a match."""
+    import json
+
+    try:
+        with fsio.open_read_text(fsio.join(checkpoint_dir, "metadata")) as fh:
+            ident = json.loads(fh.read()).get("id")
+            return ident if isinstance(ident, str) else None
+    except (OSError, ValueError):
+        return None

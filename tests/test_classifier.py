@@ -204,12 +204,38 @@ def test_nb_scores_compose_with_lm_buckets(spark, tiny_model):
     assert min(by_bucket["head"]) >= max(by_bucket["tail"])
 
 
-def test_scorer_rejects_empty_model(spark):
+def test_scorer_construction_launches_no_jobs(spark, tiny_model):
+    """Scorer construction is LAZY (ADVICE r8: the old emptiness probe
+    ran model.first() — a Spark job — at plan-build time).  Same guard
+    as the lm_quality/textops builders."""
+    from ia_hadoop_tools_spark.operators.langid import lang_nb, train_lang_nb
+
+    docs = _docs(spark, ["some text"])
+    labeled = spark.createDataFrame(
+        [(1, "en", "the fox")], "doc_id long, lang string, text string"
+    )
+    sc = spark.sparkContext
+    group = "lazy-scorer-construction-probe"
+    sc.setJobGroup(group, "no jobs may appear here")
+    try:
+        nb_quality_score(docs, tiny_model)
+        lang_nb(docs, train_lang_nb(labeled))
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup("", "")
+    assert list(jobs or []) == []
+
+
+def test_scorer_rejects_empty_model_lazily(spark):
+    """Construction stays lazy (no job — the train_nb_quality
+    convention); the empty-model error fires at first execution."""
     docs = _docs(spark, ["anything"])
     nothing = spark.createDataFrame([], "doc_id: long, text: string")
     empty = train_nb_quality(nothing, nothing)
-    with pytest.raises(ValueError, match="model is empty"):
-        nb_quality_score(docs, empty)
+    out = nb_quality_score(docs, empty)  # must NOT raise or launch a job
+    with pytest.raises(Exception, match="model is empty"):
+        out.collect()
+    out.model_cache.unpersist()
 
 
 # ------------------------------------------------------- differential tests

@@ -735,6 +735,57 @@ def test_curriculum_shuffle_strata_mode_equals_per_stratum(spark):
         assert solo == {k: v for k, v in joint.items() if k[0] == s}, s
 
 
+def test_curriculum_census_soft_cap_escalates_for_valid_strata(
+    spark, monkeypatch
+):
+    """ADVICE r8: many strata x a valid per-stratum phase count can
+    legitimately exceed _CENSUS_CAP — the validation aggregate must
+    accept it (same result as with a roomy cap), while an id-like
+    phase_col still fails without collecting the census."""
+    import pytest
+
+    from ia_hadoop_tools_spark.operators import sampling
+    from ia_hadoop_tools_spark.operators.sampling import curriculum_shuffle
+
+    # 4 strata x 3 phases = 12 census rows; soft cap squeezed to 4
+    rows = [(i, f"s{i % 4}", i % 3) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, split string, phase int")
+    expect = sorted(
+        map(
+            tuple,
+            curriculum_shuffle(
+                df, 6, "phase", seed=5, strata_col="split"
+            ).collect(),
+        )
+    )
+    monkeypatch.setattr(sampling, "_CENSUS_CAP", 4)
+    got = sorted(
+        map(
+            tuple,
+            curriculum_shuffle(
+                df, 6, "phase", seed=5, strata_col="split"
+            ).collect(),
+        )
+    )
+    assert got == expect
+    # id-like phase_col: rejected by the 1-row validation aggregate
+    with pytest.raises(ValueError, match="id-like"):
+        curriculum_shuffle(df, 6, "doc_id", strata_col="split").collect()
+    # hard cap: a valid census past it needs the explicit opt-in
+    monkeypatch.setattr(sampling, "_CENSUS_HARD_CAP", 8)
+    with pytest.raises(ValueError, match="census_cap=12"):
+        curriculum_shuffle(df, 6, "phase", strata_col="split")
+    got2 = sorted(
+        map(
+            tuple,
+            curriculum_shuffle(
+                df, 6, "phase", seed=5, strata_col="split", census_cap=12
+            ).collect(),
+        )
+    )
+    assert got2 == expect
+
+
 def test_assemble_curriculum_version(spark, tmp_path):
     """phase_col publishes an annealing version: within every split the
     shard sequence is phase-major, replay is content-identical, and the

@@ -70,25 +70,63 @@ def test_streamed_stats_equal_direct_stats(spark, tmp_path):
         assert got[s]["dup_frac_est"] == direct[s]["dup_frac"], s
 
 
-def test_replay_is_a_noop(spark, tmp_path):
-    """Folding is guarded by the batch-id ledger: re-running the stream
-    over an already-processed input (fresh checkpoint, same root —
-    batch ids restart at 0 <= the published id) must not double-count."""
-    inp, root = str(tmp_path / "in"), str(tmp_path / "stats")
+def test_replay_same_checkpoint_is_a_noop(spark, tmp_path):
+    """The batch-id ledger's real target: at-least-once re-delivery
+    WITHIN one checkpoint.  Publish succeeds but the crash lands before
+    Spark records the epoch commit (simulated by deleting the
+    checkpoint's commits/0), so the restart re-runs batch 0 with the
+    SAME batch id — the ledger must skip it, not double-count."""
+    import os
+
+    inp, root, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "stats"),
+        str(tmp_path / "ckpt1"),
+    )
     rows = [(i, "a", f"text {i}") for i in range(10)]
     _write_batch(spark, inp, rows)
-    _run_cycle(spark, inp, root, str(tmp_path / "ckpt1"))
+    _run_cycle(spark, inp, root, ckpt)
     before = {
         r["source"]: r["n_docs"]
         for r in current_stats(spark, root, k=32).collect()
     }
-    # same input replayed from scratch against the same published root
-    _run_cycle(spark, inp, root, str(tmp_path / "ckpt2"))
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")  # hadoop local-fs sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+    _run_cycle(spark, inp, root, ckpt)  # batch 0 re-fires, same id
     after = {
         r["source"]: r["n_docs"]
         for r in current_stats(spark, root, k=32).collect()
     }
     assert before == after == {"a": 10}
+
+
+def test_fresh_checkpoint_against_published_root_fails_loudly(spark, tmp_path):
+    """ADVICE r8 (medium): losing the checkpoint is a routine ops event;
+    restarting with a FRESH one against an existing root restarts batch
+    ids at 0 and the ledger would silently skip every new batch — the
+    identity stamp must turn that invisible under-count into an error."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    inp, root = str(tmp_path / "in"), str(tmp_path / "stats")
+    _write_batch(spark, inp, [(i, "a", f"text {i}") for i in range(10)])
+    _run_cycle(spark, inp, root, str(tmp_path / "ckpt1"))
+    # NEW data arrives, but the checkpoint was lost: a fresh one starts
+    # batch ids over, which the published identity must reject
+    _write_batch(spark, inp, [(100 + i, "b", f"new {i}") for i in range(3)])
+    q = corpus_stats_stream(
+        spark, inp, root, str(tmp_path / "ckpt2"), SCHEMA, k=32
+    )
+    with pytest.raises(StreamingQueryException, match="not comparable"):
+        q.awaitTermination(60)
+    # the published state is untouched by the failed fold
+    got = {
+        r["source"]: r["n_docs"]
+        for r in current_stats(spark, root, k=32).collect()
+    }
+    assert got == {"a": 10}
 
 
 def test_empty_root_raises(spark, tmp_path):
