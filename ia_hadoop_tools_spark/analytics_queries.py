@@ -355,13 +355,32 @@ def q_triangles(spark, sf_dir):
     return out
 
 
-# the oracle is the UNCAPPED exact count: every qualified per-day
-# population at the oracle sf (0.01: max 53) is far below TRI_MAX_DAY_POP,
-# where cap_group_population is a proven identity — so the comparison pins
-# the guard's below-cap exactness every round, not an approximation
+# The oracle mirrors the operator's DOCUMENTED CONTRACT param-for-param
+# (the round-8 simhash_pairs lesson: an oracle must model the operator's
+# guards, not exhaustive search): the shared-days qualification prune (a
+# proven identity — below-threshold users cannot form an edge) and the
+# TRI_MAX_DAY_POP per-day cap with cap_group_population's exact ranking
+# (total active days desc, then user id, row_number semantics).  At the
+# driver SFs the cap predicate keeps every row (sf0.01 tops out at ~53
+# and sf0.1 at ~507 qualified users/day), so the comparison still pins
+# below-cap exactness; at sf1 (~5k/day) BOTH sides cap identically — and
+# the prune+cap bound the oracle's day-pair join at C(cap, 2) rows/day,
+# which is what lets DuckDB finish inside the box's disk at sf1 (the
+# uncapped oracle join grew ~100x per sf decade and spilled past 80 GB —
+# round-9 task #4).
 SQL_TRIANGLES = f"""
-WITH ud AS (
+WITH ud0 AS (
   SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+qual AS (
+  SELECT u, count(*) AS nd FROM ud0 GROUP BY u
+  HAVING count(*) >= {TRI_MIN_SHARED_DAYS}),
+ud AS (
+  SELECT u, d FROM (
+    SELECT ud0.u, ud0.d,
+           row_number() OVER (
+               PARTITION BY ud0.d ORDER BY q.nd DESC, ud0.u ASC) AS rk
+    FROM ud0 JOIN qual q ON q.u = ud0.u)
+  WHERE rk <= {TRI_MAX_DAY_POP}),
 edges AS (
   SELECT a.u AS a, b.u AS b
   FROM ud a JOIN ud b ON a.d = b.d AND a.u < b.u
@@ -712,10 +731,18 @@ HAVING SUM(wc) >= {BPE_MIN_COUNT}
 # ---------------------------------------------------------------------------
 # window_funnel — any-anchor ClickHouse-windowFunnel semantics as the pure
 # SQL aggregate() fold (operators/funnel.py:window_funnel_levels). The
-# oracle is the EXISTENTIAL formulation the fold's max-anchor DP claims to
-# compute: level >= k iff some chain e1 < e2 < ... < ek (strict ts order)
-# exists with every step <= anchor + window — an independent relational
-# derivation, not a re-statement of the fold.
+# oracle derives level >= k from the GREEDY-WITNESS theorem rather than
+# re-stating the fold: a chain (t1 < t2 < t3, t2 <= t1+W, t3 <= t1+W)
+# exists iff it exists with t1 replaced by the LATEST step-1 event before
+# t2 (a larger anchor only relaxes the deadline), so per step-2 event the
+# best deadline is max(t1 < t2) + W, and a step-3 event qualifies iff the
+# running max deadline over strictly-earlier step-2 events reaches it.
+# Strict < between steps = RANGE ... 1 PRECEDING over integer epoch
+# micros (ties excluded).  This prefix-max form replaced the existential
+# per-user s1 x s2 x s3 triple join at the round-9 freeze: the triple
+# join was exact but grew cubically in per-user step events and spilled
+# DuckDB past the box's 80 GB disk at sf1 (round-9 task #4); this form
+# is O(n log n) per user and verifies at every SF.
 
 
 def q_window_funnel(spark, sf_dir):
@@ -725,26 +752,42 @@ def q_window_funnel(spark, sf_dir):
     return window_funnel_levels(ev, FUNNEL_STEPS, FUNNEL_WINDOW_S)
 
 
+_FUNNEL_WIN_US = FUNNEL_WINDOW_S * 1_000_000
+
 SQL_WINDOW_FUNNEL = f"""
-WITH s1 AS (SELECT user_id, ts FROM events
-            WHERE event_type = '{FUNNEL_STEPS[0]}'),
-s2 AS (SELECT user_id, ts FROM events WHERE event_type = '{FUNNEL_STEPS[1]}'),
-s3 AS (SELECT user_id, ts FROM events WHERE event_type = '{FUNNEL_STEPS[2]}'),
-l3 AS (
-  SELECT DISTINCT s1.user_id FROM s1
-  JOIN s2 ON s2.user_id = s1.user_id AND s2.ts > s1.ts
-         AND s2.ts <= s1.ts + INTERVAL {FUNNEL_WINDOW_S} SECOND
-  JOIN s3 ON s3.user_id = s1.user_id AND s3.ts > s2.ts
-         AND s3.ts <= s1.ts + INTERVAL {FUNNEL_WINDOW_S} SECOND),
-l2 AS (
-  SELECT DISTINCT s1.user_id FROM s1
-  JOIN s2 ON s2.user_id = s1.user_id AND s2.ts > s1.ts
-         AND s2.ts <= s1.ts + INTERVAL {FUNNEL_WINDOW_S} SECOND)
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et FROM events
+  WHERE event_type IN ('{FUNNEL_STEPS[0]}', '{FUNNEL_STEPS[1]}',
+                       '{FUNNEL_STEPS[2]}')),
+m1 AS (
+  SELECT u, t, et,
+         max(CASE WHEN et = '{FUNNEL_STEPS[0]}' THEN t END) OVER (
+             PARTITION BY u ORDER BY t
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS a1
+  FROM e),
+s2d AS (
+  SELECT u, t,
+         CASE WHEN a1 >= t - {_FUNNEL_WIN_US}
+              THEN a1 + {_FUNNEL_WIN_US} END AS dl
+  FROM m1 WHERE et = '{FUNNEL_STEPS[1]}'),
+m2 AS (
+  SELECT u, t, is3,
+         max(dl) OVER (
+             PARTITION BY u ORDER BY t
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bd
+  FROM (
+    SELECT u, t, dl, FALSE AS is3 FROM s2d WHERE dl IS NOT NULL
+    UNION ALL
+    SELECT u, t, NULL AS dl, TRUE AS is3 FROM e
+    WHERE et = '{FUNNEL_STEPS[2]}')),
+l3 AS (SELECT DISTINCT u AS user_id FROM m2 WHERE is3 AND bd >= t),
+l2 AS (SELECT DISTINCT u AS user_id FROM s2d WHERE dl IS NOT NULL)
 SELECT user_id,
   CAST(CASE WHEN user_id IN (SELECT user_id FROM l3) THEN 3
             WHEN user_id IN (SELECT user_id FROM l2) THEN 2
             ELSE 1 END AS INTEGER) AS level
-FROM (SELECT DISTINCT user_id FROM s1)
+FROM (SELECT DISTINCT u AS user_id FROM e
+      WHERE et = '{FUNNEL_STEPS[0]}')
 """
 
 
