@@ -985,6 +985,46 @@ def cmd_corpus_verify(args):
         raise SystemExit(1)
 
 
+def cmd_corpus_diff(args):
+    """corpus-diff: what changed between two published corpus versions
+    (default: latest vs the one before) — manifest-level deltas plus
+    per-(split, shard, status) placement counts; --detail-out writes the
+    per-document diff as parquet.  The question a training team asks
+    before re-training: an epoch-only re-shuffle shows zero
+    added/removed and nonzero moved/reordered."""
+    import json as _json
+
+    from ia_hadoop_tools_spark.operators.assemble import (
+        corpus_diff,
+        corpus_diff_summary,
+        corpus_manifest_diff,
+    )
+
+    spark = _spark(args)
+    mdiff = corpus_manifest_diff(args.root, args.va, args.vb)
+    detail = corpus_diff(
+        spark, args.root, args.va, args.vb, id_col=args.id_col or None
+    )
+    if args.detail_out:
+        detail.write.mode("overwrite").parquet(args.detail_out)
+        detail = spark.read.parquet(args.detail_out)  # reuse, don't recompute
+    rows = corpus_diff_summary(detail).collect()
+    summary = {
+        f"{r['split']}/shard={r['shard']}/{r['status']}": int(r["n_docs"])
+        for r in rows
+    }
+    by_status: dict = {}
+    for r in rows:
+        by_status[r["status"]] = by_status.get(r["status"], 0) + int(r["n_docs"])
+    print(
+        "corpus-diff: "
+        + _json.dumps(
+            {"manifest": mdiff, "by_status": by_status, "by_shard": summary},
+            sort_keys=True,
+        )
+    )
+
+
 def cmd_corpus_leakage(args):
     """corpus-leakage: eval-split contamination audit — exact text
     groups straddling splits (split_leakage), plus ``--near`` MinHash
@@ -1401,6 +1441,22 @@ def main(argv=None):
                    help="id-uniqueness column (default: the manifest's "
                         "recorded id_col); pass '' to skip")
     s.set_defaults(fn=cmd_corpus_verify)
+
+    s = sub.add_parser(
+        "corpus-diff",
+        help="diff two published corpus versions (manifest + placement)",
+    )
+    s.add_argument("root")
+    s.add_argument("--va", type=int, default=None,
+                   help="version A (default: the published one before B)")
+    s.add_argument("--vb", type=int, default=None,
+                   help="version B (default: latest published)")
+    s.add_argument("--id-col", default=None,
+                   help="document id column (default: the manifests' "
+                        "recorded id_col)")
+    s.add_argument("--detail-out", default=None,
+                   help="write the per-document diff parquet here")
+    s.set_defaults(fn=cmd_corpus_diff)
 
     s = sub.add_parser(
         "corpus-leakage",

@@ -475,6 +475,34 @@ def test_corpus_assemble_cli(spark, tmp_path, capsys):
              "--shards", "1", "--budget", "8")
 
 
+def test_corpus_diff_cli(spark, tmp_path, capsys):
+    import json as _json
+    import os
+
+    from ia_hadoop_tools_spark.operators.assemble import assemble_corpus
+
+    docs_a = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(60)], "doc_id: long, text: string"
+    )
+    docs_b = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(80)], "doc_id: long, text: string"
+    )
+    root = str(tmp_path / "diff_root")
+    assemble_corpus(docs_a, root, [("train", 1.0)], n_shards=2, seed=5)
+    assemble_corpus(docs_b, root, [("train", 1.0)], n_shards=2, seed=5)
+    detail = str(tmp_path / "diff_detail")
+    got = _run(capsys, "corpus-diff", root, "--detail-out", detail)
+    payload = _json.loads(got.split("corpus-diff: ", 1)[1])
+    assert payload["manifest"]["version_a"] == 0
+    assert payload["manifest"]["version_b"] == 1
+    assert payload["manifest"]["counts_delta"] == {"train": 20}
+    assert payload["by_status"].get("added") == 20
+    assert "removed" not in payload["by_status"]
+    back = spark.read.parquet(detail)
+    assert back.filter("status = 'added'").count() == 20
+    assert os.path.exists(detail)
+
+
 def test_corpus_export_zipnum_cli_roundtrip(spark, tmp_path, capsys):
     """corpus-export --codec zipnum on a published version dir emits a
     readable ZipNum cluster; frames without split/shard/pos are refused."""
