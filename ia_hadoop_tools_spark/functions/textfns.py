@@ -182,3 +182,57 @@ def html_to_text_sql(expr: str) -> str:
         r = rep.replace("'", "''")
         expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
     return f"trim({expr})"
+
+
+#: CCNet-style dedup normalization steps (Wenzek et al. 2020 §4.1
+#: normalize text before hashing so trivial variants collapse): each a
+#: (pattern, replacement) run in order AFTER lowercasing.  Explicit
+#: ASCII classes only — Java regex (Spark) and RE2 (DuckDB) agree on
+#: them byte-for-byte, which is what makes the oracle mirror exact.
+#: Unicode NFKC/accent folding is deliberately NOT here: the two
+#: engines' Unicode tables can drift, so anything locale-dependent
+#: stays out of the cross-engine contract.
+NORM_CONTROL = (r"[\x00-\x08\x0b\x0e-\x1f\x7f]", "")  # keep \t \n \f \r
+NORM_DIGITS = (r"[0-9]", "0")
+NORM_PUNCT = (r"[!-/:-@\[-`{-~]", "")
+NORM_WS = (r"[ \t\n\f\r]+", " ")  # the WORD_SPLIT class, collapsed
+
+
+def normalize_text(
+    col: Column | str, digits: bool = True, punct: bool = False
+) -> Column:
+    """Deduplication-normalized text (CCNet rule): lowercase, strip
+    control chars, digits -> ``0`` (``digits``), optionally strip ASCII
+    punctuation (``punct``), collapse whitespace runs to one space,
+    trim.  Pure codegen ``regexp_replace`` chain — narrow projection,
+    no Python; NULL stays NULL."""
+    c = F.lower(_c(col))
+    steps = [NORM_CONTROL]
+    if digits:
+        steps.append(NORM_DIGITS)
+    if punct:
+        steps.append(NORM_PUNCT)
+    steps.append(NORM_WS)
+    for pat, rep in steps:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
+
+
+def normalize_text_sql(
+    expr: str, digits: bool = True, punct: bool = False
+) -> str:
+    """DuckDB mirror of :func:`normalize_text` (RE2 'g' flag per step)."""
+    out = f"lower({expr})"
+    steps = [NORM_CONTROL]
+    if digits:
+        steps.append(NORM_DIGITS)
+    if punct:
+        steps.append(NORM_PUNCT)
+    steps.append(NORM_WS)
+    for pat, rep in steps:
+        # quotes only: DuckDB standard strings pass backslashes through
+        # verbatim, so RE2 sees the same \xNN escapes Java does (the
+        # html_to_text_sql convention)
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{rep}', 'g')"
+    return f"trim({out})"

@@ -98,6 +98,26 @@ def language_id(
     return df.join(preds, id_col, "left")
 
 
+def normalize_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    digits: bool = True,
+    punct: bool = False,
+) -> DataFrame:
+    """Add the CCNet-style dedup-normalized text column
+    (``functions/textfns.normalize_text``): lowercase, control chars
+    stripped, digits -> 0, optional ASCII punctuation strip, whitespace
+    collapsed.  Run it BEFORE exact/MinHash dedup so trivial variants
+    (case, digit runs, spacing) collapse into one group — the Wenzek et
+    al. 2020 preprocessing step; a pure codegen projection."""
+    from ia_hadoop_tools_spark.functions.textfns import normalize_text
+
+    return df.withColumn(
+        out_col, normalize_text(F.col(text_col), digits=digits, punct=punct)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
     """Add a rolling-hash ``fingerprint`` column (min k-char shingle hash)."""
     return df.withColumn("fingerprint", doc_fingerprint(F.col(text_col), k))

@@ -106,10 +106,80 @@ WHERE rn = 1
 SQL_LANG_NB = _sql_lang_nb()
 
 
+def q_normalize_text(spark, sf_dir):
+    """CCNet-style dedup normalization (functions/textfns.normalize_text
+    via operators/textops.normalize_corpus): lowercase, control strip,
+    digits->0, ASCII punctuation strip, whitespace collapse — the
+    Wenzek et al. 2020 preprocessing step before hashing/dedup.  Pure
+    codegen regexp chain; punct=True exercises every branch."""
+    from ia_hadoop_tools_spark.operators.textops import normalize_corpus
+    from ia_hadoop_tools_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return normalize_corpus(docs, digits=True, punct=True).select(
+        "doc_id", "text_norm"
+    )
+
+
+def _sql_normalize_text() -> str:
+    from ia_hadoop_tools_spark.functions.textfns import normalize_text_sql
+
+    norm = normalize_text_sql("text", digits=True, punct=True)
+    return f"SELECT doc_id, {norm} AS text_norm FROM documents"
+
+
+SQL_NORMALIZE_TEXT = _sql_normalize_text()
+
+
+#: feature-hash embedding dimension for the registry row (small enough
+#: that the oracle's docs x dim dense build stays cheap at every SF)
+HASH_EMBED_DIM = 32
+
+
+def q_hash_embed(spark, sf_dir):
+    """Signed feature-hash document embeddings (operators/embed.py —
+    Weinberger et al. 2009 hashing trick): text-only corpora get
+    L2-normalized vectors consumable by the whole embedding family
+    (ann_topk/semdedup/prototype_prune) with no external encoder.
+    Engine-exact: integer cell sums, one sqrt + one division per
+    element on identical operands."""
+    from pyspark.sql import functions as F2
+
+    from ia_hadoop_tools_spark.operators.embed import hash_embed
+    from ia_hadoop_tools_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    emb = hash_embed(docs, dim=HASH_EMBED_DIM)
+    # array outputs compare as posexploded rows (the minhash_sigs
+    # registry convention — the frame sort can't order list cells)
+    return emb.select(
+        "doc_id", "n_tokens", F2.posexplode("embedding").alias("j", "x")
+    )
+
+
+def _sql_hash_embed() -> str:
+    from ia_hadoop_tools_spark.operators.embed import hash_embed_sql
+
+    inner = hash_embed_sql(dim=HASH_EMBED_DIM)
+    return f"""
+SELECT doc_id, n_tokens, CAST(u.i AS INTEGER) AS j, u.x
+FROM ({inner}) e,
+     LATERAL (SELECT unnest(range(0, {HASH_EMBED_DIM})) AS i,
+                     unnest(e.embedding) AS x) u
+"""
+
+
+SQL_HASH_EMBED = _sql_hash_embed()
+
+
 PENDING_QUERIES: dict = {
     "lang_nb": q_lang_nb,
+    "normalize_text": q_normalize_text,
+    "hash_embed": q_hash_embed,
 }
 
 PENDING_ORACLE_SQL: dict = {
     "lang_nb": SQL_LANG_NB,
+    "normalize_text": SQL_NORMALIZE_TEXT,
+    "hash_embed": SQL_HASH_EMBED,
 }
