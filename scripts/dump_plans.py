@@ -328,6 +328,32 @@ COMMENTARY = {
         "Phase ranges come from exact counts, so the plan has no "
         "sampling pass and honors the any-parallelism contract."
     ),
+    # --- round-9 pending entries (pending_queries.py) ---
+    "lang_nb": (
+        "The dense (vocab x langs) model BroadcastHashJoins against the "
+        "exploded char n-grams of a BOUNDED text slice (max_chars caps "
+        "per-doc fan-out); every exchange after that carries skinny "
+        "rows bounded by docs x n_langs — the per-(doc, lang) "
+        "partial-aggregated micro-nat sums, the (id, n_total) x langs "
+        "side, and the argmax window, which plans as WindowGroupLimit "
+        "so the top-1 prune happens map-side before its exchange. The "
+        "text column never shuffles; scores are integer micro-nats "
+        "(engine-exact argmax)."
+    ),
+    "normalize_text": (
+        "A pure codegen regexp_replace chain — one narrow projection, "
+        "zero exchanges, zero Python. The scan must show only "
+        "(doc_id, text) in ReadSchema; there is nothing else to keep."
+    ),
+    "hash_embed": (
+        "One narrow explode (Generate) feeds a partial-aggregated "
+        "groupBy on (id, dim-index) — map-side combine collapses token "
+        "repeats BEFORE the exchange, so at most docs x dim skinny "
+        "LONG rows ship — then one more (id)-keyed exchange assembles "
+        "the map and the dense normalized array is a codegen "
+        "transform. The join back to docs is AQE-adaptive (broadcast "
+        "at small SF, SMJ at scale); the text column never shuffles."
+    ),
 }
 
 
