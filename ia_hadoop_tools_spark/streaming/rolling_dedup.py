@@ -15,6 +15,12 @@ input file at-least-once (replacing STAGED-INCLUDED bookkeeping); the sink
 is IDEMPOTENT per batch — novel docs overwrite a ``batch_id=N`` corpus
 partition, so a replayed batch rewrites its own output instead of
 duplicating it — which upgrades the composition to effectively-once.
+That overwrite contract is only safe WITHIN one checkpoint: published
+index versions therefore record the stream identity
+(``versioned.stream_identity``) and the sink fails loudly when a
+different checkpoint (fresh ids starting at 0) targets an existing
+root — otherwise batch 0's replay-overwrite would destroy the
+originally-ingested partition while the index still references it.
 
 Index publication is versioned directories with a ``_PUBLISHED`` marker
 written LAST: readers resolve the highest marked ``vNNN`` and never observe
@@ -44,6 +50,7 @@ from ia_hadoop_tools_spark.streaming.versioned import (
     latest_published_dir,
     next_version,
     prune_versions,
+    stream_identity,
     version_dir,
 )
 
@@ -53,10 +60,23 @@ CURRENT = "CURRENT"
 _existing_versions = existing_versions
 
 
+_STREAM_FILE = "_STREAM"
+
+
+def _read_stream_id(vdir: str) -> str | None:
+    """Identity stamped at publish time; None for pre-stamp versions."""
+    try:
+        with fsio.open_read_text(fsio.join(vdir, _STREAM_FILE)) as fh:
+            return fh.read().strip() or None
+    except OSError:
+        return None
+
+
 def publish_index(
     index: CorpusDedupIndex,
     index_root: str,
     keep_versions: int | None = None,
+    stream_id: str | None = None,
 ) -> str:
     """Save ``index`` as the next version and mark it published
     (streaming/versioned.py protocol: numbers never reused, marker
@@ -64,9 +84,16 @@ def publish_index(
     refreshed best-effort for ops visibility only). ``keep_versions``
     prunes older published versions after the commit (a long-lived
     stream otherwise accumulates one full index copy per batch).
+    ``stream_id`` (the publishing checkpoint's identity) is stamped
+    into the version so the sink can refuse cross-checkpoint growth.
     """
     v = next_version(index_root)
     index.save(version_dir(index_root, v))
+    if stream_id is not None:
+        with fsio.open_write_text(
+            fsio.join(version_dir(index_root, v), _STREAM_FILE)
+        ) as fh:
+            fh.write(f"{stream_id}\n")
     commit_version(index_root, v)
     vdir = f"v{v:03d}"
     if keep_versions is not None:
@@ -162,6 +189,27 @@ def rolling_dedup_stream(
             # between commit and pointer refresh, or an HDFS re-rename
             # failure) must NOT silently reset the dedup corpus
             latest = latest_published_dir(index_root)
+            # identity guard (same rule as stats_stream): batch ids are
+            # only comparable within one checkpoint, and here the stakes
+            # are higher — a fresh checkpoint restarts at batch 0 and
+            # the idempotent-overwrite contract would REPLACE the
+            # original batch_id=0 corpus partition with different rows
+            # while the published index still references the destroyed
+            # docs. Refuse before anything is written.
+            ident = stream_identity(checkpoint_path)
+            if latest is not None:
+                rec = _read_stream_id(latest)
+                if rec is not None and ident is not None and rec != ident:
+                    raise ValueError(
+                        f"rolling_dedup_stream: index root {index_root} "
+                        f"was published by stream {rec}, but checkpoint "
+                        f"{checkpoint_path} has identity {ident}. Batch "
+                        "ids are not comparable across checkpoints and "
+                        "the idempotent batch_id=N overwrite would "
+                        "destroy previously-ingested corpus partitions. "
+                        "Restore the original checkpoint, or start a "
+                        "fresh corpus_path + index_root."
+                    )
             has_legacy = latest is None and fsio.exists(
                 fsio.join(index_root, CURRENT)
             )
@@ -217,7 +265,10 @@ def rolling_dedup_stream(
                         shingle_words, num_perm, bands,
                     )
                 )
-                publish_index(grown, index_root, keep_versions=keep_versions)
+                publish_index(
+                    grown, index_root,
+                    keep_versions=keep_versions, stream_id=ident,
+                )
         finally:
             # unpersist in a finally: at-least-once replays after a
             # transient write/publish failure must not leak cache entries.

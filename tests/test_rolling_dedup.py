@@ -142,3 +142,40 @@ def test_rolling_dedup_in_batch_near_dups_and_marker_gate(spark, tmp_path):
     q.awaitTermination()
     kept = {r.doc_id for r in spark.read.parquet(corpus).collect()}
     assert kept == {1, 3, 11}  # 10 still recognized as a dup of 1
+
+
+def test_fresh_checkpoint_against_published_index_fails_loudly(
+    spark, tmp_path
+):
+    """The stats_stream identity rule, with higher stakes here: a fresh
+    checkpoint restarts batch ids at 0, and the idempotent batch_id=N
+    overwrite would REPLACE the originally-ingested corpus partition
+    while the published index still references those docs.  The sink
+    must refuse before anything is written."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    inp = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    index_root = str(tmp_path / "index")
+
+    _write_batch(spark, inp, [(1, BASE), (2, "another document body here")])
+    q = rolling_dedup_stream(
+        spark, inp, corpus, index_root, str(tmp_path / "ckpt1"), SCHEMA
+    )
+    q.awaitTermination()
+    before = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert before == {1, 2}
+
+    # checkpoint lost; NEW unrelated data arrives under a fresh one
+    _write_batch(
+        spark, inp, [(10, "entirely new content arriving after the loss")]
+    )
+    q = rolling_dedup_stream(
+        spark, inp, corpus, index_root, str(tmp_path / "ckpt2"), SCHEMA
+    )
+    with pytest.raises(StreamingQueryException, match="not comparable"):
+        q.awaitTermination()
+    # nothing was overwritten or appended by the refused run
+    after = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert after == before
