@@ -1079,7 +1079,13 @@ def cmd_corpus_tokenize(args):
     Merge table comes from ``--merges FILE`` (TSV ``a<TAB>b`` per line,
     training order) or is trained in-process with ``--train N`` (and
     written back via ``--merges-out`` for reuse — training once and
-    encoding many corpora is the production shape)."""
+    encoding many corpora is the production shape).
+
+    ``--tokenizer unigram`` switches to the SentencePiece-style
+    unigram-LM family (operators/unigram.py): the model is a (piece,
+    logp) parquet loaded with ``--model`` or trained with ``--train
+    VOCAB_SIZE`` (written back via ``--model-out``); output is the
+    per-doc (n_words, n_tokens) Viterbi counts."""
     from ia_hadoop_tools_spark.operators.bpe import (
         bpe_encode,
         bpe_token_counts,
@@ -1088,6 +1094,32 @@ def cmd_corpus_tokenize(args):
 
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
+    if args.tokenizer == "unigram":
+        from ia_hadoop_tools_spark.operators.unigram import (
+            train_unigram_lm,
+            unigram_token_counts,
+        )
+
+        if args.emit != "counts":
+            raise SystemExit("--tokenizer unigram supports --emit counts")
+        if args.model:
+            model = spark.read.parquet(args.model)
+        elif args.train is not None:
+            model = train_unigram_lm(docs, vocab_size=args.train)
+        else:
+            raise SystemExit("pass --model FILE or --train VOCAB_SIZE")
+        if args.model_out:
+            model.write.mode("overwrite").parquet(args.model_out)
+            model = spark.read.parquet(args.model_out)
+        out = unigram_token_counts(docs, model)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        n_pieces = model.count()
+        print(
+            f"corpus-tokenize: {n} rows (counts) with a {n_pieces}-piece "
+            f"unigram model -> {args.output}"
+        )
+        return
     if args.merges:
         with open(args.merges, encoding="utf-8") as fh:
             merges = []
@@ -1522,9 +1554,13 @@ def main(argv=None):
     s.add_argument("input")
     s.add_argument("output")
     s.add_argument("--merges", help="TSV merge table (a<TAB>b per line)")
-    s.add_argument("--train", type=int, help="train N merges on the corpus")
+    s.add_argument("--train", type=int,
+                   help="train: N merges (bpe) / vocab size (unigram)")
     s.add_argument("--merges-out", help="write the trained merge table here")
     s.add_argument("--emit", choices=("counts", "tokens"), default="counts")
+    s.add_argument("--tokenizer", choices=("bpe", "unigram"), default="bpe")
+    s.add_argument("--model", help="unigram model parquet (piece, logp)")
+    s.add_argument("--model-out", help="write the trained unigram model here")
     s.set_defaults(fn=cmd_corpus_tokenize)
 
     s = sub.add_parser(

@@ -172,14 +172,129 @@ FROM ({inner}) e,
 SQL_HASH_EMBED = _sql_hash_embed()
 
 
+#: fixed unigram-LM tokenizer model (piece, logp at 6 dp) shared
+#: verbatim with the oracle — pieces from the synthetic vocabulary plus
+#: a few chars, so segmentation exercises multi-char pieces, singles,
+#: AND the UNK single-char path on every document.  Training is pinned
+#: by tests/test_unigram.py's exact plain-Python mirror; this row pins
+#: the Viterbi SCORER (integer micro-nat DP + the documented tie rule)
+#: against an independent fixed-depth DP the oracle builds in SQL.
+FIXED_UNIGRAM: list[tuple[str, float]] = [
+    ("spark", -1.2), ("merge", -1.3), ("scan", -1.8), ("tab", -2.2),
+    ("le", -2.4), ("row", -2.0), ("va", -2.6), ("lu", -2.7),
+    ("batch", -1.6), ("a", -3.0), ("e", -3.1), ("r", -3.2),
+    ("t", -3.3), ("s", -3.4),
+]
+
+UNIGRAM_MAX_PIECE = 5
+UNIGRAM_MAX_WORD = 16
+
+
+def q_unigram_counts(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) Viterbi token counts
+    (operators/unigram.py — Kudo 2018): per-doc (n_words, n_tokens)
+    under the FIXED piece model; distinct-chunk dictionary path, exact
+    integer micro-nat DP with the documented tie rule."""
+    from ia_hadoop_tools_spark.operators.unigram import unigram_token_counts
+    from ia_hadoop_tools_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return unigram_token_counts(
+        docs,
+        dict(FIXED_UNIGRAM),
+        max_piece_len=UNIGRAM_MAX_PIECE,
+        max_word_len=UNIGRAM_MAX_WORD,
+    )
+
+
+def _sql_unigram_counts() -> str:
+    """Independent DuckDB implementation of the Viterbi contract: a
+    fixed-depth DP (one generated CTE per word position, 1..max_word —
+    chunking bounds the lattice, which is what makes this expressible
+    without recursion) over the same integer micro scores, UNK constant,
+    and (score DESC, pieces ASC, split-point ASC) tie rule."""
+    from ia_hadoop_tools_spark.operators.unigram import UNK_GAP_MICRO
+
+    micro = {p: round(lp * 1e6) for p, lp in FIXED_UNIGRAM}
+    unk = min(micro.values()) - UNK_GAP_MICRO
+    maxp, maxw = UNIGRAM_MAX_PIECE, UNIGRAM_MAX_WORD
+    vals = ",\n    ".join(
+        f"('{p}', CAST({m} AS BIGINT))" for p, m in micro.items()
+    )
+    parts = [
+        f"""WITH model(piece, mi) AS (
+  VALUES
+    {vals}),
+words0 AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+chunks AS (
+  SELECT doc_id, substr(w, k * {maxw} + 1, {maxw}) AS w FROM (
+    SELECT doc_id, w,
+           CAST(unnest(range(0, CAST(ceil(length(w) / {maxw}.0) AS BIGINT)))
+                AS INTEGER) AS k
+    FROM words0)),
+docw AS MATERIALIZED (SELECT doc_id, w, count(*) AS occ FROM chunks GROUP BY 1, 2),
+dw AS MATERIALIZED (SELECT DISTINCT w FROM docw),
+dp0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS sc, 0 AS np FROM dw)"""
+    ]
+    for i in range(1, maxw + 1):
+        branches = []
+        for j in range(max(0, i - maxp), i):
+            ln = i - j
+            unk_ok = "TRUE" if ln == 1 else "FALSE"
+            branches.append(
+                f"""      SELECT d.w,
+             d.sc + CASE WHEN m.mi IS NOT NULL THEN m.mi
+                         ELSE CAST({unk} AS BIGINT) END AS sc,
+             d.np + 1 AS np, {j} AS j
+      FROM dp{j} d
+      LEFT JOIN model m ON m.piece = substr(d.w, {j + 1}, {ln})
+      WHERE length(d.w) >= {i} AND (m.mi IS NOT NULL OR {unk_ok})"""
+            )
+        union = "\n      UNION ALL\n".join(branches)
+        parts.append(
+            f"""dp{i} AS MATERIALIZED (
+  SELECT w, sc, np FROM (
+    SELECT c.*, row_number() OVER (
+        PARTITION BY c.w ORDER BY c.sc DESC, c.np ASC, c.j ASC) AS rn
+    FROM (
+{union}
+    ) c)
+  WHERE rn = 1)"""
+        )
+    cost_union = "\n  UNION ALL\n".join(
+        f"  SELECT w, np FROM dp{i} WHERE length(w) = {i}"
+        for i in range(1, maxw + 1)
+    )
+    parts.append(f"cost AS (\n{cost_union}\n)")
+    return (
+        ",\n".join(parts)
+        + """
+SELECT d.doc_id,
+       CAST(sum(d.occ) AS BIGINT) AS n_words,
+       CAST(sum(d.occ * c.np) AS BIGINT) AS n_tokens
+FROM docw d JOIN cost c ON c.w = d.w
+GROUP BY d.doc_id
+"""
+    )
+
+
+SQL_UNIGRAM_COUNTS = _sql_unigram_counts()
+
+
 PENDING_QUERIES: dict = {
     "lang_nb": q_lang_nb,
     "normalize_text": q_normalize_text,
     "hash_embed": q_hash_embed,
+    "unigram_counts": q_unigram_counts,
 }
 
 PENDING_ORACLE_SQL: dict = {
     "lang_nb": SQL_LANG_NB,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "hash_embed": SQL_HASH_EMBED,
+    "unigram_counts": SQL_UNIGRAM_COUNTS,
 }

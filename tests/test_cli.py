@@ -264,6 +264,35 @@ def test_corpus_tokenize_bad_args(spark, tmp_path, capsys):
              "--merges", str(bad2))
 
 
+def test_corpus_tokenize_unigram(spark, tmp_path, capsys):
+    src = str(tmp_path / "uni_docs")
+    spark.createDataFrame(
+        [(i, "spark merge spark table") for i in range(6)],
+        "doc_id: long, text: string",
+    ).write.parquet(src)
+    out = str(tmp_path / "uni_out")
+    model_out = str(tmp_path / "uni_model")
+    got = _run(capsys, "corpus-tokenize", src, out, "--tokenizer", "unigram",
+               "--train", "24", "--model-out", model_out)
+    assert "unigram model" in got and "6 rows" in got
+    back = spark.read.parquet(out).collect()
+    assert all(r.n_words == 4 and r.n_tokens >= 4 for r in back)
+    # saved model reloads through --model with identical counts
+    out2 = str(tmp_path / "uni_out2")
+    _run(capsys, "corpus-tokenize", src, out2, "--tokenizer", "unigram",
+         "--model", model_out)
+    assert sorted(map(tuple, spark.read.parquet(out2).collect())) == sorted(
+        map(tuple, back)
+    )
+    # unigram path rejects --emit tokens and missing model/train
+    with pytest.raises(SystemExit, match="emit counts"):
+        _run(capsys, "corpus-tokenize", src, str(tmp_path / "z"),
+             "--tokenizer", "unigram", "--train", "8", "--emit", "tokens")
+    with pytest.raises(SystemExit, match="VOCAB_SIZE"):
+        _run(capsys, "corpus-tokenize", src, str(tmp_path / "z2"),
+             "--tokenizer", "unigram")
+
+
 def test_corpus_tokenize_merges_crlf(spark, tmp_path, capsys):
     """Windows line endings must not leave '\\r' glued to the right
     symbol (silently producing no-op merges)."""
