@@ -6,10 +6,10 @@ curation chain, in the order a production pipeline runs them.
     corpus stats -> quality rules -> NB quality classifier -> trained
     language ID -> exact + MinHash near-dup dedup -> per-source cap ->
     DSIR target-likeness selection -> temperature mixing -> length/
-    source report -> D4 prototype pruning -> BPE tokenizer prep ->
-    sequence packing -> retrieval prep -> split-leakage audits ->
-    versioned assemble (+ curriculum epoch) -> fsck -> version diff ->
-    ZipNum interchange.
+    source report -> D4 prototype pruning -> BPE + unigram tokenizer
+    prep -> sequence packing -> retrieval prep -> split-leakage audits
+    -> versioned assemble (+ curriculum epoch) -> fsck -> version diff
+    -> ZipNum interchange.
 
 ``STAGES`` is the pipeline's contract: tests/test_example_pipeline.py
 runs :func:`run` end-to-end and asserts the executed stage sequence
@@ -39,6 +39,7 @@ STAGES = [
     "length_report",
     "prototype_prune",
     "bpe_tokenizer",
+    "unigram_tokenizer",
     "pack_sequences",
     "retrieval_prep",
     "leakage_audit",
@@ -218,6 +219,21 @@ def run(spark, sf_dir: str) -> dict:
     print("first BPE merges:", ["".join(m) for m in merges])
     counts = bpe_token_counts(docs, merges)
     report["bpe_tokenizer"] = len(merges)
+
+    # 10b. the unigram-LM twin (SentencePiece-style): train a piece
+    # model by EM on the curated corpus, Viterbi-count per doc — the
+    # second tokenizer family a lab compares before committing; counts
+    # here feed the same packing math as the BPE path
+    from ia_hadoop_tools_spark.operators.unigram import (
+        train_unigram_lm,
+        unigram_token_counts,
+    )
+
+    uni_model = train_unigram_lm(docs, vocab_size=64, em_iters=1)
+    uni = unigram_token_counts(docs, uni_model)
+    mean_uni = uni.agg(F.avg("n_tokens")).first()[0]
+    print(f"unigram tokenizer: mean {mean_uni:.1f} tokens/doc at vocab 64")
+    report["unigram_tokenizer"] = round(float(mean_uni), 2)
 
     # 11. pack into fixed token-budget training sequences using the REAL
     # tokenizer's counts, not a character-length proxy (LEFT join +

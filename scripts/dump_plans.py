@@ -354,6 +354,15 @@ COMMENTARY = {
         "transform. The join back to docs is AQE-adaptive (broadcast "
         "at small SF, SMJ at scale); the text column never shuffles."
     ),
+    "unigram_counts": (
+        "The bpe_token_counts dictionary shape: corpus-sized work is "
+        "the codegen chunk-explode + (id, chunk) groupBy; the Viterbi "
+        "pandas UDF runs once per DISTINCT chunk (vocabulary-bounded, "
+        "never per occurrence — the UDF-slow-path rule doesn't bite), "
+        "and the per-doc totals are one more partial-aggregated "
+        "groupBy. Lattices are bounded by max_word_len chunking, which "
+        "is also what makes the oracle's fixed-depth SQL DP exist."
+    ),
 }
 
 

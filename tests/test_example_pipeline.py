@@ -34,6 +34,7 @@ EXPECTED_STAGES = [
     "length_report",
     "prototype_prune",
     "bpe_tokenizer",
+    "unigram_tokenizer",
     "pack_sequences",
     "retrieval_prep",
     "leakage_audit",
