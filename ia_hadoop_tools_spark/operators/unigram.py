@@ -409,3 +409,66 @@ def unigram_token_counts(
             F.sum(F.col("occ") * F.col("toks_per")).alias("n_tokens"),
         )
     )
+
+
+def unigram_encode(
+    df: DataFrame,
+    model: DataFrame | dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "tokens",
+    max_piece_len: int = DEFAULT_MAX_PIECE,
+    max_word_len: int = DEFAULT_MAX_WORD,
+) -> DataFrame:
+    """Add ``out_col`` = array<string> of Viterbi pieces in DOCUMENT
+    order — the ``bpe.bpe_encode`` twin for the unigram family.
+
+    Viterbi is Python, so unlike bpe_encode's pure-expression fold this
+    uses the dictionary shape plus an order-preserving reassembly: the
+    per-doc chunk SEQUENCE posexplodes, each distinct chunk is costed
+    once (Arrow batch, vocabulary-bounded), and the doc's token array
+    rebuilds as ``flatten(sort_by_position(collect_list))`` — all
+    codegen around the one bounded UDF.  Documents with no tokens get
+    an empty array (the bpe_encode convention).  ``id_col`` must be
+    unique per row (it keys the reassembly)."""
+    _check(max_piece_len, max_word_len)
+    if isinstance(model, DataFrame):
+        model = {r["piece"]: r["logp"] for r in model.collect()}
+    micro = model_to_micro(model)
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def pieces(ws):  # type: ignore[no-untyped-def]
+        return pd.Series(
+            [viterbi_pieces(w, micro, max_piece_len) for w in ws]
+        )
+
+    chunk_pos = df.select(
+        F.col(id_col),
+        F.posexplode(_word_chunks(text_col, max_word_len)).alias(
+            "__pos", "__w"
+        ),
+    )
+    chunk_pieces = (
+        chunk_pos.select("__w").distinct().withColumn("__ps", pieces("__w"))
+    )
+    assembled = (
+        chunk_pos.join(F.broadcast(chunk_pieces), "__w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__ps"))
+                    ),
+                    lambda s: s["__ps"],
+                )
+            ).alias(out_col)
+        )
+    )
+    return df.join(assembled, id_col, "left").withColumn(
+        out_col,
+        F.coalesce(F.col(out_col), F.array().cast("array<string>")),
+    )

@@ -247,3 +247,49 @@ def test_param_validation(spark):
         train_unigram_lm(d, vocab_size=0)
     with pytest.raises(ValueError, match="em_iters"):
         train_unigram_lm(d, em_iters=0)
+
+
+# ----------------------------------------------------------- encode
+
+
+def test_unigram_encode_preserves_document_order(spark):
+    from ia_hadoop_tools_spark.operators.unigram import unigram_encode
+
+    model = {"spark": -1.0, "mer": -1.5, "ge": -1.5}
+    for ch in "sparkmget able":
+        model.setdefault(ch, -5.0)
+    texts = ["merge spark merge", "spark", "", "   "]
+    out = {
+        r["doc_id"]: r["tokens"]
+        for r in unigram_encode(_docs(spark, texts), model).collect()
+    }
+    micro = model_to_micro(model)
+    for i, t in enumerate(texts):
+        want = [
+            p for w in t.split() for p in viterbi_pieces(w, micro, 8)
+        ]
+        assert out[i] == want, (i, t)
+    assert out[2] == [] and out[3] == []  # empty docs: empty array
+
+
+def test_unigram_encode_concatenation_invariant(spark):
+    """join(tokens) with spaces removed must equal the original text's
+    non-space characters — no text dropped or duplicated, any order."""
+    from ia_hadoop_tools_spark.operators.unigram import unigram_encode
+
+    rng = random.Random(3)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abcxyz") for _ in range(rng.randint(1, 24)))
+            for _ in range(rng.randint(1, 6))
+        )
+        for _ in range(25)
+    ]
+    model = {ch: -3.0 for ch in "abcxyz"}
+    model["ab"] = -1.0
+    out = {
+        r["doc_id"]: r["tokens"]
+        for r in unigram_encode(_docs(spark, texts), model).collect()
+    }
+    for i, t in enumerate(texts):
+        assert "".join(out[i]) == t.replace(" ", "")
