@@ -48,28 +48,36 @@ def build_line(head: dict, timings: dict[str, float], budget: int = LINE_BUDGET)
     """One JSON line <= budget chars: ``head`` keys first, ``queries``
     LAST (so a tail capture that clips the front loses metadata, not
     timings), populated with failed queries (timing < 0) first and then
-    the slowest, as many as fit."""
-    # failures first (they must never be clipped out), then slowest-first
+    the slowest, as many as fit.  When even the FAILURES outgrow the
+    budget (mass-failure runs), the line carries an explicit
+    ``failed_clipped`` marker instead of silently naming a subset."""
+    # failures first (clipping them out must never be silent), slowest next
     order = sorted(timings, key=lambda n: (timings[n] >= 0, -timings[n], n))
-    kept: dict[str, float] = {}
+    n_fail = sum(1 for t in timings.values() if t < 0)
+
+    def assemble(head: dict) -> dict[str, float]:
+        kept: dict[str, float] = {}
+        for name in order:
+            trial = dict(kept)
+            trial[name] = timings[name]
+            head["queries_shown"] = len(trial)
+            if len(
+                json.dumps({**head, "queries": trial}, separators=(",", ":"))
+            ) > budget:
+                head["queries_shown"] = len(kept)
+                break
+            kept = trial
+        return kept
+
     head = dict(head)
     head["n_queries"] = len(timings)
-    line = ""
-    for name in order:
-        trial = dict(kept)
-        trial[name] = timings[name]
-        head["queries_shown"] = len(trial)
-        cand = json.dumps(
-            {**head, "queries": trial}, separators=(",", ":")
-        )
-        if len(cand) > budget:
-            break
-        kept = trial
-        line = cand
-    if not line:  # pathological budget — emit head only
-        head["queries_shown"] = 0
-        line = json.dumps({**head, "queries": {}}, separators=(",", ":"))
-    return line
+    head["queries_shown"] = 0
+    kept = assemble(head)
+    shown_failed = sum(1 for t in kept.values() if t < 0)
+    if shown_failed < n_fail:
+        head["failed_clipped"] = True  # head grows — re-fit the payload
+        kept = assemble(head)
+    return json.dumps({**head, "queries": kept}, separators=(",", ":"))
 
 
 def main() -> None:

@@ -832,8 +832,8 @@ def cmd_corpus_langid(args):
     train_lang_nb parquet: lang, ngram, logp) or --train (a labeled
     parquet with --label-col) switches to the trained char n-gram NB
     path (CCNet/fastText-style, operators/langid.py).  Writes (doc_id,
-    lang_pred[, lang_score, n_grams]); the per-language histogram rides
-    the write as an Observation (no second pass)."""
+    lang_pred[, lang_score, n_grams]); doc and distinct-language counts
+    ride the write as an Observation (no second pass)."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
@@ -1100,6 +1100,11 @@ def cmd_corpus_tokenize(args):
             unigram_token_counts,
         )
 
+        if args.merges or args.merges_out:
+            raise SystemExit(
+                "corpus-tokenize: --merges/--merges-out are BPE flags; "
+                "unigram uses --model/--model-out"
+            )
         if args.emit != "counts":
             raise SystemExit("--tokenizer unigram supports --emit counts")
         if args.model:
@@ -1120,6 +1125,11 @@ def cmd_corpus_tokenize(args):
             f"unigram model -> {args.output}"
         )
         return
+    if args.model or args.model_out:
+        raise SystemExit(
+            "corpus-tokenize: --model/--model-out are unigram flags; "
+            "bpe uses --merges/--merges-out (pass --tokenizer unigram?)"
+        )
     if args.merges:
         with open(args.merges, encoding="utf-8") as fh:
             merges = []

@@ -608,7 +608,12 @@ def corpus_diff(
     mb = read_manifest(root, v_b)
     if id_col is None:
         ids = {ma.get("id_col"), mb.get("id_col")}
-        if len(ids) != 1 or ids == {None}:
+        if ids == {None}:
+            raise ValueError(
+                "corpus_diff: neither version records an id column — "
+                "pass id_col explicitly"
+            )
+        if len(ids) != 1:
             raise ValueError(
                 f"corpus_diff: versions record different id columns "
                 f"{sorted(str(i) for i in ids)} — pass id_col explicitly"

@@ -794,13 +794,27 @@ def curriculum_shuffle(
         # without ever collecting them.
         stats = (
             df.groupBy(F.col(strata_col).alias("__s"))
-            .agg(F.count_distinct(F.col(phase_col)).alias("__np"))
+            .agg(
+                F.count_distinct(F.col(phase_col)).alias("__np"),
+                # count_distinct ignores NULLs, so a NULL-phase row
+                # would otherwise surface as the misleading id-like
+                # error below instead of the NULL diagnosis (review r9)
+                F.sum(
+                    F.col(phase_col).isNull().cast("long")
+                ).alias("__nulls"),
+            )
             .agg(
                 F.max("__np").alias("__mx"),
                 F.sum("__np").alias("__tot"),
+                F.sum("__nulls").alias("__nn"),
             )
             .first()
         )
+        if stats["__nn"] and stats["__nn"] > 0:
+            raise ValueError(
+                "curriculum_shuffle: phase_col/strata_col contain NULLs — "
+                "assign every document a phase (or filter) before ordering"
+            )
         if stats["__mx"] > n_shards:
             raise ValueError(
                 f"curriculum_shuffle: a stratum has {stats['__mx']} "

@@ -94,8 +94,12 @@ def language_id(
 
     preds = lang_nb(
         df, model, text_col=text_col, id_col=id_col, **lang_nb_kwargs
-    ).select(id_col, "lang_pred")
-    return df.join(preds, id_col, "left")
+    )
+    out = df.join(preds.select(id_col, "lang_pred"), id_col, "left")
+    # propagate lang_nb's release handle (review r9: dropping it here
+    # re-created the loop-caller cache leak the handle exists to fix)
+    out.model_cache = preds.model_cache
+    return out
 
 
 def normalize_corpus(

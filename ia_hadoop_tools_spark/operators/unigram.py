@@ -52,7 +52,7 @@ def _check(max_piece_len: int, max_word_len: int) -> None:
     if not 1 <= max_piece_len <= max_word_len:
         raise ValueError(
             f"need 1 <= max_piece_len <= max_word_len, got "
-            f"{max_piece_len} > {max_word_len}"
+            f"max_piece_len={max_piece_len}, max_word_len={max_word_len}"
         )
 
 
@@ -284,7 +284,9 @@ def train_unigram_lm(
             ).alias("p"),
             "wc",
         ).filter(F.length("p") > 0)
-        counts = subs.groupBy("p").agg(F.sum("wc").alias("c"))
+        # two collects (multi-char top-K + singles) read this — persist
+        # so the substring explode+aggregate runs once (review r9)
+        counts = subs.groupBy("p").agg(F.sum("wc").alias("c")).persist()
         top = (
             counts.filter(F.length("p") > 1)
             .orderBy(F.col("c").desc(), F.col("p").asc())
@@ -292,6 +294,7 @@ def train_unigram_lm(
             .collect()
         )
         singles = counts.filter(F.length("p") == 1).collect()
+        counts.unpersist()
         cand = {r["p"]: int(r["c"]) for r in singles}
         for r in top:
             cand[r["p"]] = int(r["c"])

@@ -50,26 +50,16 @@ from ia_hadoop_tools_spark.streaming.versioned import (
     latest_published_dir,
     next_version,
     prune_versions,
+    read_stream_stamp,
     stream_identity,
     version_dir,
+    write_stream_stamp,
 )
 
 CURRENT = "CURRENT"
 
 #: back-compat alias (sketch_stream historically imported the private name)
 _existing_versions = existing_versions
-
-
-_STREAM_FILE = "_STREAM"
-
-
-def _read_stream_id(vdir: str) -> str | None:
-    """Identity stamped at publish time; None for pre-stamp versions."""
-    try:
-        with fsio.open_read_text(fsio.join(vdir, _STREAM_FILE)) as fh:
-            return fh.read().strip() or None
-    except OSError:
-        return None
 
 
 def publish_index(
@@ -90,10 +80,7 @@ def publish_index(
     v = next_version(index_root)
     index.save(version_dir(index_root, v))
     if stream_id is not None:
-        with fsio.open_write_text(
-            fsio.join(version_dir(index_root, v), _STREAM_FILE)
-        ) as fh:
-            fh.write(f"{stream_id}\n")
+        write_stream_stamp(version_dir(index_root, v), stream_id)
     commit_version(index_root, v)
     vdir = f"v{v:03d}"
     if keep_versions is not None:
@@ -197,9 +184,19 @@ def rolling_dedup_stream(
             # while the published index still references the destroyed
             # docs. Refuse before anything is written.
             ident = stream_identity(checkpoint_path)
+            if ident is None:
+                # FAIL CLOSED (review r9): an unstamped publish would
+                # leave the newest version unguarded; metadata exists
+                # once the query started, so None is a transient FS
+                # error — fail the batch, the stream retries
+                raise ValueError(
+                    f"rolling_dedup_stream: cannot read the stream "
+                    f"identity from {checkpoint_path}/metadata — "
+                    "refusing to grow an unstamped index"
+                )
             if latest is not None:
-                rec = _read_stream_id(latest)
-                if rec is not None and ident is not None and rec != ident:
+                rec = read_stream_stamp(latest)
+                if rec is not None and rec != ident:
                     raise ValueError(
                         f"rolling_dedup_stream: index root {index_root} "
                         f"was published by stream {rec}, but checkpoint "

@@ -48,12 +48,13 @@ from ia_hadoop_tools_spark.streaming.versioned import (
     latest_published_dir,
     next_version,
     prune_versions,
+    read_stream_stamp,
     stream_identity,
     version_dir,
+    write_stream_stamp,
 )
 
 _BATCH_FILE = "_BATCH"
-_STREAM_FILE = "_STREAM"
 _COUNT_COLS = ("n_docs", "n_tokens", "n_chars")
 
 
@@ -112,16 +113,6 @@ def _read_batch_id(vdir: str) -> int:
         return int(fh.read().strip())
 
 
-def _read_stream_id(vdir: str) -> str | None:
-    """The identity stamped at publish time; None for versions published
-    before the stamp existed (pre-round-9 roots)."""
-    try:
-        with fsio.open_read_text(fsio.join(vdir, _STREAM_FILE)) as fh:
-            return fh.read().strip() or None
-    except OSError:
-        return None
-
-
 def publish_stats(
     counts: DataFrame,
     sketch: DataFrame,
@@ -140,8 +131,7 @@ def publish_stats(
     with fsio.open_write_text(fsio.join(vdir, _BATCH_FILE)) as fh:
         fh.write(f"{batch_id}\n")
     if stream_id is not None:
-        with fsio.open_write_text(fsio.join(vdir, _STREAM_FILE)) as fh:
-            fh.write(f"{stream_id}\n")
+        write_stream_stamp(vdir, stream_id)
     commit_version(root, v)
     if keep_versions is not None:
         prune_versions(root, keep_versions)
@@ -176,10 +166,22 @@ def corpus_stats_stream(
                 return
             sess = batch_df.sparkSession
             ident = stream_identity(checkpoint_dir)
+            if ident is None:
+                # FAIL CLOSED (review r9): publishing without a stamp
+                # would leave the NEWEST version unprotected — the next
+                # fresh-checkpoint stream would fold against it
+                # unchallenged. The metadata file exists once a query
+                # has started, so None here is a transient FS error;
+                # failing the batch lets the stream retry it.
+                raise ValueError(
+                    f"corpus_stats_stream: cannot read the stream "
+                    f"identity from {checkpoint_dir}/metadata — "
+                    "refusing to publish an unstamped version"
+                )
             cur_dir = latest_published_dir(stats_root)
             if cur_dir is not None:
-                rec = _read_stream_id(cur_dir)
-                if rec is not None and ident is not None and rec != ident:
+                rec = read_stream_stamp(cur_dir)
+                if rec is not None and rec != ident:
                     raise ValueError(
                         f"corpus_stats_stream: stats root {stats_root} was "
                         f"published by stream {rec}, but checkpoint "

@@ -150,3 +150,26 @@ def stream_identity(checkpoint_dir: str) -> str | None:
             return ident if isinstance(ident, str) else None
     except (OSError, ValueError):
         return None
+
+
+#: per-version stream-identity stamp filename (written by sinks whose
+#: folds are not cross-checkpoint safe; read back by their guards)
+STREAM_FILE = "_STREAM"
+
+
+def read_stream_stamp(vdir: str) -> str | None:
+    """The identity stamped into a published version at publish time;
+    None for versions published before the stamp existed (legacy roots
+    keep their documented pre-guard behavior)."""
+    try:
+        with fsio.open_read_text(fsio.join(vdir, STREAM_FILE)) as fh:
+            return fh.read().strip() or None
+    except OSError:
+        return None
+
+
+def write_stream_stamp(vdir: str, stream_id: str) -> None:
+    """Stamp ``vdir`` (call BEFORE commit_version so the marker never
+    publishes an unstamped version)."""
+    with fsio.open_write_text(fsio.join(vdir, STREAM_FILE)) as fh:
+        fh.write(f"{stream_id}\n")

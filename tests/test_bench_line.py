@@ -78,6 +78,22 @@ def test_failed_queries_never_clipped():
     parsed = json.loads(build_line(HEAD, timings))
     for name in failed:
         assert parsed["queries"][name] == -1.0
+    assert "failed_clipped" not in parsed
+
+
+def test_mass_failure_clipping_is_marked_not_silent():
+    """When even the failures outgrow the budget (every query failed),
+    the line must carry failed_clipped rather than silently naming a
+    subset (review r9)."""
+    timings = {n: -1.0 for n in _registry_timings()}
+    line = build_line(HEAD, timings)
+    assert len(line) <= LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["failed_clipped"] is True
+    assert parsed["n_queries"] == len(timings)
+    assert 0 < parsed["queries_shown"] < len(timings)
+    assert all(v == -1.0 for v in parsed["queries"].values())
+    assert list(parsed)[-1] == "queries"
 
 
 def test_small_registry_shows_everything():

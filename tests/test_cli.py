@@ -291,6 +291,14 @@ def test_corpus_tokenize_unigram(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="VOCAB_SIZE"):
         _run(capsys, "corpus-tokenize", src, str(tmp_path / "z2"),
              "--tokenizer", "unigram")
+    # mode-mismatched flags fail loudly instead of being ignored
+    with pytest.raises(SystemExit, match="BPE flags"):
+        _run(capsys, "corpus-tokenize", src, str(tmp_path / "z3"),
+             "--tokenizer", "unigram", "--train", "8",
+             "--merges-out", str(tmp_path / "m.tsv"))
+    with pytest.raises(SystemExit, match="unigram flags"):
+        _run(capsys, "corpus-tokenize", src, str(tmp_path / "z4"),
+             "--train", "8", "--model-out", str(tmp_path / "m.pq"))
 
 
 def test_corpus_tokenize_merges_crlf(spark, tmp_path, capsys):
