@@ -87,7 +87,11 @@ def language_id(
     CCNet/fastText-style classification; extra kwargs (``n``,
     ``max_chars``) pass through and must match training.  The trained
     path joins predictions back by ``id_col`` (broadcast model, skinny
-    prediction rows — the text column still never shuffles)."""
+    prediction rows — the text column still never shuffles) and the
+    returned frame carries the persisted model as ``.model_cache``
+    (the lang_nb release-handle convention — unpersist it in loops
+    passing plan-distinct models).  The default heuristic path sets NO
+    such attribute (nothing is cached there)."""
     if model is None:
         return df.withColumn("lang_pred", lang_id(F.col(text_col)))
     from ia_hadoop_tools_spark.operators.langid import lang_nb

@@ -287,14 +287,18 @@ def train_unigram_lm(
         # two collects (multi-char top-K + singles) read this — persist
         # so the substring explode+aggregate runs once (review r9)
         counts = subs.groupBy("p").agg(F.sum("wc").alias("c")).persist()
-        top = (
-            counts.filter(F.length("p") > 1)
-            .orderBy(F.col("c").desc(), F.col("p").asc())
-            .limit(max(0, vocab_size * seed_multiplier))
-            .collect()
-        )
-        singles = counts.filter(F.length("p") == 1).collect()
-        counts.unpersist()
+        try:
+            top = (
+                counts.filter(F.length("p") > 1)
+                .orderBy(F.col("c").desc(), F.col("p").asc())
+                .limit(max(0, vocab_size * seed_multiplier))
+                .collect()
+            )
+            singles = counts.filter(F.length("p") == 1).collect()
+        finally:
+            # release in a finally (the rolling_dedup sink convention):
+            # a failed collect must not leak the cached frame
+            counts.unpersist()
         cand = {r["p"]: int(r["c"]) for r in singles}
         for r in top:
             cand[r["p"]] = int(r["c"])

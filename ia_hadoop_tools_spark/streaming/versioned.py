@@ -140,8 +140,12 @@ def stream_identity(checkpoint_dir: str) -> str | None:
     different identity: batch ids restart at 0 on a fresh checkpoint,
     so a ledger comparison across identities silently skips (or
     double-counts) real data.  Returns None when unreadable (no stream
-    started yet, foreign layout) — callers treat None as "unknown",
-    never as a match."""
+    started yet, foreign layout).  The stamped sinks FAIL CLOSED on
+    None — inside a running foreachBatch the Spark-managed metadata
+    file must exist, so None there is an FS fault and publishing an
+    unstamped version would silently disarm the guard for the whole
+    root.  Non-sink callers may treat None as "unknown" but must never
+    treat it as a match."""
     import json
 
     try:

@@ -771,6 +771,14 @@ def test_curriculum_census_soft_cap_escalates_for_valid_strata(
     # id-like phase_col: rejected by the 1-row validation aggregate
     with pytest.raises(ValueError, match="id-like"):
         curriculum_shuffle(df, 6, "doc_id", strata_col="split").collect()
+    # NULL phases past the soft cap get the NULL diagnosis, not the
+    # id-like message (count_distinct ignores NULLs — review r9)
+    withnull = spark.createDataFrame(
+        rows[:-1] + [(999, "s0", None)],
+        "doc_id long, split string, phase int",
+    )
+    with pytest.raises(ValueError, match="contain NULLs"):
+        curriculum_shuffle(withnull, 6, "phase", strata_col="split")
     # hard cap: a valid census past it needs the explicit opt-in
     monkeypatch.setattr(sampling, "_CENSUS_HARD_CAP", 8)
     with pytest.raises(ValueError, match="census_cap=12"):

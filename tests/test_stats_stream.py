@@ -169,3 +169,39 @@ def test_torn_publish_is_skipped_and_never_reused(spark, tmp_path):
     assert os.path.exists(os.path.join(root, "v002", "_PUBLISHED"))
     got2 = {r["source"]: r["n_docs"] for r in current_stats(spark, root, k=32).collect()}
     assert got2 == {"a": 5, "b": 3}
+
+
+def test_unreadable_identity_refuses_to_publish(spark, tmp_path, monkeypatch):
+    """FAIL CLOSED (review r9 second pass): an unreadable checkpoint
+    identity must refuse the batch — publishing an unstamped version
+    would silently disarm the guard for the whole root.  Spark itself
+    rejects a CORRUPT metadata file at query start, so the sink-level
+    None path (a transient FS fault during the sink's own read) is
+    simulated by patching stream_identity."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ia_hadoop_tools_spark.streaming import stats_stream as mod
+
+    inp, root, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "stats"),
+        str(tmp_path / "ckpt"),
+    )
+    _write_batch(spark, inp, [(i, "a", f"text {i}") for i in range(5)])
+    _run_cycle(spark, inp, root, ckpt)
+    before = {
+        r["source"]: r["n_docs"]
+        for r in current_stats(spark, root, k=32).collect()
+    }
+    monkeypatch.setattr(mod, "stream_identity", lambda _ckpt: None)
+    _write_batch(spark, inp, [(100, "b", "new data")])
+    q = corpus_stats_stream(spark, inp, root, ckpt, SCHEMA, k=32)
+    with pytest.raises(StreamingQueryException, match="refusing to publish"):
+        q.awaitTermination(60)
+    # published state untouched by the refused batch
+    after = {
+        r["source"]: r["n_docs"]
+        for r in current_stats(spark, root, k=32).collect()
+    }
+    assert after == before
