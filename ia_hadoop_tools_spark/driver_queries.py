@@ -3499,3 +3499,14 @@ from ia_hadoop_tools_spark.corpus_queries_r9 import (  # noqa: E402
 
 QUERIES.update(R9_QUERIES)
 ORACLES.update(R9_ORACLES)
+
+# 97. Round-10 freeze registrations: the four training-corpus queries
+# staged as round-9 pending entries (lang_nb, normalize_text,
+# hash_embed, unigram_counts) — corpus_queries_r10.py.
+from ia_hadoop_tools_spark.corpus_queries_r10 import (  # noqa: E402
+    R10_ORACLES,
+    R10_QUERIES,
+)
+
+QUERIES.update(R10_QUERIES)
+ORACLES.update(R10_ORACLES)

@@ -9,292 +9,14 @@ exercised continuously by tests/test_pending_oracles.py with the exact
 driver comparison (row count + column names + sorted value equality) —
 and move into the real registry when the next round opens it.
 
-Round-9 freeze: the seven round-8 pending entries (``split_leakage_near``,
-``lm_word_buckets``, ``source_cap``, ``nb_quality``, ``prototype_prune``,
-``corpus_stats``, ``curriculum_shuffle``) were registered (registry
-115 -> 122) and now live in ``corpus_queries_r9.py``.  Entries added
-below during round 9 register at the round-10 freeze.
+Round-10 freeze: the four round-9 pending entries (``lang_nb``,
+``normalize_text``, ``hash_embed``, ``unigram_counts``) were registered
+(registry 122 -> 126) and now live in ``corpus_queries_r10.py``.
+Entries added below during round 10 register at the round-11 freeze.
 """
 
 from __future__ import annotations
 
-#: fixed dense char-trigram NB langid model (lang, ngram, logp at 6 dp)
-#: shared verbatim with the oracle — the FIXED_NB_MODEL pattern: training
-#: is pinned by tests/test_langid.py's plain-Python mirror; this row pins
-#: the SCORER (broadcast dense join + OOV floor + prior + integer
-#: micro-nat argmax) end-to-end.  Trigrams chosen from the synthetic
-#: documents vocabulary so predictions vary with content; '__floor__' is
-#: the per-OOV-gram cost, '__prior__' the ln class prior (langid.py).
-FIXED_LANG_NB: list[tuple[str, str, float]] = [
-    ("en", "the", -2.0), ("en", "tab", -5.0), ("en", "que", -5.5),
-    ("en", "sca", -4.0), ("en", "mer", -4.5), ("en", "bat", -4.8),
-    ("en", "__floor__", -8.0), ("en", "__prior__", -0.7),
-    ("de", "the", -6.0), ("de", "tab", -3.0), ("de", "que", -6.5),
-    ("de", "sca", -5.0), ("de", "mer", -2.5), ("de", "bat", -3.5),
-    ("de", "__floor__", -7.5), ("de", "__prior__", -1.2),
-    ("fr", "the", -5.5), ("fr", "tab", -4.5), ("fr", "que", -2.0),
-    ("fr", "sca", -6.0), ("fr", "mer", -3.0), ("fr", "bat", -5.2),
-    ("fr", "__floor__", -7.8), ("fr", "__prior__", -1.4),
-]
+PENDING_QUERIES: dict = {}
 
-LANG_NB_N = 3
-LANG_NB_MAX_CHARS = 1000
-
-
-def q_lang_nb(spark, sf_dir):
-    """Trained char-trigram NB language ID (operators/langid.py — the
-    CCNet/fastText-style classification the heuristic stopword vote
-    approximates): per-doc argmax over integer micro-nat class scores
-    under the FIXED dense model."""
-    from ia_hadoop_tools_spark.operators.langid import lang_nb
-    from ia_hadoop_tools_spark.session import load_tables
-
-    model = spark.createDataFrame(
-        FIXED_LANG_NB, "lang string, ngram string, logp double"
-    )
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return lang_nb(docs, model, n=LANG_NB_N, max_chars=LANG_NB_MAX_CHARS)
-
-
-def _sql_lang_nb() -> str:
-    vals = ",\n    ".join(
-        f"('{lang}', '{g}', CAST({int(round(lp * 1e6))} AS BIGINT))"
-        for lang, g, lp in FIXED_LANG_NB
-    )
-    n, mx = LANG_NB_N, LANG_NB_MAX_CHARS
-    return f"""
-WITH model(lang, ngram, mi) AS (
-  VALUES
-    {vals}),
-floors AS (SELECT lang, mi FROM model WHERE ngram = '__floor__'),
-priors AS (SELECT lang, mi FROM model WHERE ngram = '__prior__'),
-real_m AS (SELECT * FROM model WHERE ngram NOT IN ('__floor__', '__prior__')),
-pre AS (
-  SELECT doc_id, substr(lower(coalesce(text, '')), 1, {mx}) AS p
-  FROM documents),
-base AS (
-  SELECT doc_id, greatest(length(p) - {n - 1}, 0) AS nt FROM pre),
-grams AS (
-  SELECT doc_id, substr(p, i, {n}) AS g FROM (
-    SELECT doc_id, p,
-           CAST(unnest(range(1, greatest(length(p) - {n - 1}, 0) + 1))
-                AS INTEGER) AS i
-    FROM pre)),
-inv AS (
-  SELECT g.doc_id, m.lang, sum(m.mi) AS sm, count(*) AS ni
-  FROM grams g JOIN real_m m ON g.g = m.ngram
-  GROUP BY g.doc_id, m.lang),
-scored AS (
-  SELECT b.doc_id, f.lang,
-         coalesce(i.sm, 0) + (b.nt - coalesce(i.ni, 0)) * f.mi + p.mi AS sc,
-         b.nt
-  FROM base b
-  CROSS JOIN floors f
-  JOIN priors p ON p.lang = f.lang
-  LEFT JOIN inv i ON i.doc_id = b.doc_id AND i.lang = f.lang)
-SELECT doc_id, lang AS lang_pred,
-       CAST(sc AS DOUBLE) / 1e6 AS lang_score,
-       CAST(nt AS BIGINT) AS n_grams
-FROM (
-  SELECT *, row_number() OVER (
-      PARTITION BY doc_id ORDER BY sc DESC, lang ASC) AS rn
-  FROM scored)
-WHERE rn = 1
-"""
-
-
-SQL_LANG_NB = _sql_lang_nb()
-
-
-def q_normalize_text(spark, sf_dir):
-    """CCNet-style dedup normalization (functions/textfns.normalize_text
-    via operators/textops.normalize_corpus): lowercase, control strip,
-    digits->0, ASCII punctuation strip, whitespace collapse — the
-    Wenzek et al. 2020 preprocessing step before hashing/dedup.  Pure
-    codegen regexp chain; punct=True exercises every branch."""
-    from ia_hadoop_tools_spark.operators.textops import normalize_corpus
-    from ia_hadoop_tools_spark.session import load_tables
-
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return normalize_corpus(docs, digits=True, punct=True).select(
-        "doc_id", "text_norm"
-    )
-
-
-def _sql_normalize_text() -> str:
-    from ia_hadoop_tools_spark.functions.textfns import normalize_text_sql
-
-    norm = normalize_text_sql("text", digits=True, punct=True)
-    return f"SELECT doc_id, {norm} AS text_norm FROM documents"
-
-
-SQL_NORMALIZE_TEXT = _sql_normalize_text()
-
-
-#: feature-hash embedding dimension for the registry row (small enough
-#: that the oracle's docs x dim dense build stays cheap at every SF)
-HASH_EMBED_DIM = 32
-
-
-def q_hash_embed(spark, sf_dir):
-    """Signed feature-hash document embeddings (operators/embed.py —
-    Weinberger et al. 2009 hashing trick): text-only corpora get
-    L2-normalized vectors consumable by the whole embedding family
-    (ann_topk/semdedup/prototype_prune) with no external encoder.
-    Engine-exact: integer cell sums, one sqrt + one division per
-    element on identical operands."""
-    from pyspark.sql import functions as F2
-
-    from ia_hadoop_tools_spark.operators.embed import hash_embed
-    from ia_hadoop_tools_spark.session import load_tables
-
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    emb = hash_embed(docs, dim=HASH_EMBED_DIM)
-    # array outputs compare as posexploded rows (the minhash_sigs
-    # registry convention — the frame sort can't order list cells)
-    return emb.select(
-        "doc_id", "n_tokens", F2.posexplode("embedding").alias("j", "x")
-    )
-
-
-def _sql_hash_embed() -> str:
-    from ia_hadoop_tools_spark.operators.embed import hash_embed_sql
-
-    inner = hash_embed_sql(dim=HASH_EMBED_DIM)
-    return f"""
-SELECT doc_id, n_tokens, CAST(u.i AS INTEGER) AS j, u.x
-FROM ({inner}) e,
-     LATERAL (SELECT unnest(range(0, {HASH_EMBED_DIM})) AS i,
-                     unnest(e.embedding) AS x) u
-"""
-
-
-SQL_HASH_EMBED = _sql_hash_embed()
-
-
-#: fixed unigram-LM tokenizer model (piece, logp at 6 dp) shared
-#: verbatim with the oracle — pieces from the synthetic vocabulary plus
-#: a few chars, so segmentation exercises multi-char pieces, singles,
-#: AND the UNK single-char path on every document.  Training is pinned
-#: by tests/test_unigram.py's exact plain-Python mirror; this row pins
-#: the Viterbi SCORER (integer micro-nat DP + the documented tie rule)
-#: against an independent fixed-depth DP the oracle builds in SQL.
-FIXED_UNIGRAM: list[tuple[str, float]] = [
-    ("spark", -1.2), ("merge", -1.3), ("scan", -1.8), ("tab", -2.2),
-    ("le", -2.4), ("row", -2.0), ("va", -2.6), ("lu", -2.7),
-    ("batch", -1.6), ("a", -3.0), ("e", -3.1), ("r", -3.2),
-    ("t", -3.3), ("s", -3.4),
-]
-
-UNIGRAM_MAX_PIECE = 5
-UNIGRAM_MAX_WORD = 16
-
-
-def q_unigram_counts(spark, sf_dir):
-    """Unigram-LM (SentencePiece-style) Viterbi token counts
-    (operators/unigram.py — Kudo 2018): per-doc (n_words, n_tokens)
-    under the FIXED piece model; distinct-chunk dictionary path, exact
-    integer micro-nat DP with the documented tie rule."""
-    from ia_hadoop_tools_spark.operators.unigram import unigram_token_counts
-    from ia_hadoop_tools_spark.session import load_tables
-
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return unigram_token_counts(
-        docs,
-        dict(FIXED_UNIGRAM),
-        max_piece_len=UNIGRAM_MAX_PIECE,
-        max_word_len=UNIGRAM_MAX_WORD,
-    )
-
-
-def _sql_unigram_counts() -> str:
-    """Independent DuckDB implementation of the Viterbi contract: a
-    fixed-depth DP (one generated CTE per word position, 1..max_word —
-    chunking bounds the lattice, which is what makes this expressible
-    without recursion) over the same integer micro scores, UNK constant,
-    and (score DESC, pieces ASC, split-point ASC) tie rule."""
-    from ia_hadoop_tools_spark.operators.unigram import UNK_GAP_MICRO
-
-    micro = {p: round(lp * 1e6) for p, lp in FIXED_UNIGRAM}
-    unk = min(micro.values()) - UNK_GAP_MICRO
-    maxp, maxw = UNIGRAM_MAX_PIECE, UNIGRAM_MAX_WORD
-    vals = ",\n    ".join(
-        f"('{p}', CAST({m} AS BIGINT))" for p, m in micro.items()
-    )
-    parts = [
-        f"""WITH model(piece, mi) AS (
-  VALUES
-    {vals}),
-words0 AS MATERIALIZED (
-  SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
-                            x -> x <> '')) AS w
-  FROM documents),
-chunks AS (
-  SELECT doc_id, substr(w, k * {maxw} + 1, {maxw}) AS w FROM (
-    SELECT doc_id, w,
-           CAST(unnest(range(0, CAST(ceil(length(w) / {maxw}.0) AS BIGINT)))
-                AS INTEGER) AS k
-    FROM words0)),
-docw AS MATERIALIZED (SELECT doc_id, w, count(*) AS occ FROM chunks GROUP BY 1, 2),
-dw AS MATERIALIZED (SELECT DISTINCT w FROM docw),
-dp0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS sc, 0 AS np FROM dw)"""
-    ]
-    for i in range(1, maxw + 1):
-        branches = []
-        for j in range(max(0, i - maxp), i):
-            ln = i - j
-            unk_ok = "TRUE" if ln == 1 else "FALSE"
-            branches.append(
-                f"""      SELECT d.w,
-             d.sc + CASE WHEN m.mi IS NOT NULL THEN m.mi
-                         ELSE CAST({unk} AS BIGINT) END AS sc,
-             d.np + 1 AS np, {j} AS j
-      FROM dp{j} d
-      LEFT JOIN model m ON m.piece = substr(d.w, {j + 1}, {ln})
-      WHERE length(d.w) >= {i} AND (m.mi IS NOT NULL OR {unk_ok})"""
-            )
-        union = "\n      UNION ALL\n".join(branches)
-        parts.append(
-            f"""dp{i} AS MATERIALIZED (
-  SELECT w, sc, np FROM (
-    SELECT c.*, row_number() OVER (
-        PARTITION BY c.w ORDER BY c.sc DESC, c.np ASC, c.j ASC) AS rn
-    FROM (
-{union}
-    ) c)
-  WHERE rn = 1)"""
-        )
-    cost_union = "\n  UNION ALL\n".join(
-        f"  SELECT w, np FROM dp{i} WHERE length(w) = {i}"
-        for i in range(1, maxw + 1)
-    )
-    parts.append(f"cost AS (\n{cost_union}\n)")
-    return (
-        ",\n".join(parts)
-        + """
-SELECT d.doc_id,
-       CAST(sum(d.occ) AS BIGINT) AS n_words,
-       CAST(sum(d.occ * c.np) AS BIGINT) AS n_tokens
-FROM docw d JOIN cost c ON c.w = d.w
-GROUP BY d.doc_id
-"""
-    )
-
-
-SQL_UNIGRAM_COUNTS = _sql_unigram_counts()
-
-
-PENDING_QUERIES: dict = {
-    "lang_nb": q_lang_nb,
-    "normalize_text": q_normalize_text,
-    "hash_embed": q_hash_embed,
-    "unigram_counts": q_unigram_counts,
-}
-
-PENDING_ORACLE_SQL: dict = {
-    "lang_nb": SQL_LANG_NB,
-    "normalize_text": SQL_NORMALIZE_TEXT,
-    "hash_embed": SQL_HASH_EMBED,
-    "unigram_counts": SQL_UNIGRAM_COUNTS,
-}
+PENDING_ORACLE_SQL: dict = {}
