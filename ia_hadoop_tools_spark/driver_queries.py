@@ -1520,8 +1520,13 @@ def q_tpch_q3(spark, sf_dir):
         * (F.lit(1).cast("decimal(38,4)") - F.col("l_discount").cast("decimal(38,4)"))
     )
     joined = (
+        # customer scales with SF (150k x SF rows) — leave the join
+        # UNHINTED so AQE broadcasts only when the filtered side is
+        # actually small (same rule as unigram_encode / the round-6
+        # tpch.py de-hinting); a forced broadcast caps the query at the
+        # driver memory limit at large SF.
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
     )
@@ -2937,7 +2942,8 @@ def q_tpch_q14(spark, sf_dir):
             (F.col("l_shipdate") >= "1997-03-01")
             & (F.col("l_shipdate") < "1997-04-01")
         )
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        # part scales with SF (200k x SF rows): unhinted, AQE decides
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
     )
     agg = joined.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
@@ -3042,7 +3048,8 @@ def q_tpch_q19(spark, sf_dir):
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        # part scales with SF (200k x SF rows): unhinted, AQE decides
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
     )

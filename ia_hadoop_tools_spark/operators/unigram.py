@@ -433,11 +433,19 @@ def unigram_encode(
     Viterbi is Python, so unlike bpe_encode's pure-expression fold this
     uses the dictionary shape plus an order-preserving reassembly: the
     per-doc chunk SEQUENCE posexplodes, each distinct chunk is costed
-    once (Arrow batch, vocabulary-bounded), and the doc's token array
+    once (Arrow batch — UDF invocations are bounded by the corpus's
+    DISTINCT chunk count, not total tokens), and the doc's token array
     rebuilds as ``flatten(sort_by_position(collect_list))`` — all
     codegen around the one bounded UDF.  Documents with no tokens get
     an empty array (the bpe_encode convention).  ``id_col`` must be
-    unique per row (it keys the reassembly)."""
+    unique per row (it keys the reassembly).
+
+    The chunks->pieces join is deliberately UNHINTED (like
+    ``unigram_token_counts``): the distinct-chunk table grows with the
+    corpus vocabulary (Heap's law — NOT bounded by the model's piece
+    vocabulary), so forcing a broadcast would cap the operator at the
+    driver/broadcast memory limit at large scale; AQE broadcasts it
+    when it is actually small and shuffle-joins otherwise."""
     _check(max_piece_len, max_word_len)
     if isinstance(model, DataFrame):
         model = {r["piece"]: r["logp"] for r in model.collect()}
@@ -462,7 +470,7 @@ def unigram_encode(
         chunk_pos.select("__w").distinct().withColumn("__ps", pieces("__w"))
     )
     assembled = (
-        chunk_pos.join(F.broadcast(chunk_pieces), "__w")
+        chunk_pos.join(chunk_pieces, "__w")
         .groupBy(id_col)
         .agg(
             F.flatten(
