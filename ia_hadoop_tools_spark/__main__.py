@@ -837,10 +837,35 @@ def cmd_corpus_langid(args):
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    spark = _spark(args)
-    docs = spark.read.parquet(args.input)
     if args.model and args.train:
         raise SystemExit("corpus-langid: pass --model OR --train, not both")
+    # trained-path-only flags are silently meaningless on the default
+    # heuristic path — refuse instead of writing heuristic output a
+    # user thinks is trained (the corpus-tokenize --merges guard rule)
+    if not (args.model or args.train):
+        stray = [
+            flag
+            for flag, val in (
+                ("--model-out", args.model_out),
+                ("--label-col", args.label_col),
+                ("--n", args.n),
+                ("--vocab", args.vocab),
+                ("--max-chars", args.max_chars),
+            )
+            if val is not None
+        ]
+        if stray:
+            raise SystemExit(
+                f"corpus-langid: {'/'.join(stray)} only apply to the "
+                "trained path — pass --model FILE or --train FILE "
+                "(the default is the zero-model stopword heuristic)"
+            )
+    label_col = args.label_col if args.label_col is not None else "lang"
+    n = args.n if args.n is not None else 3
+    vocab = args.vocab if args.vocab is not None else 10_000
+    max_chars = args.max_chars if args.max_chars is not None else 1000
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
     if args.model or args.train:
         from ia_hadoop_tools_spark.operators.langid import (
             lang_nb,
@@ -853,13 +878,13 @@ def cmd_corpus_langid(args):
             labeled = spark.read.parquet(args.train)
             model = train_lang_nb(
                 labeled,
-                label_col=args.label_col,
-                n=args.n,
-                vocab_size=args.vocab,
-                max_chars=args.max_chars,
+                label_col=label_col,
+                n=n,
+                vocab_size=vocab,
+                max_chars=max_chars,
             )
         model = model.persist()
-        out = lang_nb(docs, model, n=args.n, max_chars=args.max_chars)
+        out = lang_nb(docs, model, n=n, max_chars=max_chars)
         if args.model_out:
             model.write.mode("overwrite").parquet(args.model_out)
     else:
@@ -1432,13 +1457,21 @@ def main(argv=None):
                    help="trained model parquet (lang, ngram, logp)")
     s.add_argument("--train", default=None,
                    help="labeled corpus parquet to train on")
-    s.add_argument("--label-col", default="lang")
+    # trained-path flags default to None so the handler can tell
+    # "explicitly passed" from "unset" and refuse silently ignoring
+    # them on the heuristic path (defaults resolve in the handler:
+    # label-col 'lang', n 3, vocab 10000, max-chars 1000)
+    s.add_argument("--label-col", default=None,
+                   help="label column of --train (default lang)")
     s.add_argument("--model-out", default=None,
                    help="also write the (trained) model parquet here")
-    s.add_argument("--n", type=int, default=3, help="char n-gram order")
-    s.add_argument("--vocab", type=int, default=10_000)
-    s.add_argument("--max-chars", type=int, default=1000,
-                   help="score the first N chars of each doc")
+    s.add_argument("--n", type=int, default=None,
+                   help="char n-gram order (default 3)")
+    s.add_argument("--vocab", type=int, default=None,
+                   help="per-language vocab cap (default 10000)")
+    s.add_argument("--max-chars", type=int, default=None,
+                   help="score the first N chars of each doc "
+                        "(default 1000)")
     s.set_defaults(fn=cmd_corpus_langid)
 
     s = sub.add_parser(

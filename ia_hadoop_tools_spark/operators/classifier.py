@@ -36,7 +36,14 @@ PERSIST CONTRACT: an unpersisted model passed to
 carries the persisted model as ``.model_cache`` (the semdedup
 ``assign_cache`` convention) so loop callers passing fresh
 (plan-distinct) model frames can unpersist each one — or persist the
-model ONCE themselves.
+model ONCE themselves.  The handle is a plain Python attribute on the
+RETURNED OBJECT only: every DataFrame transformation
+(select/filter/join/...) returns a NEW object without it, so capture
+it immediately (``m = out.model_cache``) before chaining — or, in
+loops that wrap the result, persist the model yourself (an
+already-persisted model is never re-persisted, so no handle is
+needed).  Same lifetime rule at every ``model_cache`` site:
+``langid.lang_nb``, ``textops.lang_id_corpus``, and this module.
 """
 
 from __future__ import annotations

@@ -208,9 +208,13 @@ def lang_nb(
     rows for every language (``train_lang_nb`` emits them; a model
     missing them raises at plan build).  The model is broadcast — keep
     vocab_size × n_langs within broadcast range (the trainer's cap
-    does).  PERSIST CONTRACT (same as ``nb_quality_score``): pass a
-    persisted model in loops; this function persists an unpersisted
-    model internally with no release handle.
+    does).  PERSIST CONTRACT (same as ``nb_quality_score``): an
+    unpersisted model is persisted internally and the returned frame
+    carries it as ``.model_cache`` — a plain attribute on the RETURNED
+    OBJECT only, lost by any subsequent transformation, so capture it
+    immediately before chaining; loop callers that wrap the result
+    should instead persist the model themselves (already-persisted
+    models are never re-persisted, so nothing leaks).
     """
     _check_params(n, max_chars)
     if not model.is_cached:

@@ -90,7 +90,10 @@ def language_id(
     prediction rows — the text column still never shuffles) and the
     returned frame carries the persisted model as ``.model_cache``
     (the lang_nb release-handle convention — unpersist it in loops
-    passing plan-distinct models).  The default heuristic path sets NO
+    passing plan-distinct models; the attribute lives on the RETURNED
+    OBJECT only and is lost by any further transformation, so capture
+    it before chaining — or persist the model yourself, in which case
+    no internal persist happens).  The default heuristic path sets NO
     such attribute (nothing is cached there)."""
     if model is None:
         return df.withColumn("lang_pred", lang_id(F.col(text_col)))

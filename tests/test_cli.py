@@ -731,6 +731,15 @@ def test_corpus_langid_cli(spark, tmp_path, capsys):
     _run(capsys, "corpus-langid", docs, out3, "--model", model_out)
     back3 = {r.doc_id: r.lang_pred for r in spark.read.parquet(out3).collect()}
     assert back3 == back
+    # trained-path-only flags without --model/--train refuse instead of
+    # silently writing heuristic output (ADVICE r9)
+    out4 = str(tmp_path / "lid_out4")
+    for flags in (["--vocab", "200"], ["--model-out", model_out],
+                  ["--n", "2"], ["--label-col", "lang"],
+                  ["--max-chars", "99"]):
+        with pytest.raises(SystemExit, match="trained path"):
+            _run(capsys, "corpus-langid", docs, out4, *flags)
+    assert not os.path.exists(out4)
 
 
 def test_corpus_prune_cli(spark, tmp_path, capsys):
