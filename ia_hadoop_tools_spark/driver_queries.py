@@ -3473,9 +3473,12 @@ from ia_hadoop_tools_spark.analytics_queries import (  # noqa: E402
 QUERIES.update(ANALYTICS_QUERIES)
 ORACLES.update(ANALYTICS_ORACLES)
 
-# 94. Round-7 freeze registrations: the five training-corpus queries
-# staged as round-6 pending entries (bpe_encode_counts, doc_chunks,
-# tfidf_topk, hll_distinct_bound, corpus_split) — corpus_queries.py.
+# 94. Training-corpus freeze registrations, rounds 7-10
+# (corpus_queries.py — one namespace since the round-10 fold; the
+# per-row registration history lives in that module's docstring).
+# CORPUS_ORACLES builds lazily at first access (PEP 562) because two
+# oracle builders compose SQL defined ABOVE in this module
+# (SQL_MINHASH_PAIRS, the vector helpers).
 from ia_hadoop_tools_spark.corpus_queries import (  # noqa: E402
     CORPUS_ORACLES,
     CORPUS_QUERIES,
@@ -3483,37 +3486,3 @@ from ia_hadoop_tools_spark.corpus_queries import (  # noqa: E402
 
 QUERIES.update(CORPUS_QUERIES)
 ORACLES.update(CORPUS_ORACLES)
-
-# 95. Round-8 freeze registrations: the four training-corpus queries
-# staged as round-7 pending entries (corpus_shuffle, lm_word_score,
-# lm_backoff_score, split_leakage) — corpus_queries_r8.py.
-from ia_hadoop_tools_spark.corpus_queries_r8 import (  # noqa: E402
-    R8_ORACLES,
-    R8_QUERIES,
-)
-
-QUERIES.update(R8_QUERIES)
-ORACLES.update(R8_ORACLES)
-
-# 96. Round-9 freeze registrations: the seven training-corpus queries
-# staged as round-8 pending entries (split_leakage_near, lm_word_buckets,
-# source_cap, nb_quality, prototype_prune, corpus_stats,
-# curriculum_shuffle) — corpus_queries_r9.py.
-from ia_hadoop_tools_spark.corpus_queries_r9 import (  # noqa: E402
-    R9_ORACLES,
-    R9_QUERIES,
-)
-
-QUERIES.update(R9_QUERIES)
-ORACLES.update(R9_ORACLES)
-
-# 97. Round-10 freeze registrations: the four training-corpus queries
-# staged as round-9 pending entries (lang_nb, normalize_text,
-# hash_embed, unigram_counts) — corpus_queries_r10.py.
-from ia_hadoop_tools_spark.corpus_queries_r10 import (  # noqa: E402
-    R10_ORACLES,
-    R10_QUERIES,
-)
-
-QUERIES.update(R10_QUERIES)
-ORACLES.update(R10_ORACLES)

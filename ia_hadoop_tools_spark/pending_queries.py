@@ -11,7 +11,8 @@ and move into the real registry when the next round opens it.
 
 Round-10 freeze: the four round-9 pending entries (``lang_nb``,
 ``normalize_text``, ``hash_embed``, ``unigram_counts``) were registered
-(registry 122 -> 126) and now live in ``corpus_queries_r10.py``.
+(registry 122 -> 126) and now live in ``corpus_queries.py`` (one
+namespace for all freezes since the round-10 fold).
 Entries added below during round 10 register at the round-11 freeze.
 """
 
@@ -32,7 +33,7 @@ def q_unigram_encode(spark, sf_dir):
     flatten(sort_by_position) reassembly."""
     from pyspark.sql import functions as F2
 
-    from ia_hadoop_tools_spark.corpus_queries_r10 import (
+    from ia_hadoop_tools_spark.corpus_queries import (
         FIXED_UNIGRAM,
         UNIGRAM_MAX_PIECE,
         UNIGRAM_MAX_WORD,
@@ -61,7 +62,7 @@ def _sql_unigram_encode() -> str:
     ordered chunk sequence, per-chunk piece list, running token offset,
     positional unnest.  Chunks contain no whitespace, so ' ' is a safe
     piece separator."""
-    from ia_hadoop_tools_spark.corpus_queries_r10 import (
+    from ia_hadoop_tools_spark.corpus_queries import (
         FIXED_UNIGRAM,
         UNIGRAM_MAX_PIECE,
         UNIGRAM_MAX_WORD,

@@ -21,18 +21,6 @@ from ia_hadoop_tools_spark.corpus_queries import (
     CORPUS_ORACLES,
     CORPUS_QUERIES,
 )
-from ia_hadoop_tools_spark.corpus_queries_r8 import (
-    R8_ORACLES,
-    R8_QUERIES,
-)
-from ia_hadoop_tools_spark.corpus_queries_r9 import (
-    R9_ORACLES,
-    R9_QUERIES,
-)
-from ia_hadoop_tools_spark.corpus_queries_r10 import (
-    R10_ORACLES,
-    R10_QUERIES,
-)
 from ia_hadoop_tools_spark.pending_queries import (
     PENDING_ORACLE_SQL,
     PENDING_QUERIES,
@@ -40,16 +28,10 @@ from ia_hadoop_tools_spark.pending_queries import (
 
 GATED_QUERIES = {
     **CORPUS_QUERIES,
-    **R8_QUERIES,
-    **R9_QUERIES,
-    **R10_QUERIES,
     **PENDING_QUERIES,
 }
 GATED_ORACLES = {
     **CORPUS_ORACLES,
-    **R8_ORACLES,
-    **R9_ORACLES,
-    **R10_ORACLES,
     **PENDING_ORACLE_SQL,
 }
 
