@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Scale probe: one decade past sf1 for the hot bench family.
+
+The sf0.1 -> sf1 decade found real exponents (triangles, round 5); this
+probe runs the top-6 most expensive bench queries one MORE decade up
+(sf1 -> sf10, a 100x-the-driver-snapshot synthesis via make_sf1.py
+applied to /tmp/iht_sf1) and records per-query wall + output row count
+(for the pair/cluster queries the row count IS the candidate/answer
+size, so a super-linear wall can be attributed to output growth vs a
+plan defect).
+
+Usage:
+  python scripts/make_sf1.py /tmp/iht_sf1 /tmp/iht_sf10 10   # once
+  python scripts/probe_sf10.py [sf1_dir] [sf10_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/iht_sf1"
+SF10 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/iht_sf10"
+
+#: the 5 most expensive bench queries of the round-9 driver run plus
+#: semdedup (the verdict's named hot family)
+DEFAULT_QUERIES = [
+    "bpe_strict_batch",
+    "neardup_clusters",
+    "embedding_neardup_lsh",
+    "lm_buckets",
+    "simhash_pairs",
+    "semdedup",
+]
+
+
+def main() -> None:
+    from ia_hadoop_tools_spark.driver_queries import QUERIES
+    from ia_hadoop_tools_spark.session import get_spark
+
+    names = sys.argv[3:] or DEFAULT_QUERIES
+    spark = get_spark("probe-sf10")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    for name in names:
+        fn = QUERIES[name]
+        # warmup at sf1 (codegen/classloading), then timed sf1, timed sf10
+        spark.catalog.clearCache()
+        fn(spark, SF1).count()
+        rec = {}
+        for label, d in (("sf1", SF1), ("sf10", SF10)):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            n = fn(spark, d).count()
+            rec[label] = {"wall": round(time.monotonic() - t0, 2), "rows": n}
+        ratio = rec["sf10"]["wall"] / max(rec["sf1"]["wall"], 1e-9)
+        rec["ratio"] = round(ratio, 2)
+        out[name] = rec
+        print(
+            f"{name}: sf1 {rec['sf1']['wall']}s/{rec['sf1']['rows']:,} rows"
+            f" -> sf10 {rec['sf10']['wall']}s/{rec['sf10']['rows']:,} rows"
+            f"  (x{rec['ratio']})",
+            flush=True,
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
