@@ -1967,7 +1967,14 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     from ia_hadoop_tools_spark.operators.similarity import embedding_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(e, threshold=NEARDUP_COS_THRESHOLD)
+    # guards pinned OFF: this row's oracle is the exact uncapped banded
+    # contract (every bucket joined, every candidate verified); the
+    # round-10 scale guards (auto_planes geometry + hot-bucket cap) are
+    # value-pinned separately by the embedding_neardup_capped pending row
+    return embedding_neardup_pairs(
+        e, threshold=NEARDUP_COS_THRESHOLD, max_bucket=None,
+        auto_planes=False,
+    )
 
 
 def _embedding_neardup_lsh_sql(num_planes: int = 16, bands: int = 4) -> str:

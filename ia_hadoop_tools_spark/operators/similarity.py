@@ -465,14 +465,50 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
+    max_bucket: int | None = 5000,
+    auto_planes: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold, id_a < id_b.
 
     LSH-bucketed self-join: near-identical vectors agree on almost all sign
     bits, so they collide in >=1 band with high probability; each bucket's
-    pairs are verified with the true cosine."""
-    band_keys = _band_keys(F.col(vec_col), num_planes, bands, dim, seed)
+    pairs are verified with the true cosine.
+
+    SCALE GUARDS (round-10 — the sf10 decade probe caught the default
+    16-plane/4-band geometry degenerating: a band has only
+    2^(num_planes/bands) buckets, so bucket size grows as
+    corpus/2^width and the collision join is sum(|bucket|^2)):
+
+    - ``auto_planes`` (default True, the semdedup rule): when the
+      expected bucket size n/2^width exceeds ``max_bucket``/2, bits per
+      band are raised until it is ~``max_bucket``/2 (capped at 24) and
+      the band count is raised to at least ``AUTO_GUARD_BANDS`` (band
+      count is the borderline-recall knob — see semdedup's measured
+      recall table). Raise-only: an explicitly finer caller geometry is
+      never coarsened. Engaging runs ONE count() census job at
+      construction (the semdedup precedent); pass ``auto_planes=False``
+      to pin the explicit geometry and keep construction lazy.
+    - ``max_bucket`` (default 5000): buckets still over the cap after
+      sizing (identical-vector boilerplate mass — no geometry separates
+      exact duplicates) are dropped before the self-join via
+      ``textops._drop_hot_buckets``; recall is lost only for pairs
+      agreeing ONLY in dropped buckets, and the dropped-row count rides
+      the first action as ``out.hot_bucket_obs``. ``None`` disables
+      both guards (the registered oracle row pins that exact path).
+    """
     from pyspark import StorageLevel
+
+    if auto_planes and max_bucket is not None:
+        import math
+
+        _band_keys(F.col(vec_col), num_planes, bands, dim, seed)  # validate
+        n = df.count()
+        width_floor = num_planes // bands
+        if n / (1 << width_floor) > max_bucket / 2:
+            need = math.ceil(math.log2(max(2.0, 2.0 * n / max_bucket)))
+            bands = max(bands, AUTO_GUARD_BANDS)
+            num_planes = max(width_floor, min(24, need)) * bands
+    band_keys = _band_keys(F.col(vec_col), num_planes, bands, dim, seed)
 
     # The band self-join emits one row per COLLISION (a pair colliding in k
     # bands appears k times, and bucket sizes are corpus/2^band_bits — big).
@@ -480,9 +516,17 @@ def embedding_neardup_pairs(
     # collision join + distinct are skinny-row shuffles; (2) cosine runs ONCE
     # per DISTINCT candidate pair after joining vectors back (the same
     # candidates-then-verify shape as minhash_lsh_pairs).
-    banded = df.select(
-        F.col(id_col).alias("id"), F.explode(band_keys).alias("bucket")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from ia_hadoop_tools_spark.operators.textops import _drop_hot_buckets
+
+    banded = _drop_hot_buckets(
+        df.select(
+            F.col(id_col).alias("id"), F.explode(band_keys).alias("bucket")
+        ),
+        max_bucket,
+        "embedding_neardup_pairs",
+    )
+    hot_obs = getattr(banded, "hot_bucket_obs", None)
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, on="bucket")
@@ -521,6 +565,8 @@ def embedding_neardup_pairs(
     # returned lazy plan computes through the persisted band table, so
     # loop callers unpersist it themselves once done
     out.band_cache = banded
+    if hot_obs is not None:
+        out.hot_bucket_obs = hot_obs
     return out
 
 

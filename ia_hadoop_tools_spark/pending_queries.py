@@ -153,10 +153,115 @@ FROM offs,
 SQL_UNIGRAM_ENCODE = _sql_unigram_encode()
 
 
+#: hot-bucket cap for the capped embedding-LSH row: small enough to
+#: ENGAGE at sf0.1+ (a 16-bucket band over 16k vectors averages 1,000
+#: members), so the sweep exercises the drop path where the registered
+#: uncapped row cannot
+EMBED_CAP_MAX_BUCKET = 1000
+EMBED_CAP_PLANES = 16
+EMBED_CAP_BANDS = 4
+
+
+def q_embedding_neardup_capped(spark, sf_dir):
+    """The round-10 scale-guard contract of embedding_neardup_pairs
+    (operators/similarity.py), value-pinned: explicit geometry
+    (auto_planes=False so the oracle's plane matrix matches) with the
+    hot-bucket cap ON — buckets over ``max_bucket`` are dropped before
+    the self-join (the textops._drop_hot_buckets contract the sf10
+    decade probe showed this operator needed; pairs agreeing ONLY in
+    dropped buckets are excluded BY CONTRACT and the oracle mirrors the
+    kept-bucket rule, the simhash_pairs pattern)."""
+    from pyspark.sql import functions as F2
+
+    from ia_hadoop_tools_spark.driver_queries import NEARDUP_COS_THRESHOLD
+    from ia_hadoop_tools_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+    from ia_hadoop_tools_spark.session import load_tables
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return embedding_neardup_pairs(
+        e,
+        threshold=NEARDUP_COS_THRESHOLD,
+        num_planes=EMBED_CAP_PLANES,
+        bands=EMBED_CAP_BANDS,
+        max_bucket=EMBED_CAP_MAX_BUCKET,
+        auto_planes=False,
+    ).select("id_a", "id_b", F2.col("cosine").cast("double").alias("cosine"))
+
+
+def _sql_embedding_neardup_capped() -> str:
+    # the registered row's banded-LSH SQL with the kept-buckets CTE
+    # spliced between codes and candidates (the simhash_pairs mirror)
+    from ia_hadoop_tools_spark.driver_queries import (
+        NEARDUP_COS_THRESHOLD,
+        _cos2,
+        _vec_dot_sql,
+    )
+    from ia_hadoop_tools_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(EMBED_CAP_PLANES, 64)
+    width = EMBED_CAP_PLANES // EMBED_CAP_BANDS
+    rows = ",\n    ".join(
+        f"({pid}, [{', '.join(repr(x) for x in w)}]::DOUBLE[])"
+        for pid, w in enumerate(planes)
+    )
+    dot_pw = _vec_dot_sql("e.embedding", "p.w")
+    return f"""
+WITH planes(pid, w) AS (
+  VALUES
+    {rows}
+),
+bits AS (
+  SELECT e.vec_id, p.pid,
+    CASE WHEN {dot_pw} >= 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p
+),
+codes AS (
+  SELECT vec_id,
+    CAST(CAST(pid // {width} AS INT) AS VARCHAR) || '_' ||
+      array_to_string(list(bit ORDER BY pid), '_') AS bkey
+  FROM bits GROUP BY vec_id, CAST(pid // {width} AS INT)
+),
+kept AS (
+  SELECT bkey FROM codes GROUP BY bkey
+  HAVING count(*) <= {EMBED_CAP_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM codes l
+  JOIN kept k ON l.bkey = k.bkey
+  JOIN codes r ON l.bkey = r.bkey
+  WHERE l.vec_id < r.vec_id
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT cand.id_a, cand.id_b, {_cos2('a', 'b')} AS cosine
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.id_a
+  JOIN embeddings b ON b.vec_id = cand.id_b
+) WHERE cosine >= {NEARDUP_COS_THRESHOLD}
+"""
+
+
 PENDING_QUERIES: dict = {
     "unigram_encode": q_unigram_encode,
+    "embedding_neardup_capped": q_embedding_neardup_capped,
 }
 
-PENDING_ORACLE_SQL: dict = {
-    "unigram_encode": SQL_UNIGRAM_ENCODE,
-}
+
+def _build_pending_oracles() -> dict:
+    return {
+        "unigram_encode": SQL_UNIGRAM_ENCODE,
+        "embedding_neardup_capped": _sql_embedding_neardup_capped(),
+    }
+
+
+def __getattr__(name: str):
+    # lazy (the corpus_queries pattern): the capped-embedding oracle
+    # composes driver_queries helpers, and driver_queries must stay
+    # importable without this module loading first
+    if name == "PENDING_ORACLE_SQL":
+        val = _build_pending_oracles()
+        globals()["PENDING_ORACLE_SQL"] = val
+        return val
+    raise AttributeError(name)

@@ -66,7 +66,17 @@ def get_spark(
         # pushFilters for summary-driven block pruning)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Spark's default 10m, set explicitly as a documented choice: the
+        # threshold compares COMPRESSED/serialized size estimates, and
+        # highly-compressible corpus text understates the in-memory
+        # HashedRelation build by ~20x — at 64m (the round-1 value) the
+        # static planner broadcast the corpus-derived shingle and band
+        # tables of the MinHash pipeline at the sf10 probe scale (58 MB
+        # parquet -> >1 GiB build -> notEnoughMemoryToBuildAndBroadcast).
+        # AQE still upgrades genuinely small sides to broadcast at
+        # runtime from actual shuffle sizes, so small-dim joins keep
+        # their broadcast plans.
+        .config("spark.sql.autoBroadcastJoinThreshold", "10m")
         .config("spark.sql.session.timeZone", "UTC")
         # InferFiltersFromGenerate turns explode(expr) into an inferred
         # `size(expr)>0 AND isnotnull(expr)` filter that predicate-pushdown

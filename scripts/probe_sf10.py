@@ -27,21 +27,43 @@ SF1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/iht_sf1"
 SF10 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/iht_sf10"
 
 #: the 5 most expensive bench queries of the round-9 driver run plus
-#: semdedup (the verdict's named hot family)
+#: semdedup (the verdict's named hot family).  embedding_neardup_auto
+#: replaces the registered embedding_neardup_lsh row here: the row pins
+#: the UNCAPPED banded contract for its oracle (quadratic in bucket
+#: size by design — it found exactly this at sf10), while the
+#: operator's DEFAULTS carry the round-10 auto_planes/max_bucket scale
+#: guards — the path a 100 TB deployment actually runs.
 DEFAULT_QUERIES = [
     "bpe_strict_batch",
     "neardup_clusters",
-    "embedding_neardup_lsh",
+    "embedding_neardup_auto",
     "lm_buckets",
     "simhash_pairs",
     "semdedup",
 ]
 
 
+def _q_embedding_neardup_auto(spark, sf_dir):
+    from ia_hadoop_tools_spark.driver_queries import NEARDUP_COS_THRESHOLD
+    from ia_hadoop_tools_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+    from ia_hadoop_tools_spark.session import load_tables
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return embedding_neardup_pairs(e, threshold=NEARDUP_COS_THRESHOLD)
+
+
 def main() -> None:
-    from ia_hadoop_tools_spark.driver_queries import QUERIES
+    from ia_hadoop_tools_spark.driver_queries import QUERIES as _REG
+    from ia_hadoop_tools_spark.pending_queries import PENDING_QUERIES
     from ia_hadoop_tools_spark.session import get_spark
 
+    QUERIES = {
+        **_REG,
+        **PENDING_QUERIES,
+        "embedding_neardup_auto": _q_embedding_neardup_auto,
+    }
     names = sys.argv[3:] or DEFAULT_QUERIES
     spark = get_spark("probe-sf10")
     spark.sparkContext.setLogLevel("ERROR")
