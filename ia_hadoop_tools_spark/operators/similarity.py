@@ -456,6 +456,12 @@ def ann_ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+#: auto_planes expected-bucket target (see embedding_neardup_pairs):
+#: collision volume ~ n x bands x expected_bucket, so this must be a
+#: small corpus-independent constant for the banded join to stay linear
+_AUTO_TARGET_BUCKET = 64
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -479,15 +485,21 @@ def embedding_neardup_pairs(
     2^(num_planes/bands) buckets, so bucket size grows as
     corpus/2^width and the collision join is sum(|bucket|^2)):
 
-    - ``auto_planes`` (default True, the semdedup rule): when the
-      expected bucket size n/2^width exceeds ``max_bucket``/2, bits per
-      band are raised until it is ~``max_bucket``/2 (capped at 24) and
-      the band count is raised to at least ``AUTO_GUARD_BANDS`` (band
-      count is the borderline-recall knob — see semdedup's measured
-      recall table). Raise-only: an explicitly finer caller geometry is
-      never coarsened. Engaging runs ONE count() census job at
-      construction (the semdedup precedent); pass ``auto_planes=False``
-      to pin the explicit geometry and keep construction lazy.
+    - ``auto_planes`` (default True): when the expected bucket size
+      n/2^width exceeds ``max_bucket``/2, bits per band are raised so
+      the expected bucket shrinks to ``_AUTO_TARGET_BUCKET`` (~64,
+      capped at 24 bits) and the band count is raised to at least
+      ``AUTO_GUARD_BANDS`` (band count is the borderline-recall knob —
+      see semdedup's measured recall table). The target is a small
+      CONSTANT, not a fraction of ``max_bucket``: total collision
+      volume is ~n x bands x expected_bucket, so only a
+      corpus-independent expected bucket keeps the join linear in n
+      (sizing to ``max_bucket``/2 = 2500 still spilled ~10^10 collision
+      rows at the sf10 probe). Raise-only: an explicitly finer caller
+      geometry is never coarsened. Engaging runs ONE count() census job
+      at construction (the semdedup precedent); pass
+      ``auto_planes=False`` to pin the explicit geometry and keep
+      construction lazy.
     - ``max_bucket`` (default 5000): buckets still over the cap after
       sizing (identical-vector boilerplate mass — no geometry separates
       exact duplicates) are dropped before the self-join via
@@ -505,7 +517,9 @@ def embedding_neardup_pairs(
         n = df.count()
         width_floor = num_planes // bands
         if n / (1 << width_floor) > max_bucket / 2:
-            need = math.ceil(math.log2(max(2.0, 2.0 * n / max_bucket)))
+            need = math.ceil(
+                math.log2(max(2.0, n / _AUTO_TARGET_BUCKET))
+            )
             bands = max(bands, AUTO_GUARD_BANDS)
             num_planes = max(width_floor, min(24, need)) * bands
     band_keys = _band_keys(F.col(vec_col), num_planes, bands, dim, seed)
