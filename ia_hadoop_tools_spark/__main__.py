@@ -837,11 +837,20 @@ def cmd_corpus_langid(args):
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
+    from ia_hadoop_tools_spark.operators.langid import (
+        DEFAULT_LABEL_COL,
+        DEFAULT_MAX_CHARS,
+        DEFAULT_N,
+        DEFAULT_VOCAB_SIZE,
+    )
+
     if args.model and args.train:
         raise SystemExit("corpus-langid: pass --model OR --train, not both")
-    # trained-path-only flags are silently meaningless on the default
-    # heuristic path — refuse instead of writing heuristic output a
-    # user thinks is trained (the corpus-tokenize --merges guard rule)
+    # flags only one path consumes are refused on the others instead of
+    # silently ignored (the corpus-tokenize --merges guard rule):
+    # --label-col/--vocab shape TRAINING only; --n/--max-chars apply to
+    # any trained-model path (they must match training); --model-out
+    # re-saves whichever model is in play.
     if not (args.model or args.train):
         stray = [
             flag
@@ -856,14 +865,33 @@ def cmd_corpus_langid(args):
         ]
         if stray:
             raise SystemExit(
-                f"corpus-langid: {'/'.join(stray)} only apply to the "
-                "trained path — pass --model FILE or --train FILE "
-                "(the default is the zero-model stopword heuristic)"
+                f"corpus-langid: {'/'.join(stray)} need a trained model "
+                "— pass --model FILE or --train FILE (the default is "
+                "the zero-model stopword heuristic)"
             )
-    label_col = args.label_col if args.label_col is not None else "lang"
-    n = args.n if args.n is not None else 3
-    vocab = args.vocab if args.vocab is not None else 10_000
-    max_chars = args.max_chars if args.max_chars is not None else 1000
+    if args.model:
+        stray = [
+            flag
+            for flag, val in (
+                ("--label-col", args.label_col),
+                ("--vocab", args.vocab),
+            )
+            if val is not None
+        ]
+        if stray:
+            raise SystemExit(
+                f"corpus-langid: {'/'.join(stray)} only shape TRAINING "
+                "— they do nothing with a pre-trained --model; pass "
+                "--train FILE to train"
+            )
+    label_col = (
+        args.label_col if args.label_col is not None else DEFAULT_LABEL_COL
+    )
+    n = args.n if args.n is not None else DEFAULT_N
+    vocab = args.vocab if args.vocab is not None else DEFAULT_VOCAB_SIZE
+    max_chars = (
+        args.max_chars if args.max_chars is not None else DEFAULT_MAX_CHARS
+    )
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
     if args.model or args.train:

@@ -54,6 +54,8 @@ from pyspark.sql import functions as F
 DEFAULT_SMOOTH_K = 0.5
 DEFAULT_N = 3
 DEFAULT_MAX_CHARS = 1000
+DEFAULT_VOCAB_SIZE = 10_000
+DEFAULT_LABEL_COL = "lang"
 MAX_N = 8
 
 #: reserved model rows (strictly longer than any real n-gram, n <= MAX_N=8)
@@ -110,7 +112,10 @@ def _char_ngram_rows(df, id_cols, text_col: str, n: int, max_chars: int):
         F.lower(F.coalesce(F.col(text_col), F.lit(""))), 1, max_chars
     )
     chars = F.split(c, "")
-    num = F.greatest(F.size(chars) - F.lit(n - 1), F.lit(0))
+    # gram count from LENGTH, not size(chars): split('', '') is ['']
+    # (size 1), so a size-based count would emit one bogus '' gram per
+    # empty/NULL doc at n=1 — length('') = 0 gives the correct zero
+    num = F.greatest(F.length(c) - F.lit(n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(chars, i + 1, num) for i in range(n)])
     return df.select(*id_cols, F.explode(zipped).alias("__z")).select(
         *id_cols,
@@ -129,10 +134,10 @@ def _check_params(n: int, max_chars: int) -> None:
 
 def train_lang_nb(
     labeled: DataFrame,
-    label_col: str = "lang",
+    label_col: str = DEFAULT_LABEL_COL,
     text_col: str = "text",
     n: int = DEFAULT_N,
-    vocab_size: int = 10_000,
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
     smooth_k: float = DEFAULT_SMOOTH_K,
     max_chars: int = DEFAULT_MAX_CHARS,
 ) -> DataFrame:

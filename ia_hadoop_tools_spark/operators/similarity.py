@@ -462,6 +462,29 @@ def ann_ivf_topk(
 _AUTO_TARGET_BUCKET = 64
 
 
+def _auto_band_geometry(
+    count: int, target: float, num_planes: int, bands: int
+) -> tuple[int, int]:
+    """Escalated ``(num_planes, bands)`` sizing a ``count``-member
+    population into sub-buckets of ~``target`` expected members — the
+    ONE auto-geometry rule shared by semdedup's oversized-cluster guard
+    and embedding_neardup_pairs' auto_planes (review r10: the two
+    inline copies had already drifted by a constant).
+
+    Raise-only: the escalation is clamped at 24 bits per band, an
+    explicitly finer caller geometry is never coarsened, and BANDS rise
+    to at least ``AUTO_GUARD_BANDS`` — planes sizing fixes hot-bucket
+    degeneracy but band COUNT fixes borderline recall (threshold 0.90:
+    measured 0.84 recall at bands=4 vs 0.97 at bands=8; each band is
+    one independent chance for a near-pair to collide)."""
+    import math
+
+    need = math.ceil(math.log2(max(2.0, count / target)))
+    width_floor = num_planes // bands
+    bands = max(bands, AUTO_GUARD_BANDS)
+    return max(width_floor, min(24, need)) * bands, bands
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -511,17 +534,12 @@ def embedding_neardup_pairs(
     from pyspark import StorageLevel
 
     if auto_planes and max_bucket is not None:
-        import math
-
         _band_keys(F.col(vec_col), num_planes, bands, dim, seed)  # validate
         n = df.count()
-        width_floor = num_planes // bands
-        if n / (1 << width_floor) > max_bucket / 2:
-            need = math.ceil(
-                math.log2(max(2.0, n / _AUTO_TARGET_BUCKET))
+        if n / (1 << (num_planes // bands)) > max_bucket / 2:
+            num_planes, bands = _auto_band_geometry(
+                n, _AUTO_TARGET_BUCKET, num_planes, bands
             )
-            bands = max(bands, AUTO_GUARD_BANDS)
-            num_planes = max(width_floor, min(24, need)) * bands
     band_keys = _band_keys(F.col(vec_col), num_planes, bands, dim, seed)
 
     # The band self-join emits one row per COLLISION (a pair colliding in k
@@ -847,27 +865,14 @@ def semdedup(
             # census collect is one tiny job over the (persisted)
             # assignment every action needs anyway — it makes
             # construction eager, documented in the docstring.
-            import math
-
             mx = sizes.agg(F.max("__csz").alias("m")).collect()[0]["m"] or 0
             if mx > max_cluster_size:
-                need = math.ceil(
-                    math.log2(max(2.0, 2.0 * mx / max_cluster_size))
+                # expected sub-bucket ~cap/2 (this guard's historical
+                # target; the shared rule documents the raise-only and
+                # bands-escalation semantics)
+                num_planes, bands = _auto_band_geometry(
+                    mx, max_cluster_size / 2.0, num_planes, bands
                 )
-                # clamp only the ESCALATION at 24 bits — an explicitly
-                # finer caller geometry must never be coarsened
-                width_floor = num_planes // bands
-                # BANDS escalate too (round-7): planes sizing fixes the
-                # hot-bucket degeneracy but band COUNT fixes borderline
-                # recall — at threshold 0.90 the round-6 probe measured
-                # 0.84 recall at bands=4 vs 0.97 at bands=8 (each band
-                # is one independent chance for a near-pair to collide).
-                # Raise-only, so a caller who asked for more bands keeps
-                # them; cost is bands rows per vector, oversized
-                # clusters only.
-                bands = max(bands, AUTO_GUARD_BANDS)
-                bits = max(width_floor, min(24, need))
-                num_planes = bits * bands
     a = exact_src.select(
         F.col(id_col).alias("__ida"),
         F.col("cluster_id").alias("__ca"),

@@ -737,8 +737,14 @@ def test_corpus_langid_cli(spark, tmp_path, capsys):
     for flags in (["--vocab", "200"], ["--model-out", model_out],
                   ["--n", "2"], ["--label-col", "lang"],
                   ["--max-chars", "99"]):
-        with pytest.raises(SystemExit, match="trained path"):
+        with pytest.raises(SystemExit, match="trained model"):
             _run(capsys, "corpus-langid", docs, out4, *flags)
+    # training-only flags with a PRE-TRAINED --model refuse too (review
+    # r10): --vocab/--label-col shape training, not scoring
+    for flags in (["--vocab", "200"], ["--label-col", "lang"]):
+        with pytest.raises(SystemExit, match="TRAINING"):
+            _run(capsys, "corpus-langid", docs, out4, "--model", model_out,
+                 *flags)
     assert not os.path.exists(out4)
 
 

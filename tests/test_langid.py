@@ -202,3 +202,38 @@ def test_param_validation(spark):
         train_lang_nb(docs, label_col="text", vocab_size=0)
     with pytest.raises(ValueError, match="smooth_k"):
         train_lang_nb(docs, label_col="text", smooth_k=0)
+
+
+def test_gram_rows_match_array_form_at_every_n(spark):
+    """The codegen enumerator must emit the IDENTICAL gram multiset as
+    explode(_char_ngrams(...)) for every supported n, including the
+    n=1 empty/NULL trap: split('', '') is [''] (size 1), so a
+    size-based count would emit one bogus '' gram per empty doc —
+    review r10 finding, counted from length() instead."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.langid import (
+        _char_ngram_rows,
+        _char_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "a"), (4, "ab\U0001F600"), (5, "Mixed CaßE")],
+        "doc_id long, text string",
+    )
+    for n in (1, 2, 3):
+        new = sorted(
+            (r["doc_id"], r["__g"])
+            for r in _char_ngram_rows(df, ["doc_id"], "text", n, 100).collect()
+        )
+        old = sorted(
+            (r["doc_id"], r["g"])
+            for r in df.select(
+                "doc_id",
+                F.explode(_char_ngrams(F.col("text"), n, 100)).alias("g"),
+            ).collect()
+        )
+        assert new == old, f"gram multiset diverged at n={n}"
+    # empty/NULL docs contribute ZERO grams at n=1 (not one '' gram)
+    n1 = _char_ngram_rows(df, ["doc_id"], "text", 1, 100).collect()
+    assert {r["doc_id"] for r in n1} == {3, 4, 5}
