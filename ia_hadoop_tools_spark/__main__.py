@@ -384,6 +384,14 @@ def cmd_corpus_clean(args):
     out = docs.join(keep, "doc_id")
     out.write.mode("overwrite").parquet(args.output)
     n1 = spark.read.parquet(args.output).count()
+    # surface the recall-contract change when the default hot-bucket cap
+    # actually engaged on this corpus (ADVICE r10; observation already
+    # resolved by the write, so this launches no job)
+    from ia_hadoop_tools_spark.operators.textops import (
+        report_hot_bucket_drops,
+    )
+
+    report_hot_bucket_drops(pairs, "corpus-clean minhash_lsh_pairs")
     print(f"corpus-clean: {n0} -> {n1} docs ({args.output})")
 
 

@@ -116,7 +116,14 @@ def _char_ngram_rows(df, id_cols, text_col: str, n: int, max_chars: int):
     # (size 1), so a size-based count would emit one bogus '' gram per
     # empty/NULL doc at n=1 — length('') = 0 gives the correct zero
     num = F.greatest(F.length(c) - F.lit(n - 1), F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(chars, i + 1, num) for i in range(n)])
+    # each slice is ALIASED so the zipped struct's field names are
+    # pinned by this code ('0'..'n-1'), not by Catalyst's fallback
+    # naming for unnamed arrays_zip children (an internal rule that has
+    # shifted across Spark versions; relying on it would break
+    # getField(str(i)) silently-at-analysis on an upgrade)
+    zipped = F.arrays_zip(
+        *[F.slice(chars, i + 1, num).alias(str(i)) for i in range(n)]
+    )
     return df.select(*id_cols, F.explode(zipped).alias("__z")).select(
         *id_cols,
         F.concat(

@@ -268,6 +268,42 @@ def band_key_array(num_perm: int, bands: int):
     )
 
 
+def report_hot_bucket_drops(df: DataFrame, what: str = "lsh_pairs") -> int:
+    """Log a warning if the pair DataFrame's hot-bucket cap ENGAGED.
+
+    The hot-bucket caps on the pair operators (``minhash_lsh_pairs``,
+    ``simhash_pairs``, ``embedding_neardup_pairs``) silently change the
+    recall contract when a bucket actually exceeds ``max_bucket`` —
+    pairs agreeing ONLY in dropped buckets are excluded.  Call this
+    AFTER the first action on the result (the dropped count rides the
+    action as an ``Observation``, so the read here is free); it logs one
+    ``logging`` warning when band rows were dropped so interactive
+    callers notice the contract engaging, and returns the dropped-row
+    count (0 when the cap never engaged, or when ``df`` carries no
+    observation — cap disabled or rows produced by an older path).
+
+    Deliberately NOT automatic: ``Observation.get`` blocks until an
+    action runs, so an eager in-operator warning would either launch a
+    census job at construction (the round-10 laziness fix removed
+    exactly that) or leak a waiting thread per construction.
+    """
+    obs = getattr(df, "hot_bucket_obs", None)
+    if obs is None:
+        return 0
+    import logging
+
+    dropped = obs.get.get("hot_band_rows") or 0
+    if dropped > 0:
+        logging.getLogger(__name__).warning(
+            "%s: hot-bucket cap engaged — %d band rows dropped; pairs "
+            "agreeing only in dropped buckets are excluded (raise "
+            "max_bucket or pass max_bucket=None for exhaustive recall)",
+            what,
+            dropped,
+        )
+    return int(dropped)
+
+
 def _drop_hot_buckets(
     exploded: DataFrame, max_bucket: int | None, what: str
 ) -> DataFrame:

@@ -151,3 +151,35 @@ def test_bpe_fold_cross_engine_edge_chars(spark):
         ).fetchone()[0]
     con.close()
     assert (got.n_words, got.n_tokens) == (len(words), n_tokens)
+
+
+def test_corpus_first_import_builds_oracles():
+    """Import-order regression (ADVICE r10): the lazy PEP 562
+    CORPUS_ORACLES must build when corpus_queries is imported FIRST
+    (its oracle builders then trigger the circular driver_queries
+    import mid-build), and the result must equal the merged
+    driver_queries view.  A future reordering of driver_queries that
+    moves the composed helpers (SQL_MINHASH_PAIRS, the vector helpers)
+    below its merge section would fail here loudly instead of with a
+    partial-import AttributeError at first registry access.  Fresh
+    interpreter so this test controls the import order."""
+    import subprocess
+    import sys
+
+    code = (
+        "import ia_hadoop_tools_spark.corpus_queries as cq\n"
+        "co = cq.CORPUS_ORACLES\n"
+        "assert isinstance(co, dict) and len(co) == len(cq.CORPUS_QUERIES)\n"
+        "from ia_hadoop_tools_spark.driver_queries import ORACLES\n"
+        "for k, v in co.items():\n"
+        "    assert ORACLES[k] == v, k\n"
+        "print('OK', len(co))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.startswith("OK"), out.stdout
