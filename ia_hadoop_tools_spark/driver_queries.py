@@ -1186,9 +1186,15 @@ SQL_SIMHASH = _simhash_sql()
 
 
 def q_jaccard_pairs(spark, sf_dir):
+    # max_df=None EXPLICITLY: the oracle mirrors exhaustive search, so
+    # this registered row pins the exact contract; the operator's
+    # DEFAULT is the bounded DEFAULT_JACCARD_MAX_DF (round 11)
     d = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        d, shingle_words=SHINGLE_WORDS, threshold=JACCARD_THRESHOLD
+        d,
+        shingle_words=SHINGLE_WORDS,
+        threshold=JACCARD_THRESHOLD,
+        max_df=None,
     )
 
 

