@@ -43,6 +43,37 @@ DEFAULT_QUERIES = [
 ]
 
 
+#: round-11 extension (VERDICT r10 #2): the iterative/pair family not
+#: yet probed one decade past sf1 — the superstep joins (pagerank), the
+#: wedge join (triangles, which already needed TRI_MAX_DAY_POP at sf1),
+#: the minhash band self-join, the ANN probe join, and the jaccard
+#: inverted-index join with the round-11 default max_df bound engaged.
+ROUND11_QUERIES = [
+    "pagerank",
+    "triangles",
+    "minhash_pairs",
+    "ann_lsh",
+    "jaccard_capped",
+]
+
+
+def _q_jaccard_capped(spark, sf_dir):
+    # the operator's round-11 DEFAULT contract (max_df=5000): the
+    # registered jaccard_pairs row pins max_df=None for its exhaustive
+    # oracle — this is the plan a corpus-scale deployment actually runs
+    from ia_hadoop_tools_spark.driver_queries import (
+        JACCARD_THRESHOLD,
+        SHINGLE_WORDS,
+    )
+    from ia_hadoop_tools_spark.operators.textops import ngram_jaccard_pairs
+    from ia_hadoop_tools_spark.session import load_tables
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return ngram_jaccard_pairs(
+        d, shingle_words=SHINGLE_WORDS, threshold=JACCARD_THRESHOLD
+    )
+
+
 def _q_embedding_neardup_auto(spark, sf_dir):
     from ia_hadoop_tools_spark.driver_queries import NEARDUP_COS_THRESHOLD
     from ia_hadoop_tools_spark.operators.similarity import (
@@ -63,8 +94,11 @@ def main() -> None:
         **_REG,
         **PENDING_QUERIES,
         "embedding_neardup_auto": _q_embedding_neardup_auto,
+        "jaccard_capped": _q_jaccard_capped,
     }
     names = sys.argv[3:] or DEFAULT_QUERIES
+    if names == ["round11"]:
+        names = ROUND11_QUERIES
     spark = get_spark("probe-sf10")
     spark.sparkContext.setLogLevel("ERROR")
     out = {}
