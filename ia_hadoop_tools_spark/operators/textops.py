@@ -512,6 +512,18 @@ def simhash_neardup_pairs(
 #: ``max_df=None`` explicitly for the exact/verifier contract.
 DEFAULT_JACCARD_MAX_DF = 5000
 
+#: default candidate-volume budget for ``ngram_jaccard_pairs``: the
+#: per-shingle ``max_df`` cap bounds each KEY, but the join's total
+#: volume is sum(df^2) over surviving shingles — and that is quadratic
+#: in corpus size for a fixed vocabulary even when NO shingle reaches
+#: the cap.  Measured (round-11 sf10 decade probe): the synthetic sf10
+#: corpus has max df 2,500 — the 5,000 cap never engages — yet
+#: sum(df^2) = 2.8e10 candidate rows, which filled an 80 GB disk with
+#: shuffle spill.  2e9 rows (~32 GB of (shingle,id,id) shuffle) is the
+#: largest volume a 32-slot single box absorbs comfortably; on a real
+#: cluster raise it deliberately.
+DEFAULT_JACCARD_MAX_CANDIDATES = 2_000_000_000
+
 
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -520,6 +532,7 @@ def ngram_jaccard_pairs(
     shingle_words: int = 3,
     threshold: float = 0.5,
     max_df: int | None = DEFAULT_JACCARD_MAX_DF,
+    max_candidates: int | None = DEFAULT_JACCARD_MAX_CANDIDATES,
 ) -> DataFrame:
     """n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
 
@@ -536,10 +549,24 @@ def ngram_jaccard_pairs(
     stop-word removal): exact duplicates still score 1.0, while pairs whose
     only overlap was dropped boilerplate disappear. The DEFAULT is
     ``DEFAULT_JACCARD_MAX_DF`` (= the LSH operators' ``max_bucket``
-    default) so the default plan is bounded at any corpus size — matching
-    every other pair-producing API since round 11; pass ``max_df=None``
-    explicitly for the fully exact contract (the registered oracle row
-    does, mirroring exhaustive search).
+    default) so no single key explodes — matching every other
+    pair-producing API since round 11; pass ``max_df=None`` explicitly
+    for the fully exact contract (the registered oracle row does,
+    mirroring exhaustive search).
+
+    ``max_candidates`` is the TOTAL-volume guard the per-key cap cannot
+    provide (see ``DEFAULT_JACCARD_MAX_CANDIDATES``: a corpus where no
+    shingle reaches ``max_df`` can still carry a sum(df^2) that fills
+    the cluster's shuffle disks — the round-11 sf10 probe hit exactly
+    that).  It is LAZY — no job at construction: the surviving
+    inverted-index volume aggregates into a 1-row broadcast, and a
+    ``raise_error`` gate on the join input fails the ACTION fast (first
+    tasks, before the join shuffle materializes) with the measured
+    volume and remediation (lower ``max_df``, or use
+    ``minhash_lsh_pairs`` — candidates-by-signature-collision scales
+    where candidates-by-shared-shingle cannot).  ``None`` disables.
+    Only active on the ``max_df`` path: with ``max_df=None`` you asked
+    for exhaustive search and get exactly that.
     """
     from pyspark import StorageLevel
 
@@ -561,14 +588,39 @@ def ngram_jaccard_pairs(
         # reused and no census job runs at construction time. Sizes are
         # computed over the SURVIVING shingle space, so jaccard stays a true
         # Jaccard of the pruned sets (exact dup -> 1.0).
-        inv = (
-            inv.withColumn(
-                "__df", F.count("*").over(Window.partitionBy("shingle"))
+        inv = inv.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("__df") <= max_df)
+        if max_candidates is not None:
+            # total-volume guard, still lazy: each surviving row carries
+            # its shingle's df, so sum(__df) over rows == sum(df^2) over
+            # shingles == the join's candidate-row count.  The 1-row agg
+            # broadcasts into a raise_error gate evaluated on the join
+            # INPUT — an over-budget corpus fails in the first map tasks
+            # with the measured volume, not after filling the shuffle
+            # disks (round-11 sf10 probe: 2.8e10 candidates, 80 GB
+            # spill, zero shingles at the cap).
+            vol = inv.agg(
+                F.coalesce(F.sum("__df"), F.lit(0)).alias("__cand_vol")
             )
-            .filter(F.col("__df") <= max_df)
-            .drop("__df")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+            gate = F.when(
+                F.col("__cand_vol") > max_candidates,
+                F.raise_error(
+                    F.format_string(
+                        "ngram_jaccard_pairs: candidate volume %s exceeds "
+                        "max_candidates=%s — lower max_df (per-shingle df "
+                        "cap), raise max_candidates deliberately, or use "
+                        "minhash_lsh_pairs (signature-collision candidates "
+                        "scale where shared-shingle candidates cannot)",
+                        F.col("__cand_vol"),
+                        F.lit(str(max_candidates)),
+                    )
+                ),
+            ).otherwise(F.lit(True))
+            inv = inv.join(F.broadcast(vol), gate, "inner").drop(
+                "__cand_vol"
+            )
+        inv = inv.drop("__df").persist(StorageLevel.MEMORY_AND_DISK)
         sizes = inv.groupBy("id").agg(F.count("*").alias("n"))
     else:
         sizes = shingles.select("id", F.size("sh").alias("n"))

@@ -58,9 +58,16 @@ ROUND11_QUERIES = [
 
 
 def _q_jaccard_capped(spark, sf_dir):
-    # the operator's round-11 DEFAULT contract (max_df=5000): the
-    # registered jaccard_pairs row pins max_df=None for its exhaustive
-    # oracle — this is the plan a corpus-scale deployment actually runs
+    # the registered jaccard_pairs row pins max_df=None for its
+    # exhaustive oracle; this probes the BOUNDED corpus-scale
+    # configuration.  max_df=500, NOT the 5000 default: the first
+    # round-11 run of this probe showed the per-key cap alone cannot
+    # bound the join (sf10: max df 2,500 — the default cap never
+    # engages — yet sum(df^2) = 2.8e10 candidate rows filled the disk),
+    # which is why the operator now carries the max_candidates volume
+    # guard; at max_df=500 the sf10 volume is 5.8e8 — inside the
+    # default budget, so this leg also proves the guard passes quietly
+    # when the volume is sane.
     from ia_hadoop_tools_spark.driver_queries import (
         JACCARD_THRESHOLD,
         SHINGLE_WORDS,
@@ -70,7 +77,8 @@ def _q_jaccard_capped(spark, sf_dir):
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return ngram_jaccard_pairs(
-        d, shingle_words=SHINGLE_WORDS, threshold=JACCARD_THRESHOLD
+        d, shingle_words=SHINGLE_WORDS, threshold=JACCARD_THRESHOLD,
+        max_df=500,
     )
 
 

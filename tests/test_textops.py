@@ -301,3 +301,50 @@ def test_ngram_jaccard_default_is_bounded(spark):
     # at df(boiler)=30 <= 5000 the default keeps every shingle: results
     # equal the exact contract (the cap only engages on pathological df)
     assert default == exact
+
+
+def test_ngram_jaccard_candidate_volume_guard(spark):
+    """Round-11 sf10 probe finding: the per-shingle max_df cap bounds
+    each KEY, but sum(df^2) — the join's total candidate volume — is
+    quadratic in corpus size even when no shingle reaches the cap (sf10:
+    max df 2,500 under a 5,000 cap, yet 2.8e10 candidates filled the
+    disk).  The guard must (a) stay lazy at construction, (b) fail the
+    action fast with the measured volume when over budget, (c) stay out
+    of the exact max_df=None contract, and (d) not change results when
+    under budget."""
+    import inspect
+
+    from ia_hadoop_tools_spark.operators.textops import (
+        DEFAULT_JACCARD_MAX_CANDIDATES,
+    )
+
+    sig = inspect.signature(ngram_jaccard_pairs)
+    assert (
+        sig.parameters["max_candidates"].default
+        == DEFAULT_JACCARD_MAX_CANDIDATES
+    )
+
+    docs = _docs(spark)
+    baseline = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.3, max_candidates=None
+        ).collect()
+    )
+    guarded = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    )
+    assert guarded == baseline  # under budget: bit-identical results
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="candidate volume"):
+        ngram_jaccard_pairs(docs, threshold=0.3, max_candidates=1).count()
+
+    # max_df=None (the exact registered contract) never runs the guard,
+    # even with an absurd budget — exhaustive means exhaustive
+    n = ngram_jaccard_pairs(
+        docs, threshold=0.3, max_df=None, max_candidates=1
+    ).count()
+    assert n == len(baseline)
