@@ -226,3 +226,118 @@ def decontaminate(
     # the driver instead of degrading to a shuffle anti-join — AQE picks
     # the broadcast automatically whenever dirty is actually small
     return corpus.join(dirty, id_col, "left_anti")
+
+
+def fuzzy_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str | None = None,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate (paraphrase-level) contamination pairs:
+    ``(id_col, bench_id_col, jaccard)`` for every corpus doc whose word-
+    shingle Jaccard with a benchmark doc reaches ``threshold``.
+
+    The exact n-gram path (:func:`contamination_stats`) misses lightly
+    edited benchmark leakage — a dropped sentence or re-tokenized quote
+    shares near-all shingles but few exact n-token windows at large
+    ``n``.  This is the MinHash-LSH formulation of the same hygiene step
+    (Gopher App. A1.3 uses 13-gram overlap; near-dup decontamination is
+    the Dolma/RedPajama practice): candidates where corpus and benchmark
+    signatures collide in at least one LSH band, verified with the TRUE
+    Jaccard over the shingle sets.
+
+    Scale shape (100 TB corpus, MB-scale benchmark): the benchmark's
+    band table and shingle sets are benchmark-sized — BROADCAST; the
+    corpus side computes signatures in one pass (its only exchange is
+    the signature hash-aggregate) and the band probe is a broadcast
+    join, so the corpus never shuffles on candidates.  Verification
+    joins the candidate ids back to the corpus shingle sets — bounded by
+    the candidate count, with the benchmark side broadcast again.
+    Band geometry (``num_perm``/``bands``) carries the standard LSH
+    recall contract: pairs missed by every band are missed here too
+    (raise ``bands`` for recall; the oracle row mirrors the banded
+    contract exactly, the ``minhash_pairs`` convention).
+    """
+    from ia_hadoop_tools_spark.operators.textops import (
+        band_key_array,
+        ensure_min_partitions,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    btext = bench_text_col or text_col
+    bsh = shingle_sets(benchmark, bench_id_col, btext, shingle_words)
+    bsig = minhash_signatures(
+        benchmark, bench_id_col, btext, num_perm, shingle_words, shingles=bsh
+    )
+    bband = bsig.select(
+        F.col(bench_id_col),
+        F.explode(band_key_array(num_perm, bands)).alias("bucket"),
+    )
+    csh = shingle_sets(
+        ensure_min_partitions(corpus.select(id_col, text_col)),
+        id_col, text_col, shingle_words,
+    )
+    csig = minhash_signatures(
+        corpus, id_col, text_col, num_perm, shingle_words, shingles=csh
+    )
+    cband = csig.select(
+        F.col(id_col),
+        F.explode(band_key_array(num_perm, bands)).alias("bucket"),
+    )
+    cand = (
+        cband.join(F.broadcast(bband), "bucket")
+        .select(id_col, bench_id_col)
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("shingles", "__bsh"))
+    union = F.size("shingles") + F.size("__bsh") - inter
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return (
+        cand.join(csh, id_col)
+        .join(
+            F.broadcast(bsh.select(F.col(bench_id_col), F.col("shingles").alias("__bsh"))),
+            bench_id_col,
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(id_col, bench_id_col, "jaccard")
+    )
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str | None = None,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Corpus rows with NO near-duplicate benchmark match (the
+    :func:`decontaminate` twin over :func:`fuzzy_contamination`).  The
+    dirty-id set is corpus-bounded, so the anti-join is left to AQE —
+    the same no-hint rationale as :func:`decontaminate`."""
+    dirty = fuzzy_contamination(
+        corpus,
+        benchmark,
+        id_col,
+        text_col,
+        bench_id_col,
+        bench_text_col,
+        num_perm,
+        bands,
+        shingle_words,
+        threshold,
+    ).select(id_col).distinct()
+    return corpus.join(dirty, id_col, "left_anti")

@@ -243,3 +243,111 @@ def scrub_pii(
             c, PII_PATTERNS[kind], replacement.format(kind=kind.upper())
         )
     return df.withColumn(text_col, c)
+
+
+def ngram_repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Gopher character-fraction repetition signals (Rae et al. 2021,
+    App. A1.1 — the half of the repetition table ``repetition_stats``
+    does not cover): per doc,
+
+    - ``top_{n}gram_char_frac`` for n in ``top_ns``: characters covered
+      by ALL occurrences of the single most frequent word n-gram,
+      divided by the doc's whitespace-normalized character count;
+    - ``dup_{n}gram_char_frac`` for n in ``dup_ns``: characters covered
+      by every occurrence of every n-gram that occurs more than once,
+      over the same denominator.
+
+    Contract details (shared verbatim with the oracle): an n-gram's
+    character length is its single-space-joined string length;
+    overlapping occurrences count independently (no de-overlap pass —
+    Spark-side de-overlap would need per-doc position sweeps for a
+    signal used only as a monotone threshold), so values are capped at
+    1.0 with ``least``; docs shorter than n words score 0 for that n.
+
+    Scale shape: ONE corpus pass — every (n, gram) explodes from a
+    single projection (per-length generators gated on word count:
+    Spark's ``sequence(1, stop)`` is descending for stop < 1), the
+    (doc, n, gram) count combines map-side, and the per-doc rollup is
+    conditional aggregation over the skinny count rows.  No joins, no
+    window functions, nothing corpus-sized on the driver.
+    """
+    from ia_hadoop_tools_spark.functions.textfns import tokens
+
+    ns = sorted(set(top_ns) | set(dup_ns))
+    w = tokens(F.col(text_col))
+
+    def _gram_fn(n: int):
+        # closure FACTORY, not a default-arg lambda: F.transform treats a
+        # two-parameter lambda as (element, index) — `lambda i, n=n:`
+        # would silently bind n to the POSITION (the decontam._win trap)
+        def at(i):
+            return F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice(w, i, n)).alias("g"),
+            )
+
+        return at
+
+    grams = F.flatten(
+        F.array(
+            *[
+                F.when(
+                    F.size(w) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), (F.size(w) - n + 1).cast("int")),
+                        _gram_fn(n),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<n:int,g:string>>")
+                )
+                for n in ns
+            ]
+        )
+    )
+    counts = (
+        df.select(F.col(id_col), F.explode(grams).alias("__ng"))
+        .select(
+            F.col(id_col),
+            F.col("__ng.n").alias("__n"),
+            F.col("__ng.g").alias("__g"),
+        )
+        .groupBy(id_col, "__n", "__g")
+        .agg(F.count("*").alias("__c"))
+    )
+    chars = F.col("__c") * F.length("__g")
+    aggs = [
+        F.max(F.when(F.col("__n") == n, chars)).alias(f"__top{n}")
+        for n in top_ns
+    ] + [
+        F.sum(
+            F.when((F.col("__n") == n) & (F.col("__c") > 1), chars).otherwise(
+                0
+            )
+        ).alias(f"__dup{n}")
+        for n in dup_ns
+    ]
+    per_doc = counts.groupBy(id_col).agg(*aggs)
+    total = F.length(F.concat_ws(" ", w)).alias("__total")
+    base = df.select(F.col(id_col), total)
+
+    def _frac(num_col: str):
+        return F.round(
+            F.least(
+                F.coalesce(F.col(num_col), F.lit(0)).cast("double")
+                / F.greatest(F.col("__total"), F.lit(1)).cast("double"),
+                F.lit(1.0),
+            ),
+            6,
+        )
+
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        *[_frac(f"__top{n}").alias(f"top_{n}gram_char_frac") for n in top_ns],
+        *[_frac(f"__dup{n}").alias(f"dup_{n}gram_char_frac") for n in dup_ns],
+    )

@@ -200,3 +200,50 @@ def test_short_length_cap_warns_and_truncates(spark, monkeypatch):
     # bench doc is no longer checked, the 4-token one still is
     assert got == {1: False, 2: True}
     assert any("dropping lengths 1..2" in str(w.message) for w in caught)
+
+
+def test_fuzzy_contamination_catches_paraphrase_missed_by_exact(spark):
+    """The MinHash path must flag a lightly edited benchmark quote that
+    the exact large-n window path misses entirely, must NOT flag
+    unrelated docs, and the decontaminate_fuzzy twin must drop exactly
+    the flagged ids."""
+    from ia_hadoop_tools_spark.operators.decontam import (
+        decontaminate_fuzzy,
+        fuzzy_contamination,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while the sun sets slowly behind the tall green hills tonight"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # one word changed mid-sentence: shares NO 12-gram with the
+            # benchmark item but nearly every 3-shingle
+            (1, base.replace("lazy", "sleepy")),
+            (2, "completely unrelated text about spark catalyst plans "
+                "and adaptive query execution engines at scale"),
+            (3, base),  # verbatim copy
+        ],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame(
+        [(100, base)], "bench_id: long, text: string"
+    )
+
+    from ia_hadoop_tools_spark.operators.decontam import contamination_stats
+
+    exact = {
+        r.doc_id: r.contaminated
+        for r in contamination_stats(corpus, bench, n=12).collect()
+    }
+    assert exact == {1: False, 2: False, 3: True}  # exact misses the edit
+
+    pairs = fuzzy_contamination(corpus, bench, threshold=0.5).collect()
+    got = {(r.doc_id, r.bench_id): r.jaccard for r in pairs}
+    assert (3, 100) in got and got[(3, 100)] == 1.0
+    assert (1, 100) in got and 0.5 <= got[(1, 100)] < 1.0
+    assert all(d != 2 for d, _ in got)
+
+    clean = {r.doc_id for r in decontaminate_fuzzy(corpus, bench).collect()}
+    assert clean == {2}

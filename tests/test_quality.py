@@ -95,3 +95,38 @@ def test_scrub_pii_ipv4_not_eaten_by_phone_rule(spark):
     assert "[REDACTED-IPV4]" in text
     assert "192.168" not in text
     assert "[REDACTED-PHONE]" in text
+
+
+def test_ngram_repetition_stats_values(spark):
+    """Hand-computed Gopher character fractions: 'a b a b a b' has
+    top 2-gram 'a b' x3 (overlapping count) = 9 chars over 11 total;
+    dup 2-grams cover ('a b' x3 + 'b a' x2) = 15 chars -> capped 1.0;
+    a no-repetition doc scores the single-occurrence top fraction and
+    zero dup fraction; docs shorter than n score 0 for that n."""
+    from ia_hadoop_tools_spark.operators.quality import (
+        ngram_repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "one two three four"),
+            (3, "x"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r.doc_id: r
+        for r in ngram_repetition_stats(
+            docs, top_ns=(2,), dup_ns=(2, 3)
+        ).collect()
+    }
+    assert out[1].top_2gram_char_frac == round(9 / 11, 6)
+    assert out[1].dup_2gram_char_frac == 1.0  # 15/11 capped
+    # 'a b a' x2 overlapping + 'b a b' x2 = 20 chars -> capped
+    assert out[1].dup_3gram_char_frac == 1.0
+    # all 2-grams occur once; the longest is "three four" (10 chars)
+    assert out[2].top_2gram_char_frac == round(len("three four") / 18, 6)
+    assert out[2].dup_2gram_char_frac == 0.0
+    assert out[3].top_2gram_char_frac == 0.0
+    assert out[3].dup_3gram_char_frac == 0.0
