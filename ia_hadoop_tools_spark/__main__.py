@@ -1256,20 +1256,34 @@ def cmd_cdxj_convert(args):
 
 def cmd_corpus_decontam(args):
     """corpus-decontam: drop docs overlapping a benchmark/eval parquet
-    (n-gram window overlap; the pre-training decontamination step)."""
-    from ia_hadoop_tools_spark.operators.decontam import decontaminate
-
+    (n-gram window overlap; the pre-training decontamination step).
+    ``--fuzzy`` switches to MinHash-LSH near-duplicate matching
+    (shingle-Jaccard >= --threshold), which catches lightly edited
+    benchmark leakage the exact window path misses."""
     spark = _spark(args)
     corpus = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.benchmark)
     n0 = corpus.count()
-    out = decontaminate(
-        corpus, bench, n=args.ngram, min_overlap=args.min_overlap
-    )
+    if args.fuzzy:
+        from ia_hadoop_tools_spark.operators.decontam import (
+            decontaminate_fuzzy,
+        )
+
+        bid = "bench_id" if "bench_id" in bench.columns else "doc_id"
+        out = decontaminate_fuzzy(
+            corpus, bench, bench_id_col=bid, threshold=args.threshold
+        )
+    else:
+        from ia_hadoop_tools_spark.operators.decontam import decontaminate
+
+        out = decontaminate(
+            corpus, bench, n=args.ngram, min_overlap=args.min_overlap
+        )
     out.write.mode("overwrite").parquet(args.output)
     n1 = spark.read.parquet(args.output).count()
+    mode = "fuzzy" if args.fuzzy else "exact"
     print(
-        f"corpus-decontam: {n0} -> {n1} docs "
+        f"corpus-decontam[{mode}]: {n0} -> {n1} docs "
         f"({n0 - n1} contaminated dropped) -> {args.output}"
     )
 
@@ -1395,6 +1409,17 @@ def main(argv=None):
     s.add_argument("output")
     s.add_argument("--ngram", type=int, default=8)
     s.add_argument("--min-overlap", type=int, default=1)
+    s.add_argument(
+        "--fuzzy",
+        action="store_true",
+        help="MinHash-LSH near-duplicate matching instead of exact windows",
+    )
+    s.add_argument(
+        "--threshold",
+        type=float,
+        default=0.5,
+        help="shingle-Jaccard threshold for --fuzzy",
+    )
     s.set_defaults(fn=cmd_corpus_decontam)
 
     s = sub.add_parser(

@@ -242,7 +242,10 @@ def fuzzy_contamination(
 ) -> DataFrame:
     """Near-duplicate (paraphrase-level) contamination pairs:
     ``(id_col, bench_id_col, jaccard)`` for every corpus doc whose word-
-    shingle Jaccard with a benchmark doc reaches ``threshold``.
+    shingle Jaccard with a benchmark doc reaches ``threshold``.  When
+    the benchmark reuses the corpus id name (``bench_id_col ==
+    id_col``, the common doc_id/doc_id case) the bench column comes
+    back as ``bench_{id_col}``.
 
     The exact n-gram path (:func:`contamination_stats`) misses lightly
     edited benchmark leakage — a dropped sentence or re-tokenized quote
@@ -273,12 +276,19 @@ def fuzzy_contamination(
     )
 
     btext = bench_text_col or text_col
-    bsh = shingle_sets(benchmark, bench_id_col, btext, shingle_words)
+    # a benchmark parquet often reuses the corpus id name (doc_id):
+    # rename internally so the candidate join is never ambiguous, and
+    # emit the bench column as bench_{id_col} in that case
+    out_bid = (
+        bench_id_col if bench_id_col != id_col else f"bench_{bench_id_col}"
+    )
+    benchmark = benchmark.withColumnRenamed(bench_id_col, "__bid")
+    bsh = shingle_sets(benchmark, "__bid", btext, shingle_words)
     bsig = minhash_signatures(
-        benchmark, bench_id_col, btext, num_perm, shingle_words, shingles=bsh
+        benchmark, "__bid", btext, num_perm, shingle_words, shingles=bsh
     )
     bband = bsig.select(
-        F.col(bench_id_col),
+        F.col("__bid"),
         F.explode(band_key_array(num_perm, bands)).alias("bucket"),
     )
     csh = shingle_sets(
@@ -294,7 +304,7 @@ def fuzzy_contamination(
     )
     cand = (
         cband.join(F.broadcast(bband), "bucket")
-        .select(id_col, bench_id_col)
+        .select(id_col, "__bid")
         .distinct()
     )
     inter = F.size(F.array_intersect("shingles", "__bsh"))
@@ -303,12 +313,16 @@ def fuzzy_contamination(
     return (
         cand.join(csh, id_col)
         .join(
-            F.broadcast(bsh.select(F.col(bench_id_col), F.col("shingles").alias("__bsh"))),
-            bench_id_col,
+            F.broadcast(
+                bsh.select(F.col("__bid"), F.col("shingles").alias("__bsh"))
+            ),
+            "__bid",
         )
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .select(id_col, bench_id_col, "jaccard")
+        .select(
+            id_col, F.col("__bid").alias(out_bid), "jaccard"
+        )
     )
 
 

@@ -149,8 +149,40 @@ def test_corpus_decontam_cli(spark, tmp_path, capsys):
     ).write.parquet(bench)
     out = str(tmp_path / "dc_out")
     got = _run(capsys, "corpus-decontam", src, bench, out)
-    assert "corpus-decontam: 2 -> 1 docs (1 contaminated dropped)" in got
+    assert "corpus-decontam[exact]: 2 -> 1 docs (1 contaminated dropped)" in got
     assert [r.doc_id for r in spark.read.parquet(out).collect()] == [2]
+
+    # --fuzzy: a one-word edit at position 12 of the 24-token item
+    # leaves no clean 13-token run, so exact --ngram 13 misses it,
+    # while the near-dup detector keeps ~19/25 shingle Jaccard
+    long_item = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while the sun sets slowly behind the tall green hills tonight"
+    )
+    bench2 = str(tmp_path / "dc_bench2")
+    spark.createDataFrame(
+        [(9, long_item)], "doc_id: long, text: string"
+    ).write.parquet(bench2)
+    src2 = str(tmp_path / "dc_docs2")
+    spark.createDataFrame(
+        [
+            (1, long_item.replace("river", "creek")),
+            (2, "a fully original document with no benchmark overlap at all"),
+        ],
+        "doc_id: long, text: string",
+    ).write.parquet(src2)
+    out2 = str(tmp_path / "dc_out2")
+    got = _run(
+        capsys, "corpus-decontam", src2, bench2, out2,
+        "--ngram", "13",
+    )
+    assert "corpus-decontam[exact]: 2 -> 2 docs" in got  # exact misses it
+    out3 = str(tmp_path / "dc_out3")
+    got = _run(
+        capsys, "corpus-decontam", src2, bench2, out3, "--fuzzy",
+    )
+    assert "corpus-decontam[fuzzy]: 2 -> 1 docs (1 contaminated dropped)" in got
+    assert [r.doc_id for r in spark.read.parquet(out3).collect()] == [2]
 
 
 def test_cdxj_convert_cli(spark, tmp_path, capsys):

@@ -218,9 +218,10 @@ def test_fuzzy_contamination_catches_paraphrase_missed_by_exact(spark):
     )
     corpus = spark.createDataFrame(
         [
-            # one word changed mid-sentence: shares NO 12-gram with the
-            # benchmark item but nearly every 3-shingle
-            (1, base.replace("lazy", "sleepy")),
+            # one word changed mid-sentence (position 12 of 24): the
+            # longest unedited run is 12 tokens, so NO 13-token window
+            # survives — but nearly every 3-shingle does
+            (1, base.replace("river", "creek")),
             (2, "completely unrelated text about spark catalyst plans "
                 "and adaptive query execution engines at scale"),
             (3, base),  # verbatim copy
@@ -235,7 +236,7 @@ def test_fuzzy_contamination_catches_paraphrase_missed_by_exact(spark):
 
     exact = {
         r.doc_id: r.contaminated
-        for r in contamination_stats(corpus, bench, n=12).collect()
+        for r in contamination_stats(corpus, bench, n=13).collect()
     }
     assert exact == {1: False, 2: False, 3: True}  # exact misses the edit
 
