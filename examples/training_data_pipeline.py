@@ -4,7 +4,8 @@ the single runnable artifact a new user reads first: every stage of the
 curation chain, in the order a production pipeline runs them.
 
     corpus stats -> quality rules -> NB quality classifier -> trained
-    language ID -> exact + MinHash near-dup dedup -> per-source cap ->
+    language ID -> exact + MinHash near-dup dedup -> benchmark
+    decontamination (exact + fuzzy) -> per-source cap ->
     DSIR target-likeness selection -> temperature mixing -> length/
     source report -> D4 prototype pruning -> BPE + unigram tokenizer
     prep -> sequence packing -> retrieval prep -> split-leakage audits
@@ -33,6 +34,7 @@ STAGES = [
     "nb_quality",
     "lang_id_trained",
     "dedup",
+    "decontam",
     "source_cap",
     "dsir_select",
     "temperature_mix",
@@ -134,6 +136,42 @@ def run(spark, sf_dir: str) -> dict:
         dedup_groups(docs, pairs).filter("keep").select("doc_id"), "doc_id"
     )
     report["dedup"] = docs.count()
+
+    # 4b. benchmark decontamination, exact + fuzzy (GPT-3 App. C /
+    # Dolma practice): the "benchmark" here is a tiny synthetic eval
+    # set carved from the corpus — 8-token windows for the exact pass,
+    # and the SAME items lightly truncated so the MinHash pass has
+    # paraphrase-level leakage to catch that exact windows at n=8 miss
+    from ia_hadoop_tools_spark.functions.textfns import tokens as _toks
+    from ia_hadoop_tools_spark.operators.decontam import (
+        decontaminate,
+        decontaminate_fuzzy,
+    )
+
+    bench = (
+        docs.filter(F.col("doc_id") % 97 == 3)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    _toks(F.col("text")),
+                    1,
+                    F.greatest(F.size(_toks(F.col("text"))) - 3, F.lit(3)),
+                ),
+            ).alias("text"),
+        )
+        .persist()
+    )
+    docs = decontaminate(docs, bench, n=8, bench_text_col="text")
+    fuzzy_clean = decontaminate_fuzzy(docs, bench, threshold=0.5)
+    # two stacked anti-joins plus a minhash pass on top of the dedup
+    # lineage — cut it here (the dsir_select rationale below) and
+    # release the stage's caches before moving on
+    docs = fuzzy_clean.localCheckpoint(eager=False)
+    report["decontam"] = docs.count()
+    bench.unpersist()
+    fuzzy_clean.shingle_cache.unpersist()
 
     # 5. per-source document cap (the RefinedWeb per-domain rule):
     # seeded uniform N-sample per source, so one over-crawled host

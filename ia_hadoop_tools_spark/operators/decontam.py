@@ -291,10 +291,16 @@ def fuzzy_contamination(
         F.col("__bid"),
         F.explode(band_key_array(num_perm, bands)).alias("bucket"),
     )
+    from pyspark import StorageLevel
+
+    # the corpus shingle sets are read TWICE (signature aggregate +
+    # candidate verification) — persist once, hand the cache back via
+    # the shingle_cache handle (the minhash_lsh_pairs convention:
+    # unpersist it after materializing the result)
     csh = shingle_sets(
         ensure_min_partitions(corpus.select(id_col, text_col)),
         id_col, text_col, shingle_words,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     csig = minhash_signatures(
         corpus, id_col, text_col, num_perm, shingle_words, shingles=csh
     )
@@ -310,7 +316,7 @@ def fuzzy_contamination(
     inter = F.size(F.array_intersect("shingles", "__bsh"))
     union = F.size("shingles") + F.size("__bsh") - inter
     jac = F.round(inter.cast("double") / union.cast("double"), 6)
-    return (
+    out = (
         cand.join(csh, id_col)
         .join(
             F.broadcast(
@@ -324,6 +330,8 @@ def fuzzy_contamination(
             id_col, F.col("__bid").alias(out_bid), "jaccard"
         )
     )
+    out.shingle_cache = csh
+    return out
 
 
 def decontaminate_fuzzy(
@@ -342,7 +350,7 @@ def decontaminate_fuzzy(
     :func:`decontaminate` twin over :func:`fuzzy_contamination`).  The
     dirty-id set is corpus-bounded, so the anti-join is left to AQE —
     the same no-hint rationale as :func:`decontaminate`."""
-    dirty = fuzzy_contamination(
+    pairs = fuzzy_contamination(
         corpus,
         benchmark,
         id_col,
@@ -353,5 +361,10 @@ def decontaminate_fuzzy(
         bands,
         shingle_words,
         threshold,
-    ).select(id_col).distinct()
-    return corpus.join(dirty, id_col, "left_anti")
+    )
+    dirty = pairs.select(id_col).distinct()
+    out = corpus.join(dirty, id_col, "left_anti")
+    # pass the corpus-shingle cache handle through (unpersist after the
+    # result materializes)
+    out.shingle_cache = pairs.shingle_cache
+    return out

@@ -28,6 +28,7 @@ EXPECTED_STAGES = [
     "nb_quality",
     "lang_id_trained",
     "dedup",
+    "decontam",
     "source_cap",
     "dsir_select",
     "temperature_mix",
@@ -60,6 +61,7 @@ def test_example_runs_every_stage(spark, sf_dir):
         report["quality_rules"]
         >= report["nb_quality"]
         >= report["dedup"]
+        >= report["decontam"]
         >= report["source_cap"]
         >= report["dsir_select"]
         >= report["temperature_mix"]
