@@ -354,6 +354,27 @@ COMMENTARY = {
         "transform. The join back to docs is AQE-adaptive (broadcast "
         "at small SF, SMJ at scale); the text column never shuffles."
     ),
+    # --- round-11 pending entries (pending_queries.py) ---
+    "decontam_fuzzy": (
+        "Cross-corpus minhash: the benchmark's band table and shingle "
+        "sets are benchmark-sized and must appear as "
+        "BroadcastHashJoins; the corpus side's only wide exchanges are "
+        "the signature hash-aggregate (partial min() combine per "
+        "permutation) and the candidate-bounded verification join back "
+        "to the persisted corpus shingle sets. The corpus text column "
+        "never shuffles, and no exchange carries shingle arrays except "
+        "the candidate-verify input."
+    ),
+    "repeat_ngrams": (
+        "One Generate explodes every (n, gram) struct from a single "
+        "projection (per-length generators gated on word count), the "
+        "(doc, n, gram) count partial-aggregates map-side, and the "
+        "per-doc rollup is conditional aggregation over skinny count "
+        "rows — two exchanges total, both bounded by distinct "
+        "(doc, n, gram) keys; the final fraction projection joins one "
+        "skinny stats table back to (doc_id, total_chars). No window "
+        "functions, no Python."
+    ),
     "unigram_counts": (
         "The bpe_token_counts dictionary shape: corpus-sized work is "
         "the codegen chunk-explode + (id, chunk) groupBy; the Viterbi "
