@@ -826,6 +826,7 @@ BPE_CONTRACT_DOC_MOD = 20  # deterministic 5% corpus slice keeps this cheap
 
 def q_bpe_strict_batch(spark, sf_dir):
     from ia_hadoop_tools_spark.operators.bpe import (
+        _initial_symbol_vocab,
         bpe_train,
         bpe_train_batched,
     )
@@ -835,10 +836,25 @@ def q_bpe_strict_batch(spark, sf_dir):
         .filter(F.col("doc_id") % BPE_CONTRACT_DOC_MOD == 0)
         .select("text")
     )
-    seq = bpe_train(docs, "text", num_merges=BPE_CONTRACT_MERGES)
-    bat = bpe_train_batched(
-        docs, "text", num_merges=BPE_CONTRACT_MERGES, strict=True
-    )
+    # round-11 optimization: both trainers consume the identical initial
+    # symbol vocabulary — share one persisted frame so the corpus pass
+    # (the only corpus-sized job in the contract) runs once, not twice.
+    # Results are unchanged (the frame is exactly what each trainer
+    # would have computed itself).
+    vocab = _initial_symbol_vocab(docs, "text")
+    try:
+        seq = bpe_train(
+            docs, "text", num_merges=BPE_CONTRACT_MERGES, symbol_vocab=vocab
+        )
+        bat = bpe_train_batched(
+            docs,
+            "text",
+            num_merges=BPE_CONTRACT_MERGES,
+            strict=True,
+            symbol_vocab=vocab,
+        )
+    finally:
+        vocab.unpersist()
     rows = [
         (i + 1, s == b) for i, (s, b) in enumerate(zip(seq, bat))
     ]

@@ -102,20 +102,47 @@ def lang_id(col: Column | str) -> Column:
 
 
 def char_shingles(col: Column | str, k: int = 5) -> Column:
-    """All k-char shingles of the lowercased text (empty array if too short)."""
+    """All k-char shingles of the lowercased text (empty array if too short).
+
+    ROUND-11 OPTIMIZATION (the langid ``_char_ngram_rows`` lesson, guide
+    §4.1): the old ``transform(sequence(1, n-k+1), i -> c.substr(i, k))``
+    re-evaluated the FULL ``lower(text)`` subtree per element (lambda
+    bodies embed their own copy of every captured expression on the
+    interpreted HigherOrderFunction path) and each ``substr(c, i, k)`` is
+    an O(i) codepoint seek — quadratic per doc.  Here the char array is
+    built once, k shifted ``slice`` views are zipped, and the per-element
+    lambda only concats k 1-char fields — O(len·k) per doc.  Shingle
+    values/ordering are identical (``split`` and ``substring`` share
+    codepoint granularity; astral parity pinned by the langid tests)."""
     c = F.lower(_c(col))
     n = F.length(c)
-    gen = F.transform(F.sequence(F.lit(1), n - F.lit(k - 1)), lambda i: c.substr(i, F.lit(k)))
+    chars = F.split(c, "")
+    m = n - F.lit(k - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(chars, i + 1, m).alias(str(i)) for i in range(k)]
+    )
+    gen = F.transform(
+        zipped, lambda s: F.concat(*[s[str(i)] for i in range(k)])
+    )
     return F.when(n >= k, gen).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """All n-word shingles (space-joined) of the token stream."""
+    """All n-word shingles (space-joined) of the token stream.
+
+    Zip-of-slices form for the same reason as :func:`char_shingles`: the
+    old ``transform(sequence(...), i -> array_join(slice(t, i, n)))``
+    re-ran the whole ``tokens()`` split+filter per shingle (O(len²) per
+    doc, interpreted); here the token array materializes once per row and
+    the per-element work is an n-field concat."""
     t = tokens(col)
     cnt = F.size(t)
+    m = cnt - F.lit(n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(t, i + 1, m).alias(str(i)) for i in range(n)]
+    )
     gen = F.transform(
-        F.sequence(F.lit(1), cnt - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(t, i, n), " "),
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
     )
     return F.when(cnt >= n, gen).otherwise(F.array().cast("array<string>"))
 

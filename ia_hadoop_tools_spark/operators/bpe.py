@@ -335,6 +335,7 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 10,
     materialize_every: int = 8,
+    symbol_vocab: DataFrame | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges; returns [(a, b, count), ...] in
     merge order.  ACTION: runs 1 corpus job + jobs per merge that touch
@@ -345,12 +346,39 @@ def bpe_train(
     every ``materialize_every`` steps the logical plan is cut with an
     eager localCheckpoint whose predecessor's blocks are explicitly
     released — bounded executor storage at any merge count.
+
+    ``symbol_vocab`` (round-11 optimization) lets a caller training
+    several tokenizers over the SAME corpus (e.g. the strict-batch
+    equivalence contract, which runs this trainer AND the batched one)
+    share one persisted ``_initial_symbol_vocab`` frame — the corpus
+    pass runs once instead of per trainer.  A caller-supplied frame is
+    NEVER unpersisted here (the caller owns its lifecycle); results are
+    identical since the frame is exactly what would be recomputed.
     """
-    vocab = _initial_symbol_vocab(df, text_col)
+    owns_vocab = symbol_vocab is None
+    vocab = (
+        _initial_symbol_vocab(df, text_col) if owns_vocab else symbol_vocab
+    )
+    initial = vocab
+
+    def _release(frame: DataFrame) -> None:
+        if owns_vocab or frame is not initial:
+            frame.unpersist()
+
     merges: list[tuple[str, str, int]] = []
     prev = vocab
     prev_is_checkpoint = False
     last_checkpoint: DataFrame | None = None
+    # ROUND-11 OPTIMIZATION (guide §1.2: remove whole jobs before tuning
+    # per-task work): the old loop ran vocab.count() after every persist
+    # to materialize the child BEFORE unpersisting its parent — one extra
+    # vocab-sized job per merge, doubling the job count of the sequential
+    # path.  Instead persist LAZILY and defer the parent's unpersist until
+    # the NEXT iteration's stats job has materialized the child (the
+    # stats job computes through the child's persist, caching it as a
+    # side effect).  Same safety property — no step ever recomputes from
+    # the corpus — at one vocab job per merge instead of two.
+    pending_unpersist: DataFrame | None = None
     for step_i in range(num_merges):
         top = (
             _pair_stats(vocab)
@@ -358,6 +386,11 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # the stats job above materialized `vocab`'s cache — the deferred
+        # parent can be released now
+        if pending_unpersist is not None:
+            _release(pending_unpersist)
+            pending_unpersist = None
         if not top or top[0]["n"] < 2:
             break
         a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
@@ -375,17 +408,18 @@ def bpe_train(
                 _release_checkpoint(last_checkpoint)
             last_checkpoint = vocab
             if not prev_is_checkpoint:
-                prev.unpersist()
+                _release(prev)
             prev_is_checkpoint = True
         else:
-            vocab = vocab.persist()
-            vocab.count()  # materialize (vocab-sized) before dropping parent
+            vocab = vocab.persist()  # lazy: next stats job materializes
             if not prev_is_checkpoint:
-                prev.unpersist()
+                pending_unpersist = prev
             prev_is_checkpoint = False
         prev = vocab
+    if pending_unpersist is not None:
+        _release(pending_unpersist)
     if not prev_is_checkpoint:
-        prev.unpersist()
+        _release(prev)
     if last_checkpoint is not None and last_checkpoint is not prev:
         _release_checkpoint(last_checkpoint)
     elif prev_is_checkpoint:
@@ -494,6 +528,7 @@ def bpe_train_batched(
     materialize_every: int = 8,
     strict: bool = True,
     rounds_out: list[int] | None = None,
+    symbol_vocab: DataFrame | None = None,
 ) -> list[tuple[str, str, int]]:
     """:func:`bpe_train` with MULTIPLE compatible merges per driver
     round — the fix for the one-driver-round-trip-per-merge cost (a 32k
@@ -536,12 +571,25 @@ def bpe_train_batched(
     """
     if batch_size < 1:
         raise ValueError("batch_size must be >= 1")
-    vocab = _initial_symbol_vocab(df, text_col)
+    owns_vocab = symbol_vocab is None
+    vocab = (
+        _initial_symbol_vocab(df, text_col) if owns_vocab else symbol_vocab
+    )
+    initial = vocab
+
+    def _release(frame: DataFrame) -> None:
+        if owns_vocab or frame is not initial:
+            frame.unpersist()
+
     merges: list[tuple[str, str, int]] = []
     prev = vocab
     prev_is_checkpoint = False
     last_checkpoint: DataFrame | None = None
     applied_since_cut = 0
+    # deferred-unpersist protocol (see bpe_train): the round's stats job
+    # materializes the lazily-persisted vocab, so the parent persists are
+    # released AFTER that job instead of paying a count() job per round
+    pending_unpersist: DataFrame | None = None
     while len(merges) < num_merges:
         stats = _pair_stats(vocab).persist()
         top = (
@@ -549,6 +597,9 @@ def bpe_train_batched(
             .limit(max(64, 4 * batch_size))
             .collect()
         )
+        if pending_unpersist is not None:
+            _release(pending_unpersist)
+            pending_unpersist = None
         batch, lefts, rights = _select_batch(
             top, num_merges - len(merges), batch_size, strict
         )
@@ -599,18 +650,19 @@ def bpe_train_batched(
                 _release_checkpoint(last_checkpoint)
             last_checkpoint = vocab
             if not prev_is_checkpoint:
-                prev.unpersist()
+                _release(prev)
             prev_is_checkpoint = True
             applied_since_cut = 0
         else:
-            vocab = vocab.persist()
-            vocab.count()
+            vocab = vocab.persist()  # lazy: next round's stats job materializes
             if not prev_is_checkpoint:
-                prev.unpersist()
+                pending_unpersist = prev
             prev_is_checkpoint = False
         prev = vocab
+    if pending_unpersist is not None:
+        _release(pending_unpersist)
     if not prev_is_checkpoint:
-        prev.unpersist()
+        _release(prev)
     if last_checkpoint is not None and last_checkpoint is not prev:
         _release_checkpoint(last_checkpoint)
     elif prev_is_checkpoint:

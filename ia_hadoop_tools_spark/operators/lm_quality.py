@@ -40,22 +40,29 @@ DEFAULT_SMOOTH_K = 0.1
 
 def _char_bigrams(df: DataFrame, keep_cols: list, text_col: str) -> DataFrame:
     """(keep_cols..., ctx, nxt) character-bigram rows — the ONE tokenizer
-    shared by training and scoring, so the two can never drift apart."""
+    shared by training and scoring, so the two can never drift apart.
+
+    CODEGEN enumerator (the langid ``_char_ngram_rows`` idiom, round-11
+    optimization): the char array is built ONCE per doc (``split`` is
+    codepoint-aware, matching ``substring``'s codepoint granularity), two
+    shifted ``slice`` views zip into per-position (ctx, nxt) structs, and
+    Generate emits the struct as an attribute — whole-stage codegen end to
+    end.  The previous ``transform(sequence(...), i -> struct(substring(t,
+    i, 1), substring(t, i+1, 1)))`` form ran the per-element lambda on
+    Catalyst's INTERPRETED HigherOrderFunction path with an O(i) codepoint
+    seek per ``substring`` (quadratic per doc).  Gram rows are identical (multiset
+    and values) — the slices of ``split(t, '')`` enumerate exactly the
+    per-position 1-char substrings."""
     t = F.lower(F.col(text_col))
+    chars = F.split(t, "")
+    num = F.length(t) - 1
+    zipped = F.arrays_zip(
+        F.slice(chars, 1, num).alias("ctx"),
+        F.slice(chars, 2, num).alias("nxt"),
+    )
     return (
         df.filter(F.length(t) >= 2)
-        .select(
-            *keep_cols,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(t) - 1),
-                    lambda i: F.struct(
-                        F.substring(t, i, 1).alias("ctx"),
-                        F.substring(t, i + 1, 1).alias("nxt"),
-                    ),
-                )
-            ).alias("__s"),
-        )
+        .select(*keep_cols, F.explode(zipped).alias("__s"))
         .select(*keep_cols, "__s.ctx", "__s.nxt")
     )
 
@@ -119,12 +126,22 @@ def train_char_lm(
     ).filter(F.col("__c") != "")
     vdf = chars.agg(F.count_distinct("__c").alias("__v"))
     bigrams = _char_bigrams(reference, [], text_col)
-    ctx_counts = bigrams.groupBy("ctx").agg(F.count("*").alias("__cn"))
+    # ROUND-11 OPTIMIZATION (guide §2.4 — remove a full corpus pass): the
+    # context total is the row sum of the pair counts (count(ctx) =
+    # Σ_nxt count(ctx, nxt), both exact LONGs), so it is computed with a
+    # window over the charset²-bounded pair table instead of a SECOND
+    # corpus-sized bigram aggregation (the two aggregations shared no
+    # exchange, so the gram enumerator ran twice per model build).
     pair_counts = bigrams.groupBy("ctx", "nxt").agg(
         F.count("*").alias("__pn")
     )
+    from pyspark.sql import Window
+
+    with_ctx = pair_counts.withColumn(
+        "__cn", F.sum("__pn").over(Window.partitionBy("ctx"))
+    )
     return (
-        pair_counts.join(ctx_counts, "ctx")
+        with_ctx
         .crossJoin(F.broadcast(vdf))
         .select(
             "ctx",
@@ -210,10 +227,17 @@ def train_word_lm(
     kept = bigrams.join(
         F.broadcast(vocab.withColumnRenamed("__w", "ctx")), "ctx"
     ).join(F.broadcast(vocab.withColumnRenamed("__w", "nxt")), "nxt")
-    ctx_counts = kept.groupBy("ctx").agg(F.count("*").alias("__cn"))
+    # in-vocab ctx total = Σ_nxt pair count (train_char_lm's round-11
+    # one-pass rule): a window over the vocab²-bounded pair table replaces
+    # the second corpus-sized gram aggregation
     pair_counts = kept.groupBy("ctx", "nxt").agg(F.count("*").alias("__pn"))
+    from pyspark.sql import Window
+
+    with_ctx = pair_counts.withColumn(
+        "__cn", F.sum("__pn").over(Window.partitionBy("ctx"))
+    )
     return (
-        pair_counts.join(ctx_counts, "ctx")
+        with_ctx
         .crossJoin(F.broadcast(vdf))
         .select(
             "ctx",

@@ -62,25 +62,30 @@ def _dup_windows(
     are ~2^-64 per pair); without it the window string itself (exact, used
     by tests to pin hash-vs-string equivalence).
     """
+    # ROUND-11 OPTIMIZATION (the langid _char_ngram_rows idiom): the old
+    # ``posexplode(transform(sequence(0, nt-n), i -> lower(concat_ws(' ',
+    # slice(__toks, i+1, n)))))`` ran the window builder on Catalyst's
+    # INTERPRETED HigherOrderFunction path, one lambda eval + slice copy
+    # per window.  Zipping n shifted slice views and emitting the struct
+    # through Generate keeps the whole window key (lower(concat_ws))
+    # in whole-stage codegen; positions and key values are identical
+    # (posexplode index == the old sequence index).
+    m = F.col("__nt") - F.lit(n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("__toks", i + 1, m).alias(str(i)) for i in range(n)]
+    )
+    key = F.lower(
+        # lower() HERE (window key only): duplicate detection is
+        # case-insensitive, the kept tokens keep their case
+        F.concat_ws(" ", *[F.col("__z").getField(str(i)) for i in range(n)])
+    )
     grams = (
         base.filter(F.col("__nt") >= n)
-        .select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("__nt") - n),
-                    # lower() HERE (window key only): duplicate detection
-                    # is case-insensitive, the kept tokens keep their case
-                    lambda i: F.lower(
-                        F.concat_ws(" ", F.slice("__toks", i + 1, n))
-                    ),
-                )
-            ).alias("pos", "__g"),
-        )
+        .select(id_col, F.posexplode(zipped).alias("pos", "__z"))
         .select(
             id_col,
             "pos",
-            (F.xxhash64("__g") if use_hash else F.col("__g")).alias("__h"),
+            (F.xxhash64(key) if use_hash else key).alias("__h"),
         )
     )
     # grams feeds BOTH the count aggregate and the join below — without a
