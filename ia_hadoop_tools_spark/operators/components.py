@@ -82,12 +82,27 @@ def connected_components(
     from pyspark import StorageLevel
 
     # no distinct: duplicate edges cannot change a min-label propagation,
-    # and deduping would cost a full shuffle of the edge list
+    # and deduping would cost a full shuffle of the edge list.
+    # ROUND-11 OPTIMIZATION (guide §2.4 — don't run the same subtree
+    # twice): symmetrize by exploding a 2-element array per edge instead
+    # of unioning two copies of the edge plan — the union's two children
+    # were separate subtrees, so materializing `sym` executed the whole
+    # upstream pair pipeline (e.g. the full MinHash candidates-and-verify
+    # plan in neardup_clusters) TWICE. One Generate over one pass now.
     sym = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("__e")
         )
+        .select("__e.src", "__e.dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # seed with the one-hop minimum (node itself or any neighbor) — one
@@ -183,9 +198,10 @@ def connected_components_star(
     # must still get its singleton component row (the plain-loop variant
     # keeps it; dropping it here would break the drop-in-swap contract).
     nodes = _truncate_lineage(
-        raw.select(F.col("u").alias("node"))
-        .unionByName(raw.select(F.col("v").alias("node")))
-        .distinct()
+        # explode-of-array instead of a union of two copies of the raw
+        # pair plan: one pass over the upstream pipeline (see the
+        # connected_components symmetrization note)
+        raw.select(F.explode(F.array("u", "v")).alias("node")).distinct()
     )
     def _probe(df):
         # decimal(38,0) sum: ANSI-safe (a long sum of 64-bit hashes overflows)

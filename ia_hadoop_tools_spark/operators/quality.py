@@ -50,8 +50,15 @@ def repetition_stats(
     (both aggregations combine map-side; only skinny rows shuffle), same
     for 2-grams; join the two skinny stat tables back to the ids.
     """
+    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
+
+    # spread the tokenize+explode projections across executor slots: a
+    # one-row-group corpus otherwise tokenizes on a single core (no-op at
+    # scale — textops discipline, round 11). One shared repartitioned
+    # frame feeds both gram shapes.
+    src = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
     words = (
-        df.select(F.col(id_col), F.explode(_words(text_col)).alias("__w"))
+        src.select(F.col(id_col), F.explode(_words(text_col)).alias("__w"))
     )
     wstats = (
         words.groupBy(id_col, "__w")
@@ -79,7 +86,7 @@ def repetition_stats(
     )
     # zip_with pads the shorter side with null — drop the padded tail so a
     # doc of n words yields exactly n-1 bigrams
-    bigrams = df.select(
+    bigrams = src.select(
         F.col(id_col),
         F.explode(
             F.filter(

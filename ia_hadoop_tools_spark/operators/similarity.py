@@ -117,6 +117,7 @@ def ann_bruteforce_topk(
     cosine, ties broken by ascending neighbor id (deterministic).
     """
     from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
+    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
 
     # Precompute each side's norm ONCE per row (not per pair): the pair loop
     # then does a single dot product — 3x fewer vector traversals. The cosine
@@ -126,7 +127,10 @@ def ann_bruteforce_topk(
         F.col(vec_col).alias("__qvec"),
         l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(
+    # corpus side spread across slots (the query side broadcasts); the
+    # per-pair dot-product loop otherwise runs on one core for a
+    # one-row-group corpus — no-op at scale
+    c = ensure_min_partitions(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         l2_norm(F.col(vec_col)).alias("__cn"),
@@ -173,12 +177,16 @@ def ann_lsh_topk(
     the cosine runs once per DISTINCT candidate after vectors join back.
     """
     from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
+    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
 
     band_keys = _band_keys(F.col(vec_col), num_planes, bands, dim, seed)
     qb = queries.select(
         F.col(id_col).alias(query_id_col), F.explode(band_keys).alias("bucket")
     )
-    cb = corpus.select(
+    # corpus-side band hashing spread across slots (queries stay as-is:
+    # that side broadcasts); no-op at scale
+    csrc = ensure_min_partitions(corpus.select(id_col, vec_col))
+    cb = csrc.select(
         F.col(id_col).alias("neighbor_id"), F.explode(band_keys).alias("bucket")
     )
     cand = (
@@ -188,7 +196,7 @@ def ann_lsh_topk(
     )
     # norm once per vector, not per pair — candidates then cost one dot
     # product each (bit-identical cosine, same fold order)
-    cv = corpus.select(
+    cv = csrc.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         l2_norm(F.col(vec_col)).alias("__cn"),
@@ -548,10 +556,18 @@ def embedding_neardup_pairs(
     # collision join + distinct are skinny-row shuffles; (2) cosine runs ONCE
     # per DISTINCT candidate pair after joining vectors back (the same
     # candidates-then-verify shape as minhash_lsh_pairs).
-    from ia_hadoop_tools_spark.operators.textops import _drop_hot_buckets
+    from ia_hadoop_tools_spark.operators.textops import (
+        _drop_hot_buckets,
+        ensure_min_partitions,
+    )
 
+    # spread the per-row LSH bit computation across executor slots: a
+    # one-row-group embeddings table otherwise band-hashes AND computes
+    # every norm on a single core (ensure_min_partitions is a no-op at
+    # scale — textops discipline, applied here in round 11)
+    src = ensure_min_partitions(df.select(id_col, vec_col))
     banded = _drop_hot_buckets(
-        df.select(
+        src.select(
             F.col(id_col).alias("id"), F.explode(band_keys).alias("bucket")
         ),
         max_bucket,
@@ -572,7 +588,7 @@ def embedding_neardup_pairs(
     # pair: the per-pair work drops to a single dot product (3x fewer array
     # traversals on ~1M candidates), and the cosine stays bit-identical —
     # same sequential accumulation for both the norm and the dot.
-    normed = df.select(
+    normed = src.select(
         F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__n")
     )
     va = normed.select(
@@ -621,13 +637,16 @@ def assign_clusters(
     they carry no direction to cluster by).
     """
     from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
+    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
 
     c = centroids.select(
         F.col(centroid_id_col).alias("__cid"),
         F.col(centroid_vec_col).alias("__cvec"),
         l2_norm(F.col(centroid_vec_col)).alias("__cn"),
     )
-    e = df.select(
+    # one-row-group corpora otherwise score every centroid on one core
+    # (no-op at scale — textops discipline, round 11)
+    e = ensure_min_partitions(df.select(id_col, vec_col)).select(
         F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__en")
     )
     denom = F.col("__en") * F.col("__cn")
@@ -826,15 +845,24 @@ def semdedup(
     # broadcast-NLJ has no exchange for ReuseExchange to dedup — without a
     # persist the corpus would re-score against every centroid 3x per
     # action (same pattern as embedding_neardup_pairs' banded persist).
-    assigned = assign_clusters(
-        df, centroids, id_col=id_col, vec_col=vec_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    withvec = assigned.join(df.select(id_col, vec_col), id_col).select(
-        F.col(id_col),
-        "cluster_id",
-        F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("__n"),
+    # ROUND-11 OPTIMIZATION (guide §5 — cache the thing every consumer
+    # reads): persist the vector-attached frame, not the bare assignment.
+    # The old shape cached `assigned` and re-ran the assigned-x-corpus
+    # join once per self-join side; now scoring AND the vector join run
+    # once, and the census/final-verdict consumers read the same cache
+    # (they only project (id, cluster_id) off it).
+    withvec = (
+        assign_clusters(df, centroids, id_col=id_col, vec_col=vec_col)
+        .join(df.select(id_col, vec_col), id_col)
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("__n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    assigned = withvec.select(id_col, "cluster_id")
     oversized_obs = None
     if max_cluster_size is None:
         exact_src, lsh_src = withvec, None
@@ -925,8 +953,9 @@ def semdedup(
             F.col("__dup_id").isNotNull().alias("is_dup"),
         )
     )
-    # release handle (the shingle_cache convention in textops.py)
-    out.assign_cache = assigned
+    # release handle (the shingle_cache convention in textops.py) — the
+    # persisted frame is the vector-attached one now
+    out.assign_cache = withvec
     out.oversized_obs = oversized_obs
     return out
 

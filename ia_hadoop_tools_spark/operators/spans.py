@@ -132,24 +132,45 @@ def span_dedup_stats(
         .persist(StorageLevel.MEMORY_AND_DISK)  # grams side + stats join
     )
     dw = _dup_windows(base, id_col, n, min_count, use_hash)
-    per_doc = dw.groupBy(id_col).agg(F.count("*").alias("dup_ngrams"))
-    cov = (
-        dw.select(
-            id_col,
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias(
-                "__ti"
+    # ROUND-11 OPTIMIZATION (guide §2.3/§2.4 — aggregate before you
+    # shuffle, and don't shuffle rows you can compute away): the old
+    # covered_tokens path exploded every window into its n positions and
+    # ran distinct().groupBy() — two corpus-wide exchanges over n x
+    # dup_windows rows, on top of a separate count aggregation for
+    # dup_ngrams (dw consumed twice, so the grams-join subtree executed
+    # twice). The window positions of ONE doc are unique and sorted-able,
+    # and all windows have equal length n, so the size of the interval
+    # union is n + sum over consecutive sorted positions of
+    # min(n, p_i - p_{i-1}) — computable per doc from the collected
+    # position list in ONE aggregation that also yields dup_ngrams.
+    # 3 exchanges -> 1, and dw (with its upstream join) runs once.
+    ps = F.sort_array(F.collect_list("pos"))
+    covered = F.when(
+        F.size(ps) == 0, F.lit(0)
+    ).otherwise(
+        F.aggregate(
+            ps,
+            F.struct(
+                F.lit(-n).alias("prev"), F.lit(0).alias("tot")
             ),
+            lambda acc, p: F.struct(
+                p.alias("prev"),
+                (acc["tot"] + F.least(F.lit(n), p - acc["prev"])).alias(
+                    "tot"
+                ),
+            ),
+            lambda acc: acc["tot"],
         )
-        .distinct()
-        .groupBy(id_col)
-        .agg(F.count("*").alias("covered_tokens"))
+    )
+    stats = dw.groupBy(id_col).agg(
+        F.count("*").alias("dup_ngrams"),
+        covered.cast("long").alias("covered_tokens"),
     )
     out = (
         # long n_tokens: size() is int32, counts are int64 — keep the stat
         # columns uniformly 64-bit
         base.select(id_col, F.col("__nt").cast("long").alias("n_tokens"))
-        .join(per_doc, id_col, "left")
-        .join(cov, id_col, "left")
+        .join(stats, id_col, "left")
         .fillna(0, ["dup_ngrams", "covered_tokens"])
         .withColumn(
             "coverage",
