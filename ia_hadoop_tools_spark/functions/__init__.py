@@ -18,6 +18,10 @@ from ia_hadoop_tools_spark.functions.hashfns import (  # noqa: F401
 )
 from ia_hadoop_tools_spark.functions.vectorfns import (  # noqa: F401
     cosine_similarity,
+    cosine_similarity_arrow,
     dot_product,
+    dot_product_arrow,
     l2_norm,
+    l2_norm_arrow,
+    plane_dots_arrow,
 )

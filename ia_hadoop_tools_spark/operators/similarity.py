@@ -14,8 +14,20 @@
 - ``embedding_neardup_pairs``: near-duplicate vector pairs (cosine >= t) via
   the same LSH codes: self-join per bucket, verify true cosine.
 
-All vector math is codegen'd column expressions (functions/vectorfns.py) —
-no Python in the loop.
+Vector math split (round 11, measured by scripts/ab_vec_r11.py):
+
+- LSH PLANE dots (the band-hash inner loop — n_planes dots per row) run
+  Arrow-batched (functions/vectorfns.plane_dots_arrow): numpy
+  accumulation sequential over the dimension, bit-identical to the
+  ``zip_with``+``aggregate`` fold it replaced, which was CodegenFallback
+  (interpreted per element). Interleaved A/B: ann_lsh x0.37,
+  embedding_neardup_lsh x0.50, embedding_neardup_capped x0.48.
+- PER-PAIR dots and norms STAY column expressions (vectorfns.dot_product/
+  l2_norm): they sit inside join+filter pipelines where the HOF evaluates
+  inline and prunes immediately; routing them through an ArrowEvalPython
+  boundary materializes every candidate pair's vectors across the Python
+  boundary first — measured x1.1-2.6 SLOWER across all eight
+  embedding-family registry queries with plane dots held fixed.
 """
 
 from __future__ import annotations
@@ -36,23 +48,31 @@ def hyperplanes(num: int, dim: int, seed: int = 42) -> list[list[float]]:
 def _lsh_code_bits(vec_col, planes: list[list[float]]):
     """One sign bit per hyperplane: 1 iff <v, plane> >= 0.
 
-    A vector whose length differs from the plane dimension RAISES:
-    zip_with null-pads the shorter side, the dot goes null, and every
-    bit would silently come out 0 — identical codes for all vectors,
-    turning the "approximate" search into a full cross join.
+    A vector whose length differs from the plane dimension RAISES: the
+    plane dots come back null for it, and every bit would otherwise
+    silently come out 0 — identical codes for all vectors, turning the
+    "approximate" search into a full cross join.
+
+    ROUND-11 OPTIMIZATION (guide §4.2): the per-plane
+    ``zip_with``+``aggregate`` dots were CodegenFallback — interpreted
+    per ELEMENT (16 planes x dim evaluations per row) and disabling
+    whole-stage codegen around them. All plane dots now come from ONE
+    Arrow-batched pass (``plane_dots_arrow``: numpy accumulation
+    sequential over the dim, vectorized over rows — bit-identical fold,
+    asserted by scripts/probe_vec_codegen.py; measured 5.8x on the
+    band-hash stage at sf0.1). The sign/raise guard stays JVM-side.
     """
+    from ia_hadoop_tools_spark.functions.vectorfns import plane_dots_arrow
+
     dim = len(planes[0])
+    dots = plane_dots_arrow(vec_col, planes)
     bits = []
-    for pl in planes:
-        arr = F.array(*[F.lit(x) for x in pl])
-        dot = F.aggregate(
-            F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        # the otherwise-branch fires for a null dot: either a length
-        # mismatch (zip_with null-pads) or a NaN component (NaN fails
-        # both sign comparisons) — name both so the error is actionable
+    for p in range(len(planes)):
+        dot = F.get(dots, p)
+        # the otherwise-branch fires for a null dot: a length mismatch
+        # (null plane-dots array) or a null vector — name the actionable
+        # cause. (A NaN component compares NaN-largest into bit 1 on both
+        # the old and new paths.)
         bits.append(
             F.when(dot >= 0.0, F.lit(1))
             .when(dot < 0.0, F.lit(0))

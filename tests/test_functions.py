@@ -167,6 +167,108 @@ def test_vector_functions(spark):
     assert abs(r.c - 0.9838699100999074) < 1e-12
 
 
+def test_arrow_vector_math_bit_identical_to_expressions(spark):
+    """Round-11: the Arrow-vectorized dots (numpy accumulation sequential
+    over the dim, vectorized over rows) must be BIT-identical to the
+    zip_with+aggregate expression fold — the LSH band keys and every
+    oracle-pinned cosine depend on exact equality."""
+    import random
+
+    from ia_hadoop_tools_spark.functions.vectorfns import (
+        dot_product,
+        dot_product_arrow,
+        l2_norm,
+        l2_norm_arrow,
+        plane_dots_arrow,
+    )
+    from ia_hadoop_tools_spark.operators.similarity import hyperplanes
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(16)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id: long, v: array<float>")
+    planes = hyperplanes(4, 16, seed=11)
+    from pyspark.sql import functions as F
+
+    # HOF per-plane dots (the shape plane_dots_arrow replaced)
+    hof_dots = [
+        F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.array(*[F.lit(x) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for p in planes
+    ]
+    pda = plane_dots_arrow(F.col("v"), planes)
+    deltas = df.select(
+        *[
+            F.max(F.abs(hof_dots[i] - F.get(pda, i))).alias(f"p{i}")
+            for i in range(len(planes))
+        ],
+        F.max(F.abs(dot_product("v", "v") - dot_product_arrow("v", "v"))).alias(
+            "dd"
+        ),
+        F.max(F.abs(l2_norm("v") - l2_norm_arrow("v"))).alias("dn"),
+    ).collect()[0]
+    assert all(x == 0.0 for x in deltas), deltas
+
+
+def test_arrow_vector_math_null_and_mismatch_contract(spark):
+    """Null vector -> null dot on both paths; a wrong-length vector makes
+    plane_dots_arrow yield null (the band-key sign guard then raises)."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.functions.vectorfns import (
+        dot_product_arrow,
+        plane_dots_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None)], "id: long, v: array<double>"
+    )
+    got = {
+        r.id: (r.d, r.p)
+        for r in df.select(
+            "id",
+            dot_product_arrow("v", "v").alias("d"),
+            plane_dots_arrow(F.col("v"), [[1.0, 1.0], [2.0, 0.0]]).alias("p"),
+        ).collect()
+    }
+    assert got[0] == (5.0, [3.0, 2.0])
+    assert got[1] == (None, None)
+    # wrong-length row -> null dots array (not a wrong value)
+    short = spark.createDataFrame([(0, [1.0],)], "id: long, v: array<double>")
+    r = short.select(
+        plane_dots_arrow(F.col("v"), [[1.0, 1.0]]).alias("p")
+    ).collect()[0]
+    assert r.p is None
+
+
+def test_vectorfns_importable_without_session():
+    """The Arrow UDF wrappers must be created lazily at plan-build time:
+    executor Python workers import this module with NO active session (a
+    module-level @pandas_udf raises SESSION_OR_CONTEXT_NOT_EXISTS there)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import ia_hadoop_tools_spark.functions.vectorfns; print('ok')",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0 and "ok" in out.stdout, out.stderr[-2000:]
+
+
 def test_url_resolve_scheme_prefix_not_substring(spark):
     """A relative link with an absolute URL embedded in its query must
     still resolve against the base (the '://' substring test skipped it)."""
