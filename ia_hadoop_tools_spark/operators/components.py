@@ -50,7 +50,7 @@ def release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
-def _truncate_lineage(df: DataFrame) -> DataFrame:
+def _truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize ``df`` and cut its logical plan to a leaf.
 
     Iterative graph loops MUST break lineage every round: each round's plan
@@ -61,11 +61,24 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     Uses a reliable checkpoint when the session has a checkpoint dir (the
     cluster-correct choice: survives executor loss), else an eager
     ``localCheckpoint`` (fine for local/bounded loops).
+
+    ``eager=False`` (round-11, guide §1.2 — remove whole jobs): the plan is
+    cut IMMEDIATELY either way (the returned frame is a leaf over the
+    checkpoint-marked RDD); laziness only defers block materialization to
+    the caller's next action over the frame.  Loop callers whose very next
+    statement is the convergence probe pass False so the probe job doubles
+    as the materialization job — one job per round instead of two.  Callers
+    that release a PARENT checkpoint before their next action must stay
+    eager (an unmaterialized child cannot recompute through freed parent
+    blocks).  Only the localCheckpoint branch honors it: a lazy RELIABLE
+    checkpoint recomputes the whole plan a second time when the checkpoint
+    files are written (the classic rdd.checkpoint caveat), so the cluster
+    branch would pay double compute per round for the saved job.
     """
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isDefined():
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=eager)
 
 
 def connected_components(
@@ -111,7 +124,8 @@ def connected_components(
     # twice per round, so an uncut plan doubles per iteration.
     labels = _truncate_lineage(
         sym.groupBy(F.col("src").alias("node"))
-        .agg(F.least(F.min("dst"), F.min("src")).alias("comp"))
+        .agg(F.least(F.min("dst"), F.min("src")).alias("comp")),
+        eager=False,  # the probe on the next line materializes it
     )
 
     def _probe(df):
@@ -136,7 +150,9 @@ def connected_components(
         new_labels = _truncate_lineage(
             labels.unionByName(offers)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp")),
+            eager=False,  # materialized by the probe below, BEFORE the
+            # superseded parent's blocks are released
         )
         new_probe = _probe(new_labels)
         # new_labels is materialized: the superseded round's checkpoint
@@ -189,7 +205,8 @@ def connected_components_star(
     """
     raw = edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     e = _truncate_lineage(
-        raw.filter(F.col("u") != F.col("v")).distinct()
+        raw.filter(F.col("u") != F.col("v")).distinct(),
+        eager=False,  # materialized by the initial probe below
     )
     # checkpointed (not persisted): nodes must stay computable after the
     # loop releases the initial edge checkpoint it derives from, and the
@@ -201,7 +218,11 @@ def connected_components_star(
         # explode-of-array instead of a union of two copies of the raw
         # pair plan: one pass over the upstream pipeline (see the
         # connected_components symmetrization note)
-        raw.select(F.explode(F.array("u", "v")).alias("node")).distinct()
+        raw.select(F.explode(F.array("u", "v")).alias("node")).distinct(),
+        # lazy: consumed exactly once, by the (eager) final labels join —
+        # whose materialization runs this plan against raw's captured
+        # physical RDD, which no per-round release touches
+        eager=False,
     )
     def _probe(df):
         # decimal(38,0) sum: ANSI-safe (a long sum of 64-bit hashes overflows)
@@ -241,7 +262,9 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(smins.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
+            .distinct(),
+            eager=False,  # materialized by the probe below, BEFORE the
+            # superseded edge checkpoint's blocks are released
         )
         new_probe = _probe(small)
         # small is materialized: release the superseded edge checkpoint
