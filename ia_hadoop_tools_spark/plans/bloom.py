@@ -167,6 +167,29 @@ def _or_masks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"mask": [acc.tobytes()]})
 
 
+def _needs_mask_reduce(df: DataFrame) -> bool:
+    """True when the scan could yield more than MASK_REDUCE_PARTITIONS
+    partitions — decided from the optimizer's LEAF size estimates, zero
+    execution (round-11: an ``.rdd.getNumPartitions()`` probe executes
+    every upstream AQE stage when the build side contains a shuffle or
+    broadcast join — see textops.ensure_min_partitions). Conservative
+    toward APPLYING the second reduce level: an unknown or inflated
+    estimate costs one repartition of KB-sized mask rows; skipping it
+    wrongly would collect a mask row per partition on the driver."""
+    try:
+        from ia_hadoop_tools_spark.operators.textops import (
+            _max_partition_bytes,
+        )
+
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            total += int(str(leaves.apply(i).stats().sizeInBytes()))
+        return total > MASK_REDUCE_PARTITIONS * _max_partition_bytes(df)
+    except Exception:
+        return True  # safe side: bounded extra level, tiny rows
+
+
 def bloom_build(
     df: DataFrame,
     key_col: str,
@@ -191,7 +214,7 @@ def bloom_build(
     nbytes = num_bits // 8
 
     partials = hashed.mapInPandas(_or_fold(num_hashes, nbytes), "mask binary")
-    if hashed.rdd.getNumPartitions() > MASK_REDUCE_PARTITIONS:
+    if _needs_mask_reduce(hashed):
         # bounded second level: without it the driver would collect one
         # mask row PER PARTITION (1 MiB x 10^5+ partitions at 100 TB)
         partials = partials.repartition(MASK_REDUCE_PARTITIONS).mapInPandas(
