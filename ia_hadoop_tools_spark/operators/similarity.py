@@ -372,6 +372,7 @@ def ann_ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: DataFrame | None = None,
+    assign_method: str = "join",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
     cells, probe only the ``nprobe`` nearest cells per query.
@@ -417,26 +418,70 @@ def ann_ivf_topk(
     # nearest centroid per corpus vector: broadcast NL join + max_by aggregate
     # (partial map-side combine; no per-vector window shuffle). max over
     # (cosine, -cid) == max cosine, ties to the LOWER centroid id.
+    # ``assign_method="projection"`` (round-11, same knob as
+    # assign_clusters) folds the whole step into one map-only projection —
+    # no k-row blowup, no exchange, one Arrow matrix pass for the dots;
+    # max_by's struct ordering is reproduced exactly by greatest(struct)
+    # (including the zero-norm-vector case, where every cosine is NULL and
+    # both orderings fall through to the smallest centroid id).  Default
+    # stays "join": faster at bench SFs, fully lazy construction.
+    if assign_method not in ("join", "projection"):
+        raise ValueError(
+            f"assign_method must be 'join' or 'projection', got {assign_method!r}"
+        )
     vecs = corpus.select(
         F.col(id_col).alias("__vid"),
         F.col(vec_col).alias("__vec"),
         l2_norm(F.col(vec_col)).alias("__norm"),
     )
-    assigned = (
-        vecs.crossJoin(F.broadcast(cent))
-        .select(
-            "__vid", "__vec", "__norm",
-            F.col("__cid"), cos_c.alias("__cos"),
+    if assign_method == "projection":
+        from ia_hadoop_tools_spark.functions.vectorfns import plane_dots_arrow
+
+        cid_type = cent.schema["__cid"].dataType
+        crows = sorted(
+            cent.select(
+                "__cid", "__cvec", F.col("__cnorm").alias("__cn")
+            ).collect(),
+            key=lambda r: r["__cid"],
         )
-        .groupBy("__vid")
-        .agg(
-            F.max_by(
-                F.col("__cid"), F.struct(F.col("__cos"), -F.col("__cid"))
-            ).alias("__cell"),
-            F.first("__vec").alias("__vec"),
-            F.first("__norm").alias("__norm"),
+        if not crows:  # join path: empty broadcast side -> empty assigned
+            assigned = vecs.select(
+                "__vid", "__vec", "__norm",
+                F.lit(None).cast(cid_type).alias("__cell"),
+            ).filter(F.lit(False))
+        else:
+            mat = _centroid_matrix(crows)
+            dotted = vecs.select(
+                "__vid", "__vec", "__norm",
+                (
+                    plane_dots_arrow(F.col("__vec"), mat)
+                    if mat
+                    else F.lit(None).cast("array<double>")
+                ).alias("__dots"),
+            )
+            best = _centroid_best_struct(
+                crows, F.col("__norm"), F.col("__dots")
+            )
+            assigned = dotted.select(
+                "__vid", "__vec", "__norm",
+                (-best["__nid"]).cast(cid_type).alias("__cell"),
+            )
+    else:
+        assigned = (
+            vecs.crossJoin(F.broadcast(cent))
+            .select(
+                "__vid", "__vec", "__norm",
+                F.col("__cid"), cos_c.alias("__cos"),
+            )
+            .groupBy("__vid")
+            .agg(
+                F.max_by(
+                    F.col("__cid"), F.struct(F.col("__cos"), -F.col("__cid"))
+                ).alias("__cell"),
+                F.first("__vec").alias("__vec"),
+                F.first("__norm").alias("__norm"),
+            )
         )
-    )
     # nprobe nearest cells per query (query set is small: window is cheap)
     q = queries.select(
         F.col(id_col).alias(query_id_col),
@@ -638,6 +683,44 @@ def embedding_neardup_pairs(
     return out
 
 
+def _centroid_best_struct(
+    rows: list, en, dots
+) -> "Column":
+    """``greatest(struct(round(cos, 6), -cid), ...)`` over driver-collected
+    centroid rows — the SAME struct ordering ``max``/``max_by`` apply to the
+    join-path's per-pair structs (ties to the smaller cid, NULL cosine
+    fields order below every non-null cosine, NaN above), so the winner is
+    identical row for row.  ``rows`` are (__cid, __cvec, __cn) sorted by
+    __cid; ``en``/``dots`` are the caller's norm / plane_dots_arrow columns
+    (null-vector centroids contribute a NULL-cosine struct, exactly the
+    join path's null dot)."""
+    structs = []
+    j = 0
+    for r in rows:
+        nid = F.lit(-r["__cid"]).cast("long")
+        if r["__cvec"] is None:
+            cos = F.lit(None).cast("double")
+        else:
+            den = en * F.lit(r["__cn"])
+            cos = F.round(F.when(den != 0.0, dots[j] / den), 6)
+            j += 1
+        structs.append(F.struct(cos.alias("__cos"), nid.alias("__nid")))
+    return F.greatest(*structs) if len(structs) > 1 else structs[0]
+
+
+def _centroid_matrix(rows: list) -> list[list[float]]:
+    """Rectangular plane matrix from the non-null centroid vectors (the
+    projection path needs fixed-dim centroids; the join path pads ragged
+    dims to a null dot, which has no matrix equivalent — raise loudly)."""
+    mat = [list(r["__cvec"]) for r in rows if r["__cvec"] is not None]
+    if len({len(v) for v in mat}) > 1:
+        raise ValueError(
+            "projection assignment needs fixed-dimension centroids; got "
+            f"dims {sorted({len(v) for v in mat})}"
+        )
+    return mat
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: DataFrame,
@@ -645,6 +728,7 @@ def assign_clusters(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid",
+    method: str = "join",
 ) -> DataFrame:
     """Nearest-centroid (max-cosine) assignment: (id_col, cluster_id, cos).
 
@@ -655,15 +739,67 @@ def assign_clusters(
     and bit-stable across engines (the oracle applies the same rule).
     Zero-norm vectors assign to no centroid and are dropped (documented —
     they carry no direction to cluster by).
+
+    ``method`` (round-11, the pagerank ``cache_edges`` pattern — a
+    parameterised scale-dependent plan choice, measured both ways):
+
+    - ``"join"`` (default): broadcast NL join -> k rows per vector ->
+      groupBy argmax.  Fastest at bench SFs (probe: x1.28 vs projection
+      at sf0.1 — the Arrow boundary + the centroid collect cost more than
+      the skinny exchange there); keeps construction fully lazy.
+    - ``"projection"``: collect the bounded centroid table once (k rows
+      by construction) and fold the whole argmax into ONE map-only
+      projection — ``plane_dots_arrow`` (one Arrow-batched matrix pass,
+      bit-identical sequential accumulation) + ``greatest(struct(...))``
+      (the same ordering the join path's ``max`` uses).  Plan: Exchange
+      x6 -> x0 on the sf0.1 probe, and the n*k interpreted HOF dot
+      evaluations (~4k element-evals per vector at k=64, dim=64) become
+      one numpy pass.  The right choice at cluster scale, where the
+      per-vector CPU and the corpus exchange dominate the one k-row
+      collect job.  Values identical (probe + pinned tests: real data,
+      zero vectors, zero/null centroids, ties).
     """
     from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
     from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
 
+    if method not in ("join", "projection"):
+        raise ValueError(f"method must be 'join' or 'projection', got {method!r}")
     c = centroids.select(
         F.col(centroid_id_col).alias("__cid"),
         F.col(centroid_vec_col).alias("__cvec"),
         l2_norm(F.col(centroid_vec_col)).alias("__cn"),
     )
+    if method == "projection":
+        from ia_hadoop_tools_spark.functions.vectorfns import plane_dots_arrow
+
+        rows = sorted(c.collect(), key=lambda r: r["__cid"])
+        if not rows:  # join path: empty broadcast side -> empty output
+            return df.select(
+                F.col(id_col),
+                F.lit(None).cast("long").alias("cluster_id"),
+                F.lit(None).cast("double").alias("cos_to_centroid"),
+            ).filter(F.lit(False))
+        mat = _centroid_matrix(rows)
+        src = ensure_min_partitions(df.select(id_col, vec_col)).select(
+            F.col(id_col),
+            l2_norm(F.col(vec_col)).alias("__en"),
+            (
+                plane_dots_arrow(F.col(vec_col), mat)
+                if mat
+                else F.lit(None).cast("array<double>")
+            ).alias("__dots"),
+        )
+        best = _centroid_best_struct(rows, F.col("__en"), F.col("__dots"))
+        return (
+            src.select(
+                F.col(id_col),
+                (-best["__nid"]).cast("long").alias("cluster_id"),
+                best["__cos"].alias("cos_to_centroid"),
+            )
+            # exactly the join path's membership rule: a row survives iff
+            # at least one (vector, centroid) pair had denom != 0
+            .filter(F.col("cos_to_centroid").isNotNull())
+        )
     # one-row-group corpora otherwise score every centroid on one core
     # (no-op at scale — textops discipline, round 11)
     e = ensure_min_partitions(df.select(id_col, vec_col)).select(
@@ -793,6 +929,7 @@ def semdedup(
     dim: int = 64,
     seed: int = 42,
     auto_planes: bool = True,
+    assign_method: str = "join",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     clustering the embedding space and dropping near-identical vectors
@@ -872,7 +1009,9 @@ def semdedup(
     # once, and the census/final-verdict consumers read the same cache
     # (they only project (id, cluster_id) off it).
     withvec = (
-        assign_clusters(df, centroids, id_col=id_col, vec_col=vec_col)
+        assign_clusters(
+            df, centroids, id_col=id_col, vec_col=vec_col, method=assign_method
+        )
         .join(df.select(id_col, vec_col), id_col)
         .select(
             F.col(id_col),
@@ -989,6 +1128,7 @@ def prototype_prune(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid",
+    assign_method: str = "join",
 ) -> DataFrame:
     """Cluster-aware data pruning by prototypicality — the D4 step that
     composes with :func:`semdedup` (Tirumala et al. 2023 "D4: Improving
@@ -1048,6 +1188,7 @@ def prototype_prune(
         vec_col=vec_col,
         centroid_id_col=centroid_id_col,
         centroid_vec_col=centroid_vec_col,
+        method=assign_method,
     )
     order = (
         F.col("cos_to_centroid").asc()

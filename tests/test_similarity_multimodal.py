@@ -658,3 +658,120 @@ def test_netpbm_resize_upscale_and_color(spark):
     rows = [px[i * 12 : (i + 1) * 12] for i in range(2)]
     assert rows[0] == rows[1]  # vertical replication
     assert rows[0] == [255, 0, 0, 255, 0, 0, 0, 0, 255, 0, 0, 255]
+
+
+def _rows_sorted(df, key):
+    return sorted(map(tuple, df.collect()), key=lambda t: t[: len(key)])
+
+
+def test_assign_projection_matches_join(spark, sf_dir):
+    """assign_clusters(method="projection") — the round-11 parameterised
+    scale path (collect the bounded centroid table, one Arrow matrix pass +
+    greatest(struct) argmax, zero exchanges) — is value-identical to the
+    default join path on real data AND on the documented edge semantics
+    (zero vector dropped, zero/NULL centroid never wins, ties to the
+    smaller centroid id)."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.similarity import assign_clusters
+    from ia_hadoop_tools_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cent = emb.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    join_out = assign_clusters(emb, cent)
+    proj_out = assign_clusters(emb, cent, method="projection")
+    assert _rows_sorted(join_out, ("vec_id",)) == _rows_sorted(
+        proj_out, ("vec_id",)
+    )
+
+    # the projection plan is map-only: the join path's argmax aggregation
+    # exchange is gone (the only Exchange left is ensure_min_partitions'
+    # small-input round-robin spread, a no-op at scale)
+    plan = proj_out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "ArrowEvalPython" in plan
+    join_plan = join_out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in join_plan
+
+    # edge semantics, both paths byte-equal: zero vector (dropped), tie
+    # between orthonormal centroids (lower cid wins), zero-norm and
+    # NULL-vector centroids (never candidates)
+    edge = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 2.0]), (4, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    ecent = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [0.0, 0.0]), (13, None)],
+        "centroid_id long, centroid array<double>",
+    )
+    j = _rows_sorted(assign_clusters(edge, ecent), ("vec_id",))
+    p = _rows_sorted(
+        assign_clusters(edge, ecent, method="projection"), ("vec_id",)
+    )
+    assert j == p
+    assert [t[0] for t in j] == [2, 3, 4]  # zero vector absent
+    assert j[2][1] == 10  # tie -> smaller centroid id
+
+    # empty centroid table -> empty output on both paths
+    empty_cent = ecent.filter(F.lit(False))
+    assert assign_clusters(edge, empty_cent).count() == 0
+    assert assign_clusters(edge, empty_cent, method="projection").count() == 0
+
+    with pytest.raises(ValueError, match="method"):
+        assign_clusters(edge, ecent, method="arrow")
+
+
+def test_ann_ivf_assign_projection_matches_join(spark):
+    """ann_ivf_topk(assign_method="projection") returns the identical
+    result frame, including the zero-norm-vector assignment (every cosine
+    NULL -> both orderings fall through to the smallest centroid id)."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first().embedding)
+    zero = spark.createDataFrame(
+        [(99_991, [0.0] * dim)], "vec_id: long, embedding: array<double>"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(zero)
+    queries = emb.limit(6)
+    kw = dict(k=4, num_centroids=12, nprobe=3)
+    j = ann_ivf_topk(corpus, queries, **kw)
+    p = ann_ivf_topk(corpus, queries, assign_method="projection", **kw)
+    key = ("query_id", "neighbor_id")
+    assert _rows_sorted(j, key) == _rows_sorted(p, key)
+
+    with pytest.raises(ValueError, match="assign_method"):
+        ann_ivf_topk(corpus, queries, assign_method="x", **kw)
+
+
+def test_semdedup_prototype_assign_method_passthrough(spark):
+    """semdedup / prototype_prune expose the knob and stay value-identical
+    under it (the assignment is the only step that changes)."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.similarity import (
+        prototype_prune,
+        semdedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    key = ("vec_id",)
+    s_j = semdedup(emb, cent, threshold=0.35, auto_planes=False)
+    s_p = semdedup(
+        emb, cent, threshold=0.35, auto_planes=False,
+        assign_method="projection",
+    )
+    assert _rows_sorted(s_j, key) == _rows_sorted(s_p, key)
+
+    p_j = prototype_prune(emb, cent, keep_frac=0.5)
+    p_p = prototype_prune(emb, cent, keep_frac=0.5, assign_method="projection")
+    assert _rows_sorted(p_j, key) == _rows_sorted(p_p, key)
