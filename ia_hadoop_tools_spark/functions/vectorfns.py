@@ -167,7 +167,12 @@ def cosine_similarity_arrow(a: Column | str, b: Column | str) -> Column:
     return F.when(denom != 0.0, dot_product_arrow(a, b) / denom)
 
 
-def plane_dots_arrow(vec: Column | str, planes: list[list[float]]) -> Column:
+def plane_dots_arrow(
+    vec: Column | str,
+    planes: list[list[float]],
+    with_self_dot: bool = False,
+    single_eval: bool = False,
+) -> Column:
     """array<double> of ``<vec, plane_p>`` for every plane, in one
     Arrow-batched pass (the LSH band-hash inner loop: all plane dots share
     one traversal of the vector, vectorized over the batch).
@@ -175,6 +180,26 @@ def plane_dots_arrow(vec: Column | str, planes: list[list[float]]) -> Column:
     Null vector -> null array. A vector whose length differs from the
     plane dim yields an all-null array (callers' sign guards raise on it,
     matching the zip_with null-pad behavior this replaces).
+
+    ``with_self_dot``: append ``<vec, vec>`` as one extra trailing element
+    (index ``len(planes)``), so a caller that also needs the vector's norm
+    gets it from the SAME single Python pass — ``sqrt(dots[k])`` is then
+    bit-identical to ``l2_norm`` (same sequential per-dimension fold), and
+    no separate interpreted-HOF norm column survives to be inlined N times
+    by projection collapse / filter pushdown (the round-11 assignment-
+    projection lesson).  Unlike the plane dots, the self-dot is
+    dimension-independent: it is computed for EVERY non-null vector, even
+    ones whose length differs from the plane dim (mixed lengths are folded
+    per length group; per-row accumulation is row-independent, so grouping
+    does not change any row's fold order).
+
+    ``single_eval``: mark the UDF non-deterministic (guide §4.4) so the
+    optimizer may not duplicate it — a filter or a second projection over a
+    column derived from the dots otherwise re-inlines the UDF call and the
+    plan grows a SECOND ArrowEvalPython node (every row pays the matrix
+    pass twice; observed on the assignment-projection path).  The function
+    IS deterministic; the flag only constrains the optimizer.  Leave it off
+    for single-consumer expressions like the LSH band hash.
     """
     P = np.array(planes, dtype=np.float64)  # n_planes x dim
 
@@ -190,13 +215,42 @@ def plane_dots_arrow(vec: Column | str, planes: list[list[float]]) -> Column:
             acc = np.zeros((V.shape[0], P.shape[0]))
             for i in range(P.shape[1]):
                 acc += V[:, i : i + 1] * P[:, i]
+        selfd: dict[int, float] = {}
+        if with_self_dot:
+            by_len: dict[int, list[int]] = {}
+            for idx, v in enumerate(vals):
+                if v is not None:
+                    by_len.setdefault(len(v), []).append(idx)
+            for n, idxs in by_len.items():
+                V = np.stack([vals[i] for i in idxs]).astype(
+                    np.float64, copy=False
+                )
+                sd = np.zeros(V.shape[0])
+                for i in range(n):
+                    sd += V[:, i] * V[:, i]
+                for pos, idx in enumerate(idxs):
+                    selfd[idx] = sd[pos]
         j = 0
-        for v in vals:
-            if v is None or len(v) != P.shape[1]:
+        for idx, v in enumerate(vals):
+            if v is None:
                 out.append(None)
+            elif not with_self_dot:
+                # unchanged hot path (LSH band hash): numpy row or None
+                if len(v) != P.shape[1]:
+                    out.append(None)
+                else:
+                    out.append(acc[j])
+                    j += 1
             else:
-                out.append(acc[j])
-                j += 1
+                if len(v) != P.shape[1]:
+                    row: list = [None] * P.shape[0]
+                else:
+                    row = list(acc[j])
+                    j += 1
+                row.append(selfd[idx])
+                out.append(row)
         return pd.Series(out)
 
+    if single_eval:
+        _dots = _dots.asNondeterministic()
     return _dots(_c(vec))

@@ -444,26 +444,39 @@ def ann_ivf_topk(
             ).collect(),
             key=lambda r: r["__cid"],
         )
+        mat = _centroid_matrix(crows) if crows else []
         if not crows:  # join path: empty broadcast side -> empty assigned
             assigned = vecs.select(
                 "__vid", "__vec", "__norm",
                 F.lit(None).cast(cid_type).alias("__cell"),
             ).filter(F.lit(False))
-        else:
-            mat = _centroid_matrix(crows)
-            dotted = vecs.select(
+        elif not mat:
+            # all centroid vectors NULL: every cosine is NULL on the join
+            # path too, so every vector lands in the smallest centroid id
+            best = _centroid_best_struct(
+                crows, F.col("__norm"), F.lit(None), guarded=False
+            )
+            assigned = vecs.select(
                 "__vid", "__vec", "__norm",
-                (
-                    plane_dots_arrow(F.col("__vec"), mat)
-                    if mat
-                    else F.lit(None).cast("array<double>")
+                (-best["__nid"]).cast(cid_type).alias("__cell"),
+            )
+        else:
+            # one Arrow pass for the k dots + the self-dot; __norm is
+            # sqrt(dots[k]) (bit-identical to l2_norm — see assign_clusters)
+            dotted = corpus.select(
+                F.col(id_col).alias("__vid"),
+                F.col(vec_col).alias("__vec"),
+                plane_dots_arrow(
+                    F.col(vec_col), mat, with_self_dot=True,
+                    single_eval=True,
                 ).alias("__dots"),
             )
+            norm = F.sqrt(F.col("__dots")[len(mat)])
             best = _centroid_best_struct(
-                crows, F.col("__norm"), F.col("__dots")
+                crows, norm, F.col("__dots"), guarded=False
             )
             assigned = dotted.select(
-                "__vid", "__vec", "__norm",
+                "__vid", "__vec", norm.alias("__norm"),
                 (-best["__nid"]).cast(cid_type).alias("__cell"),
             )
     else:
@@ -684,27 +697,67 @@ def embedding_neardup_pairs(
 
 
 def _centroid_best_struct(
-    rows: list, en, dots
+    rows: list, en, dots, guarded: bool
 ) -> "Column":
     """``greatest(struct(round(cos, 6), -cid), ...)`` over driver-collected
     centroid rows — the SAME struct ordering ``max``/``max_by`` apply to the
     join-path's per-pair structs (ties to the smaller cid, NULL cosine
     fields order below every non-null cosine, NaN above), so the winner is
     identical row for row.  ``rows`` are (__cid, __cvec, __cn) sorted by
-    __cid; ``en``/``dots`` are the caller's norm / plane_dots_arrow columns
-    (null-vector centroids contribute a NULL-cosine struct, exactly the
-    join path's null dot)."""
+    __cid; ``en``/``dots`` are the caller's norm / plane_dots_arrow columns.
+
+    ``guarded`` mirrors the two join shapes exactly:
+
+    - True (assign_clusters — inner join ON ``den != 0``): a centroid is a
+      CANDIDATE only when its denom is nonzero, so each struct is wrapped
+      in ``when(den != 0, ...)`` — a NULL struct, which ``greatest`` skips
+      like the join drops the pair.  Null-vector centroids (den always
+      null) are skipped outright.  ``greatest(...) IS NULL`` then means
+      "no candidate at all" == the join emitted no row.
+    - False (ann_ivf_topk — crossJoin, every centroid is a candidate):
+      non-candidates contribute a NULL-COSINE struct (cos is
+      ``when(den != 0, ...)``), which loses to any non-null cosine but
+      still carries its -cid for the all-null case — exactly max_by over
+      the crossJoin's structs (a zero-norm vector lands in the smallest
+      centroid id on both paths).
+    """
     structs = []
     j = 0
     for r in rows:
         nid = F.lit(-r["__cid"]).cast("long")
         if r["__cvec"] is None:
-            cos = F.lit(None).cast("double")
+            if guarded:
+                continue  # den is always null: never a join candidate
+            structs.append(
+                F.struct(
+                    F.lit(None).cast("double").alias("__cos"),
+                    nid.alias("__nid"),
+                )
+            )
+            continue
+        den = en * F.lit(r["__cn"])
+        if guarded:
+            structs.append(
+                F.when(
+                    den != 0.0,
+                    F.struct(
+                        F.round(dots[j] / den, 6).alias("__cos"),
+                        nid.alias("__nid"),
+                    ),
+                )
+            )
         else:
-            den = en * F.lit(r["__cn"])
-            cos = F.round(F.when(den != 0.0, dots[j] / den), 6)
-            j += 1
-        structs.append(F.struct(cos.alias("__cos"), nid.alias("__nid")))
+            structs.append(
+                F.struct(
+                    F.round(F.when(den != 0.0, dots[j] / den), 6).alias(
+                        "__cos"
+                    ),
+                    nid.alias("__nid"),
+                )
+            )
+        j += 1
+    if not structs:
+        return None
     return F.greatest(*structs) if len(structs) > 1 else structs[0]
 
 
@@ -744,20 +797,28 @@ def assign_clusters(
     parameterised scale-dependent plan choice, measured both ways):
 
     - ``"join"`` (default): broadcast NL join -> k rows per vector ->
-      groupBy argmax.  Fastest at bench SFs (probe: x1.28 vs projection
-      at sf0.1 — the Arrow boundary + the centroid collect cost more than
-      the skinny exchange there); keeps construction fully lazy.
+      groupBy argmax.  Fastest at bench SFs (the Python boundary is a
+      fixed ~0.7 s at local[32], dwarfing 2k rows); keeps construction
+      fully lazy.
     - ``"projection"``: collect the bounded centroid table once (k rows
       by construction) and fold the whole argmax into ONE map-only
-      projection — ``plane_dots_arrow`` (one Arrow-batched matrix pass,
-      bit-identical sequential accumulation) + ``greatest(struct(...))``
-      (the same ordering the join path's ``max`` uses).  Plan: Exchange
-      x6 -> x0 on the sf0.1 probe, and the n*k interpreted HOF dot
-      evaluations (~4k element-evals per vector at k=64, dim=64) become
-      one numpy pass.  The right choice at cluster scale, where the
-      per-vector CPU and the corpus exchange dominate the one k-row
-      collect job.  Values identical (probe + pinned tests: real data,
-      zero vectors, zero/null centroids, ties).
+      projection — ``plane_dots_arrow`` (one Arrow-batched matrix pass
+      returning the k dots AND the self-dot, so the norm is
+      ``sqrt(dots[k])`` — bit-identical to ``l2_norm`` with no separate
+      HOF column for the optimizer to re-inline) + per-centroid
+      ``when(den != 0, struct(round(cos, 6), -cid))`` folded by
+      ``greatest`` (the same struct ordering the join path's ``max``
+      uses; a NULL struct == not a join candidate).  Plan: the argmax
+      exchange is gone and the n*k interpreted HOF dot evaluations
+      (~4k element-evals per vector at k=64, dim=64) become one numpy
+      pass.  Measured crossover (scripts/probe_assign_arrow.py,
+      interleaved, values identical at every scale): 2k vectors join
+      0.77 s / projection 2.06 s; 20k parity (2.51 / 2.77); 200k
+      projection WINS (6.12 / 5.12) and the gap grows with n — at
+      cluster scale the per-vector CPU and the corpus exchange dominate
+      the one k-row collect job.  Edge parity pinned: zero vectors,
+      zero/NULL centroids, ties, ragged-dim vectors (kept with NULL
+      cosine, exactly the join semantics).
     """
     from ia_hadoop_tools_spark.functions.vectorfns import dot_product, l2_norm
     from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
@@ -773,32 +834,43 @@ def assign_clusters(
         from ia_hadoop_tools_spark.functions.vectorfns import plane_dots_arrow
 
         rows = sorted(c.collect(), key=lambda r: r["__cid"])
-        if not rows:  # join path: empty broadcast side -> empty output
+        mat = _centroid_matrix(rows) if rows else []
+        if not rows or not mat:
+            # join path: empty (or all-null-vector) broadcast side means
+            # no pair ever satisfies den != 0 -> empty output
             return df.select(
                 F.col(id_col),
                 F.lit(None).cast("long").alias("cluster_id"),
                 F.lit(None).cast("double").alias("cos_to_centroid"),
             ).filter(F.lit(False))
-        mat = _centroid_matrix(rows)
+        # ONE Arrow pass yields the k plane dots AND the self-dot; the norm
+        # is sqrt(dots[k]) — bit-identical to l2_norm, and crucially NOT a
+        # separate interpreted-HOF column that filter pushdown / projection
+        # collapse would re-inline into all k structs (measured x1.9 at 20k
+        # vectors before this; scripts/probe_assign_arrow.py)
         src = ensure_min_partitions(df.select(id_col, vec_col)).select(
             F.col(id_col),
-            l2_norm(F.col(vec_col)).alias("__en"),
-            (
-                plane_dots_arrow(F.col(vec_col), mat)
-                if mat
-                else F.lit(None).cast("array<double>")
+            plane_dots_arrow(
+                F.col(vec_col), mat, with_self_dot=True, single_eval=True
             ).alias("__dots"),
         )
-        best = _centroid_best_struct(rows, F.col("__en"), F.col("__dots"))
+        en = F.sqrt(F.col("__dots")[len(mat)])
+        best = _centroid_best_struct(
+            rows, en, F.col("__dots"), guarded=True
+        )
         return (
             src.select(
                 F.col(id_col),
                 (-best["__nid"]).cast("long").alias("cluster_id"),
                 best["__cos"].alias("cos_to_centroid"),
+                best.isNotNull().alias("__member"),
             )
             # exactly the join path's membership rule: a row survives iff
-            # at least one (vector, centroid) pair had denom != 0
-            .filter(F.col("cos_to_centroid").isNotNull())
+            # at least one (vector, centroid) pair had denom != 0 (a
+            # surviving row can still carry a NULL cosine — ragged-dim
+            # vectors null the dot but not the denom, as in the join path)
+            .filter(F.col("__member"))
+            .drop("__member")
         )
     # one-row-group corpora otherwise score every centroid on one core
     # (no-op at scale — textops discipline, round 11)

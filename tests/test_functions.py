@@ -295,3 +295,55 @@ def test_surt_expr_unicode_case_expansion_keeps_path(spark):
     )
     key = df.select(surt_expr(F.col("url")).alias("k")).first()["k"]
     assert key.endswith(")/abc"), key
+
+
+def test_plane_dots_self_dot_bit_identical_and_ragged(spark):
+    """with_self_dot appends <v, v> as dots[k]: sqrt(dots[k]) must be
+    BIT-identical to the HOF l2_norm (same sequential fold), and — unlike
+    the plane dots — it is computed for ragged-dim vectors too (mixed
+    lengths in one batch), with null vectors yielding a null array.
+    single_eval only marks the UDF nondeterministic; values unchanged."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.functions.vectorfns import (
+        l2_norm,
+        plane_dots_arrow,
+    )
+    from ia_hadoop_tools_spark.operators.similarity import hyperplanes
+
+    rng = random.Random(13)
+    rows = [(i, [rng.gauss(0.0, 1.0) for _ in range(8)]) for i in range(50)]
+    rows += [(100, [1.0, 2.0, 3.0]), (101, [4.0] * 11), (102, None)]
+    df = spark.createDataFrame(rows, "id: long, v: array<double>")
+    planes = hyperplanes(3, 8, seed=5)
+    k = len(planes)
+    got = df.select(
+        "id",
+        l2_norm(F.col("v")).alias("hof"),
+        F.sqrt(
+            plane_dots_arrow(F.col("v"), planes, with_self_dot=True)[k]
+        ).alias("arrow"),
+        plane_dots_arrow(
+            F.col("v"), planes, with_self_dot=True, single_eval=True
+        )[k].alias("nondet_selfdot"),
+        plane_dots_arrow(F.col("v"), planes, with_self_dot=True)[0].alias(
+            "dot0"
+        ),
+    ).collect()
+    for r in got:
+        if r.id == 102:
+            assert r.hof is None and r.arrow is None
+            continue
+        # exact equality, not approx: same IEEE ops in the same order
+        assert r.hof == r.arrow, (r.id, r.hof, r.arrow)
+        import math
+
+        assert r.arrow == (
+            None if r.nondet_selfdot is None else math.sqrt(r.nondet_selfdot)
+        )
+        if r.id in (100, 101):  # ragged: plane dots null, self-dot real
+            assert r.dot0 is None and r.arrow is not None
+        else:
+            assert r.dot0 is not None

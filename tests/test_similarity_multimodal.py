@@ -698,9 +698,17 @@ def test_assign_projection_matches_join(spark, sf_dir):
 
     # edge semantics, both paths byte-equal: zero vector (dropped), tie
     # between orthonormal centroids (lower cid wins), zero-norm and
-    # NULL-vector centroids (never candidates)
+    # NULL-vector centroids (never candidates), RAGGED-dim vector (kept —
+    # its denoms are nonzero so it IS a join member, every dot is null, so
+    # it lands in the smallest nonzero-denom centroid id with a NULL cos)
     edge = spark.createDataFrame(
-        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 2.0]), (4, [1.0, 1.0])],
+        [
+            (1, [0.0, 0.0]),
+            (2, [1.0, 0.0]),
+            (3, [0.0, 2.0]),
+            (4, [1.0, 1.0]),
+            (5, [1.0, 2.0, 3.0]),
+        ],
         "vec_id long, embedding array<double>",
     )
     ecent = spark.createDataFrame(
@@ -712,8 +720,9 @@ def test_assign_projection_matches_join(spark, sf_dir):
         assign_clusters(edge, ecent, method="projection"), ("vec_id",)
     )
     assert j == p
-    assert [t[0] for t in j] == [2, 3, 4]  # zero vector absent
+    assert [t[0] for t in j] == [2, 3, 4, 5]  # zero vector absent
     assert j[2][1] == 10  # tie -> smaller centroid id
+    assert j[3][1] == 10 and j[3][2] is None  # ragged: kept, null cos
 
     # empty centroid table -> empty output on both paths
     empty_cent = ecent.filter(F.lit(False))
