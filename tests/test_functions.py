@@ -303,6 +303,7 @@ def test_plane_dots_self_dot_bit_identical_and_ragged(spark):
     the plane dots — it is computed for ragged-dim vectors too (mixed
     lengths in one batch), with null vectors yielding a null array.
     single_eval only marks the UDF nondeterministic; values unchanged."""
+    import math
     import random
 
     from pyspark.sql import functions as F
@@ -338,8 +339,6 @@ def test_plane_dots_self_dot_bit_identical_and_ragged(spark):
             continue
         # exact equality, not approx: same IEEE ops in the same order
         assert r.hof == r.arrow, (r.id, r.hof, r.arrow)
-        import math
-
         assert r.arrow == (
             None if r.nondet_selfdot is None else math.sqrt(r.nondet_selfdot)
         )
