@@ -116,6 +116,80 @@ def test_load_flagged_head_still_fits():
     assert list(parsed)[-1] == "queries"
 
 
+def test_membership_is_stable_under_run_noise():
+    """VERDICT r11 task #2: the clipped line's MEMBERSHIP must come from
+    the committed reference (rank_ref + sticky), not this run's noisy
+    timings — ranking by the run's own values made PERF_r11 report 9
+    phantom 'dropped' queries."""
+    timings = _registry_timings()
+    names = sorted(timings)
+    # reference ranks the first 80 names highest; sticky pins 5 of the
+    # cheapest-by-this-run names into the line regardless of their wall
+    rank_ref = {n: 100.0 - i for i, n in enumerate(names[:80])}
+    sticky = names[-5:]
+    noisy = dict(timings)
+    for n in sticky:
+        noisy[n] = 0.001  # this-run noise says "fast" — must still show
+    line = build_line(HEAD, noisy, rank_ref=rank_ref, sticky=sticky)
+    assert len(line) <= LINE_BUDGET
+    parsed = json.loads(line)
+    for n in sticky:
+        assert n in parsed["queries"], f"sticky {n} clipped out"
+        assert parsed["queries"][n] == 0.001  # value is THIS run's
+    # the PERF_r11 artifact was queries that got FAST falling out of the
+    # line: with a full-coverage reference, downward noise must never
+    # change membership (rank = max(ref, now) = ref)
+    full_ref = dict(timings)
+    # values rounded to 3 dp like the real protocol, and kept at equal
+    # serialized width (the budget fit depends on character count, so a
+    # width change can legitimately move the boundary entry)
+    fast1 = {n: round(t / 4.0, 3) for n, t in timings.items()}
+    fast2 = {n: round(t / 2.0, 3) for n, t in timings.items()}
+    m1 = json.loads(build_line(HEAD, fast1, rank_ref=full_ref))
+    m2 = json.loads(build_line(HEAD, fast2, rank_ref=full_ref))
+    assert set(m1["queries"]) == set(m2["queries"])
+
+
+def test_newly_slow_query_still_forces_into_line():
+    """Membership stability must not hide a genuine regression: a query
+    absent from the reference whose current wall is huge ranks by its
+    own timing (max(ref, now)) and survives clipping."""
+    timings = _registry_timings()
+    newcomer = sorted(timings)[0]
+    rank_ref = {n: 50.0 for n in timings if n != newcomer}
+    timings[newcomer] = 99.0
+    parsed = json.loads(build_line(HEAD, timings, rank_ref=rank_ref))
+    assert newcomer in parsed["queries"]
+
+
+def test_committed_bench_ref_covers_previous_driver_line():
+    """BENCH_REF.json (the committed reference bench.py ranks by) must
+    carry a sticky list covering the previous driver-visible line and a
+    positive quiet-box wall for every registry query, and the resulting
+    line must fit the window with every sticky name shown."""
+    import os
+
+    from ia_hadoop_tools_spark.driver_queries import QUERIES
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_REF.json")
+    ref = json.load(open(path))
+    assert set(ref["queries"]) == set(QUERIES)
+    assert all(v > 0 for v in ref["queries"].values())
+    assert 0 < len(ref["sticky"]) <= len(QUERIES)
+    assert set(ref["sticky"]) <= set(QUERIES)
+    line = build_line(
+        HEAD,
+        {n: ref["queries"][n] for n in QUERIES},
+        rank_ref=ref["queries"],
+        sticky=ref["sticky"],
+    )
+    assert len(line) <= LINE_BUDGET
+    parsed = json.loads(line)
+    for n in ref["sticky"]:
+        assert n in parsed["queries"]
+
+
 def test_load_outliers_selection():
     """Re-run candidates under load: measured > 1.5x the quiet-box
     reference; failures and reference-less queries excluded."""
