@@ -193,6 +193,18 @@ def plane_dots_arrow(
     per length group; per-row accumulation is row-independent, so grouping
     does not change any row's fold order).
 
+    NULL-COMPONENT parity (round 12, ADVICE r11): in ``with_self_dot``
+    mode a non-null vector containing a NULL element is pre-nulled
+    JVM-SIDE (one ``exists`` traversal) before it crosses into Python —
+    Arrow->pandas folds null elements into NaN, which is
+    indistinguishable from a data NaN inside the UDF, but the expression
+    path (``zip_with``/``aggregate``) yields a NULL dot and NULL norm for
+    such a vector while propagating a data NaN as NaN.  Pre-nulling makes
+    the whole dots row (and the self-dot) NULL, so the projection
+    assignment paths drop/keep exactly the rows the join paths do.  The
+    plain band-hash mode (``with_self_dot=False``) keeps its documented
+    NaN contract unchanged (registered-query behavior).
+
     ``single_eval``: mark the UDF non-deterministic (guide §4.4) so the
     optimizer may not duplicate it — a filter or a second projection over a
     column derived from the dots otherwise re-inlines the UDF call and the
@@ -253,4 +265,9 @@ def plane_dots_arrow(
 
     if single_eval:
         _dots = _dots.asNondeterministic()
-    return _dots(_c(vec))
+    v = _c(vec)
+    if with_self_dot:
+        # null-component parity with the expression path (see docstring):
+        # null and NaN elements are only distinguishable JVM-side
+        v = F.when(~F.exists(v, lambda x: x.isNull()), v)
+    return _dots(v)

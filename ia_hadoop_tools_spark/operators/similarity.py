@@ -435,8 +435,9 @@ def ann_ivf_topk(
         l2_norm(F.col(vec_col)).alias("__norm"),
     )
     if assign_method == "projection":
-        from ia_hadoop_tools_spark.functions.vectorfns import plane_dots_arrow
-
+        # eager plan-construction collect of the centroid table (bounded
+        # by construction — num_centroids / PROJECTION_MAX_CENTROIDS);
+        # ragged dims / oversized k fall back to the lazy join path
         cid_type = cent.schema["__cid"].dataType
         crows = sorted(
             cent.select(
@@ -444,7 +445,12 @@ def ann_ivf_topk(
             ).collect(),
             key=lambda r: r["__cid"],
         )
-        mat = _centroid_matrix(crows) if crows else []
+        mat = _projection_fallback(crows, "ann_ivf_topk")
+        if mat is None:
+            assign_method = "join"
+    if assign_method == "projection":
+        from ia_hadoop_tools_spark.functions.vectorfns import plane_dots_arrow
+
         if not crows:  # join path: empty broadcast side -> empty assigned
             assigned = vecs.select(
                 "__vid", "__vec", "__norm",
@@ -475,9 +481,24 @@ def ann_ivf_topk(
             best = _centroid_best_struct(
                 crows, norm, F.col("__dots"), guarded=False
             )
+            # NaN-data parity — see assign_clusters: a NaN-component
+            # vector keeps its NaN norm on the join path and lands in
+            # the smallest usable centroid id (all cosines NaN)
+            nan_row = (
+                F.col("__dots").isNotNull()
+                & F.col("__dots")[len(mat)].isNull()
+            )
+            smallest = min(
+                r["__cid"] for r in crows if not _cvec_missing(r)
+            )
             assigned = dotted.select(
-                "__vid", "__vec", norm.alias("__norm"),
-                (-best["__nid"]).cast(cid_type).alias("__cell"),
+                "__vid", "__vec",
+                F.when(nan_row, F.lit(float("nan")))
+                .otherwise(norm)
+                .alias("__norm"),
+                F.when(nan_row, F.lit(smallest).cast(cid_type))
+                .otherwise((-best["__nid"]).cast(cid_type))
+                .alias("__cell"),
             )
     else:
         assigned = (
@@ -725,9 +746,12 @@ def _centroid_best_struct(
     j = 0
     for r in rows:
         nid = F.lit(-r["__cid"]).cast("long")
-        if r["__cvec"] is None:
+        if _cvec_missing(r):
+            # null vector OR null component: l2_norm is NULL on the join
+            # path, so den is always null — never a join candidate
+            # (guarded) / a NULL-cosine struct (unguarded)
             if guarded:
-                continue  # den is always null: never a join candidate
+                continue
             structs.append(
                 F.struct(
                     F.lit(None).cast("double").alias("__cos"),
@@ -761,17 +785,64 @@ def _centroid_best_struct(
     return F.greatest(*structs) if len(structs) > 1 else structs[0]
 
 
+def _cvec_missing(r) -> bool:
+    """A centroid with a NULL vector or any NULL component: its HOF norm
+    is NULL on the join path, so it is never a candidate there — the
+    projection path must exclude it from the plane matrix (None cannot
+    enter a float64 matrix) and mirror the join semantics instead."""
+    return r["__cvec"] is None or any(x is None for x in r["__cvec"])
+
+
 def _centroid_matrix(rows: list) -> list[list[float]]:
-    """Rectangular plane matrix from the non-null centroid vectors (the
+    """Rectangular plane matrix from the usable centroid vectors (the
     projection path needs fixed-dim centroids; the join path pads ragged
     dims to a null dot, which has no matrix equivalent — raise loudly)."""
-    mat = [list(r["__cvec"]) for r in rows if r["__cvec"] is not None]
+    mat = [list(r["__cvec"]) for r in rows if not _cvec_missing(r)]
     if len({len(v) for v in mat}) > 1:
         raise ValueError(
             "projection assignment needs fixed-dimension centroids; got "
             f"dims {sorted({len(v) for v in mat})}"
         )
     return mat
+
+
+#: projection-path centroid ceiling (ADVICE r11): _centroid_best_struct
+#: builds one round/when/struct per centroid folded by greatest(), so an
+#: unbounded k yields an O(k) expression tree (codegen/analysis blowup)
+#: on top of the eager plan-construction collect.  Above this, the
+#: projection request silently falls back to the join path (warning
+#: emitted), which handles any k via the broadcast join.
+PROJECTION_MAX_CENTROIDS = 512
+
+
+def _projection_fallback(rows: list, what: str):
+    """(matrix, reason) for the projection assignment path: the
+    rectangular centroid matrix, or ``None`` plus a warning when the
+    centroid set needs the join path (ragged dims — which the join
+    null-pads to a lost argmax instead of raising — or a centroid count
+    past the expression-tree ceiling).  ``rows`` may be empty (callers
+    handle the empty/all-null cases before the matrix is needed)."""
+    import warnings
+
+    if len(rows) > PROJECTION_MAX_CENTROIDS:
+        warnings.warn(
+            f"{what}: {len(rows)} centroids exceed the projection-path "
+            f"ceiling ({PROJECTION_MAX_CENTROIDS}); falling back to the "
+            "join assignment (same results; the per-centroid expression "
+            "tree would dominate past this size)",
+            stacklevel=3,
+        )
+        return None
+    try:
+        return _centroid_matrix(rows) if rows else []
+    except ValueError:
+        warnings.warn(
+            f"{what}: mixed centroid dimensions; falling back to the "
+            "join assignment (ragged dims null-pad to a lost argmax "
+            "there — identical semantics, no fixed-dim matrix exists)",
+            stacklevel=3,
+        )
+        return None
 
 
 def assign_clusters(
@@ -831,10 +902,16 @@ def assign_clusters(
         l2_norm(F.col(centroid_vec_col)).alias("__cn"),
     )
     if method == "projection":
+        # NOTE: the projection path collects the centroid table EAGERLY at
+        # plan-construction time (bounded by PROJECTION_MAX_CENTROIDS);
+        # ragged dims / oversized k fall back to the lazy join path
+        rows = sorted(c.collect(), key=lambda r: r["__cid"])
+        mat = _projection_fallback(rows, "assign_clusters")
+        if mat is None:
+            method = "join"
+    if method == "projection":
         from ia_hadoop_tools_spark.functions.vectorfns import plane_dots_arrow
 
-        rows = sorted(c.collect(), key=lambda r: r["__cid"])
-        mat = _centroid_matrix(rows) if rows else []
         if not rows or not mat:
             # join path: empty (or all-null-vector) broadcast side means
             # no pair ever satisfies den != 0 -> empty output
@@ -858,12 +935,32 @@ def assign_clusters(
         best = _centroid_best_struct(
             rows, en, F.col("__dots"), guarded=True
         )
+        # NaN-DATA parity (round 12): Arrow's return conversion folds NaN
+        # into NULL, but the join path KEEPS a NaN-component vector (its
+        # HOF norm is NaN, NaN != 0 holds, every cosine is NaN, and NaN
+        # sorts above every double — so the argmax falls to the smallest
+        # candidate id).  Such rows are detectable for free: the dots
+        # array is non-null but its self-dot slot is (only NaN folds to
+        # null there).  Corner: a WRONG-LENGTH vector that also carries
+        # NaN gets cos NaN here vs the join's NULL (same membership, same
+        # cluster id).
+        nan_row = (
+            F.col("__dots").isNotNull() & F.col("__dots")[len(mat)].isNull()
+        )
+        smallest = min(r["__cid"] for r in rows if not _cvec_missing(r))
         return (
             src.select(
                 F.col(id_col),
-                (-best["__nid"]).cast("long").alias("cluster_id"),
-                best["__cos"].alias("cos_to_centroid"),
-                best.isNotNull().alias("__member"),
+                F.when(nan_row, F.lit(smallest))
+                .otherwise(-best["__nid"])
+                .cast("long")
+                .alias("cluster_id"),
+                F.when(nan_row, F.lit(float("nan")))
+                .otherwise(best["__cos"])
+                .alias("cos_to_centroid"),
+                F.when(nan_row, F.lit(True))
+                .otherwise(best.isNotNull())
+                .alias("__member"),
             )
             # exactly the join path's membership rule: a row survives iff
             # at least one (vector, centroid) pair had denom != 0 (a

@@ -733,6 +733,106 @@ def test_assign_projection_matches_join(spark, sf_dir):
         assign_clusters(edge, ecent, method="arrow")
 
 
+def test_assign_projection_null_component_parity(spark):
+    """ADVICE r11 (medium): a vector with a NULL COMPONENT gets a NULL
+    HOF norm on the join path -> null denom -> the inner join DROPS it;
+    the Arrow stack used to fold the null into NaN, pass den != 0, and
+    keep the row with a NaN cosine (which then poisons downstream
+    ordering).  Pinned both ways now, plus the distinct NaN-DATA case
+    (NaN is a value, not a null: both paths keep the row with NaN cos)
+    and a NULL-COMPONENT CENTROID (never a candidate on either path —
+    and must not crash the float64 plane matrix)."""
+    from pyspark.sql import functions as F
+
+    from ia_hadoop_tools_spark.operators.similarity import assign_clusters
+
+    nan = float("nan")
+    edge = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, None]),   # null component -> dropped on both paths
+            (3, [nan, 1.0]),    # NaN DATA -> kept with NaN cos on both
+            (4, None),          # null vector -> dropped on both paths
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ecent = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [1.0, None])],
+        "centroid_id long, centroid array<double>",
+    )
+
+    def norm(rows):
+        # NaN != NaN: compare a stable rendering
+        return [
+            (r[0], r[1], "NaN" if r[2] != r[2] else r[2])
+            for r in sorted(map(tuple, rows.collect()))
+        ]
+
+    j = norm(assign_clusters(edge, ecent))
+    p = norm(assign_clusters(edge, ecent, method="projection"))
+    assert j == p
+    assert [t[0] for t in j] == [1, 3]  # 2 and 4 dropped on both paths
+    assert j[0] == (1, 10, 1.0)
+    assert j[1][2] == "NaN"  # NaN data propagates as NaN, not null
+    # centroid 12 (null component) must never win
+    assert all(t[1] in (10, 11) for t in j)
+
+
+def test_assign_projection_fallbacks_to_join(spark):
+    """ADVICE r11 (low x2): ragged centroid dims and an oversized
+    centroid count fall back to the join path (with a warning) instead
+    of raising / building an O(k) expression tree — same results."""
+    import warnings
+
+    from ia_hadoop_tools_spark.operators import similarity as sim
+
+    edge = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    ragged = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0, 0.5])],
+        "centroid_id long, centroid array<double>",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = sim.assign_clusters(edge, ragged, method="projection")
+        assert any("mixed centroid dimensions" in str(x.message) for x in w)
+    joined = sim.assign_clusters(edge, ragged)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, joined.collect())
+    )
+
+    ok = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [0.5, 0.5])],
+        "centroid_id long, centroid array<double>",
+    )
+    orig = sim.PROJECTION_MAX_CENTROIDS
+    sim.PROJECTION_MAX_CENTROIDS = 2
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = sim.assign_clusters(edge, ok, method="projection")
+            assert any("ceiling" in str(x.message) for x in w)
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, sim.assign_clusters(edge, ok).collect())
+        )
+        # ann_ivf_topk takes the same fallback
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            p = sim.ann_ivf_topk(
+                edge, edge.limit(1), k=2, num_centroids=3, nprobe=2,
+                assign_method="projection",
+            )
+            assert any("ceiling" in str(x.message) for x in w)
+        j = sim.ann_ivf_topk(edge, edge.limit(1), k=2, num_centroids=3, nprobe=2)
+        assert sorted(map(tuple, p.collect())) == sorted(
+            map(tuple, j.collect())
+        )
+    finally:
+        sim.PROJECTION_MAX_CENTROIDS = orig
+
+
 def test_ann_ivf_assign_projection_matches_join(spark):
     """ann_ivf_topk(assign_method="projection") returns the identical
     result frame, including the zero-norm-vector assignment (every cosine
@@ -746,13 +846,25 @@ def test_ann_ivf_assign_projection_matches_join(spark):
     zero = spark.createDataFrame(
         [(99_991, [0.0] * dim)], "vec_id: long, embedding: array<double>"
     )
-    corpus = emb.select("vec_id", "embedding").unionByName(zero)
+    nanv = [float("nan")] + [0.5] * (dim - 1)
+    nullv = [1.0, None] + [0.25] * (dim - 2)
+    odd = spark.createDataFrame(
+        [(99_992, nanv), (99_993, nullv)],
+        "vec_id: long, embedding: array<double>",
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(zero).unionByName(odd)
     queries = emb.limit(6)
     kw = dict(k=4, num_centroids=12, nprobe=3)
     j = ann_ivf_topk(corpus, queries, **kw)
     p = ann_ivf_topk(corpus, queries, assign_method="projection", **kw)
     key = ("query_id", "neighbor_id")
-    assert _rows_sorted(j, key) == _rows_sorted(p, key)
+
+    def _nn(rows):  # NaN != NaN: stabilize for comparison
+        return [
+            tuple("NaN" if x != x else x for x in t) for t in rows
+        ]
+
+    assert _nn(_rows_sorted(j, key)) == _nn(_rows_sorted(p, key))
 
     with pytest.raises(ValueError, match="assign_method"):
         ann_ivf_topk(corpus, queries, assign_method="x", **kw)
