@@ -853,16 +853,33 @@ def q_bpe_strict_batch(spark, sf_dir):
     # corpus pass cannot run twice under the cache race.
     from concurrent.futures import ThreadPoolExecutor
 
+    from ia_hadoop_tools_spark.operators.components import (
+        release_local_checkpoint,
+    )
+
     vocab = _initial_symbol_vocab(docs, "text")
+    leaf = None
     try:
-        vocab.count()  # materialize once; both trainers then read cache
+        # materialize once; both trainers then read the shared frame.  The
+        # count doubles as the round-12 ``vocab_rows`` hint: a small vocab
+        # runs each trainer's merge loop single-partition, so every
+        # per-merge argmax is one exchange-free stage instead of a 2-stage
+        # AQE round trip (the measured per-step floor of this contract
+        # row).  The eager localCheckpoint then cuts the corpus lineage
+        # out of the shared vocab: the persisted frame's ANALYZED plan
+        # drags the whole corpus subtree through every merge step's plan
+        # analysis (~24 analyses per run — measured 6x per-call analysis
+        # cost in round 11, masked then by the argmax job floor).
+        n_vocab = vocab.count()
+        leaf = vocab.localCheckpoint(eager=True)
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_seq = pool.submit(
                 bpe_train,
                 docs,
                 "text",
                 num_merges=BPE_CONTRACT_MERGES,
-                symbol_vocab=vocab,
+                symbol_vocab=leaf,
+                vocab_rows=n_vocab,
             )
             f_bat = pool.submit(
                 bpe_train_batched,
@@ -870,12 +887,15 @@ def q_bpe_strict_batch(spark, sf_dir):
                 "text",
                 num_merges=BPE_CONTRACT_MERGES,
                 strict=True,
-                symbol_vocab=vocab,
+                symbol_vocab=leaf,
+                vocab_rows=n_vocab,
             )
             seq = f_seq.result()
             bat = f_bat.result()
     finally:
         vocab.unpersist()
+        if leaf is not None:
+            release_local_checkpoint(leaf)
     rows = [
         (i + 1, s == b) for i, (s, b) in enumerate(zip(seq, bat))
     ]

@@ -330,12 +330,30 @@ def _initial_symbol_vocab(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+#: vocab row count at or below which the merge loop runs SINGLE-PARTITION
+#: (round 12, VERDICT r11 #5): a 1-partition child satisfies the stats
+#: groupBy's ClusteredDistribution outright, so every per-merge argmax job
+#: is ONE stage with ZERO exchanges instead of a 2-stage AQE round trip —
+#: the measured per-step floor of the sequential trainer.  Above the
+#: threshold (large word vocabularies at corpus scale) the vocab keeps its
+#: source partitioning.  ``$SPARK_GRAFT_BPE_ONE_PART_VOCAB`` overrides.
+BPE_ONE_PARTITION_VOCAB_ROWS = 65536
+
+
+def _one_partition_vocab_budget() -> int:
+    import os
+
+    raw = os.environ.get("SPARK_GRAFT_BPE_ONE_PART_VOCAB")
+    return int(raw) if raw else BPE_ONE_PARTITION_VOCAB_ROWS
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 10,
     materialize_every: int = 8,
     symbol_vocab: DataFrame | None = None,
+    vocab_rows: int | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges; returns [(a, b, count), ...] in
     merge order.  ACTION: runs 1 corpus job + jobs per merge that touch
@@ -354,11 +372,23 @@ def bpe_train(
     pass runs once instead of per trainer.  A caller-supplied frame is
     NEVER unpersisted here (the caller owns its lifecycle); results are
     identical since the frame is exactly what would be recomputed.
+
+    ``vocab_rows`` (round 12): the vocabulary's known row count, when the
+    caller has already materialized/counted it.  At or below
+    ``BPE_ONE_PARTITION_VOCAB_ROWS`` the merge loop runs over a
+    single-partition vocab, which removes the exchange (and the second
+    AQE stage) from every per-merge stats/argmax job — the driver-loop
+    latency that dominates this trainer at any corpus size, since every
+    per-merge job touches only the vocab.  Merge results are unaffected
+    by partitioning (integer count sums; deterministic tie-break).
     """
     owns_vocab = symbol_vocab is None
-    vocab = (
+    base_vocab = (
         _initial_symbol_vocab(df, text_col) if owns_vocab else symbol_vocab
     )
+    vocab = base_vocab
+    if vocab_rows is not None and vocab_rows <= _one_partition_vocab_budget():
+        vocab = vocab.coalesce(1)
     initial = vocab
 
     def _release(frame: DataFrame) -> None:
@@ -424,6 +454,10 @@ def bpe_train(
         _release_checkpoint(last_checkpoint)
     elif prev_is_checkpoint:
         _release_checkpoint(prev)
+    if owns_vocab and initial is not base_vocab:
+        # the coalesce wrapper replaced `initial`: release the underlying
+        # persisted frame the wrapper reads through
+        base_vocab.unpersist()
     return merges
 
 
@@ -529,6 +563,7 @@ def bpe_train_batched(
     strict: bool = True,
     rounds_out: list[int] | None = None,
     symbol_vocab: DataFrame | None = None,
+    vocab_rows: int | None = None,
 ) -> list[tuple[str, str, int]]:
     """:func:`bpe_train` with MULTIPLE compatible merges per driver
     round — the fix for the one-driver-round-trip-per-merge cost (a 32k
@@ -572,9 +607,15 @@ def bpe_train_batched(
     if batch_size < 1:
         raise ValueError("batch_size must be >= 1")
     owns_vocab = symbol_vocab is None
-    vocab = (
+    base_vocab = (
         _initial_symbol_vocab(df, text_col) if owns_vocab else symbol_vocab
     )
+    vocab = base_vocab
+    # single-partition merge loop for small vocabularies — every
+    # per-round stats/top-K job becomes one exchange-free stage (see
+    # bpe_train's ``vocab_rows``); results are partitioning-independent
+    if vocab_rows is not None and vocab_rows <= _one_partition_vocab_budget():
+        vocab = vocab.coalesce(1)
     initial = vocab
 
     def _release(frame: DataFrame) -> None:
@@ -667,4 +708,8 @@ def bpe_train_batched(
         _release_checkpoint(last_checkpoint)
     elif prev_is_checkpoint:
         _release_checkpoint(prev)
+    if owns_vocab and initial is not base_vocab:
+        # the coalesce wrapper replaced `initial`: release the underlying
+        # persisted frame the wrapper reads through
+        base_vocab.unpersist()
     return merges

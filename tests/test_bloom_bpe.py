@@ -355,6 +355,43 @@ def test_bpe_train_releases_all_storage(spark, sf_dir):
     assert _persistent_ids(spark) - before == set()
 
 
+def test_bpe_train_single_partition_vocab_identical(spark, sf_dir):
+    """Round 12 (VERDICT r11 #5): vocab_rows at or below the
+    single-partition budget runs the merge loop over a coalesce(1) vocab —
+    every per-merge stats/argmax job is then one exchange-free stage.
+    Merges must be identical to the multi-partition loop (integer count
+    sums + deterministic tie-break are partitioning-independent), for
+    both trainers, with storage still fully released."""
+    from ia_hadoop_tools_spark.operators.bpe import bpe_train_batched
+
+    docs = _load(spark, sf_dir, "documents").limit(30)
+    n_vocab = word_vocab(docs, "text").count()
+    before = _persistent_ids(spark)
+    multi = bpe_train(docs, "text", num_merges=6, materialize_every=3)
+    single = bpe_train(
+        docs, "text", num_merges=6, materialize_every=3, vocab_rows=n_vocab
+    )
+    assert single == multi and len(single) == 6
+    b_multi = bpe_train_batched(docs, "text", num_merges=6)
+    b_single = bpe_train_batched(
+        docs, "text", num_merges=6, vocab_rows=n_vocab
+    )
+    assert b_single == b_multi == multi
+    assert _persistent_ids(spark) - before == set()
+
+    # the env override gates the coalesce: budget 0 disables it
+    import os
+
+    os.environ["SPARK_GRAFT_BPE_ONE_PART_VOCAB"] = "0"
+    try:
+        assert (
+            bpe_train(docs, "text", num_merges=6, vocab_rows=n_vocab)
+            == multi
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_BPE_ONE_PART_VOCAB"]
+
+
 def test_pagerank_releases_superseded_checkpoints(spark):
     from ia_hadoop_tools_spark.operators.graph import pagerank
 
