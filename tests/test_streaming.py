@@ -317,7 +317,15 @@ def test_stateful_processing_timeout_closes_and_evicts(spark, tmp_path):
     schema = "user_id long, ts_us long, value double"
     collected = []
 
-    def run_batch(rows, name):
+    def run_batch(rows, name, done):
+        """Run one availableNow cycle; ``done(collected)`` is the
+        completion predicate.  An armed processing-time timer keeps the
+        availableNow query ALIVE (Spark schedules further batches to
+        serve future timers, so termination never comes and a bare
+        awaitTermination(120) burns its full budget — this test was 366 s
+        of pure timeout wait): poll for the expected rows instead and
+        stop the query explicitly; the armed timer survives in the
+        checkpoint and is served by the next cycle."""
         spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
             str(src / name)
         )
@@ -341,16 +349,32 @@ def test_stateful_processing_timeout_closes_and_evicts(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        deadline = time.time() + 120
+        while time.time() < deadline and q.isActive and not done(
+            list(collected)
+        ):
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(30)
         return list(collected)
 
-    rows1 = run_batch([(1, 0, 5.0)], "b1")
+    def _has(rows, user, status):
+        return any(r.user_id == user and r.status == status for r in rows)
+
+    rows1 = run_batch(
+        [(1, 0, 5.0)], "b1", lambda rs: _has(rs, 1, "open")
+    )
     assert (1, "open") in {(r.user_id, r.status) for r in rows1}
     time.sleep(2.5)  # let user 1's 1 s processing-time timer expire
     # a batch touching only user 2 fires user 1's expired timer (the
     # timer may already have fired during b1's own run — availableNow
     # executes an extra no-data batch to serve expired timers)
-    rows2 = run_batch([(2, 0, 7.0)], "b2")
+    closed_in_b1 = _has(rows1, 1, "closed")
+    rows2 = run_batch(
+        [(2, 0, 7.0)], "b2",
+        lambda rs: _has(rs, 2, "open")
+        and (closed_in_b1 or _has(rs, 1, "closed")),
+    )
     assert (2, "open") in {(r.user_id, r.status) for r in rows2}
     closed1 = [
         r for r in rows1 + rows2 if r.user_id == 1 and r.status == "closed"
@@ -359,7 +383,9 @@ def test_stateful_processing_timeout_closes_and_evicts(spark, tmp_path):
     assert (closed1[0].start_us, closed1[0].end_us, closed1[0].n_events) == (
         0, 0, 1)
     # user 1 returns: state was removed, so this is a FRESH session
-    rows = run_batch([(1, 10_000_000_000, 1.0)], "b3")
+    rows = run_batch(
+        [(1, 10_000_000_000, 1.0)], "b3", lambda rs: _has(rs, 1, "open")
+    )
     open1 = [r for r in rows if r.user_id == 1 and r.status == "open"]
     assert len(open1) == 1 and open1[0].n_events == 1
     assert open1[0].start_us == 10_000_000_000
