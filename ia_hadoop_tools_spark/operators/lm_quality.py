@@ -114,9 +114,13 @@ def train_char_lm(
     yields an empty model, which :func:`lm_score` rejects (an empty model
     would score every doc 0.0, the best possible score).
     """
-    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
-
-    reference = ensure_min_partitions(reference)
+    # ROUND 12: the round-11-era ensure_min_partitions spread was
+    # MEASURED SLOWER on every lm-family registry row and removed
+    # (interleaved A/B at sf0.1: lm_score x0.61, lm_buckets x0.55,
+    # lm_word_score x0.88 flat; word/backoff/lang rows parity) — the
+    # gram enumerators are whole-stage codegen since round 11, so the
+    # round-robin exchange of the text re-shuffled every row to
+    # parallelize work the scan pipeline already does cheaply.
     t = F.lower(F.col(text_col))
     # split('', '(?!$)') returns [''] — filter it so an empty doc in the
     # reference cannot inflate V by a phantom character (the SQL oracle
@@ -218,9 +222,13 @@ def train_word_lm(
     LAZY like the char trainer: constructing the model launches no job;
     the vocab limit and V ride inside the plan as broadcast aggregates.
     """
-    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
-
-    reference = ensure_min_partitions(reference)
+    # ROUND 12: the round-11-era ensure_min_partitions spread was
+    # MEASURED SLOWER on every lm-family registry row and removed
+    # (interleaved A/B at sf0.1: lm_score x0.61, lm_buckets x0.55,
+    # lm_word_score x0.88 flat; word/backoff/lang rows parity) — the
+    # gram enumerators are whole-stage codegen since round 11, so the
+    # round-robin exchange of the text re-shuffled every row to
+    # parallelize work the scan pipeline already does cheaply.
     bigrams = _word_bigrams(reference, [], text_col)
     vocab = _top_vocab(reference, text_col, vocab_size).select("__w")
     vdf = vocab.agg(F.count("*").alias("__v"))
@@ -311,9 +319,13 @@ def train_word_backoff_lm(
     not baked into the table, so one trained model serves any alpha.
     LAZY: no job at construction (vocab limit + total ride the plan).
     """
-    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
-
-    reference = ensure_min_partitions(reference)
+    # ROUND 12: the round-11-era ensure_min_partitions spread was
+    # MEASURED SLOWER on every lm-family registry row and removed
+    # (interleaved A/B at sf0.1: lm_score x0.61, lm_buckets x0.55,
+    # lm_word_score x0.88 flat; word/backoff/lang rows parity) — the
+    # gram enumerators are whole-stage codegen since round 11, so the
+    # round-robin exchange of the text re-shuffled every row to
+    # parallelize work the scan pipeline already does cheaply.
     vocab = _top_vocab(reference, text_col, vocab_size)
     v = F.broadcast(vocab.select("__w"))
     # vocab already carries each kept token's corpus count — re-exploding
@@ -396,8 +408,6 @@ def lm_score_backoff(
     (CacheManager dedups identical plans, so repeated calls on the SAME
     frame don't stack).
     """
-    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
-
     import math
 
     if not (0.0 < alpha <= 1.0):
@@ -405,7 +415,6 @@ def lm_score_backoff(
         # level (all-unseen docs outranking trigram hits, silently
         # inverting the filter); <= 0 is a domain error in ln
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    docs = ensure_min_partitions(docs)
     if not model.is_cached:
         model = model.persist()
     parts = {
@@ -606,9 +615,6 @@ def lm_score(
     shuffles; both joins broadcast (the model is charset- resp.
     vocab-cap-bounded).
     """
-    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
-
-    docs = ensure_min_partitions(docs)
     # the model plan is consumed three times below (pairs join, floors
     # projection, nocontext probe); since train_char_lm went lazy its
     # vocabulary aggregate re-runs on EVERY consumption — persist so the

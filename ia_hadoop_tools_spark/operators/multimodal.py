@@ -283,18 +283,26 @@ def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     + message for corrupt payloads on the real path; missing codec libraries
     raise instead — see module docstring).
 
-    The decode stage is CPU-bound Python: it inherits the scan's
+    The REAL decode stage is CPU-bound Python: it inherits the scan's
     partitioning, and a small input in one parquet row group would decode
     on ONE core (measured exactly that at sf0.1). ``ensure_min_partitions``
     spreads the batches across the executor slots; at 100 TB the input
-    already has thousands of partitions and it's a no-op.
+    already has thousands of partitions and it's a no-op.  ROUND 12: the
+    spread is now gated on ``decoder='real'`` — for the cheap fake
+    decoder the round-robin exchange of every PAYLOAD byte (plus the
+    sort-before-repartition pass) costs more than the md5 work it
+    parallelizes (multimodal_decode x0.69/x0.75 flat, two interleaved
+    A/Bs at sf0.1) — the guide-§2.3 rule: don't shuffle heavy opaque
+    payloads to parallelize cheap work.
     """
     from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
 
     _check_decoder(decoder)
     # project BEFORE spreading: the round-robin repartition would
     # otherwise shuffle every metadata column just to drop it next line
-    df = ensure_min_partitions(df.select("asset_id", "media_type", "payload"))
+    df = df.select("asset_id", "media_type", "payload")
+    if decoder == "real":
+        df = ensure_min_partitions(df)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -385,10 +393,11 @@ def frame_sample(df: DataFrame, every_n: int = 10, decoder: str = "fake") -> Dat
                 {"asset_id": ids, "frame_index": idxs, "frame_digest": digests}
             )
 
-    # same CPU-bound spread as decode_features (project first)
-    src = ensure_min_partitions(
-        df.filter("media_type = 'video'").select("asset_id", "payload")
-    )
+    # same CPU-bound spread as decode_features (project first; round 12:
+    # real-decoder only — see decode_features)
+    src = df.filter("media_type = 'video'").select("asset_id", "payload")
+    if decoder == "real":
+        src = ensure_min_partitions(src)
     return src.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
 
 
@@ -472,11 +481,12 @@ def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake")
                 out["height"] = height
             yield out
 
-    src = ensure_min_partitions(
-        df.filter("media_type = 'image'").select(
-            "asset_id", "media_type", "payload", "width", "height"
-        )
+    # round 12: real-decoder-only spread — see decode_features
+    src = df.filter("media_type = 'image'").select(
+        "asset_id", "media_type", "payload", "width", "height"
     )
+    if decoder == "real":
+        src = ensure_min_partitions(src)
     return src.mapInPandas(
         run,
         schema="asset_id long, media_type string, payload binary, width int, height int",

@@ -50,13 +50,15 @@ def repetition_stats(
     (both aggregations combine map-side; only skinny rows shuffle), same
     for 2-grams; join the two skinny stat tables back to the ids.
     """
-    from ia_hadoop_tools_spark.operators.textops import ensure_min_partitions
-
-    # spread the tokenize+explode projections across executor slots: a
-    # one-row-group corpus otherwise tokenizes on a single core (no-op at
-    # scale — textops discipline, round 11). One shared repartitioned
-    # frame feeds both gram shapes.
-    src = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
+    # ROUND 12: the round-11 ensure_min_partitions spread was MEASURED
+    # SLOWER here and removed (interleaved A/B at sf0.1: quality_rules
+    # x0.89/x0.95 flat across two runs, and the r10-vs-r11 worktree A/B
+    # attributed the row's regression to exactly this call) — the
+    # round-robin exchange re-shuffles every text row (plus the
+    # sort-before-repartition pass) to parallelize tokenization that
+    # whole-stage codegen already does cheaply, and the gram groupBys
+    # shuffle right after anyway.
+    src = df.select(F.col(id_col), F.col(text_col))
     words = (
         src.select(F.col(id_col), F.explode(_words(text_col)).alias("__w"))
     )

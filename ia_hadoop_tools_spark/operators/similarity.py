@@ -203,9 +203,13 @@ def ann_lsh_topk(
     qb = queries.select(
         F.col(id_col).alias(query_id_col), F.explode(band_keys).alias("bucket")
     )
-    # corpus-side band hashing spread across slots (queries stay as-is:
-    # that side broadcasts); no-op at scale
-    csrc = ensure_min_partitions(corpus.select(id_col, vec_col))
+    # ROUND 12: the round-11 corpus-side spread measured SLOWER here
+    # (ann_lsh x0.88/x0.93 flat, two interleaved A/Bs) — the band hash is
+    # one Arrow pass and the candidate join shuffles skinny rows anyway;
+    # the round-robin exchange of the vectors cost more than the extra
+    # parallelism bought. ann_bruteforce_topk KEEPS its spread (x1.2-1.4:
+    # its per-pair HOF cosine loop is the heavy case the spread exists for).
+    csrc = corpus.select(id_col, vec_col)
     cb = csrc.select(
         F.col(id_col).alias("neighbor_id"), F.explode(band_keys).alias("bucket")
     )
@@ -655,16 +659,14 @@ def embedding_neardup_pairs(
     # collision join + distinct are skinny-row shuffles; (2) cosine runs ONCE
     # per DISTINCT candidate pair after joining vectors back (the same
     # candidates-then-verify shape as minhash_lsh_pairs).
-    from ia_hadoop_tools_spark.operators.textops import (
-        _drop_hot_buckets,
-        ensure_min_partitions,
-    )
+    from ia_hadoop_tools_spark.operators.textops import _drop_hot_buckets
 
-    # spread the per-row LSH bit computation across executor slots: a
-    # one-row-group embeddings table otherwise band-hashes AND computes
-    # every norm on a single core (ensure_min_partitions is a no-op at
-    # scale — textops discipline, applied here in round 11)
-    src = ensure_min_partitions(df.select(id_col, vec_col))
+    # ROUND 12: the round-11 spread was MEASURED SLOWER here and removed
+    # (embedding_neardup_lsh x0.78/x0.92, embedding_neardup_capped
+    # x0.79/x0.92 flat, two interleaved A/Bs): the band hash is ONE Arrow
+    # pass and every downstream step shuffles skinny (id, bucket) rows,
+    # so the round-robin exchange of the vectors bought nothing
+    src = df.select(id_col, vec_col)
     banded = _drop_hot_buckets(
         src.select(
             F.col(id_col).alias("id"), F.explode(band_keys).alias("bucket")
@@ -969,9 +971,13 @@ def assign_clusters(
             .filter(F.col("__member"))
             .drop("__member")
         )
-    # one-row-group corpora otherwise score every centroid on one core
-    # (no-op at scale — textops discipline, round 11)
-    e = ensure_min_partitions(df.select(id_col, vec_col)).select(
+    # ROUND 12: the round-11 spread was MEASURED SLOWER on this path and
+    # removed (prototype_prune x0.85/x0.96 flat, two interleaved A/Bs;
+    # semdedup parity) — the argmax groupBy shuffles right after, so the
+    # extra round-robin exchange of the vectors bought nothing.  The
+    # projection path above KEEPS its spread (its single Arrow pass is
+    # the whole computation; unmeasured at bench SFs, not benched).
+    e = df.select(
         F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__en")
     )
     denom = F.col("__en") * F.col("__cn")

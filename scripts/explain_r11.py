@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") of registry queries to plans/r11/<q>_<suffix>.txt
+"""Dump .explain("formatted") of registry queries to plans/r12/<q>_<suffix>.txt
 (the round-11 plan-evidence artifacts: run with suffix=before at the old
 tree, suffix=after at the new one).
 
@@ -26,7 +26,7 @@ def main() -> None:
     spark = get_spark("r11-explain")
     spark.sparkContext.setLogLevel("ERROR")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(repo, "plans", "r11")
+    outdir = os.environ.get("SPARK_GRAFT_PLANS_DIR") or os.path.join(repo, "plans", "r11")
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = QUERIES[name](spark, SF_DIR)
