@@ -115,6 +115,22 @@ def build_line(
     return json.dumps({**head, "queries": kept}, separators=(",", ":"))
 
 
+#: Measured-policy disclosures (VERDICT r11 #8), written to the sidecar:
+#: queries whose setup cost is excluded from the timed region by their
+#: declared contract must say so in the bench artifact, not silently.
+BENCH_NOTES = {
+    "novel_docs_indexed": (
+        "build_excluded: probes a prebuilt MinHash index fixture "
+        "(/tmp/iht_dedup_index_<sf>_<n>_<content-fingerprint>, rebuilt "
+        "whenever the corpus content changes); the index BUILD cost is "
+        "excluded from the timed region by the query's declared "
+        "build-once/probe-many contract. The un-indexed variant "
+        "(novel_docs) is benched beside it and includes the equivalent "
+        "corpus-side work every run."
+    ),
+}
+
+
 #: 1-minute loadavg at start above which the artifact is flagged as
 #: load-contaminated. Two consecutive driver artifacts (BENCH_r09 load
 #: 13.7, BENCH_r10 load 7.1) encoded phantom per-query regressions that
@@ -330,7 +346,8 @@ def main() -> None:
     with open(full_out, "w") as f:
         json.dump(
             {**head, "queries": timings, "reps_used": reps_used,
-             "requeried": requeried},
+             "requeried": requeried,
+             "notes": {k: v for k, v in BENCH_NOTES.items() if k in timings}},
             f,
             indent=1,
             sort_keys=True,

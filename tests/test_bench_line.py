@@ -190,6 +190,19 @@ def test_committed_bench_ref_covers_previous_driver_line():
         assert n in parsed["queries"]
 
 
+def test_bench_notes_disclose_fixture_reuse():
+    """VERDICT r11 #8: the novel_docs_indexed fixture reuse is measured
+    policy — the bench artifact must name it (the sidecar carries
+    BENCH_NOTES for every noted query present in the run)."""
+    from bench import BENCH_NOTES
+
+    assert "novel_docs_indexed" in BENCH_NOTES
+    assert "build_excluded" in BENCH_NOTES["novel_docs_indexed"]
+    from ia_hadoop_tools_spark.driver_queries import QUERIES
+
+    assert set(BENCH_NOTES) <= set(QUERIES)
+
+
 def test_load_outliers_selection():
     """Re-run candidates under load: measured > 1.5x the quiet-box
     reference; failures and reference-less queries excluded."""
