@@ -89,12 +89,19 @@ def _edges_exceed_lazy_budget(edges: DataFrame) -> bool:
     ``.rdd`` probe would execute upstream AQE stages at plan-build time).
 
     Threshold: ``$SPARK_GRAFT_PR_CACHE_LEAF_BYTES`` or
-    defaultParallelism x maxPartitionBytes — the point where ONE pass
-    over the edge leaves already fills a full task wave, so re-running
-    the scan+derivations every superstep re-pays the dominant cost.
-    Unknown-size leaves (cached/RDD-backed plans carry Long.Max
-    estimates) and probe failures stay LAZY, the measured-faster local
-    shape (re-scanning an already-materialized input reads a cache)."""
+    8 x maxPartitionBytes (1 GiB at the default 128 MB split).  Measured
+    bounds for the crossover (scripts/probe_pagerank_cache_r12.py, the
+    registry part<->supplier graph, 5 supersteps, 8 GB heap): 21 MB
+    leaves (sf0.1) lazy wins x1.2-1.65 (round-11 A/B); 213 MB (sf1)
+    parity (lazy 20.4 s / cached 19.7 s med); 2.1 GB (sf10) the lazy
+    shape FAILS with SparkOutOfMemoryError — its ~2x-per-superstep
+    subtrees execute concurrently within one action and exhaust
+    execution memory — while the cached shape completes in ~95 s.  Any
+    budget inside (256 MB, 2 GB) satisfies the measurements; 1 GiB is
+    the midpoint and scales with the configured split size.  Unknown-
+    size leaves (cached/RDD-backed plans carry Long.Max estimates) and
+    probe failures stay LAZY, the measured-faster local shape
+    (re-scanning an already-materialized input reads a cache)."""
     import os
 
     try:
@@ -104,10 +111,7 @@ def _edges_exceed_lazy_budget(edges: DataFrame) -> bool:
 
         raw = os.environ.get("SPARK_GRAFT_PR_CACHE_LEAF_BYTES")
         budget = (
-            int(raw)
-            if raw
-            else edges.sparkSession.sparkContext.defaultParallelism
-            * _max_partition_bytes(edges)
+            int(raw) if raw else 8 * _max_partition_bytes(edges)
         )
         unknown = 1 << 62  # Long.Max-ish sentinel for statless leaves
         leaves = edges._jdf.queryExecution().optimizedPlan().collectLeaves()
@@ -166,11 +170,12 @@ def pagerank(
     ``True`` when checkpoints/convergence split the run into multiple
     actions (``materialize_every``/``epsilon``), where exchange reuse
     stops and the cache pays for itself, OR when the edge plan's LEAF
-    size estimates exceed ``PR_CACHE_LEAF_BYTES`` (defaultParallelism x
-    maxPartitionBytes by default; ``$SPARK_GRAFT_PR_CACHE_LEAF_BYTES``
-    overrides) — at that size the lazy shape's ~2x-per-superstep
-    re-execution of the edge pipeline re-pays the dominant scan+shuffle
-    every iteration.  Small graphs keep the LAZY shape: within a single
+    size estimates exceed a budget (8 x maxPartitionBytes, ~1 GiB, by
+    default; ``$SPARK_GRAFT_PR_CACHE_LEAF_BYTES`` overrides) — at that
+    size the lazy shape's ~2x-per-superstep re-execution of the edge
+    pipeline re-pays the dominant scan+shuffle every iteration, and
+    measured at sf10 it exhausts execution memory outright (see
+    ``_edges_exceed_lazy_budget`` for the probe numbers).  Small graphs keep the LAZY shape: within a single
     action the duplicated subtrees are cheap codegen pipelines running
     concurrently, and persisting measured ~20% SLOWER at bench SFs (the
     InMemoryRelation materialization serializes the run — round-11 A/B).
