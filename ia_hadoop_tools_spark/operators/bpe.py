@@ -410,10 +410,25 @@ def bpe_train(
     # the corpus — at one vocab job per merge instead of two.
     pending_unpersist: DataFrame | None = None
     for step_i in range(num_merges):
+        # ROUND-12: argmax over (n desc, a asc, b asc) as ONE single-row
+        # aggregate — min of struct(-n, a, b) is the same total order
+        # (struct comparison is field-lexicographic; -n asc == n desc,
+        # string fields compare in UTF-8 byte order == codepoint order).
+        # The previous orderBy().limit(1) compiled to TakeOrderedAndProject,
+        # which under AQE costs an extra materialization round per job —
+        # measured 385 -> 224 ms/step on the cached one-partition vocab
+        # (the per-step floor of this driver-loop trainer).
         top = (
             _pair_stats(vocab)
-            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n")).alias("nn"),
+                        F.col("a").alias("a"),
+                        F.col("b").alias("b"),
+                    )
+                ).alias("m")
+            )
             .collect()
         )
         # the stats job above materialized `vocab`'s cache — the deferred
@@ -421,9 +436,10 @@ def bpe_train(
         if pending_unpersist is not None:
             _release(pending_unpersist)
             pending_unpersist = None
-        if not top or top[0]["n"] < 2:
+        m = top[0]["m"] if top else None
+        if m is None or -m["nn"] < 2:
             break
-        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        a, b, n = m["a"], m["b"], -m["nn"]
         merges.append((a, b, n))
         if step_i + 1 == num_merges:
             # the final merged vocab is never read again — materializing
@@ -554,6 +570,32 @@ def _created_pair_caps(
     return lmax, rmax, emax
 
 
+def _created_pair_caps_local(
+    rows,
+    lefts: set[str],
+    rights: set[str],
+    merged_syms: set[str] = frozenset(),
+) -> tuple[dict[str, int], dict[str, int], dict[str, int]]:
+    """:func:`_created_pair_caps` over ALREADY-COLLECTED stats rows —
+    the one-partition merge loop collects the (tiny, vocab-bounded)
+    stats table once per round, so the caps maxima come from the same
+    rows with zero extra Spark jobs. Same maxima, same maps."""
+    lmax: dict[str, int] = {}
+    rmax: dict[str, int] = {}
+    emax: dict[str, int] = {}
+    for r in rows:
+        a, b, n = r["a"], r["b"], r["n"]
+        if b in lefts:
+            lmax[b] = max(lmax.get(b, 0), n)
+        if a in rights:
+            rmax[a] = max(rmax.get(a, 0), n)
+        if a in merged_syms:
+            emax[a] = max(emax.get(a, 0), n)
+        if b in merged_syms:
+            emax[b] = max(emax.get(b, 0), n)
+    return lmax, rmax, emax
+
+
 def bpe_train_batched(
     df: DataFrame,
     text_col: str = "text",
@@ -614,7 +656,11 @@ def bpe_train_batched(
     # single-partition merge loop for small vocabularies — every
     # per-round stats/top-K job becomes one exchange-free stage (see
     # bpe_train's ``vocab_rows``); results are partitioning-independent
-    if vocab_rows is not None and vocab_rows <= _one_partition_vocab_budget():
+    one_part = (
+        vocab_rows is not None
+        and vocab_rows <= _one_partition_vocab_budget()
+    )
+    if one_part:
         vocab = vocab.coalesce(1)
     initial = vocab
 
@@ -632,12 +678,33 @@ def bpe_train_batched(
     # released AFTER that job instead of paying a count() job per round
     pending_unpersist: DataFrame | None = None
     while len(merges) < num_merges:
-        stats = _pair_stats(vocab).persist()
-        top = (
-            stats.orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(max(64, 4 * batch_size))
-            .collect()
-        )
+        # ROUND-12: on the one-partition (small-vocab-hint) path the
+        # stats table is vocab-bounded and tiny — collect it ONCE per
+        # round and derive both the ordered top list (driver sort; the
+        # (-n, a, b) tuple key is the exact (n desc, a asc, b asc)
+        # order — Python string comparison is codepoint order, equal to
+        # Spark's UTF-8 binary collation) and the created-pair caps from
+        # the same rows.  That is ONE job per round instead of two
+        # (TakeOrderedAndProject — which under AQE pays an extra
+        # materialization round per job, measured ~140 ms/step — plus
+        # the caps aggregation over the persisted stats), and the
+        # stats persist disappears with its second consumer.  Large
+        # vocabularies keep the bounded limit() collect.
+        all_rows = None
+        if one_part:
+            all_rows = _pair_stats(vocab).collect()
+            all_rows.sort(key=lambda r: (-r["n"], r["a"], r["b"]))
+            top = all_rows[: max(64, 4 * batch_size)]
+            stats = None
+        else:
+            stats = _pair_stats(vocab).persist()
+            top = (
+                stats.orderBy(
+                    F.col("n").desc(), F.col("a").asc(), F.col("b").asc()
+                )
+                .limit(max(64, 4 * batch_size))
+                .collect()
+            )
         if pending_unpersist is not None:
             _release(pending_unpersist)
             pending_unpersist = None
@@ -646,9 +713,14 @@ def bpe_train_batched(
         )
         if strict and len(batch) > 1:
             merged_syms = {a + b for a, b, _ in batch}
-            lmax, rmax, emax = _created_pair_caps(
-                stats, lefts, rights, merged_syms
-            )
+            if one_part:
+                lmax, rmax, emax = _created_pair_caps_local(
+                    all_rows, lefts, rights, merged_syms
+                )
+            else:
+                lmax, rmax, emax = _created_pair_caps(
+                    stats, lefts, rights, merged_syms
+                )
             kept = [batch[0]]
             cap = 0
             coll = 0
@@ -673,7 +745,8 @@ def bpe_train_batched(
                 minted.add(a + b)
                 kept.append((a, b, n))
             batch = kept
-        stats.unpersist()
+        if stats is not None:
+            stats.unpersist()
         if not batch:
             break
         if rounds_out is not None:

@@ -431,6 +431,16 @@ def test_bpe_train_batched_strict_matches_sequential(spark, sf_dir):
     got2 = bpe_train_batched(docs2, "text", num_merges=8, batch_size=8)
     assert got2 == _py_bpe_train(texts2, 8)
 
+    # round 12: the one-partition path computes the created-pair caps
+    # DRIVER-SIDE from the collected stats rows (_created_pair_caps_local)
+    # — pin it against the same Python reference on the overlap-heavy
+    # corpus, where the caps admission logic actually engages
+    n2 = word_vocab(docs2, "text").count()
+    got2_one = bpe_train_batched(
+        docs2, "text", num_merges=8, batch_size=8, vocab_rows=n2
+    )
+    assert got2_one == got2
+
 
 def test_bpe_train_batched_loose_on_disjoint_corpus(spark):
     """strict=False (skip conflicts, bigger batches): on a corpus whose
