@@ -280,12 +280,21 @@ def q_incremental_cycle(spark, sf_dir):
         b = int(path.rsplit("_", 1)[-1].split(".")[0])
         return ev.filter(F.col("event_id") % 4 == b)
 
-    staged = spark.createDataFrame(
-        [(f"batch_{i}.cdx", f"/src/batch_{i}.cdx") for i in range(4)],
-        "basename: string, path: string",
+    # ROUND 12 (guide §4 — no Python boundary for bookkeeping fixtures):
+    # createDataFrame(list) parallelizes over defaultParallelism, so each
+    # of the cycle's construction-time work-queue collects scanned 32
+    # mostly-empty PYTHON-RDD partitions per side (a Python worker spin-up
+    # per task). spark.range projections build the identical rows as pure
+    # JVM codegen leaves.
+    def _batch_name(col):
+        return F.concat(F.lit("batch_"), col.cast("string"), F.lit(".cdx"))
+
+    staged = spark.range(0, 4, 1, 1).select(
+        _batch_name(F.col("id")).alias("basename"),
+        F.concat(F.lit("/src/"), _batch_name(F.col("id"))).alias("path"),
     )
-    included = spark.createDataFrame(
-        [(f"batch_{i}.cdx",) for i in range(2)], "basename: string"
+    included = spark.range(0, 2, 1, 1).select(
+        _batch_name(F.col("id")).alias("basename")
     )
     existing = merge_clusters(
         [read_source(spark, f"/src/batch_{i}.cdx") for i in range(2)],

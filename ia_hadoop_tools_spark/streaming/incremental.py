@@ -66,8 +66,17 @@ def incremental_merge_cycle(
         sources, daily_limit=daily_limit, sort_cols=sort_cols,
         tiebreakers=tiebreakers,
     )
+    # explicit 1-slice parallelize: createDataFrame(list) would split this
+    # handful of basenames over defaultParallelism slices, making every
+    # later scan of the bookkeeping table (the next cycle's anti-join)
+    # spin one Python worker per core for mostly-empty partitions
     new_included = included.select("basename").unionByName(
-        spark.createDataFrame([(r["basename"],) for r in todo], "basename: string")
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(r["basename"],) for r in todo], 1
+            ),
+            "basename: string",
+        )
     ).dropDuplicates(["basename"])
     return merged, new_included
 
